@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Reference-parity relational operators (SURVEY.md §2.2–§2.7).
+  *
+  * The reference's medallion model — raw (campaigns / transactions / sales)
+  * → master join (`modeling_tables/master_layer/m_data_model.sql`) → five
+  * business rollups (`modeling_tables/business_layer` SQL files) — re-expressed
+  * over the TPC-H-ish fixtures per FIXTURES.md:
+  *   transactions ← orders ⨝ customer ⨝ nation (country via nationkey)
+  *   sales/additional_data ← lineitem (⨝ part for `category`)
+  *   campaigns ← derived per (country, month) cost dimension
+  *
+  * Determinism discipline (SURVEY §7.4.5): every double aggregate that
+  * crosses the DuckDB-oracle boundary is `round(·, 2)` for sums of 2-dp
+  * inputs (the true sum is a multiple of 0.01, so rounding recovers the
+  * exact value independent of summation order) and `round(·, 6)` for
+  * derived ratios computed from already-exact operands. The same formulas,
+  * token for token, appear in SparkEntry.oracleSql.
+  */
+object Relational {
+
+  /** Exact sum of 2-dp doubles — order-insensitive, engine-portable. */
+  def rsum2(c: Column): Column = round(sum(c), 2)
+
+  /** Exact sum of 3-dp doubles (campaign_cost carries 3 decimals because it
+    * is 10% of a 2-dp sum; rounding to 2 would sit exactly on the .xx5
+    * half-way boundary where Spark and DuckDB round differently). */
+  def rsum3(c: Column): Column = round(sum(c), 3)
+
+  /** AVG re-expressed as exact-sum / count with NO final rounding: both
+    * operands are bit-identical across engines, so the IEEE quotient is
+    * bit-identical too — rounding it would only reintroduce half-way
+    * boundary risk. (Reference uses plain AVG: b_performance_metrics.sql:7-8.) */
+  def ravg2(c: Column): Column = round(sum(c), 2) / count(c)
+  def ravg3(c: Column): Column = round(sum(c), 3) / count(c)
+
+  /** DATE group keys are emitted as 'yyyy-MM-dd' strings: parquet date32 and
+    * DuckDB DATE normalize differently through pandas, strings never do. */
+  def dateStr(c: Column): Column = to_date(c).cast("string")
+
+  /** Transaction frame: reference `raw_layer.r_transactions`
+    * (cloud_composer/datapipeline_gcp.py:247-252) on fixtures.
+    * Dim joins are explicitly broadcast — customer/nation stay small
+    * relative to the fact at any scale factor. */
+  def transactions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("o_orderkey").as("transaction_id"),
+        col("o_totalprice").as("income"),
+        col("n_name").as("transaction_country"),
+        col("n_nationkey"),
+        col("o_orderdate").as("transaction_datetime"),
+        col("o_custkey").as("customer_id"),
+        trunc(col("o_orderdate"), "month").as("tmonth"))
+
+  /** Campaign dimension: reference `raw_layer.r_campaigns`
+    * (cloud_composer/datapipeline_gcp.py:230-235). Fixtures carry no
+    * campaign table, so it is derived deterministically: one campaign per
+    * (country, month) whose cost is 10% of that month's order income. */
+  def campaigns(spark: SparkSession, dir: String): DataFrame =
+    transactions(spark, dir)
+      .groupBy(col("n_nationkey"), col("transaction_country"), col("tmonth"))
+      .agg(round(round(sum(col("income")), 2) * lit(0.1).cast("double"), 3)
+        .as("campaign_cost"))
+      .select(
+        (col("n_nationkey") * 100 + month(col("tmonth"))).cast("long")
+          .as("campaign_id"),
+        col("campaign_cost"),
+        col("transaction_country").as("campaign_country"),
+        col("tmonth").as("campaign_month"))
+
+  /** Master model: J1 composite-key join + J2 single-key join + dim join,
+    * 11-column projection — `modeling_tables/master_layer/m_data_model.sql:1-20`
+    * and QUERY_MASTER (cloud_composer/datapipeline_gcp.py:95-117).
+    *
+    * Shape at scale: campaigns is tiny (countries × months) → broadcast;
+    * orders ⨝ lineitem shuffles on the join key only (AQE picks the
+    * strategy); part is a broadcast dim. The orders→lineitem fanout is the
+    * reference's intentional many-to-many semantics (SURVEY §7.4.3). */
+  def masterModel(spark: SparkSession, dir: String): DataFrame = {
+    val txn  = transactions(spark, dir)
+    val camp = campaigns(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    txn
+      .join(broadcast(camp),
+        col("campaign_country") === col("transaction_country") &&
+        col("campaign_month") === col("tmonth"))
+      .join(li, col("transaction_id") === col("l_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(
+        col("campaign_id"),
+        col("campaign_cost"),
+        col("transaction_id"),
+        col("income"),
+        col("transaction_country"),
+        col("customer_id"),
+        col("l_partkey").as("product_id"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("price"),
+        col("p_brand").as("category"),
+        col("transaction_datetime"))
+  }
+
+  /** b_performance_metrics.sql:1-16 — A1 group-by, A4 countDistinct,
+    * A6 sums/avgs, A7 ratio-of-aggregates. */
+  def performanceMetrics(master: DataFrame): DataFrame =
+    master
+      .groupBy(col("transaction_country").as("country"),
+        dateStr(col("transaction_datetime")).as("date"))
+      .agg(
+        countDistinct(col("transaction_id")).as("transaction_count"),
+        rsum2(col("income")).as("total_income"),
+        rsum3(col("campaign_cost")).as("total_campaign_cost"),
+        ravg2(col("income")).as("average_income"),
+        ravg3(col("campaign_cost")).as("average_campaign_cost"),
+        rsum3(col("income") - col("campaign_cost")).as("total_profit"),
+        (round(sum(col("income")), 2) / countDistinct(col("transaction_id")))
+          .as("average_transaction_value"))
+
+  /** b_product_performance.sql:1-18 — A2 three-key group-by. */
+  def productPerformance(master: DataFrame): DataFrame =
+    master
+      .groupBy(col("product_id"), col("transaction_country").as("country"),
+        dateStr(col("transaction_datetime")).as("date"))
+      .agg(
+        countDistinct(col("transaction_id")).as("transaction_count"),
+        rsum2(col("quantity")).as("total_quantity"),
+        rsum2(col("income")).as("total_income"),
+        ravg2(col("income")).as("average_income"),
+        rsum3(col("income") - col("campaign_cost")).as("total_profit"),
+        (round(sum(col("income")), 2) / countDistinct(col("transaction_id")))
+          .as("average_transaction_value"))
+
+  /** b_profitability_kpi.sql:1-14 — A3 two-key group-by, no date. */
+  def profitabilityKpi(master: DataFrame): DataFrame =
+    master
+      .groupBy(col("product_id"), col("transaction_country").as("country"))
+      .agg(
+        rsum2(col("quantity")).as("total_quantity"),
+        rsum2(col("income")).as("total_income"),
+        ravg2(col("income")).as("average_income"),
+        rsum3(col("income") - col("campaign_cost")).as("total_profit"))
+
+  /** b_sales_kpi.sql:1-14. */
+  def salesKpi(master: DataFrame): DataFrame =
+    master
+      .groupBy(col("transaction_country").as("country"),
+        dateStr(col("transaction_datetime")).as("date"))
+      .agg(
+        countDistinct(col("transaction_id")).as("transaction_count"),
+        rsum2(col("income")).as("total_income"),
+        ravg2(col("income")).as("average_income"),
+        rsum3(col("income") - col("campaign_cost")).as("total_profit"))
+
+  /** b_customer_retention.sql:1-14 — A5 conditional distinct count
+    * (`COUNT(DISTINCT CASE WHEN income > 0 THEN customer_id END)`). */
+  def customerRetention(master: DataFrame): DataFrame =
+    master
+      .groupBy(col("transaction_country").as("country"),
+        dateStr(col("transaction_datetime")).as("date"))
+      .agg(
+        countDistinct(col("customer_id")).as("unique_customers"),
+        countDistinct(when(col("income") > 0, col("customer_id")))
+          .as("paying_customers"),
+        countDistinct(when(col("income") === 0, col("customer_id")))
+          .as("non_paying_customers"))
+
+  /** E3 rollup (cloud_composer/load_campaigns_csv.py:7-88): per-source
+    * partial aggregates with literal padding columns (P3) → positional
+    * UNION ALL → re-aggregation (A10) → `(income - cost) AS revenue`.
+    * String date slicing via SUBSTR (F1) preserved from the reference;
+    * column names normalized per SURVEY §7.4.2. */
+  def rollup(spark: SparkSession, dir: String): DataFrame = {
+    val txn = transactions(spark, dir)
+      .withColumn("date", substring(col("transaction_datetime").cast("string"), 1, 10))
+    val tranxAgg = txn
+      .groupBy(col("transaction_country").as("country"), col("date"))
+      .agg(
+        rsum2(col("income")).as("income"),
+        count(col("transaction_id")).as("transaction_count"),
+        lit(0.0).cast("double").as("cost"),
+        lit(0L).as("campaign_count"))
+      .select("country", "income", "transaction_count", "cost",
+        "campaign_count", "date")
+    val camp = campaigns(spark, dir)
+      .withColumn("date", substring(col("campaign_month").cast("string"), 1, 10))
+    val campaignsAgg = camp
+      .groupBy(col("campaign_country").as("country"), col("date"))
+      .agg(
+        lit(0.0).cast("double").as("income"),
+        lit(0L).as("transaction_count"),
+        rsum3(col("campaign_cost")).as("cost"),
+        count(col("campaign_id")).as("campaign_count"))
+      .select("country", "income", "transaction_count", "cost",
+        "campaign_count", "date")
+    // Positional UNION ALL — BigQuery semantics (load_campaigns_csv.py:52-63)
+    val unionAll = tranxAgg.union(campaignsAgg)
+    unionAll
+      .groupBy(col("country"), col("date"))
+      .agg(
+        round(sum(col("income")), 2).as("income"),
+        sum(col("transaction_count")).as("transaction_count"),
+        round(sum(col("cost")), 3).as("cost"),
+        sum(col("campaign_count")).as("campaign_count"))
+      .select(
+        col("country"),
+        col("transaction_count"),
+        col("income"),
+        col("cost"),
+        round(col("income") - col("cost"), 3).as("revenue"),
+        col("campaign_count"),
+        col("date"))
+  }
+
+  /** Grouped top-k via ranking window (SURVEY §2.5 north-star window op):
+    * top 5 products by income per country, ties broken by product_id. */
+  def topProductsPerCountry(master: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCountry = master
+      .groupBy(col("transaction_country").as("country"), col("product_id"))
+      .agg(rsum2(col("income")).as("total_income"))
+    val w = Window.partitionBy(col("country"))
+      .orderBy(col("total_income").desc, col("product_id").asc)
+    byCountry
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** SELECT * passthrough scan (S6 analog —
+    * cloud_composer/datapipeline_gcp.py:36 `SELECT * FROM ronny_dev.stations`). */
+  def selectStar(spark: SparkSession, dir: String, table: String): DataFrame =
+    Tables.read(spark, dir, table)
+}
