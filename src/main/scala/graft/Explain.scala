@@ -1,0 +1,41 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the formatted physical plan of one query (or a
+  * scan/exchange summary of all) so partition/pushdown/broadcast decisions
+  * can be reviewed per round. Usage:
+  *   runMain graft.Explain <sfDir> [queryName]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val which = args.lift(1)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => which.forall(_ == q._1))
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      if (which.isDefined) {
+        println(s"===== $name =====")
+        df.explain("formatted")
+      } else {
+        // Force execution so AQE finalizes join strategies, then summarize.
+        df.count()
+        val p = df.queryExecution.executedPlan.toString
+        def n(re: String) = re.r.findAllIn(p).size
+        println(f"$name%-28s scans=${n("Scan parquet")}%2d " +
+          f"shuffles=${n("Exchange (hash|range)")}%2d " +
+          f"bcast=${n("BroadcastExchange")}%2d " +
+          f"reused=${n("ReusedExchange")}%2d " +
+          f"codegenSpans=${n("WholeStageCodegen")}%2d")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -30,8 +30,10 @@ object SparkEntry {
     "q_select_star" -> ((s, d) => Relational.selectStar(s, d, "supplier")),
   )
 
-  /** Shared CTE prefix mirroring Relational.{transactions,campaigns,masterModel}
-    * — token-for-token the same arithmetic as the DataFrame side. */
+  /** Shared CTE prefix mirroring Relational.{transactions,masterModel}
+    * — token-for-token the same arithmetic as the DataFrame side
+    * (campaign_cost as a window sum over the single txn frame; campaign_id
+    * encodes nation+year+month per ADVICE r1). */
   private val MasterCte: String =
     """WITH txn AS (
       |  SELECT o_orderkey AS transaction_id, o_totalprice AS income,
@@ -41,22 +43,18 @@ object SparkEntry {
       |  FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
-      |), camp AS (
-      |  SELECT CAST(n_nationkey * 100 + month(tmonth) AS BIGINT) AS campaign_id,
-      |         ROUND(ROUND(SUM(income), 2) * CAST(0.1 AS DOUBLE), 3) AS campaign_cost,
-      |         transaction_country AS campaign_country,
-      |         tmonth AS campaign_month
+      |), txnc AS (
+      |  SELECT *,
+      |         CAST(n_nationkey * 1000000 + year(tmonth) * 100 + month(tmonth) AS BIGINT) AS campaign_id,
+      |         ROUND(ROUND(SUM(income) OVER (PARTITION BY n_nationkey, transaction_country, tmonth), 2) * CAST(0.1 AS DOUBLE), 3) AS campaign_cost
       |  FROM txn
-      |  GROUP BY n_nationkey, transaction_country, tmonth
       |), master AS (
-      |  SELECT c.campaign_id, c.campaign_cost, t.transaction_id, t.income,
+      |  SELECT t.campaign_id, t.campaign_cost, t.transaction_id, t.income,
       |         t.transaction_country, t.customer_id,
       |         l.l_partkey AS product_id, l.l_quantity AS quantity,
       |         l.l_extendedprice AS price, p.p_brand AS category,
       |         t.transaction_datetime
-      |  FROM txn t
-      |  JOIN camp c ON c.campaign_country = t.transaction_country
-      |             AND c.campaign_month = t.tmonth
+      |  FROM txnc t
       |  JOIN lineitem l ON t.transaction_id = l.l_orderkey
       |  JOIN part p ON l.l_partkey = p.p_partkey
       |)""".stripMargin
@@ -127,7 +125,13 @@ object SparkEntry {
          |GROUP BY 1, 2""".stripMargin,
 
     "q_rollup" ->
-      s"""$MasterCte, tranx_agg AS (
+      s"""$MasterCte, camp AS (
+         |  SELECT ROUND(ROUND(SUM(income), 2) * CAST(0.1 AS DOUBLE), 3) AS campaign_cost,
+         |         transaction_country AS campaign_country,
+         |         tmonth AS campaign_month
+         |  FROM txn
+         |  GROUP BY n_nationkey, transaction_country, tmonth
+         |), tranx_agg AS (
          |  SELECT transaction_country AS country,
          |         ROUND(SUM(income), 2) AS income,
          |         COUNT(transaction_id) AS transaction_count,
@@ -141,7 +145,7 @@ object SparkEntry {
          |         CAST(0.00 AS DOUBLE) AS income,
          |         CAST(0 AS BIGINT) AS transaction_count,
          |         ROUND(SUM(campaign_cost), 3) AS cost,
-         |         COUNT(campaign_id) AS campaign_count,
+         |         COUNT(campaign_cost) AS campaign_count,
          |         SUBSTR(CAST(campaign_month AS VARCHAR), 1, 10) AS date
          |  FROM camp
          |  GROUP BY 1, 6

@@ -44,11 +44,15 @@ object Relational {
 
   /** Transaction frame: reference `raw_layer.r_transactions`
     * (cloud_composer/datapipeline_gcp.py:247-252) on fixtures.
-    * Dim joins are explicitly broadcast — customer/nation stay small
-    * relative to the fact at any scale factor. */
+    *
+    * Scale notes: `nation` is genuinely bounded (25 rows at any SF) →
+    * explicit broadcast. `customer` grows linearly with SF (TB-scale at
+    * 100 TB), so NO hint — AQE's autoBroadcastJoinThreshold decides (it
+    * still broadcasts at fixture scale, and falls back to a shuffled
+    * hash/sort-merge join when customer outgrows the threshold). */
   def transactions(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
@@ -61,6 +65,14 @@ object Relational {
         col("o_custkey").as("customer_id"),
         trunc(col("o_orderdate"), "month").as("tmonth"))
 
+  /** Unique campaign key per (nation, year, month) — ADVICE r1: encode the
+    * year so campaigns in the same calendar month of different years
+    * (orders span 1992-1998) never collide. Mirrored token-for-token in
+    * SparkEntry's oracle CTE. */
+  private def campaignIdCol: Column =
+    (col("n_nationkey") * 1000000 + year(col("tmonth")) * 100 +
+      month(col("tmonth"))).cast("long")
+
   /** Campaign dimension: reference `raw_layer.r_campaigns`
     * (cloud_composer/datapipeline_gcp.py:230-235). Fixtures carry no
     * campaign table, so it is derived deterministically: one campaign per
@@ -71,8 +83,7 @@ object Relational {
       .agg(round(round(sum(col("income")), 2) * lit(0.1).cast("double"), 3)
         .as("campaign_cost"))
       .select(
-        (col("n_nationkey") * 100 + month(col("tmonth"))).cast("long")
-          .as("campaign_id"),
+        campaignIdCol.as("campaign_id"),
         col("campaign_cost"),
         col("transaction_country").as("campaign_country"),
         col("tmonth").as("campaign_month"))
@@ -81,21 +92,35 @@ object Relational {
     * 11-column projection — `modeling_tables/master_layer/m_data_model.sql:1-20`
     * and QUERY_MASTER (cloud_composer/datapipeline_gcp.py:95-117).
     *
-    * Shape at scale: campaigns is tiny (countries × months) → broadcast;
-    * orders ⨝ lineitem shuffles on the join key only (AQE picks the
-    * strategy); part is a broadcast dim. The orders→lineitem fanout is the
-    * reference's intentional many-to-many semantics (SURVEY §7.4.3). */
+    * Shape at scale (VERDICT r1 fix): `campaign_cost` is a windowed sum
+    * over `(n_nationkey, country, month)` on the single transaction frame
+    * instead of a join against a separately-aggregated campaigns frame —
+    * that removes the second scan of the orders⨝customer⨝nation subtree
+    * (Catalyst plans an aggregate-of-X joined to X as two full subtrees;
+    * there is no exchange to reuse across the agg). The round(·,2) on the
+    * window sum makes the value bit-identical to the groupBy formulation
+    * regardless of summation order, so the refactor is hash-neutral.
+    * `part` carries no broadcast hint (it scales with SF); AQE picks the
+    * join strategy. The orders→lineitem fanout is the reference's
+    * intentional many-to-many semantics (SURVEY §7.4.3).
+    *
+    * Known trade-off at 100 TB: the window shuffles the fact on a
+    * (country, month)-cardinality key (~25 × #months partitions). For a
+    * standing pipeline the E1 driver computes the transaction frame once
+    * and persists it, which sidesteps both the re-scan and this shuffle. */
   def masterModel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val txn  = transactions(spark, dir)
-    val camp = campaigns(spark, dir)
     val li   = Tables.lineitem(spark, dir)
     val part = Tables.part(spark, dir)
+    val w = Window.partitionBy(
+      col("n_nationkey"), col("transaction_country"), col("tmonth"))
     txn
-      .join(broadcast(camp),
-        col("campaign_country") === col("transaction_country") &&
-        col("campaign_month") === col("tmonth"))
+      .withColumn("campaign_id", campaignIdCol)
+      .withColumn("campaign_cost",
+        round(round(sum(col("income")).over(w), 2) * lit(0.1).cast("double"), 3))
       .join(li, col("transaction_id") === col("l_orderkey"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .select(
         col("campaign_id"),
         col("campaign_cost"),
@@ -180,30 +205,42 @@ object Relational {
     * String date slicing via SUBSTR (F1) preserved from the reference;
     * column names normalized per SURVEY §7.4.2. */
   def rollup(spark: SparkSession, dir: String): DataFrame = {
-    val txn = transactions(spark, dir)
-      .withColumn("date", substring(col("transaction_datetime").cast("string"), 1, 10))
-    val tranxAgg = txn
-      .groupBy(col("transaction_country").as("country"), col("date"))
+    // Single-scan shape (VERDICT r1 fix #2): the reference's two partial
+    // aggregates (per-day transaction rollup, per-month campaign rollup)
+    // are computed in ONE pass over the transaction frame via GROUPING
+    // SETS — Spark plans an Expand (each row emitted once per grain) into
+    // a single partial+final aggregate, so the orders⨝customer⨝nation
+    // subtree is scanned and shuffled exactly once (the r1 version planned
+    // it twice; exchange reuse can't kick in because column pruning makes
+    // the two subtrees differ). Both grains are bounded (countries × days
+    // / months) at any scale factor. round(·,2)/(·,3) recovers the exact
+    // 2/3-dp values independent of summation order → hash-neutral vs the
+    // reference's two-subquery formulation.
+    val grains = transactions(spark, dir)
+      .withColumn("dday",
+        substring(col("transaction_datetime").cast("string"), 1, 10))
+      .withColumn("dmon", concat(substring(col("dday"), 1, 7), lit("-01")))
+      .groupingSets(
+        Seq(Seq(col("n_nationkey"), col("transaction_country"), col("dday")),
+            Seq(col("n_nationkey"), col("transaction_country"), col("dmon"))),
+        col("n_nationkey"), col("transaction_country"), col("dday"), col("dmon"))
       .agg(
-        rsum2(col("income")).as("income"),
-        count(col("transaction_id")).as("transaction_count"),
-        lit(0.0).cast("double").as("cost"),
-        lit(0L).as("campaign_count"))
-      .select("country", "income", "transaction_count", "cost",
-        "campaign_count", "date")
-    val camp = campaigns(spark, dir)
-      .withColumn("date", substring(col("campaign_month").cast("string"), 1, 10))
-    val campaignsAgg = camp
-      .groupBy(col("campaign_country").as("country"), col("date"))
-      .agg(
-        lit(0.0).cast("double").as("income"),
-        lit(0L).as("transaction_count"),
-        rsum3(col("campaign_cost")).as("cost"),
-        count(col("campaign_id")).as("campaign_count"))
-      .select("country", "income", "transaction_count", "cost",
-        "campaign_count", "date")
-    // Positional UNION ALL — BigQuery semantics (load_campaigns_csv.py:52-63)
-    val unionAll = tranxAgg.union(campaignsAgg)
+        sum(col("income")).as("inc_raw"),
+        count(col("transaction_id")).as("txn_cnt"))
+    // Day-grain rows ≙ reference `tranx_agg`, month-grain ≙ `campaigns_agg`
+    // (one campaign per (country, month), cost = 10% of the month's exact
+    // income), with the literal padding columns (P3) of each branch.
+    val unionAll = grains.select(
+      col("transaction_country").as("country"),
+      when(col("dday").isNotNull, round(col("inc_raw"), 2))
+        .otherwise(lit(0.0)).as("income"),
+      when(col("dday").isNotNull, col("txn_cnt"))
+        .otherwise(lit(0L)).as("transaction_count"),
+      when(col("dday").isNull,
+          round(round(col("inc_raw"), 2) * lit(0.1).cast("double"), 3))
+        .otherwise(lit(0.0)).as("cost"),
+      when(col("dday").isNull, lit(1L)).otherwise(lit(0L)).as("campaign_count"),
+      coalesce(col("dday"), col("dmon")).as("date"))
     unionAll
       .groupBy(col("country"), col("date"))
       .agg(
@@ -222,16 +259,32 @@ object Relational {
   }
 
   /** Grouped top-k via ranking window (SURVEY §2.5 north-star window op):
-    * top 5 products by income per country, ties broken by product_id. */
-  def topProductsPerCountry(master: DataFrame, k: Int = 5): DataFrame = {
+    * top 5 products by income per country, ties broken by product_id.
+    *
+    * Two-phase top-k (VERDICT r1 scale note): a single window partitioned
+    * by `country` has ~25 partitions at ANY scale, so each task would sort
+    * a country's ENTIRE product list at 100 TB. Phase 1 salts the window
+    * with a deterministic bucket of product_id and keeps k candidates per
+    * (country, salt); phase 2 ranks the ≤ saltBuckets×k survivors per
+    * country. Phase-1 ranking is per-product (already aggregated), so the
+    * global top-k is always contained in the salted winners — the result
+    * is bit-identical to the single-window form. */
+  def topProductsPerCountry(master: DataFrame, k: Int = 5,
+                            saltBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCountry = master
       .groupBy(col("transaction_country").as("country"), col("product_id"))
       .agg(rsum2(col("income")).as("total_income"))
-    val w = Window.partitionBy(col("country"))
-      .orderBy(col("total_income").desc, col("product_id").asc)
+    val ord = Seq(col("total_income").desc, col("product_id").asc)
+    val salted = Window
+      .partitionBy(col("country"), pmod(col("product_id"), lit(saltBuckets)))
+      .orderBy(ord: _*)
+    val global = Window.partitionBy(col("country")).orderBy(ord: _*)
     byCountry
-      .withColumn("rank", row_number().over(w))
+      .withColumn("salt_rank", row_number().over(salted))
+      .filter(col("salt_rank") <= k)
+      .drop("salt_rank")
+      .withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
   }
 

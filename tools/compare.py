@@ -26,9 +26,15 @@ def norm_df(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype.kind in "iu":
             out[c] = s.map(lambda x: None if pd.isna(x) else str(int(x)))
         elif s.dtype.kind == "M":
-            out[c] = s.map(lambda x: None if pd.isna(x) else pd.Timestamp(x).isoformat())
+            # Midnight-only timestamps normalize to date-only ISO so a
+            # parquet date32 read back as datetime.date (object dtype) and
+            # a DuckDB DATE fetched as datetime64 hash identically.
+            out[c] = s.map(lambda x: None if pd.isna(x) else (
+                t.date().isoformat() if (t := pd.Timestamp(x)) == t.normalize()
+                else t.isoformat()))
         else:
-            out[c] = s.map(lambda x: None if x is None else str(x))
+            out[c] = s.map(lambda x: None if x is None else (
+                x.isoformat() if hasattr(x, "isoformat") else str(x)))
     n = pd.DataFrame(out)
     n = n.sort_values(by=list(n.columns), na_position="first").reset_index(drop=True)
     return n
