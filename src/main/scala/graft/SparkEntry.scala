@@ -28,7 +28,142 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.rollup(s, d)),
     "q_top_products" -> ((s, d) => Relational.topProductsPerCountry(master(s, d))),
     "q_select_star" -> ((s, d) => Relational.selectStar(s, d, "supplier")),
+    // LLM-data-pipeline tier (north star): text analysis
+    "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "q_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
+    // dedup
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    // similarity search
+    "q_topk_similarity" -> ((s, d) => Similarity.topkCosine(s, d)),
+    "q_ann_lsh" -> ((s, d) => Similarity.topkCosineLsh(s, d)),
+    "q_embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
+    // event-time aggregation (batch twins of the streaming queries)
+    "q_event_windows" -> ((s, d) => Events.hourlyWindows(s, d)),
+    "q_event_sessions" -> ((s, d) => Events.userSessions(s, d)),
+    // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
+    "q_generator" -> ((s, _) => sources.Generator.campaigns(s, 1000)),
+    "q_ingest_roundtrip_csv" -> ((s, d) => ingestRoundtrip(s, d, tsv = false)),
+    "q_ingest_roundtrip_tsv" -> ((s, d) => ingestRoundtrip(s, d, tsv = true)),
+    // multimodal binary-payload accounting
+    "q_multimodal_meta" -> ((s, d) => multimodal.Multimodal.mediaStats(s, d)),
   )
+
+  /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
+    * into the reference's raw text format, stage it as CSV-with-header
+    * (or headerless TSV), re-read with the all-STRING raw schema, and
+    * normalize through the raw→master casts. The oracle reads the
+    * parquet directly — a hash match proves the text round-trip is
+    * lossless. */
+  private def ingestRoundtrip(s: SparkSession, d: String, tsv: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val shaped = Relational.transactions(s, d).select(
+      col("transaction_id").cast("string").as("transaction_id"),
+      col("income").cast("string").as("income"),
+      col("transaction_country").as("country"),
+      date_format(col("transaction_datetime"), "yyyy-MM-dd HH:mm:ss")
+        .as("date_time"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val raw =
+      if (tsv) {
+        shaped.select(concat_ws("\t", col("transaction_id"), col("income"),
+          col("country"), col("date_time")).as("line"))
+          .write.mode("overwrite").text(s"$dir/stage")
+        sources.Ingest.readTsv(s, s"$dir/stage/*.txt",
+          sources.Ingest.transactionsSchema)
+      } else {
+        shaped.write.mode("overwrite").option("header", "true")
+          .csv(s"$dir/stage")
+        sources.Ingest.readCsv(s, s"$dir/stage/*.csv",
+          sources.Ingest.transactionsSchema)
+      }
+    raw.select(
+      col("transaction_id"),
+      col("income").cast("double").as("income"),
+      col("country"),
+      to_timestamp(col("date_time"), "yyyy-MM-dd HH:mm:ss").as("date_time"),
+      substring(col("date_time"), 1, 10).as("date"),
+      substring(col("date_time"), 12, 8).as("time"))
+  }
+
+  // ---- oracle SQL fragments shared by the LLM-pipeline queries ----
+
+  /** Tokenized documents CTE (DuckDB) — twin of TextOps.tokens. */
+  private val ToksCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, n_chars, text,
+      |         regexp_extract_all(lower(text), '\S+') AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Distinct 3-gram shingles (DuckDB) — twin of TextOps.shingles. */
+  private val ShinglesExpr: String =
+    "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(" +
+      "range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))" +
+      " ELSE [] END"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def hitsExpr(words: Seq[String]): String =
+    s"len(list_filter(t, x -> x IN ${inList(words)}))"
+
+  /** MinHash banded-signature CTEs (DuckDB) — twin of
+    * Dedup.bandedSignatures + minhashPairs. */
+  private def minhashCtes: String = {
+    val sigComp = s"[list_min(list_transform(sh, s -> md5(h::VARCHAR || ':' || s))) " +
+      s"FOR h IN range(${Dedup.NumHashes})]"
+    val bandKey = (0 until Dedup.BandRows)
+      .map(r => s"sig[${Dedup.BandRows}*b+${r + 1}]")
+      .mkString(" || '|' || ")
+    s"""docs AS (
+       |  SELECT doc_id, $ShinglesExpr AS sh
+       |  FROM toks WHERE len(t) >= 3
+       |), sigs AS (
+       |  SELECT doc_id, $sigComp AS sig FROM docs
+       |), bands AS (
+       |  SELECT doc_id, b AS band_idx, md5($bandKey) AS band_key
+       |  FROM sigs, unnest(range(${Dedup.NumBands})) AS u(b)
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_band_matches
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** Embedding corpus CTEs with exact left-to-right double dot products
+    * (DuckDB) — twin of Similarity.corpus. */
+  private val EmbCte: String = {
+    val dim = Similarity.Dim
+    s"""WITH c AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v,
+       |         sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+       |           i -> v[i] * v[i]))) AS nv
+       |  FROM c
+       |)""".stripMargin
+  }
+
+  /** DuckDB literal for one LSH hyperplane (exact round-trip doubles). */
+  private def planeSql(h: Int): String =
+    Similarity.hyperplanes(h).map(_.toString).mkString("[", ", ", "]")
+
+  /** Bucket id expression (DuckDB) — twin of Similarity.bucketOf. */
+  private def bucketSql(v: String): String =
+    (0 until Similarity.NumPlanes).map { h =>
+      s"(CASE WHEN list_sum(list_transform(range(1, ${Similarity.Dim + 1}), " +
+        s"i -> (${planeSql(h)})[i] * $v[i])) > 0 THEN ${1 << h} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** Shared CTE prefix mirroring Relational.{transactions,masterModel}
     * — token-for-token the same arithmetic as the DataFrame side
@@ -182,5 +317,262 @@ object SparkEntry {
          |SELECT * FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_select_star" -> "SELECT * FROM supplier",
+
+    "q_text_stats" ->
+      s"""$ToksCte
+         |SELECT lang, source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+         |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+         |       MIN(n_chars) AS min_chars,
+         |       MAX(n_chars) AS max_chars
+         |FROM toks
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_token_count" ->
+      s"""$ToksCte
+         |SELECT doc_id,
+         |       len(t) AS n_tokens,
+         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pieces,
+         |       len(text) AS n_chars,
+         |       CASE WHEN len(t) > 0
+         |            THEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)
+         |       END AS avg_token_len
+         |FROM toks""".stripMargin,
+
+    "q_lang_id" -> {
+      val hitCols = TextOps.StopWords
+        .map { case (l, ws) => s"${hitsExpr(ws)} AS hits_$l" }
+        .mkString(",\n         ")
+      val g = TextOps.StopWords.map { case (l, _) => s"hits_$l" }
+        .mkString("greatest(", ", ", ")")
+      val pred = TextOps.StopWords
+        .map { case (l, _) => s"WHEN hits_$l = g THEN '$l'" }
+        .mkString("CASE ", " ", "END")
+      s"""$ToksCte, scored AS (
+         |  SELECT doc_id, lang,
+         |         $hitCols
+         |  FROM toks
+         |), withg AS (
+         |  SELECT *, $g AS g FROM scored
+         |)
+         |SELECT doc_id, lang,
+         |       ${TextOps.StopWords.map { case (l, _) => s"hits_$l" }.mkString(", ")},
+         |       $pred AS predicted_lang,
+         |       ($pred = lang) AS correct
+         |FROM withg""".stripMargin
+    },
+
+    "q_quality_score" ->
+      s"""$ToksCte, base AS (
+         |  SELECT doc_id,
+         |         len(text) AS n_chars,
+         |         len(t) AS n_tokens,
+         |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         |         ${hitsExpr(TextOps.StopWords.head._2)} AS n_stop
+         |  FROM toks
+         |), ratios AS (
+         |  SELECT *,
+         |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+         |         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+         |  FROM base
+         |)
+         |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop, punct_ratio, stop_ratio,
+         |       least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+         |         + (CAST(1.0 AS DOUBLE) - punct_ratio) * CAST(0.3 AS DOUBLE)
+         |         + least(CAST(1.0 AS DOUBLE), stop_ratio * CAST(5.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+         |         AS quality_score
+         |FROM ratios""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""$ToksCte, sh_docs AS (
+         |  SELECT doc_id, text, $ShinglesExpr AS sh FROM toks
+         |)
+         |SELECT doc_id,
+         |       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |       CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, s -> md5(s))) END AS shingle_min,
+         |       CASE WHEN len(sh) > 0 THEN list_max(list_transform(sh, s -> md5(s))) END AS shingle_max,
+         |       len(sh) AS n_shingles
+         |FROM sh_docs""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT * FROM documents UNION ALL SELECT * FROM documents
+        |)
+        |SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       MIN(doc_id) AS doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |       MIN(lang) AS lang,
+        |       MIN(n_chars) AS n_chars
+        |FROM all_docs
+        |GROUP BY 1""".stripMargin,
+
+    "q_minhash_pairs" ->
+      s"""$ToksCte, $minhashCtes
+         |SELECT doc_a, doc_b, n_band_matches FROM pairs""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""$ToksCte, $minhashCtes
+         |SELECT p.doc_a, p.doc_b, p.n_band_matches,
+         |       len(a.sh) AS n_a,
+         |       len(b.sh) AS n_b,
+         |       len(list_intersect(a.sh, b.sh)) AS n_inter,
+         |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM pairs p
+         |JOIN docs a ON p.doc_a = a.doc_id
+         |JOIN docs b ON p.doc_b = b.doc_id""".stripMargin,
+
+    "q_simhash" -> {
+      val votes = (0 until 16).map { k =>
+        s"list_sum(list_transform(t, s -> CASE WHEN CAST('0x' || substr(md5(s), ${k + 1}, 1) AS INT) >= 8 THEN 1 ELSE -1 END)) AS v$k"
+      }.mkString(",\n         ")
+      def bits(lo: Int, hi: Int): String =
+        (lo until hi).map(k =>
+          s"(CASE WHEN v$k > 0 THEN ${1 << (k - lo)} ELSE 0 END)")
+          .mkString(" + ")
+      s"""$ToksCte, votes AS (
+         |  SELECT doc_id,
+         |         $votes
+         |  FROM toks WHERE len(t) > 0
+         |), halves AS (
+         |  SELECT doc_id,
+         |         ${bits(0, 8)} AS simhash_lo,
+         |         ${bits(8, 16)} AS simhash_hi
+         |  FROM votes
+         |)
+         |SELECT doc_id,
+         |       simhash_lo + simhash_hi * 256 AS simhash,
+         |       simhash_hi, simhash_lo
+         |FROM halves""".stripMargin
+    },
+
+    "q_topk_similarity" ->
+      s"""$EmbCte, q AS (
+         |  SELECT vec_id AS q_id, v AS qv, nv AS nq FROM n
+         |  WHERE vec_id < ${Similarity.NumQueries}
+         |), scored AS (
+         |  SELECT q.q_id, n.vec_id,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM n, q WHERE n.vec_id <> q.q_id
+         |)
+         |SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+         |WHERE rank <= ${Similarity.TopK}""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""$EmbCte, bn AS (
+         |  SELECT *, ${bucketSql("v")} AS bucket FROM n
+         |), q0 AS (
+         |  SELECT vec_id AS q_id, v AS qv, nv AS nq, bucket FROM bn
+         |  WHERE vec_id < ${Similarity.NumQueries}
+         |), q AS (
+         |  SELECT q_id, qv, nq, CAST(xor(bucket, m) AS INT) AS bucket
+         |  FROM q0, unnest(${Similarity.ProbeMasks.mkString("[", ", ", "]")}) AS t(m)
+         |), scored AS (
+         |  SELECT q.q_id, bn.vec_id, bn.bucket,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM bn JOIN q USING (bucket) WHERE bn.vec_id <> q.q_id
+         |)
+         |SELECT q_id, vec_id, bucket, cosine, CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+         |WHERE rank <= ${Similarity.TopK}""".stripMargin,
+
+    "q_embedding_stats" ->
+      s"""$EmbCte
+         |SELECT label,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |       ROUND(SUM(nv), 6) AS total_norm,
+         |       ROUND(MIN(nv), 6) AS min_norm,
+         |       ROUND(MAX(nv), 6) AS max_norm
+         |FROM n
+         |GROUP BY 1""".stripMargin,
+
+    "q_event_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(MAX(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM sess
+        |GROUP BY user_id, sid""".stripMargin,
+
+    "q_generator" -> {
+      def h8(tag: String) =
+        s"CAST('0x' || substr(md5('$tag:' || id::VARCHAR), 1, 8) AS BIGINT)"
+      val countries = sources.Generator.Countries
+        .map(c => s"'$c'").mkString("[", ", ", "]")
+      s"""WITH g AS (SELECT id FROM range(1000) t(id)),
+         |cents AS (SELECT id, ${h8("cost")} % 99000 + 1000 AS c FROM g)
+         |SELECT CAST(${h8("id")} % 90000000 + 10000000 AS VARCHAR) AS campaign_id,
+         |       (c // 100)::VARCHAR || '.' || lpad((c % 100)::VARCHAR, 2, '0') AS cost,
+         |       ($countries)[CAST(${h8("country")} % ${sources.Generator.Countries.size} AS INT) + 1] AS country,
+         |       strftime(TIMESTAMP '${sources.Generator.Epoch}'
+         |         - to_seconds(${h8("ts")} % 10800), '%Y-%m-%d %H:%M:%S') AS date_time
+         |FROM cents JOIN g USING (id)""".stripMargin
+    },
+
+    "q_ingest_roundtrip_csv" -> IngestRoundtripOracle,
+    "q_ingest_roundtrip_tsv" -> IngestRoundtripOracle,
+
+    "q_multimodal_meta" -> {
+      def h8(tag: String) =
+        s"CAST('0x' || substr(md5('$tag:' || doc_id::VARCHAR), 1, 8) AS BIGINT)"
+      s"""SELECT doc_id,
+         |       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+         |            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+         |       CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+         |       md5(text) AS payload_md5,
+         |       CAST(${h8("w")} % 1024 + 64 AS INT) AS width,
+         |       CAST(${h8("h")} % 1024 + 64 AS INT) AS height,
+         |       CAST(${h8("f")} % 240 + 1 AS INT) AS n_frames,
+         |       CAST(len(range(0, CAST(${h8("f")} % 240 + 1 AS INT),
+         |         greatest(1, CAST(${h8("f")} % 240 + 1 AS INT) // 8))) AS INT)
+         |         AS n_sampled_frames
+         |FROM documents""".stripMargin
+    },
   )
+
+  /** Shared oracle for both text round-trips: read the parquet source
+    * directly — the engine result must be byte-identical after its
+    * stage-to-text → re-read → cast cycle. */
+  private val IngestRoundtripOracle: String =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+      |       o_totalprice AS income,
+      |       n_name AS country,
+      |       o_orderdate AS date_time,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS date,
+      |       strftime(o_orderdate, '%H:%M:%S') AS time
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
 }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextOps.{normText, tokens, shingles}
+
+/** Deduplication operators for the LLM-data-pipeline tier: exact
+  * (hash-groupBy), MinHash+LSH near-dup candidate generation, n-gram
+  * Jaccard verification of candidates, and SimHash signatures.
+  *
+  * Scale design: nothing here is all-pairs. Exact dedup is a hash
+  * aggregate on the fingerprint; MinHash candidates come from an LSH
+  * band-bucket self-JOIN (shuffle keyed on (band_idx, band_key), so only
+  * documents sharing a band collide); Jaccard runs only on those
+  * candidates. Hash functions are md5 (same algorithm in DuckDB), so the
+  * whole pipeline is oracle-checkable bit-for-bit.
+  */
+object Dedup {
+
+  /** MinHash parameters: H signatures in bands of R rows ⇒ B = H/R
+    * bands. Documents agreeing on any full band become candidates
+    * (probability ≈ 1-(1-j^R)^B for Jaccard j). */
+  val NumHashes = 12
+  val BandRows = 3
+  val NumBands: Int = NumHashes / BandRows
+
+  /** Exact dedup over a corpus that ingested every document twice
+    * (union of the table with itself — the re-ingest scenario K5's
+    * archival step exists to prevent): one surviving row per normalized
+    * text, keyed by md5 fingerprint, keeping the smallest doc_id. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.union(docs)
+      .groupBy(md5(normText(col("text"))).as("fingerprint"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("lang")).as("lang"),
+        min(col("n_chars")).as("n_chars"))
+  }
+
+  /** Per-document MinHash signature: explode shingles to rows, then ONE
+    * hash aggregate computes all NumHashes mins (min over fixed-width
+    * md5 hex ≡ numeric min). This is the scale shape — a giant document
+    * never materializes an O(shingles × hashes) array expression, the
+    * per-shingle md5 is computed exactly once per hash, and partial
+    * aggregation (map-side min) collapses each document before the
+    * shuffle. Documents with fewer than 3 tokens have no shingles and
+    * drop out (they can't near-dup by shingle overlap). */
+  private def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until NumHashes).map { h =>
+      min(md5(concat(lit(s"$h:"), col("s")))).as(s"sig_$h")
+    }
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bands = array((0 until NumBands).map { b =>
+      md5(concat_ws("|",
+        (0 until BandRows).map(r => col(s"sig_${b * BandRows + r}")): _*))
+    }: _*)
+    sigs.select(col("doc_id"), bands.as("bands"))
+  }
+
+  /** LSH candidate pairs: explode band keys, self-join per bucket,
+    * count how many bands each pair agrees on. The join shuffles on
+    * (band_idx, band_key) — per-bucket work only, never all-pairs. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedSignatures(spark, dir)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_band_matches"))
+  }
+
+  /** Exact n-gram Jaccard verification over the LSH candidate pairs:
+    * |A∩B| / |A∪B| on distinct 3-gram shingle sets. Joins the shingle
+    * arrays back onto the (small) candidate set — the quadratic work is
+    * bounded by LSH bucket collisions. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .where(size(col("sh")) > 0)
+    minhashPairs(spark, dir)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("n_band_matches"),
+        size(col("sh_a")).as("n_a"),
+        size(col("sh_b")).as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  /** 16-bit SimHash over the (multiplicity-weighted) token stream: bit k
+    * comes from the top bit of hex digit k of each token's md5; the
+    * signature bit is the sign of the summed ±1 votes. Emitted with its
+    * two 8-bit halves — exact near-dups within Hamming distance 1 per
+    * half can be banded on those halves. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // Explode tokens, md5 each token ONCE, then one hash aggregate sums
+    // all 16 bit-votes (map-side partial agg — the 100 TB shape; an
+    // array-expression fold would recompute the md5 16× per token).
+    val voteCols = (0 until 16).map { k =>
+      sum(when(conv(substring(col("m"), k + 1, 1), 16, 10).cast("int") >= 8,
+        lit(1)).otherwise(lit(-1))).as(s"v$k")
+    }
+    def bits(lo: Int, hi: Int): Column =
+      (lo until hi).map(k =>
+        when(col(s"v$k") > 0, lit(1 << (k - lo))).otherwise(lit(0)))
+        .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(
+        col("doc_id"),
+        (bits(0, 8) + shiftleft(bits(8, 16), 8)).as("simhash"),
+        bits(8, 16).as("simhash_hi"),
+        bits(0, 8).as("simhash_lo"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity-search operators over the `embeddings` fixture
+  * (`embedding: array<float>`, 64-dim): brute-force cosine top-k as the
+  * exact baseline and a random-hyperplane LSH-bucketed variant as the
+  * scale path (candidates only collide within a bucket — never
+  * all-pairs at 100 TB).
+  *
+  * All vector math uses higher-order functions (`zip_with` +
+  * `aggregate`), which fold left-to-right in array order — the same
+  * order the DuckDB oracle's `list_sum(list_transform(range(...)))`
+  * uses — so cosine scores are bit-identical across engines with no
+  * rounding tolerance needed.
+  */
+object Similarity {
+
+  val Dim = 64
+  /** Number of LSH hyperplanes ⇒ 2^H buckets. */
+  val NumPlanes = 6
+  /** Queries = the first NumQueries vec_ids (a bounded, broadcastable set). */
+  val NumQueries = 10
+  val TopK = 5
+
+  /** Deterministic pseudo-random hyperplanes derived from md5 — the same
+    * bytes DuckDB's md5 produces, so the oracle can embed the identical
+    * literals. Component h,i = (hex4(md5("w:h:i")) - 32768) / 32768 ∈
+    * (-1, 1), exactly representable (denominator is a power of two). */
+  lazy val hyperplanes: Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (h, i) =>
+      val hex = mdt.digest(s"w:$h:$i".getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      (Integer.parseInt(hex, 16) - 32768).toDouble / 32768.0
+    }
+  }
+
+  /** embedding floats cast to double (exact) for all arithmetic. */
+  private def vec: Column = transform(col("embedding"), x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def planeLit(h: Int): Column =
+    typedLit(hyperplanes(h).toSeq)
+
+  /** LSH bucket id: sign bits of the NumPlanes hyperplane projections. */
+  def bucketOf(v: Column): Column =
+    (0 until NumPlanes)
+      .map(h => when(dot(planeLit(h), v) > 0, lit(1 << h)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vec.as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+
+  /** Brute-force cosine top-k: the first NumQueries vectors against the
+    * whole corpus. The query side is bounded ⇒ broadcast (legitimately:
+    * it does NOT grow with SF); one pass over the corpus computes all
+    * scores, then a salted two-phase row_number keeps the top k per
+    * query without ever sorting a query's full candidate list in one
+    * task. */
+  def topkCosine(spark: SparkSession, dir: String,
+                 k: Int = TopK, saltBuckets: Int = 64): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nv").as("nq")).where(col("q_id") < NumQueries)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("nq") * col("nv"))).as("cosine"))
+    val ord = Seq(col("cosine").desc, col("vec_id").asc)
+    val salted = Window
+      .partitionBy(col("q_id"), pmod(col("vec_id"), lit(saltBuckets)))
+      .orderBy(ord: _*)
+    val global = Window.partitionBy(col("q_id")).orderBy(ord: _*)
+    scored
+      .withColumn("salt_rank", row_number().over(salted))
+      .where(col("salt_rank") <= k)
+      .drop("salt_rank")
+      .withColumn("rank", row_number().over(global))
+      .where(col("rank") <= k)
+  }
+
+  /** Multi-probe masks: the query's own bucket plus every bucket at
+    * Hamming distance 1 (flip one hyperplane sign). */
+  val ProbeMasks: Seq[Int] = 0 +: (0 until NumPlanes).map(1 << _)
+
+  /** LSH-bucketed approximate top-k with radius-1 multi-probe: queries
+    * meet corpus vectors only in their own hyperplane-sign bucket or a
+    * bucket one sign-flip away (an equi-join on bucket id — the 100 TB
+    * shape: shuffle keyed by bucket, per-bucket candidate sets, never
+    * all-pairs; probing trades NumPlanes+1 bucket lookups for recall on
+    * near-boundary neighbors). Same scoring/ranking as the exact
+    * baseline, so recall vs `topkCosine` is directly measurable. */
+  def topkCosineLsh(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val c = corpus(spark, dir).withColumn("bucket", bucketOf(col("v")))
+    val q = c.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nv").as("nq"), col("bucket")).where(col("q_id") < NumQueries)
+      .withColumn("mask", explode(typedLit(ProbeMasks)))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("mask")))
+      .drop("mask")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    c.join(broadcast(q), "bucket")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("bucket"),
+        (dot(col("qv"), col("v")) / (col("nq") * col("nv"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Corpus statistics by label: counts and L2-norm aggregates. The norm
+    * sum is rounded to 6 dp — norms are bit-identical per row across
+    * engines, so only group summation order differs (error ~1e-12,
+    * far inside the rounding tolerance). */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("nv")), 6).as("total_norm"),
+        round(min(col("nv")), 6).as("min_norm"),
+        round(max(col("nv")), 6).as("max_norm"))
+}

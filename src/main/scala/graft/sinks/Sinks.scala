@@ -1,0 +1,57 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Layer sinks — reference parity for K1-K5 (SURVEY §2.7).
+  *
+  * The reference's medallion contract is WRITE_APPEND + CREATE_IF_NEEDED
+  * into layer tables (`cloud_composer/datapipeline_gcp.py:236-238` etc.)
+  * with ingest idempotency provided NOT by the sink but by the post-load
+  * archival move (`gsutil mv ingested/ loaded/` — `:258-269`): a file can
+  * only be appended once because it stops matching the ingest glob.
+  * [[appendLayer]] + [[archive]] reproduce that contract; re-running an
+  * ingest WITHOUT archiving duplicates rows (at-least-once), exactly as
+  * the reference behaves.
+  */
+object Sinks {
+
+  /** K1/K2: append into a layer table (parquet directory). Writes with
+    * the incoming partitioning — no coalesce, every task writes its own
+    * file, exactly how a 1000-executor append must behave. */
+  def appendLayer(df: DataFrame, layerPath: String): Unit =
+    df.write.mode("append").parquet(layerPath)
+
+  /** K3: CTAS — create-or-fail, the `CREATE TABLE ... AS SELECT` twin. */
+  def createTableAs(df: DataFrame, tablePath: String): Unit =
+    df.write.mode("errorifexists").parquet(tablePath)
+
+  /** K4: staged CSV object write (header row, like the generator upload
+    * `create_campaigns/csv/main.py:33-43`). */
+  def writeCsvObjects(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K5: archival move — relocate every file matching `srcGlob` into
+    * `destDir` (Hadoop rename, atomic per file on a real filesystem).
+    * Returns the number of files moved. */
+  def archive(spark: SparkSession, srcGlob: String, destDir: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new Path(srcGlob)
+    val fs = glob.getFileSystem(conf)
+    val dest = new Path(destDir)
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    val files = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+    files.count { st =>
+      fs.rename(st.getPath, new Path(dest, st.getPath.getName))
+    }
+  }
+
+  /** F8: mint a landed-object name `<table>_<yyyyMMdd>_<uuid4-prefix>.<ext>`
+    * (`cloud_function/create_campaigns/csv/main.py:17-21`). */
+  def mintObjectName(table: String, ext: String,
+                     date: java.time.LocalDate = java.time.LocalDate.now()): String = {
+    val ymd = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    val suffix = java.util.UUID.randomUUID().toString.take(4)
+    s"${table}_${ymd}_$suffix.$ext"
+  }
+}

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Raw-layer ingest readers — reference parity for S1-S5 (SURVEY §2.1).
+  *
+  * The reference loads CSV-with-header (local flow) and headerless TSV
+  * (global/Dataproc flow) into BigQuery raw tables with deliberately
+  * all-STRING schemas (`cloud_composer/datapipeline_gcp.py:230-235,
+  * 247-252`; `:377-385` adds one INTEGER), casting late in SQL. The
+  * raw→master boundary here does the same: schema-on-read strings, then
+  * explicit null-tolerant casts (`to_timestamp` yields null on malformed
+  * input instead of aborting a WRITE_APPEND pipeline — SURVEY §7.4.1).
+  */
+object Ingest {
+
+  /** r_campaigns: campaign_id, cost, country, date_time — all STRING
+    * (datapipeline_gcp.py:230-235). */
+  val campaignsSchema: StructType = StructType(Seq(
+    StructField("campaign_id", StringType),
+    StructField("cost", StringType),
+    StructField("country", StringType),
+    StructField("date_time", StringType)))
+
+  /** r_transactions: transaction_id, income, country, date_time — all
+    * STRING (datapipeline_gcp.py:247-252). */
+  val transactionsSchema: StructType = StructType(Seq(
+    StructField("transaction_id", StringType),
+    StructField("income", StringType),
+    StructField("country", StringType),
+    StructField("date_time", StringType)))
+
+  /** r_sales: all STRING except quantity INTEGER
+    * (datapipeline_gcp.py:377-385). */
+  val salesSchema: StructType = StructType(Seq(
+    StructField("transaction_id", StringType),
+    StructField("customer_id", StringType),
+    StructField("product_id", StringType),
+    StructField("quantity", IntegerType),
+    StructField("price", StringType),
+    StructField("category", StringType),
+    StructField("date_time", StringType)))
+
+  /** S1/S2/S4: glob-read CSV with a header row, fixed raw schema. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** S3: headerless CSV (the Cloud-SQL-export flow skips no rows). */
+  def readCsvNoHeader(spark: SparkSession, path: String,
+                      schema: StructType): DataFrame =
+    spark.read.schema(schema).csv(path)
+
+  /** S5: headerless tab-delimited TXT (`create_campaigns/txt/main.py:30`
+    * record shape `id\tcost\tcountry\tdatetime`). */
+  def readTsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("sep", "\t").csv(path)
+
+  /** Raw→master normalization for transaction-shaped frames: F3/F4 casts
+    * (string → double / timestamp), null-tolerant via try_* so a malformed
+    * row nulls out instead of aborting a WRITE_APPEND pipeline (SURVEY
+    * §7.4.1 — Spark 4 runs ANSI mode by default, where a plain cast
+    * throws). */
+  def normalizeTransactions(raw: DataFrame): DataFrame =
+    raw.select(
+      col("transaction_id"),
+      expr("try_cast(income AS DOUBLE)").as("income"),
+      col("country"),
+      try_to_timestamp(col("date_time"), lit("yyyy-MM-dd HH:mm:ss"))
+        .as("date_time"))
+
+  /** F1/F2 derivations the reference adds on top of the raw datetime
+    * string (`load_campaigns_csv.py:11-12`): date part via SUBSTR and the
+    * PARSE_TIME analog (Spark has no TIME type, so time-of-day stays a
+    * normalized 'HH:mm:ss' string — documented deviation, SURVEY §7.4.4). */
+  def withDateParts(df: DataFrame, dateTimeStr: Column): DataFrame =
+    df.withColumn("date", substring(dateTimeStr, 1, 10))
+      .withColumn("time", substring(dateTimeStr, 12, 8))
+
+  /** F7 filename routing (`messaging/consumer/main.py:51-58`): derive
+    * (table, extension, dag id) from a landed object path like
+    * `ingested/csv/campaigns_20230706_ad17.csv`. */
+  def routeFilename(path: Column): (Column, Column, Column) = {
+    val base = element_at(split(path, "/"), -1)
+    val table = element_at(split(base, "_"), 1)
+    val ext = lower(element_at(split(base, "\\."), -1))
+    (table, ext, concat(lit("load_"), table, lit("_"), ext))
+  }
+
+  /** S7 batch analog of the file-existence sensor: fail-fast check that
+    * a glob matches at least one file before a load is attempted. */
+  def filesExist(spark: SparkSession, glob: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(glob)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(path)
+    st != null && st.nonEmpty
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Generator, Ingest}
+import graft.sinks.Sinks
+
+/** Ingest readers (S1-S5), generator determinism (S9), append/archive
+  * idempotency contract (K1/K5), filename routing (F7). */
+class IngestSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S9: generator is deterministic and partitioning-independent") {
+    val a = Generator.campaigns(spark, 500).collect().toSet
+    val b = Generator.campaigns(spark, 500).repartition(7).collect().toSet
+    assert(a == b && a.size == 500)
+    // value domains: 8-digit ids, 2-dp money in [10, 1000), 3 h lookback
+    val parsed = Generator.campaigns(spark, 500)
+      .select($"campaign_id".cast("long").as("id"),
+        $"cost".cast("double").as("cost"),
+        to_timestamp($"date_time", "yyyy-MM-dd HH:mm:ss").as("ts"))
+    assert(parsed.where($"id" < 10000000L || $"id" > 99999999L).count() == 0)
+    assert(parsed.where($"cost" < 10.0 || $"cost" >= 1000.0).count() == 0)
+    assert(parsed.where($"ts".isNull).count() == 0)
+  }
+
+  test("S1/S5: CSV-with-header and headerless TSV round-trip identically") {
+    val gen = Generator.campaigns(spark, 200)
+    val dir = tmpDir("ingest")
+    gen.write.option("header", "true").csv(s"$dir/csv")
+    gen.select(concat_ws("\t", $"campaign_id", $"cost", $"country",
+      $"date_time").as("line")).write.text(s"$dir/tsv")
+    val fromCsv = Ingest.readCsv(spark, s"$dir/csv/*.csv",
+      Ingest.campaignsSchema)
+    val fromTsv = Ingest.readTsv(spark, s"$dir/tsv/*.txt",
+      Ingest.campaignsSchema)
+    assert(fromCsv.collect().toSet == gen.collect().toSet)
+    assert(fromTsv.collect().toSet == gen.collect().toSet)
+    assert(fromCsv.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("K1/K5: append is at-least-once; archival move makes it exactly-once") {
+    val dir = tmpDir("sink")
+    val gen = Generator.campaigns(spark, 100)
+    Sinks.writeCsvObjects(gen, s"$dir/ingested")
+    val layer = s"$dir/raw_layer/r_campaigns"
+
+    def ingestOnce(): Unit =
+      if (Ingest.filesExist(spark, s"$dir/ingested/*.csv")) {
+        val raw = Ingest.readCsv(spark, s"$dir/ingested/*.csv",
+          Ingest.campaignsSchema)
+        Sinks.appendLayer(raw, layer)
+      }
+
+    // Without archive: re-running the load duplicates rows (reference
+    // behavior when the mv step is skipped).
+    ingestOnce(); ingestOnce()
+    assert(spark.read.parquet(layer).count() == 200)
+
+    // With archive: files leave the ingest glob, re-run is a no-op.
+    val moved = Sinks.archive(spark, s"$dir/ingested/*.csv", s"$dir/loaded")
+    assert(moved > 0)
+    ingestOnce()
+    assert(spark.read.parquet(layer).count() == 200)
+    assert(!Ingest.filesExist(spark, s"$dir/ingested/*.csv"))
+  }
+
+  test("F7: filename routing parses table/ext/dag from landed paths") {
+    val (t, e, dag) = Ingest.routeFilename($"path")
+    val r = Seq("results/campaigns_20230706_ad17.csv",
+      "ingested/txt/trx_20230706_ffff.TXT")
+      .toDF("path").select(t.as("t"), e.as("e"), dag.as("d")).collect()
+    assert(r(0).getString(0) == "campaigns" && r(0).getString(1) == "csv"
+      && r(0).getString(2) == "load_campaigns_csv")
+    assert(r(1).getString(0) == "trx" && r(1).getString(1) == "txt"
+      && r(1).getString(2) == "load_trx_txt")
+  }
+
+  test("normalizeTransactions casts strings null-tolerantly") {
+    val raw = Seq(
+      ("1", "12.50", "Peru", "2023-07-07 08:21:23"),
+      ("2", "oops", "Peru", "not a date"))
+      .toDF("transaction_id", "income", "country", "date_time")
+    val n = Ingest.normalizeTransactions(raw)
+    val rows = n.orderBy($"transaction_id").collect()
+    assert(rows(0).getDouble(1) == 12.50)
+    assert(!rows(0).isNullAt(3))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Unit coverage for similarity search: exact baseline sanity, LSH
+  * bucketing determinism, and approximate-vs-exact recall. */
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine top-k: scores in [-1, 1], k rows per query, rank ordered") {
+    val out = Similarity.topkCosine(spark, sf0001).cache()
+    try {
+      val perQuery = out.groupBy(col("q_id")).count().collect()
+      assert(perQuery.nonEmpty)
+      perQuery.foreach(r => assert(r.getLong(1) == Similarity.TopK))
+      val mm = out.agg(min(col("cosine")), max(col("cosine"))).head()
+      assert(mm.getDouble(0) >= -1.0000001 && mm.getDouble(1) <= 1.0000001)
+      // rank 1 has the max cosine within each query
+      val bad = out.groupBy(col("q_id"))
+        .agg(max(col("cosine")).as("mx"),
+          max(when(col("rank") === 1, col("cosine"))).as("r1"))
+        .where(col("mx") =!= col("r1")).count()
+      assert(bad == 0)
+    } finally out.unpersist()
+  }
+
+  test("self-similarity is exactly 1 when the query meets itself") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(3)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val cos = df.select((dot($"v", $"v") /
+      (sqrt(dot($"v", $"v")) * sqrt(dot($"v", $"v")))).as("c"))
+      .collect().map(_.getDouble(0))
+    cos.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("LSH buckets are deterministic across recomputation and partitioning") {
+    val a = Similarity.topkCosineLsh(spark, sf0001).collect().toSet
+    val b = Similarity.topkCosineLsh(spark, sf0001).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("LSH top-k is a subset-quality approximation of the exact top-k") {
+    // sf0.01 (500 vectors) so the 2^6 buckets are actually populated.
+    val exact = Similarity.topkCosine(spark, SparkSpec.Sf001)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.topkCosineLsh(spark, SparkSpec.Sf001)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Approximate results must overlap the exact set somewhat
+    // (same-bucket ≈ similar hyperplane signs ≈ similar direction).
+    assert(approx.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.0, s"LSH found nothing from the exact top-k ($recall)")
+  }
+
+  test("hyperplanes are reproducible constants") {
+    val w = Similarity.hyperplanes
+    assert(w.length == Similarity.NumPlanes && w.head.length == Similarity.Dim)
+    assert(w.flatten.forall(x => x >= -1.0 && x < 1.0))
+    // spot value pinned: md5("w:0:0") first 4 hex digits
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("w:0:0".getBytes("UTF-8")).take(2).map(b => f"$b%02x").mkString
+    assert(w(0)(0) == (Integer.parseInt(hex, 16) - 32768).toDouble / 32768.0)
+  }
+}

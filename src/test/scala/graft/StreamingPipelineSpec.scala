@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{Generator, Ingest}
+import graft.streaming.StreamingIngest
+import graft.operators.Events
+
+/** E2 streaming ingest (file source + AvailableNow + archive) and the E1
+  * end-to-end pipeline smoke (SURVEY §5.4). */
+class StreamingPipelineSpec extends SparkSpec {
+
+  test("E2: AvailableNow file stream ingests dropped CSVs == batch read") {
+    val dir = tmpDir("stream")
+    // Drop three CSV "arrival" batches into the watched dir.
+    Seq(0L, 1L, 2L).foreach { i =>
+      Generator.campaigns(spark, 50).where(pmod(col("campaign_id"), lit(3)) === i)
+        .write.option("header", "true").csv(s"$dir/watch/batch_$i")
+    }
+    val watched = s"$dir/watch/*/"
+    StreamingIngest.ingestCsvStream(spark, watched,
+      Ingest.campaignsSchema, s"$dir/layer", s"$dir/ckpt")
+    val streamed = spark.read.parquet(s"$dir/layer")
+    val batch = Ingest.readCsv(spark, s"$dir/watch/*/*.csv",
+      Ingest.campaignsSchema)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.collect().toSet == batch.collect().toSet)
+    // Restarting the stream with the same checkpoint re-ingests nothing.
+    StreamingIngest.ingestCsvStream(spark, watched,
+      Ingest.campaignsSchema, s"$dir/layer", s"$dir/ckpt")
+    assert(spark.read.parquet(s"$dir/layer").count() == batch.count())
+  }
+
+  test("E2: watermarked streaming window agg equals the batch twin") {
+    val dir = tmpDir("evstream")
+    val events = graft.Tables.events(spark, sf0001)
+    events.write.parquet(s"$dir/events")
+    val stream = StreamingIngest.hourlyWindowsStream(spark, s"$dir/events",
+      events.schema)
+    val q = stream.writeStream
+      .format("memory").queryName("hourly_mem")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("hourly_mem")
+      .select("hour", "event_type", "n_events", "total_value")
+    val expect = Events.hourlyWindows(spark, sf0001)
+      .select("hour", "event_type", "n_events", "total_value")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("E1: pipeline smoke at sf0.001 — every layer lands with rows") {
+    val out = tmpDir("pipeline")
+    val counts = Pipeline.run(spark, sf0001, out, genRows = 200)
+    assert(counts.raw.values.forall(_ == 200))
+    assert(counts.master > 0)
+    assert(counts.business.size == 5)
+    assert(counts.business.values.forall(_ > 0))
+    // Ingested files were archived (K5) — staging is empty.
+    assert(!Ingest.filesExist(spark, s"$out/ingested/csv/campaigns/*.csv"))
+  }
+}

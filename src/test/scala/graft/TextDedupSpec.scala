@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+/** Unit coverage for the text-analysis and dedup operator families. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/shingles edge cases: empty, short, whitespace-heavy") {
+    val df = Seq("", "   ", "one", "one two", "one two three",
+      "  A  lot   OF   spaces here ").toDF("text")
+      .select(TextOps.tokens($"text").as("t"))
+      .withColumn("sh", TextOps.shingles($"t"))
+      .select(size($"t").as("nt"), size($"sh").as("ns"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows == Seq((0, 0), (0, 0), (1, 0), (2, 0), (3, 1), (5, 3)))
+  }
+
+  test("normText collapses case and whitespace") {
+    val r = Seq("  Foo   BAR\tbaz  ").toDF("text")
+      .select(TextOps.normText($"text")).head().getString(0)
+    assert(r == "foo bar baz")
+  }
+
+  test("exact dedup: doubled corpus dedups to one row per text, min id kept") {
+    val out = Dedup.exactDedup(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(out.count() == docs.count()) // all fixture texts are distinct
+    assert(out.agg(min($"n_copies"), max($"n_copies")).head() ==
+      org.apache.spark.sql.Row(2L, 2L))
+  }
+
+  test("identical texts collide in every band; jaccard 1.0") {
+    // Two identical docs + one unrelated → exactly one candidate pair.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (3L, "completely different words appear in this text here", "en", "s", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("dedup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashPairs(spark, dir).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Long]("n_band_matches") == Dedup.NumBands)
+    val j = Dedup.ngramJaccard(spark, dir).head()
+    assert(j.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical texts get identical signatures; halves recombine") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 22L),
+      (2L, "alpha beta gamma delta", "en", "s", 22L),
+      (3L, "omega psi chi phi", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("simhash")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("simhash"), r.getAs[Int]("simhash_hi"),
+          r.getAs[Int]("simhash_lo"))).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    rows.values.foreach { case (s, hi, lo) =>
+      assert(s == lo + hi * 256 && s >= 0 && s < 65536)
+    }
+  }
+
+  test("lang-id scoring is deterministic and favors stopword-rich text") {
+    val docs = Seq(
+      (1L, "the cat and the dog in the house is it", "en", "s", 10L),
+      (2L, "der hund und die katze ist nicht ein tier", "de", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("langid")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.langId(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+  }
+
+  test("quality score stays in [0, 1] on the fixture corpus") {
+    val mm = TextOps.qualityScore(spark, sf0001)
+      .agg(min($"quality_score"), max($"quality_score")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+}
