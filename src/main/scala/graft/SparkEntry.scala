@@ -52,6 +52,17 @@ object SparkEntry {
     "q_ingest_roundtrip_tsv" -> ((s, d) => ingestRoundtrip(s, d, tsv = true)),
     // multimodal binary-payload accounting
     "q_multimodal_meta" -> ((s, d) => multimodal.Multimodal.mediaStats(s, d)),
+    // A9: GROUP BY ordinal through Spark SQL (groupByOrdinal is on by
+    // default), positions referencing select-list expressions.
+    "q_group_by_ordinal" -> ((s, d) => {
+      Relational.transactions(s, d).createOrReplaceTempView("txn_v")
+      s.sql("""SELECT transaction_country AS country,
+               |       CAST(CAST(transaction_datetime AS DATE) AS STRING) AS date,
+               |       ROUND(SUM(income), 2) AS income,
+               |       COUNT(transaction_id) AS n
+               |FROM txn_v
+               |GROUP BY 1, 2""".stripMargin)
+    }),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -114,18 +125,25 @@ object SparkEntry {
     s"len(list_filter(t, x -> x IN ${inList(words)}))"
 
   /** MinHash banded-signature CTEs (DuckDB) — twin of
-    * Dedup.bandedSignatures + minhashPairs. */
+    * Dedup.bandedSignatures + minhashPairs (one md5 per shingle, then
+    * the (a·x+b) mod p universal-hash family). */
   private def minhashCtes: String = {
-    val sigComp = s"[list_min(list_transform(sh, s -> md5(h::VARCHAR || ':' || s))) " +
-      s"FOR h IN range(${Dedup.NumHashes})]"
+    val a = Dedup.HashA.mkString("[", ", ", "]")
+    val b = Dedup.HashB.mkString("[", ", ", "]")
+    val sigComp =
+      s"[list_min(list_transform(xs, x -> (($a)[h+1] * x + ($b)[h+1]) % ${Dedup.HashP})) " +
+        s"FOR h IN range(${Dedup.NumHashes})]"
     val bandKey = (0 until Dedup.BandRows)
-      .map(r => s"sig[${Dedup.BandRows}*b+${r + 1}]")
+      .map(r => s"sig[${Dedup.BandRows}*b+${r + 1}]::VARCHAR")
       .mkString(" || '|' || ")
     s"""docs AS (
        |  SELECT doc_id, $ShinglesExpr AS sh
        |  FROM toks WHERE len(t) >= 3
        |), sigs AS (
-       |  SELECT doc_id, $sigComp AS sig FROM docs
+       |  SELECT doc_id, $sigComp AS sig
+       |  FROM (SELECT doc_id, list_transform(sh,
+       |          s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS xs
+       |        FROM docs)
        |), bands AS (
        |  SELECT doc_id, b AS band_idx, md5($bandKey) AS band_key
        |  FROM sigs, unnest(range(${Dedup.NumBands})) AS u(b)
@@ -543,6 +561,15 @@ object SparkEntry {
 
     "q_ingest_roundtrip_csv" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_tsv" -> IngestRoundtripOracle,
+
+    "q_group_by_ordinal" ->
+      s"""$MasterCte
+         |SELECT transaction_country AS country,
+         |       CAST(CAST(transaction_datetime AS DATE) AS VARCHAR) AS date,
+         |       ROUND(SUM(income), 2) AS income,
+         |       COUNT(transaction_id) AS n
+         |FROM txn
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_multimodal_meta" -> {
       def h8(tag: String) =

@@ -25,6 +25,15 @@ object Dedup {
   val BandRows = 3
   val NumBands: Int = NumHashes / BandRows
 
+  /** Universal-hash family over ONE md5 per shingle: h_i(x) = (a_i·x +
+    * b_i) mod p with x = first 8 md5 hex digits (32 bits), p = 2^31-1,
+    * a_i odd 31-bit — products stay < 2^63 (no overflow, so Spark long
+    * arithmetic and DuckDB BIGINT agree exactly). One strong hash plus
+    * 12 affine rehashes ≈ 12× less hashing than md5-per-seed. */
+  val HashA: Seq[Long] = (0 until NumHashes).map(i => 2654435761L % 2147483647L * (i + 1) % 2147483647L | 1L)
+  val HashB: Seq[Long] = (0 until NumHashes).map(i => 40503L * (i + 7) % 2147483647L)
+  val HashP = 2147483647L
+
   /** Exact dedup over a corpus that ingested every document twice
     * (union of the table with itself — the re-ingest scenario K5's
     * archival step exists to prevent): one surviving row per normalized
@@ -50,16 +59,19 @@ object Dedup {
     * drop out (they can't near-dup by shingle overlap). */
   private def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = (0 until NumHashes).map { h =>
-      min(md5(concat(lit(s"$h:"), col("s")))).as(s"sig_$h")
+      min((lit(HashA(h)) * col("x") + lit(HashB(h))) % lit(HashP)).as(s"sig_$h")
     }
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")))).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("x"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = array((0 until NumBands).map { b =>
       md5(concat_ws("|",
-        (0 until BandRows).map(r => col(s"sig_${b * BandRows + r}")): _*))
+        (0 until BandRows).map(r =>
+          col(s"sig_${b * BandRows + r}").cast("string")): _*))
     }: _*)
     sigs.select(col("doc_id"), bands.as("bands"))
   }
