@@ -25,15 +25,21 @@ object Explain {
         println(s"===== $name =====")
         df.explain("formatted")
       } else {
-        // Force execution so AQE finalizes join strategies, then summarize.
+        // Force execution so AQE finalizes join strategies, then summarize
+        // the final adaptive plan.
         df.count()
-        val p = df.queryExecution.executedPlan.toString
-        def n(re: String) = re.r.findAllIn(p).size
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        val finalPlan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+          case p => p.toString
+        }
+        def n(re: String) = re.r.findAllIn(finalPlan).size
         println(f"$name%-28s scans=${n("Scan parquet")}%2d " +
           f"shuffles=${n("Exchange (hash|range)")}%2d " +
           f"bcast=${n("BroadcastExchange")}%2d " +
-          f"reused=${n("ReusedExchange")}%2d " +
-          f"codegenSpans=${n("WholeStageCodegen")}%2d")
+          f"reused=${n("ReusedExchange|ReusedShuffle")}%2d " +
+          f"codegen=${n("\\*\\(\\d+\\)")}%3d " +
+          f"pushed=${n("PushedFilters: \\[[^\\]]")}%2d")
       }
     }
     spark.stop()

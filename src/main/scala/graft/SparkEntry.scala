@@ -43,6 +43,7 @@ object SparkEntry {
     "q_topk_similarity" -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.topkCosineLsh(s, d)),
     "q_embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
+    "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // event-time aggregation (batch twins of the streaming queries)
     "q_event_windows" -> ((s, d) => Events.hourlyWindows(s, d)),
     "q_event_sessions" -> ((s, d) => Events.userSessions(s, d)),
@@ -503,6 +504,18 @@ object SparkEntry {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          |WHERE rank <= ${Similarity.TopK}""".stripMargin,
+
+    "q_embedding_neardup" ->
+      s"""$EmbCte, bn AS (
+         |  SELECT *, ${bucketSql("v")} AS bucket FROM n
+         |)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, bucket,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> a.v[i] * b.v[i])) / (a.nv * b.nv) AS cosine
+         |  FROM bn a JOIN bn b USING (bucket)
+         |  WHERE a.vec_id < b.vec_id
+         |) WHERE cosine > 0.5""".stripMargin,
 
     "q_embedding_stats" ->
       s"""$EmbCte

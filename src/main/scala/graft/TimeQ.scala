@@ -6,7 +6,7 @@ object TimeQ {
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- args) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").count()
+      val n = SparkEntry.queries(q)(spark, sys.env.getOrElse("TQ_SF", "/root/testdata/sf0.01")).count()
       println(f"$q: ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
     }
     spark.stop()

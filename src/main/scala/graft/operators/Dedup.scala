@@ -57,11 +57,18 @@ object Dedup {
     * aggregation (map-side min) collapses each document before the
     * shuffle. Documents with fewer than 3 tokens have no shingles and
     * drop out (they can't near-dup by shingle overlap). */
+  /** CPU-heavy per-document stages must not inherit the file-split
+    * parallelism (a corpus delivered as few large files would serialize
+    * the hashing on few cores): spread documents across the cluster
+    * before the expensive projection. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = (0 until NumHashes).map { h =>
       min((lit(HashA(h)) * col("x") + lit(HashB(h))) % lit(HashP)).as(s"sig_$h")
     }
-    val sigs = Tables.documents(spark, dir)
+    val sigs = spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")))).as("s"))
       .select(col("doc_id"),
@@ -82,8 +89,11 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val banded = bandedSignatures(spark, dir)
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // shuffle-hash hint: with identical shuffle exchanges on both sides
+    // Spark's ReuseExchange computes the banded-signature subtree ONCE
+    // (AQE's broadcast choice would otherwise plan it twice).
+    val a = banded.hint("shuffle_hash").as("a")
+    val b = banded.hint("shuffle_hash").as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
@@ -97,12 +107,22 @@ object Dedup {
     * arrays back onto the (small) candidate set — the quadratic work is
     * bounded by LSH bucket collisions. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val sh = spread(Tables.documents(spark, dir))
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
       .where(size(col("sh")) > 0)
-    minhashPairs(spark, dir)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    // One pass over the (expensive) shingle frame: explode each pair
+    // into its two member ids, join shingles once, then fold the two
+    // sides back with a max-of-conditional aggregate (arrays are
+    // orderable; each side has exactly one non-null candidate).
+    val sides = minhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_band_matches"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    sides.join(sh, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(col("n_band_matches")).as("n_band_matches"),
+        max(when(col("doc_id") === col("doc_a"), col("sh"))).as("sh_a"),
+        max(when(col("doc_id") === col("doc_b"), col("sh"))).as("sh_b"))
       .select(
         col("doc_a"), col("doc_b"), col("n_band_matches"),
         size(col("sh_a")).as("n_a"),
@@ -130,7 +150,7 @@ object Dedup {
       (lo until hi).map(k =>
         when(col(s"v$k") > 0, lit(1 << (k - lo))).otherwise(lit(0)))
         .reduce(_ + _)
-    Tables.documents(spark, dir)
+    spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("m"))
       .groupBy(col("doc_id"))

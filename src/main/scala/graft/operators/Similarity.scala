@@ -54,10 +54,14 @@ object Similarity {
       .map(h => when(dot(planeLit(h), v) > 0, lit(1 << h)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    // Spread vectors across cores before the CPU-heavy projections —
+    // single-file corpora otherwise pin the math to the file-split count.
+    val e = Tables.embeddings(spark, dir)
+    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"), vec.as("v"))
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+  }
 
   /** Brute-force cosine top-k: the first NumQueries vectors against the
     * whole corpus. The query side is bounded ⇒ broadcast (legitimately:
@@ -113,6 +117,25 @@ object Similarity {
         (dot(col("qv"), col("v")) / (col("nq") * col("nv"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidate pairs collide in
+    * an LSH bucket (same hyperplane signs — never all-pairs), then the
+    * exact cosine filters at `threshold`. The symmetric-pair convention
+    * (vec_a < vec_b) matches the MinHash dedup output shape, so the two
+    * near-dup families compose. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val c = corpus(spark, dir).withColumn("bucket", bucketOf(col("v")))
+    val a = c.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nv").as("na"), col("bucket"))
+    val b = c.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nv").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("bucket"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") > threshold)
   }
 
   /** Corpus statistics by label: counts and L2-norm aggregates. The norm
