@@ -49,9 +49,11 @@ object Pipeline {
     Sinks.archive(spark, s"$ingested/campaigns/*.csv", s"$loaded/campaigns")
     Sinks.archive(spark, s"$ingested/transactions/*.csv", s"$loaded/transactions")
 
-    // 4. Master: materialize m_data_model ONCE (K3-style create).
+    // 4. Master: materialize m_data_model ONCE (K3-style create),
+    // partitioned by country so per-country consumers prune partitions.
     val masterPath = s"$outDir/master_layer/m_data_model"
-    Sinks.createTableAs(Relational.masterModel(spark, sfDir), masterPath)
+    Sinks.createTableAs(Relational.masterModel(spark, sfDir), masterPath,
+      partitionBy = Seq("transaction_country"))
     val master = spark.read.parquet(masterPath)
 
     // 5. Business layer: five aggregates over the materialized master.

@@ -22,9 +22,16 @@ object Sinks {
   def appendLayer(df: DataFrame, layerPath: String): Unit =
     df.write.mode("append").parquet(layerPath)
 
-  /** K3: CTAS — create-or-fail, the `CREATE TABLE ... AS SELECT` twin. */
-  def createTableAs(df: DataFrame, tablePath: String): Unit =
-    df.write.mode("errorifexists").parquet(tablePath)
+  /** K3: CTAS — create-or-fail, the `CREATE TABLE ... AS SELECT` twin.
+    * Optional hive-style partitioning: at warehouse scale the master
+    * layer is partitioned on its dominant filter column so downstream
+    * scans prune directories (`PartitionFilters` in the plan). */
+  def createTableAs(df: DataFrame, tablePath: String,
+                    partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tablePath)
+  }
 
   /** K4: staged CSV object write (header row, like the generator upload
     * `create_campaigns/csv/main.py:33-43`). */
