@@ -53,6 +53,9 @@ object SparkEntry {
     "q_ingest_roundtrip_tsv" -> ((s, d) => ingestRoundtrip(s, d, tsv = true)),
     // multimodal binary-payload accounting
     "q_multimodal_meta" -> ((s, d) => multimodal.Multimodal.mediaStats(s, d)),
+    // A4 scale swap-in: HLL approx distinct next to exact (rows-only
+    // check - DuckDB's HLL differs, so no hash oracle; see Scaladoc).
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     // A9: GROUP BY ordinal through Spark SQL (groupByOrdinal is on by
     // default), positions referencing select-list expressions.
     "q_group_by_ordinal" -> ((s, d) => {

@@ -107,9 +107,12 @@ object Dedup {
     * arrays back onto the (small) candidate set — the quadratic work is
     * bounded by LSH bucket collisions. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // No size(sh)>0 filter here: candidate pairs only reference docs
+    // that produced shingles, and a filter on the computed array would
+    // re-evaluate the whole shingle expression per row (Catalyst inlines
+    // projections into filter conditions — measured 2× cost).
     val sh = spread(Tables.documents(spark, dir))
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-      .where(size(col("sh")) > 0)
     // One pass over the (expensive) shingle frame: explode each pair
     // into its two member ids, join shingles once, then fold the two
     // sides back with a max-of-conditional aggregate (arrays are

@@ -295,4 +295,20 @@ object Relational {
     * cloud_composer/datapipeline_gcp.py:36 `SELECT * FROM ronny_dev.stations`). */
   def selectStar(spark: SparkSession, dir: String, table: String): DataFrame =
     Tables.read(spark, dir, table)
+
+  /** A4 at 100 TB (SURVEY §4 watch list): exact COUNT(DISTINCT) plans an
+    * Expand that doubles shuffle volume per distinct aggregate — the
+    * scale swap-in is HLL++ `approx_count_distinct` (one pass, mergeable
+    * sketches, no Expand). Emits exact next to approx with the relative
+    * error so the trade is measurable. No DuckDB oracle entry: DuckDB's
+    * approx_count_distinct is a different HLL implementation, so only a
+    * rows/sanity check applies (the spec asserts rel_err < 5%). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    transactions(spark, dir)
+      .groupBy(col("transaction_country").as("country"))
+      .agg(
+        countDistinct(col("customer_id")).as("n_exact"),
+        approx_count_distinct(col("customer_id"), 0.01).as("n_approx"))
+      .withColumn("rel_err",
+        abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact"))
 }

@@ -53,6 +53,18 @@ object Sinks {
     }
   }
 
+  /** Bucketed catalog table: pre-shuffling a fact on its join key at
+    * write time buys exchange-free (co-located) joins for every
+    * downstream consumer — the standing-warehouse answer to repeated
+    * 100 TB shuffles. Both sides of a join must share bucket count and
+    * key. */
+  def writeBucketedTable(df: DataFrame, table: String, buckets: Int,
+                         key: String, sortKeys: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, key)
+    (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** F8: mint a landed-object name `<table>_<yyyyMMdd>_<uuid4-prefix>.<ext>`
     * (`cloud_function/create_campaigns/csv/main.py:17-21`). */
   def mintObjectName(table: String, ext: String,
