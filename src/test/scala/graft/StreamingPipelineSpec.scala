@@ -50,6 +50,27 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("streaming dedup: dropDuplicates across micro-batches is exactly-once") {
+    val dir = tmpDir("sdedup")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // The same corpus lands twice (two "arrival" batches of duplicates).
+    docs.write.parquet(s"$dir/in/batch_0")
+    docs.write.parquet(s"$dir/in/batch_1")
+    val q = spark.readStream.schema(docs.schema).parquet(s"$dir/in/*")
+      .dropDuplicates("doc_id")
+      .writeStream
+      .format("memory").queryName("dedup_mem")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("dedup_mem").count() == docs.count())
+    assert(spark.table("dedup_mem").select("doc_id").distinct().count()
+      == docs.count())
+  }
+
   test("E1: pipeline smoke at sf0.001 — every layer lands with rows") {
     val out = tmpDir("pipeline")
     val counts = Pipeline.run(spark, sf0001, out, genRows = 200)
