@@ -48,6 +48,8 @@ object SparkEntry {
     // event-time aggregation (batch twins of the streaming queries)
     "q_event_windows" -> ((s, d) => Events.hourlyWindows(s, d)),
     "q_event_sessions" -> ((s, d) => Events.userSessions(s, d)),
+    // end-to-end corpus curation (quality gate + near-dup removal)
+    "q_curation" -> ((s, d) => Curation.curatedDocs(s, d)),
     // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
     "q_generator" -> ((s, _) => sources.Generator.campaigns(s, 1000)),
     "q_ingest_roundtrip_csv" -> ((s, d) => ingestRoundtrip(s, d, tsv = false)),
@@ -593,6 +595,40 @@ object SparkEntry {
         |       ROUND(SUM(value), 2) AS total_value
         |FROM sess
         |GROUP BY user_id, sid""".stripMargin,
+
+    "q_curation" ->
+      s"""$ToksCte, $minhashCtes, jac AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |), losers AS (
+         |  SELECT DISTINCT doc_b FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |), base AS (
+         |  SELECT doc_id,
+         |         len(text) AS n_chars,
+         |         len(t) AS n_tokens,
+         |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         |         ${hitsExpr(TextOps.StopWords.head._2)} AS n_stop
+         |  FROM toks
+         |), ratios AS (
+         |  SELECT *,
+         |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+         |         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+         |  FROM base
+         |)
+         |SELECT doc_id, n_tokens, punct_ratio,
+         |       least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+         |         + (CAST(1.0 AS DOUBLE) - punct_ratio) * CAST(0.3 AS DOUBLE)
+         |         + least(CAST(1.0 AS DOUBLE), stop_ratio * CAST(5.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+         |         AS quality_score
+         |FROM ratios
+         |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+         |  AND n_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)""".stripMargin,
 
     "q_generator" -> {
       def h8(tag: String) =

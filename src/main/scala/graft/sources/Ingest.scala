@@ -70,6 +70,25 @@ object Ingest {
       try_to_timestamp(col("date_time"), lit("yyyy-MM-dd HH:mm:ss"))
         .as("date_time"))
 
+  /** Data-quality report for the raw→master boundary (SURVEY §7.4.1:
+    * null-tolerant casts MUST be paired with a count-of-nulls check so a
+    * silently-nulling feed is caught): per column, how many nulls the
+    * normalization introduced (null after cast, non-null raw). One
+    * aggregate pass; at scale this is the cheap guard that replaces
+    * ANSI-mode aborts. */
+  def castQualityReport(raw: DataFrame, normalized: DataFrame,
+                        key: String): DataFrame = {
+    val cols = normalized.columns.filterNot(_ == key)
+    val n = normalized.columns.map(c => col(c).as(s"n_$c"))
+    val r = raw.columns.map(c => col(c).as(s"r_$c"))
+    val joined = raw.select(r: _*)
+      .join(normalized.select(n: _*), col(s"r_$key") === col(s"n_$key"))
+    val exprs = count(lit(1)).as("rows") +: cols.map(c =>
+      sum(when(col(s"n_$c").isNull && col(s"r_$c").isNotNull, 1)
+        .otherwise(0)).as(s"nulled_$c"))
+    joined.agg(exprs.head, exprs.tail: _*)
+  }
+
   /** F1/F2 derivations the reference adds on top of the raw datetime
     * string (`load_campaigns_csv.py:11-12`): date part via SUBSTR and the
     * PARSE_TIME analog (Spark has no TIME type, so time-of-day stays a

@@ -82,6 +82,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == "de")
   }
 
+  test("curation removes near-dup losers and low-quality docs") {
+    // Two identical docs (near-dup pair) + one long clean doc + one tiny doc.
+    val long = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, long, "en", "s", long.length.toLong),
+      (2L, long, "en", "s", long.length.toLong),
+      (3L, "too short", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("curation")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.operators.Curation.curatedDocs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L)) // 2 = dup loser, 3 = under minTokens
+  }
+
+  test("castQualityReport counts nulls introduced by normalization") {
+    val raw = Seq(
+      ("1", "12.50", "Peru", "2023-07-07 08:21:23"),
+      ("2", "oops", "Peru", "not a date"),
+      ("3", "7.25", "Peru", "2023-07-07 09:00:00"))
+      .toDF("transaction_id", "income", "country", "date_time")
+    val norm = graft.sources.Ingest.normalizeTransactions(raw)
+    val r = graft.sources.Ingest
+      .castQualityReport(raw, norm, "transaction_id").head()
+    assert(r.getAs[Long]("rows") == 3)
+    assert(r.getAs[Long]("nulled_income") == 1)
+    assert(r.getAs[Long]("nulled_date_time") == 1)
+    assert(r.getAs[Long]("nulled_country") == 0)
+  }
+
   test("quality score stays in [0, 1] on the fixture corpus") {
     val mm = TextOps.qualityScore(spark, sf0001)
       .agg(min($"quality_score"), max($"quality_score")).head()
