@@ -63,6 +63,28 @@ object Multimodal {
         size(frameSampleIndices(col("meta.n_frames"))).as("n_sampled_frames"))
 
   /** ======== STUB ========
+    * "Resize" an image payload to fit a bounding box: the aspect-ratio
+    * arithmetic and metadata rewrite are real (what a resize operator
+    * must track); the pixel resampling is NOT performed — payload passes
+    * through untouched because no codec exists in this container. */
+  def resizeStub(payloads: DataFrame, maxSide: Int = 256): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val scale = least(
+      lit(1.0),
+      lit(maxSide).cast("double") / greatest(w, h))
+    payloads.select(
+      col("doc_id"),
+      col("payload"), // STUB: bytes unchanged; a real impl resamples here
+      struct(
+        col("meta.mime").as("mime"),
+        floor(w * scale).cast("int").as("width"),
+        floor(h * scale).cast("int").as("height"),
+        col("meta.n_frames").as("n_frames"))
+        .as("meta"))
+  }
+
+  /** ======== STUB ========
     * Deterministic fake "decode + feature extract" over payload bytes,
     * shaped like the real thing: a per-partition batch operator (the
     * Scala analog of a vectorized mapInPandas UDF) emitting a fixed-dim

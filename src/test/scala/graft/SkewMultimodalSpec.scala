@@ -53,6 +53,22 @@ class SkewMultimodalSpec extends SparkSpec {
     assert(a.getSeq[Float](1).length == 8)
   }
 
+  test("resizeStub: dims fit the box, aspect preserved, payload untouched") {
+    val p = Multimodal.withPayload(spark, sf0001)
+    val r = Multimodal.resizeStub(p, maxSide = 256)
+    val row = r.join(p.select($"doc_id", $"payload".as("orig"),
+        $"meta".as("m0")), "doc_id")
+      .select($"meta.width", $"meta.height", $"m0.width", $"m0.height",
+        ($"payload" === $"orig").as("same"))
+    row.collect().foreach { x =>
+      val (w, h, w0, h0) = (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3))
+      assert(w <= 256 && h <= 256 && w >= 1 && h >= 1)
+      // no upscaling
+      assert(w <= w0 && h <= h0)
+      assert(x.getBoolean(4))
+    }
+  }
+
   test("frame sampling: stride covers [0, n) with at most ~8 samples") {
     val df = Seq(1, 7, 8, 9, 240).toDF("n")
       .select($"n", Multimodal.frameSampleIndices($"n").as("idx"))
