@@ -39,6 +39,7 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q_simhash_neighbors" -> ((s, d) => Dedup.simhashNeighbors(s, d)),
     // similarity search
     "q_topk_similarity" -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.topkCosineLsh(s, d)),
@@ -474,6 +475,37 @@ object SparkEntry {
          |       simhash_lo + simhash_hi * 256 AS simhash,
          |       simhash_hi, simhash_lo
          |FROM halves""".stripMargin
+    },
+
+    "q_simhash_neighbors" -> {
+      val votes = (0 until 16).map { k =>
+        s"list_sum(list_transform(t, s -> CASE WHEN CAST('0x' || substr(md5(s), ${k + 1}, 1) AS INT) >= 8 THEN 1 ELSE -1 END)) AS v$k"
+      }.mkString(",\n         ")
+      def bits(lo: Int, hi: Int): String =
+        (lo until hi).map(k =>
+          s"(CASE WHEN v$k > 0 THEN ${1 << (k - lo)} ELSE 0 END)")
+          .mkString(" + ")
+      s"""$ToksCte, votes AS (
+         |  SELECT doc_id,
+         |         $votes
+         |  FROM toks WHERE len(t) > 0
+         |), sigs AS (
+         |  SELECT doc_id,
+         |         ${bits(0, 8)} AS lo,
+         |         ${bits(8, 16)} AS hi
+         |  FROM votes
+         |), full_sigs AS (
+         |  SELECT doc_id, lo + hi * 256 AS simhash, hi, lo FROM sigs
+         |), halves AS (
+         |  SELECT doc_id, simhash, 0 AS half_idx, hi AS half_val FROM full_sigs
+         |  UNION ALL
+         |  SELECT doc_id, simhash, 1 AS half_idx, lo AS half_val FROM full_sigs
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INT) AS hamming
+         |FROM halves a JOIN halves b USING (half_idx, half_val)
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3""".stripMargin
     },
 
     "q_topk_similarity" ->

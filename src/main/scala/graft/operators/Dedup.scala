@@ -136,6 +136,31 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")))
   }
 
+  /** SimHash near-duplicate pairs: band on the two 8-bit halves (any
+    * pair within Hamming distance 1 shares at least one exact half —
+    * larger radii are a recall trade documented here), then filter by
+    * exact Hamming distance ≤ maxHamming using the native codegen
+    * [[graft.expressions.HammingDistance]] expression. Candidate
+    * generation is an equi-join on the half value — never all-pairs. */
+  def simhashNeighbors(spark: SparkSession, dir: String,
+                       maxHamming: Int = 3): DataFrame = {
+    graft.expressions.HammingDistance.register(spark)
+    val sig = simhash(spark, dir)
+    val halves = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(col("simhash_hi"), col("simhash_lo")))
+        .as(Seq("half_idx", "half_val")))
+    val a = halves.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("half_idx"), col("half_val"))
+    val b = halves.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("half_idx"), col("half_val"))
+    a.join(b, Seq("half_idx", "half_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("hamming(sim_a, sim_b)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** 16-bit SimHash over the (multiplicity-weighted) token stream: bit k
     * comes from the top bit of hex digit k of each token's md5; the
     * signature bit is the sign of the summed ±1 votes. Emitted with its

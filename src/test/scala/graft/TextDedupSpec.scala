@@ -112,6 +112,22 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("nulled_country") == 0)
   }
 
+  test("HammingDistance expression: eval, codegen path, nulls, registry") {
+    graft.expressions.HammingDistance.register(spark)
+    val df = Seq((0xFF00, 0x0F00), (5, 5), (0, 0xFFFF))
+      .toDF("a", "b")
+      .selectExpr("hamming(a, b) AS h")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(4, 0, 16))
+    // null-safe: null input → null output
+    val n = spark.sql("SELECT hamming(CAST(NULL AS INT), 3)").head()
+    assert(n.isNullAt(0))
+    // survives whole-stage codegen over a real table
+    val sig = Dedup.simhash(spark, sf0001).limit(10)
+    val d = sig.selectExpr("hamming(simhash, simhash) AS z")
+      .agg(max($"z")).head().getInt(0)
+    assert(d == 0)
+  }
+
   test("quality score stays in [0, 1] on the fixture corpus") {
     val mm = TextOps.qualityScore(spark, sf0001)
       .agg(min($"quality_score"), max($"quality_score")).head()
