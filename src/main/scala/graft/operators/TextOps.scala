@@ -55,6 +55,37 @@ object TextOps {
   private def stopHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** Spread documents across cores before CPU-heavy per-row stages (a
+    * few-large-files corpus otherwise serializes on the file-split
+    * count). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Per-document token aggregates computed via explode + ONE hash
+    * aggregate: the text is tokenized exactly once per document (array
+    * expressions referenced by several consumers get re-evaluated per
+    * consumer after projection collapse — the r2 lesson), and map-side
+    * partial aggregation keeps the shuffle at one row per document.
+    * Emits one row per doc_id with n_tokens and one stopword-hit count
+    * per requested list. Docs with zero tokens get zero counts. */
+  private def tokenAggs(docs: DataFrame,
+                        hitLists: Seq[(String, Seq[String])]): DataFrame = {
+    val aggs =
+      count(lit(1)).as("n_tokens") +: hitLists.map { case (name, words) =>
+        sum(when(col("tok").isInCollection(words), 1).otherwise(0)).as(name)
+      }
+    val agg = spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val zeros = (col("n_tokens") +: hitLists.map(h => col(h._1)))
+      .map(c => coalesce(c, lit(0L)))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id") +: zeros.zip("n_tokens" +: hitLists.map(_._1))
+        .map { case (c, n) => c.as(n) }: _*)
+  }
+
   /** Corpus statistics rolled up by (lang, source): doc/token/char counts
     * and exact-int-ratio averages. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -93,10 +124,11 @@ object TextOps {
     * deterministic scoring pipeline is (it cross-checks bit-exactly
     * against the DuckDB oracle). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val scored = Tables.documents(spark, dir)
-      .select(Seq(col("doc_id"), col("lang")) ++
-        StopWords.map { case (l, ws) => stopHits(t, ws).as(s"hits_$l") }: _*)
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(tokenAggs(docs,
+        StopWords.map { case (l, ws) => (s"hits_$l", ws) })
+        .drop("n_tokens"), "doc_id")
     val g = greatest(StopWords.map { case (l, _) => col(s"hits_$l") }: _*)
     val pred = StopWords.tail.foldLeft(
       when(col(s"hits_${StopWords.head._1}") === g, lit(StopWords.head._1))) {
@@ -112,15 +144,15 @@ object TextOps {
     * int/int double divisions; the composite is a fixed-order double
     * expression mirrored in the oracle. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    Tables.documents(spark, dir)
-      .select(
+    val docs = Tables.documents(spark, dir)
+    docs.select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        size(t).as("n_tokens"),
         length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-          .as("n_punct"),
-        stopHits(t, StopWords.head._2).as("n_stop"))
+          .as("n_punct"))
+      .join(tokenAggs(docs, Seq("n_stop" -> StopWords.head._2)), "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("n_punct"), col("n_stop"))
       .withColumn("punct_ratio",
         when(col("n_chars") > 0,
           col("n_punct").cast("double") / col("n_chars")).otherwise(lit(0.0)))
