@@ -67,6 +67,12 @@ object Pipeline {
       Sinks.appendLayer(df, s"$outDir/business_layer/$name")
     }
 
+    // 6. LLM-tier curation: quality-gated, near-dup-free corpus beside
+    // the business layer (the training-data consumer's table).
+    Sinks.appendLayer(
+      graft.operators.Curation.curatedDocs(spark, sfDir),
+      s"$outDir/curated_layer/c_documents")
+
     LayerCounts(
       raw = Map(
         "r_campaigns" ->

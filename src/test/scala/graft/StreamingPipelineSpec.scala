@@ -80,5 +80,7 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(counts.business.values.forall(_ > 0))
     // Ingested files were archived (K5) — staging is empty.
     assert(!Ingest.filesExist(spark, s"$out/ingested/csv/campaigns/*.csv"))
+    // Curated corpus landed beside the business layer.
+    assert(spark.read.parquet(s"$out/curated_layer/c_documents").count() > 0)
   }
 }
