@@ -49,6 +49,7 @@ object SparkEntry {
     // event-time aggregation (batch twins of the streaming queries)
     "q_event_windows" -> ((s, d) => Events.hourlyWindows(s, d)),
     "q_event_sessions" -> ((s, d) => Events.userSessions(s, d)),
+    "q_event_sliding" -> ((s, d) => Events.slidingWindows(s, d)),
     // end-to-end corpus curation (quality gate + near-dup removal)
     "q_curation" -> ((s, d) => Curation.curatedDocs(s, d)),
     // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
@@ -605,6 +606,20 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |       ROUND(SUM(value), 2) AS total_value
         |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_sliding" ->
+      """WITH contrib AS (
+        |  SELECT event_type, value,
+        |         unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                 date_trunc('hour', ts)]) AS w
+        |  FROM events
+        |)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM contrib
         |GROUP BY 1, 2""".stripMargin,
 
     "q_event_sessions" ->

@@ -28,6 +28,21 @@ object Events {
         col("event_type"), col("n_events"), col("n_users"),
         col("total_value"))
 
+  /** Sliding windows: 2-hour windows advancing hourly — each event lands
+    * in exactly two windows (Spark plans this as an Expand before the
+    * aggregate, the same partial-agg shape as tumbling). */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Per-user sessionization with a 6-hour inactivity gap
     * (`session_window`): session bounds, event count, value sum. The
     * session end is last-event + gap (Spark semantics; the oracle
