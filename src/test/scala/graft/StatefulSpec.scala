@@ -31,6 +31,14 @@ class StatefulSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("sliding windows: every event lands in exactly two 2h/1h windows") {
+    val events = Tables.events(spark, sf0001)
+    val total = events.count()
+    val windowed = graft.operators.Events.slidingWindows(spark, sf0001)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(windowed == 2 * total)
+  }
+
   test("master layer partitioned by country prunes partition directories") {
     val dir = tmpDir("partmaster")
     graft.sinks.Sinks.createTableAs(

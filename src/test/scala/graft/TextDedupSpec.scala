@@ -112,6 +112,21 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("nulled_country") == 0)
   }
 
+  test("minhash completeness: exact copies are ALWAYS candidate pairs") {
+    // Clone a sample of fixture docs under new ids: every (orig, clone)
+    // pair must match on all bands (identical shingle sets -> identical
+    // signatures), regardless of corpus content.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(20)
+    val clones = docs.withColumn("doc_id", $"doc_id" + 100000L)
+    val dir = tmpDir("complete")
+    docs.union(clones).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashPairs(spark, dir)
+      .where($"doc_b" === $"doc_a" + 100000L &&
+        $"n_band_matches" === Dedup.NumBands)
+    assert(pairs.count() == 20)
+  }
+
   test("HammingDistance expression: eval, codegen path, nulls, registry") {
     graft.expressions.HammingDistance.register(spark)
     val df = Seq((0xFF00, 0x0F00), (5, 5), (0, 0xFFFF))
