@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked JVM's stdout straight through instead of via sbt's
+// logger — graft.Bench/Verify print machine-parsed JSON lines, and the
+// "[info] " prefix sbt's logger adds breaks the harness's JSON parse.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

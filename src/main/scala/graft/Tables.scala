@@ -22,13 +22,28 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
     * type for — read it as a nanosecond long (legacy flag) and truncate
     * to microseconds (integer div, matching DuckDB's ns→µs truncation). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
+  /** Explicit read schema for events.parquet: `ts` is parquet
+    * TIMESTAMP(NANOS), which Spark has no native type for. Supplying
+    * LongType here makes the vectorized reader hand back the raw
+    * nanosecond longs without the session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` flag (ADVICE r2: the flag
+    * leaked into every later parquet read in the session). */
+  private val eventsRawSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

@@ -136,24 +136,34 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")))
   }
 
-  /** SimHash near-duplicate pairs: band on the two 8-bit halves (any
-    * pair within Hamming distance 1 shares at least one exact half —
-    * larger radii are a recall trade documented here), then filter by
-    * exact Hamming distance ≤ maxHamming using the native codegen
-    * [[graft.expressions.HammingDistance]] expression. Candidate
-    * generation is an equi-join on the half value — never all-pairs. */
+  /** SimHash near-duplicate pairs: band on four 4-bit quarters of the
+    * 16-bit signature. Pigeonhole guarantees completeness: any pair
+    * within Hamming distance ≤ 3 differs in at most 3 of the 4 quarters,
+    * so at least one quarter matches exactly and the pair is generated
+    * (ADVICE r2 — the previous 2-half banding was only complete to
+    * distance 1). Exact Hamming distance ≤ maxHamming is then filtered
+    * with the native codegen [[graft.expressions.HammingDistance]]
+    * expression. Candidate generation is an equi-join on the quarter
+    * value — never all-pairs. Scale note: 4-bit bands are sized to this
+    * 16-bit demo signature; a production 64-bit simhash keeps the same
+    * shape with four 16-bit bands (same radius-3 guarantee, far finer
+    * buckets). */
   def simhashNeighbors(spark: SparkSession, dir: String,
                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band LSH over a 16-bit simhash is only complete to Hamming " +
+        s"distance 3; got maxHamming=$maxHamming")
     graft.expressions.HammingDistance.register(spark)
     val sig = simhash(spark, dir)
-    val halves = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(col("simhash_hi"), col("simhash_lo")))
-        .as(Seq("half_idx", "half_val")))
-    val a = halves.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sim_a"), col("half_idx"), col("half_val"))
-    val b = halves.select(col("doc_id").as("doc_b"),
-      col("simhash").as("sim_b"), col("half_idx"), col("half_val"))
-    a.join(b, Seq("half_idx", "half_val"))
+    val quarters = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), 4 * q).bitwiseAND(lit(15))): _*))
+        .as(Seq("q_idx", "q_val")))
+    val a = quarters.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("q_idx"), col("q_val"))
+    val b = quarters.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("q_idx"), col("q_val"))
+    a.join(b, Seq("q_idx", "q_val"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("hamming(sim_a, sim_b)").as("hamming"))

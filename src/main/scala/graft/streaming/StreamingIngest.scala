@@ -8,9 +8,13 @@ import org.apache.spark.sql.types.StructType
 /** E2: event-driven ingest — Structured Streaming subsumes the
   * reference's GCS-finalize → Pub/Sub → per-file DAG chain
   * (`messaging/producer/main.py:4-9`, `messaging/consumer/main.py:39-74`):
-  * the file source provides arrival notification, checkpointing provides
-  * exactly-once (a strict upgrade over the reference's at-least-once
-  * mv-based bookkeeping — documented deviation, SURVEY §2.8).
+  * the file source provides arrival notification, and checkpointing plus
+  * an idempotent batch sink provide exactly-once *output*: each micro-batch
+  * lands in a deterministic `batch-<id>` subdirectory written with
+  * overwrite, so a batch replayed after a failure between write and
+  * checkpoint commit converges to the same bytes instead of appending
+  * duplicates (ADVICE r2). A strict upgrade over the reference's
+  * at-least-once mv-based bookkeeping — documented deviation, SURVEY §2.8.
   */
 object StreamingIngest {
 
@@ -40,8 +44,13 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(layerPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Idempotent: a replayed batchId overwrites its own partition
+        // directory. Readers of layerPath see a `batch_id` partition
+        // column (ingest provenance). One stream per layer path —
+        // concurrent streams sharing a layer would need the checkpoint
+        // id folded into the directory name.
+        batch.write.mode("overwrite").parquet(s"$layerPath/batch_id=$batchId")
       }
       .start()
     q.awaitTermination()

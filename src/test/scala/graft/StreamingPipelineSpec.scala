@@ -20,7 +20,9 @@ class StreamingPipelineSpec extends SparkSpec {
     val watched = s"$dir/watch/*/"
     StreamingIngest.ingestCsvStream(spark, watched,
       Ingest.campaignsSchema, s"$dir/layer", s"$dir/ckpt")
-    val streamed = spark.read.parquet(s"$dir/layer")
+    // The sink lands each micro-batch in a batch_id=N partition dir
+    // (idempotent replay); drop the provenance column for the compare.
+    val streamed = spark.read.parquet(s"$dir/layer").drop("batch_id")
     val batch = Ingest.readCsv(spark, s"$dir/watch/*/*.csv",
       Ingest.campaignsSchema)
     assert(streamed.count() == batch.count() && batch.count() > 0)
