@@ -58,6 +58,18 @@ object SparkEntry {
     "q_ingest_roundtrip_tsv" -> ((s, d) => ingestRoundtrip(s, d, tsv = true)),
     // multimodal binary-payload accounting
     "q_multimodal_meta" -> ((s, d) => multimodal.Multimodal.mediaStats(s, d)),
+    // corpus assembly: PII scrub, repetition quality signals,
+    // deterministic split/sampling/packing
+    "q_pii_redact" -> ((s, d) => Privacy.piiRedact(s, d)),
+    "q_repetition" -> ((s, d) => TextOps.repetition(s, d)),
+    "q_train_split" -> ((s, d) => Sampling.trainSplit(s, d)),
+    "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "q_seq_pack" -> ((s, d) => Sampling.packSequences(s, d)),
+    // temporal joins composed from equi-join primitives
+    "q_asof_join" -> ((s, d) => Joins.asofClickPurchase(s, d)),
+    "q_range_join" -> ((s, d) => Joins.rangePairs(s, d)),
+    // connected components over verified near-dup pairs
+    "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     // A4 scale swap-in: HLL approx distinct next to exact (rows-only
     // check - DuckDB's HLL differs, so no hash oracle; see Scaladoc).
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
@@ -714,6 +726,166 @@ object SparkEntry {
 
     "q_ingest_roundtrip_csv" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_tsv" -> IngestRoundtripOracle,
+
+    "q_pii_redact" -> {
+      import graft.operators.Privacy.{EmailRe, IpRe, PhoneRe}
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' Contact user' || doc_id::VARCHAR
+         |           || '@mail.example.com, call 555-'
+         |           || lpad(((doc_id * 7) % 1000)::VARCHAR, 3, '0') || '-'
+         |           || lpad(((doc_id * 13) % 10000)::VARCHAR, 4, '0')
+         |           || ' or ping 10.' || (doc_id % 256)::VARCHAR
+         |           || '.0.' || ((doc_id * 3) % 256)::VARCHAR || ' now.' AS text
+         |  FROM documents
+         |), red AS (
+         |  SELECT doc_id, text,
+         |         regexp_replace(regexp_replace(regexp_replace(text,
+         |           '$EmailRe', '[EMAIL]', 'g'),
+         |           '$IpRe', '[IP]', 'g'),
+         |           '$PhoneRe', '[PHONE]', 'g') AS redacted
+         |  FROM aug
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+         |       CAST(len(regexp_extract_all(text, '$IpRe')) AS INT) AS n_ips,
+         |       md5(redacted) AS redacted_md5,
+         |       CAST(len(redacted) AS INT) AS n_chars_redacted
+         |FROM red""".stripMargin
+    },
+
+    "q_repetition" ->
+      s"""$ToksCte, bg AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) >= 2
+         |              THEN list_transform(range(1, len(t)),
+         |                     i -> concat_ws(' ', t[i], t[i+1]))
+         |              ELSE [] END AS bgs
+         |  FROM toks
+         |), per_gram AS (
+         |  SELECT doc_id, g, COUNT(*) AS n
+         |  FROM (SELECT doc_id, unnest(bgs) AS g FROM bg)
+         |  GROUP BY 1, 2
+         |), per_doc AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+         |         CAST(MAX(n) AS BIGINT) AS top_bigram_n
+         |  FROM per_gram GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(n_bigrams, 0) AS n_bigrams,
+         |       coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+         |       coalesce(top_bigram_n, 0) AS top_bigram_n,
+         |       CASE WHEN coalesce(n_bigrams, 0) > 0
+         |            THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+         |            ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+         |       CASE WHEN coalesce(n_bigrams, 0) > 0
+         |            THEN CAST(top_bigram_n AS DOUBLE) / n_bigrams
+         |            ELSE CAST(0.0 AS DOUBLE) END AS top_bigram_frac
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT doc_id, lang, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8)
+        |           AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |)""".stripMargin,
+
+    "q_stratified_sample" -> {
+      val cases = graft.operators.Sampling.SampleRatesPpm
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString(" ")
+      s"""SELECT * FROM (
+         |  SELECT doc_id, lang, source,
+         |         CAST('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8)
+         |           AS BIGINT) % 1000000 AS u_ppm,
+         |         CASE $cases
+         |              ELSE ${graft.operators.Sampling.DefaultRatePpm}
+         |         END AS rate_ppm
+         |  FROM documents
+         |) WHERE u_ppm < rate_ppm""".stripMargin
+    },
+
+    "q_seq_pack" ->
+      s"""$ToksCte, base AS (
+         |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+         |), off AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_offset
+         |  FROM base
+         |)
+         |SELECT lang,
+         |       start_offset // ${graft.operators.Sampling.PackBudget} AS pack_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       MIN(doc_id) AS first_doc,
+         |       MAX(doc_id) AS last_doc
+         |FROM off GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), c AS (
+        |  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us,
+        |         p.event_id AS asof_event_id, p.ts_us AS asof_ts_us,
+        |         ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |           ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+        |  FROM c LEFT JOIN p
+        |    ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
+        |)
+        |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us,
+        |       ts_us - asof_ts_us AS gap_us
+        |FROM m WHERE rn = 1""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events
+         |)
+         |SELECT a.event_type AS a_type, b.event_type AS b_type,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(b.ts_us - a.ts_us) AS BIGINT) AS total_gap_us,
+         |       CAST(SUM(b.ts_us - a.ts_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+         |FROM ev a JOIN ev b
+         |  ON a.user_id = b.user_id
+         | AND b.ts_us > a.ts_us
+         | AND b.ts_us <= a.ts_us + ${graft.operators.Joins.RangeUs}
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""${ToksCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $minhashCtes, jac AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |), walk AS (
+         |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl AS lbl
+         |  FROM walk w JOIN edges e ON w.doc_id = e.src
+         |)
+         |SELECT doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY 1""".stripMargin,
 
     "q_group_by_ordinal" ->
       s"""$MasterCte

@@ -136,6 +136,52 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")))
   }
 
+  /** Near-duplicate clusters: connected components over the verified
+    * MinHash pairs (Jaccard ≥ τ), by iterative min-label propagation to
+    * the unique fixpoint — every member gets the smallest doc_id of its
+    * component as cluster_id (the canonical "keep one per cluster" key
+    * that pairwise dedup alone can't provide: A~B, B~C must collapse to
+    * one cluster even when A~C was never a candidate pair).
+    *
+    * Scale shape: each iteration is one equi-join + hash aggregate over
+    * the edge list (never all-pairs), `localCheckpoint` truncates the
+    * growing lineage, and the loop runs O(component diameter) times —
+    * near-dup components are shallow in practice (dozens of iterations
+    * bound web-scale graphs; fixture converges in 2). The per-iteration
+    * driver round-trip is a scalar convergence aggregate, the standard
+    * iterative-graph pattern (GraphX does the same). */
+  def dedupClusters(spark: SparkSession, dir: String,
+                    minJaccard: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, dir)
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // candidates are tiny vs the corpus; pin them
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels, edges("doc_a") === labels("doc_id"))
+        .groupBy(col("doc_b").as("n_doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === col("n_doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), Seq("doc_id"))
+        .where(col("n.cluster_id") < col("o.cluster_id"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
   /** SimHash near-duplicate pairs: band on four 4-bit quarters of the
     * 16-bit signature. Pigeonhole guarantees completeness: any pair
     * within Hamming distance ≤ 3 differs in at most 3 of the 4 quarters,

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import TextOps.tokens
+
+/** Corpus-assembly operators for the LLM-data-pipeline tier: hash-based
+  * train/val/test splitting, per-stratum (domain-mix) sampling, and
+  * token-budget sequence packing — the steps between "curated corpus"
+  * and "training batches".
+  *
+  * All randomness is md5-derived (same algorithm in DuckDB), so every
+  * assignment is deterministic, partitioning-independent, and
+  * oracle-checkable bit-for-bit. No `rand()`: a reshuffle or retry must
+  * never change which split a document lands in.
+  */
+object Sampling {
+
+  /** First 8 md5 hex digits of `tag:id` as a 32-bit uniform draw —
+    * the shared deterministic-hash idiom (see Generator). */
+  private def h8(tag: String, id: Column): Column =
+    conv(substring(md5(concat(lit(s"$tag:"), id.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** Hash-based train/val/test assignment: bucket = h(doc_id) mod 100,
+    * <80 train / <90 val / else test. Per-row projection, no shuffle;
+    * stable under re-partitioning, re-ingest and incremental appends
+    * (the property `rand()` splits lack). */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (h8("split", col("doc_id")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** Per-stratum sampling rates in parts-per-million (domain-mix
+    * weighting: downsample the over-represented stratum). */
+  val SampleRatesPpm: Seq[(String, Int)] =
+    Seq("en" -> 150000, "de" -> 400000, "es" -> 400000,
+      "fr" -> 400000, "zh" -> 400000)
+  val DefaultRatePpm = 250000
+
+  /** Weighted per-stratum Bernoulli sample: keep a document iff its
+    * 32-bit hash mod 10^6 falls under the stratum's ppm rate. Pure
+    * integer compare (no float thresholds to diverge cross-engine), one
+    * codegen'd filter, no shuffle — the 100 TB shape for domain mixing;
+    * an exact-k variant would need the salted two-phase top-k used in
+    * Relational.topProductsPerCountry. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRatesPpm.tail.foldLeft(
+      when(col("lang") === SampleRatesPpm.head._1,
+        lit(SampleRatesPpm.head._2))) { case (acc, (l, r)) =>
+      acc.when(col("lang") === l, lit(r))
+    }.otherwise(lit(DefaultRatePpm))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (h8("sample", col("doc_id")) % 1000000).as("u_ppm"),
+        rate.as("rate_ppm"))
+      .where(col("u_ppm") < col("rate_ppm"))
+  }
+
+  /** Token budget per packed training sequence (demo-sized; the operator
+    * shape is budget-agnostic). */
+  val PackBudget = 512
+
+  /** Sequence packing, concatenate-and-chunk style: within each lang
+    * stratum, documents are laid out in doc_id order, each starting at
+    * the running token offset; pack_id = start offset div budget (a
+    * document belongs to the pack where it starts — the standard
+    * spillover convention). Emits per-pack composition. Scale: the
+    * window sort is per-stratum; a production run range-partitions by
+    * (lang, doc_id) so each executor packs a contiguous shard — same
+    * result, no global sort (offsets would come from a two-pass
+    * per-shard prefix sum, the classic distributed scan). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_offset div $PackBudget"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+}

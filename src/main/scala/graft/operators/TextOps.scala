@@ -165,6 +165,51 @@ object TextOps {
           + least(lit(1.0), col("stop_ratio") * lit(5.0)) * lit(0.2))
   }
 
+  /** Word bigrams WITH multiplicity (repetition is about repeats, so no
+    * array_distinct here; [] under 2 tokens). */
+  private def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, (i + 1).cast("int")),
+          element_at(toks, (i + 2).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition metrics (Gopher-style quality signals): per document,
+    * the fraction of bigram occurrences that are repeats of an earlier
+    * bigram, and the share of the single most frequent bigram. Shape:
+    * explode bigrams → ONE hash aggregate per (doc, bigram) → ONE per
+    * doc — map-side partial combine collapses each document before
+    * either shuffle; no per-row array folds (the r2 CollapseProject
+    * lesson). Zero-bigram docs surface with zero counts via the
+    * left join back to the corpus. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perGram = spread(docs)
+      .select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("n")).as("top_bigram_n"))
+    docs.select(col("doc_id"))
+      .join(perGram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+            col("n_bigrams")).otherwise(lit(0.0)))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key)
     * plus min/max shingle hashes (a winnowing-style rolling-hash sketch)
     * and the distinct-shingle count. */

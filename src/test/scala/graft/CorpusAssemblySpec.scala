@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Joins, Privacy, Sampling, TextOps}
+
+/** Round-3 corpus-assembly tier: PII redaction, repetition signals,
+  * deterministic split/sample/pack, temporal joins, dedup clusters.
+  * Invariant + brute-force cross-checks at sf0.001 (the DuckDB hash
+  * oracle covers exactness at sf0.01). */
+class CorpusAssemblySpec extends SparkSpec {
+
+  test("piiRedact scrubs exactly the synthetic contact line per doc") {
+    val r = Privacy.piiRedact(spark, sf0001)
+    val bad = r.where(
+      col("n_emails") =!= 1 || col("n_phones") =!= 1 || col("n_ips") =!= 1)
+    assert(bad.isEmpty)
+    // Redaction is idempotent: a second pass finds nothing to scrub.
+    val re = Privacy.withPiiRedacted(
+      Tables.documents(spark, sf0001)
+        .select(col("doc_id"), Privacy.redact(col("text")).as("text")))
+    assert(re.where(col("n_emails") + col("n_phones") + col("n_ips") =!= 0).isEmpty)
+  }
+
+  test("repetition: bigram accounting invariants hold corpus-wide") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+    val r = TextOps.repetition(spark, sf0001).join(toks, "doc_id")
+    assert(r.count() == Tables.documents(spark, sf0001).count())
+    val bad = r.where(
+      col("n_bigrams") =!= greatest(col("n_tokens") - 1, lit(0)) ||
+        col("n_distinct_bigrams") > col("n_bigrams") ||
+        col("top_bigram_n") > col("n_bigrams") ||
+        col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1)
+    assert(bad.isEmpty)
+  }
+
+  test("trainSplit is deterministic, total, and ~80/10/10") {
+    val s = Sampling.trainSplit(spark, sf0001)
+    assert(s.count() == Tables.documents(spark, sf0001).count())
+    assert(s.where(col("bucket") < 0 || col("bucket") >= 100).isEmpty)
+    // Re-computation (different partitioning) assigns identically.
+    val again = Sampling.trainSplit(spark, sf0001).repartition(7)
+    assert(s.exceptAll(again).isEmpty)
+    val frac = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frac("train") > frac.getOrElse("val", 0L) &&
+      frac("train") > frac.getOrElse("test", 0L))
+  }
+
+  test("stratifiedSample respects per-stratum rates and is a subset") {
+    val docs = Tables.documents(spark, SparkSpec.Sf001)
+    val s = Sampling.stratifiedSample(spark, SparkSpec.Sf001)
+    assert(s.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+    // Observed rate per stratum within 3x of nominal either way at n=100/stratum.
+    val obs = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sampling.SampleRatesPpm.foreach { case (l, ppm) =>
+      val o = obs.getOrElse(l, 0L).toDouble / tot(l)
+      assert(o > ppm / 1e6 / 3 && o < ppm / 1e6 * 3,
+        s"stratum $l observed $o vs nominal ${ppm / 1e6}")
+    }
+  }
+
+  test("packSequences partitions every stratum's tokens exactly once") {
+    val packs = Sampling.packSequences(spark, sf0001)
+    val fromPacks = packs.groupBy("lang")
+      .agg(sum("n_tokens").as("t"), sum("n_docs").as("d"))
+    val direct = Tables.documents(spark, sf0001)
+      .groupBy("lang")
+      .agg(sum(size(TextOps.tokens(col("text")))).as("t"),
+        count(lit(1)).as("d"))
+    assert(fromPacks.exceptAll(direct).isEmpty)
+    // Packs are dense: ids 0..max with no gaps per stratum.
+    val ids = packs.groupBy("lang")
+      .agg(countDistinct("pack_id").as("n"), max("pack_id").as("mx"))
+      .where(col("n") =!= col("mx") + 1)
+    assert(ids.isEmpty)
+  }
+
+  test("asofClickPurchase matches the brute-force inequality join") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val c = ev.where(col("event_type") === "click")
+    val p = ev.where(col("event_type") === "purchase")
+    val brute = c.alias("c").join(p.alias("p"),
+        col("p.user_id") === col("c.user_id") &&
+          col("p.ts_us") <= col("c.ts_us"), "left")
+      .groupBy(col("c.event_id").as("event_id"))
+      .agg(max(struct(col("p.ts_us"), col("p.event_id"))).as("best"))
+      .select(col("event_id"), col("best.event_id").as("asof_event_id"))
+    val got = Joins.asofClickPurchase(spark, sf0001)
+      .select(col("event_id"), col("asof_event_id"))
+    assert(got.count() == c.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("rangePairs matches the brute-force inequality join") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val brute = ev.alias("a").join(ev.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts_us") > col("a.ts_us") &&
+          col("b.ts_us") <= col("a.ts_us") + Joins.RangeUs)
+      .groupBy(col("a.event_type").as("a_type"),
+        col("b.event_type").as("b_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val got = Joins.rangePairs(spark, sf0001)
+      .select(col("a_type"), col("b_type"), col("n_pairs"))
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("dedupClusters: labels are component minima, closed under edges") {
+    val dir = SparkSpec.Sf001
+    val labels = Dedup.dedupClusters(spark, dir)
+    assert(labels.where(col("cluster_id") > col("doc_id")).isEmpty)
+    val edges = Dedup.ngramJaccard(spark, dir)
+      .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    // Both endpoints of every edge carry the same cluster id.
+    val la = labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
+    assert(edges.join(la, "doc_a").join(lb, "doc_b")
+      .where(col("ca") =!= col("cb")).isEmpty)
+    // Every cluster id is itself a member doc carrying its own label.
+    assert(labels.where(col("doc_id") === col("cluster_id"))
+      .select("cluster_id").distinct().count()
+      == labels.select("cluster_id").distinct().count())
+  }
+}
