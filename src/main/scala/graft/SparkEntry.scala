@@ -65,6 +65,7 @@ object SparkEntry {
     "q_train_split" -> ((s, d) => Sampling.trainSplit(s, d)),
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_seq_pack" -> ((s, d) => Sampling.packSequences(s, d)),
+    "q_exact_sample" -> ((s, d) => Sampling.exactSample(s, d)),
     // temporal joins composed from equi-join primitives
     "q_asof_join" -> ((s, d) => Joins.asofClickPurchase(s, d)),
     "q_range_join" -> ((s, d) => Joins.rangePairs(s, d)),
@@ -829,6 +830,19 @@ object SparkEntry {
          |       MIN(doc_id) AS first_doc,
          |       MAX(doc_id) AS last_doc
          |FROM off GROUP BY 1, 2""".stripMargin,
+
+    "q_exact_sample" ->
+      s"""SELECT doc_id, lang, u, CAST(rank AS INT) AS rank FROM (
+         |  SELECT doc_id, lang, u,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |           ORDER BY u ASC, doc_id ASC) AS rank
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |           CAST('0x' || substr(md5('exact:' || doc_id::VARCHAR), 1, 8)
+         |             AS BIGINT) AS u
+         |    FROM documents
+         |  )
+         |) WHERE rank <= ${graft.operators.Sampling.ExactK}""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (

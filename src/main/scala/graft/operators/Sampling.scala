@@ -63,6 +63,36 @@ object Sampling {
       .where(col("u_ppm") < col("rate_ppm"))
   }
 
+  /** Exact-k per stratum for [[exactSample]]. */
+  val ExactK = 40
+
+  /** Exact-k uniform sample per stratum (the distributed reservoir-sample
+    * analog): the k documents with the smallest deterministic hash draw
+    * win — every run, partitioning, and engine agrees on the same k.
+    * Salted two-phase top-k (same shape as
+    * Relational.topProductsPerCountry): phase 1 ranks within
+    * (stratum, salt) buckets and keeps k per bucket, so no task ever
+    * sorts a whole stratum; phase 2 ranks the surviving k·buckets rows.
+    * Ties are impossible on (u, doc_id) ordering since doc_id is unique. */
+  def exactSample(spark: SparkSession, dir: String, k: Int = ExactK,
+                  saltBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val drawn = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        h8("exact", col("doc_id")).as("u"))
+    val ord = Seq(col("u").asc, col("doc_id").asc)
+    val salted = Window
+      .partitionBy(col("lang"), pmod(col("doc_id"), lit(saltBuckets)))
+      .orderBy(ord: _*)
+    val global = Window.partitionBy(col("lang")).orderBy(ord: _*)
+    drawn
+      .withColumn("salt_rank", row_number().over(salted))
+      .filter(col("salt_rank") <= k)
+      .drop("salt_rank")
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+  }
+
   /** Token budget per packed training sequence (demo-sized; the operator
     * shape is budget-agnostic). */
   val PackBudget = 512

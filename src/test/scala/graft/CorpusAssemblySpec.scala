@@ -63,6 +63,23 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  test("exactSample: exactly k per stratum, salt-phase never drops a winner") {
+    val k = 7
+    val got = Sampling.exactSample(spark, SparkSpec.Sf001, k = k)
+    val sizes = got.groupBy("lang").count().collect()
+    assert(sizes.nonEmpty && sizes.forall(_.getLong(1) == k))
+    // Unsalted single-window reference picks the identical winners.
+    import org.apache.spark.sql.expressions.Window
+    val ref = Tables.documents(spark, SparkSpec.Sf001)
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(concat(lit("exact:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("u"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))))
+      .filter(col("rank") <= k)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
   test("packSequences partitions every stratum's tokens exactly once") {
     val packs = Sampling.packSequences(spark, sf0001)
     val fromPacks = packs.groupBy("lang")
