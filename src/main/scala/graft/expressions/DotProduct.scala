@@ -1,0 +1,99 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: left-to-right dot product of two
+  * `array<double>` columns.
+  *
+  * Semantics exactly mirror the higher-order-function formulation it
+  * replaces (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`): strict
+  * left-to-right double accumulation (bit-identical to the DuckDB
+  * oracle's `list_sum(list_transform(range(n), i -> a[i]*b[i]))`), null
+  * result on length mismatch or any null element (zip_with pads and
+  * null-poisons the same way).
+  *
+  * Why a custom Expression (preference tier 2, after composing
+  * built-ins): the HOF fold allocates a zipped intermediate array and
+  * evaluates an interpreted lambda per element, per row, per consumer —
+  * measurable on the 64-dim × corpus × query hot loops of the
+  * similarity tier — while this compiles to one fused primitive loop
+  * inside whole-stage codegen via [[doGenCode]]. A Scala UDF would be
+  * worse than either (boxing + codegen barrier).
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_d"
+
+  private def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"dot_d requires (array<double>, array<double>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Register `dot_d(a, b)` in the session's function registry
+    * (idempotent), for use via `expr`/SQL/`call_function`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_d",
+      { children: Seq[Expression] =>
+        require(children.length == 2, "dot_d(a, b) takes two arguments")
+        DotProduct(children(0), children(1))
+      },
+      "built-in")
+}

@@ -76,6 +76,25 @@ class SimilaritySpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("dot_d: bit-identical to the HOF fold, null on mismatch/nulls") {
+    import org.apache.spark.sql.functions._
+    graft.expressions.DotProduct.register(spark)
+    val vecs = Tables.embeddings(spark, sf0001).limit(200)
+      .select(
+        transform(col("embedding"), x => x.cast("double")).as("a"),
+        transform(reverse(col("embedding")), x => x.cast("double")).as("b"))
+    val fold = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    // Bit-exact equality, not tolerance: identical accumulation order.
+    assert(vecs.where(expr("dot_d(a, b)") =!= fold).isEmpty)
+    val edge = spark.sql(
+      """SELECT dot_d(array(1.0d, 2.0d), array(3.0d)) AS mismatch,
+        |       dot_d(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS nul,
+        |       dot_d(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok""".stripMargin)
+      .head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) == 11.0)
+  }
+
   test("hyperplanes are reproducible constants") {
     val w = Similarity.hyperplanes
     assert(w.length == Similarity.NumPlanes && w.head.length == Similarity.Dim)
