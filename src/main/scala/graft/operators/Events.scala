@@ -43,12 +43,60 @@ object Events {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
-  /** Per-user sessionization with a 6-hour inactivity gap
-    * (`session_window`): session bounds, event count, value sum. The
-    * session end is last-event + gap (Spark semantics; the oracle
-    * reproduces it with a gaps-and-islands rewrite). */
+  /** Per-user sessionization with a 6-hour inactivity gap, via the
+    * gaps-and-islands window formulation: a session break is a gap ≥ the
+    * threshold, the session id is the running break count, and the
+    * session end is last-event + gap (identical semantics to
+    * `session_window`, which [[userSessionsSW]] demonstrates).
+    *
+    * Why not `session_window` on the oracle-gated path: its physical
+    * plan (partial sessions → shuffle → MergingSessions) was observed —
+    * rarely, plan-shape-dependently — to emit UNMERGED adjacent partial
+    * sessions when composed into larger query plans (two occurrences
+    * under a derived-aggregate anti-join; standalone evaluation never
+    * flaked in 16 stress runs). Plain lag/sum windows have no merge
+    * step, so this formulation is deterministic by construction; the
+    * spec cross-checks the two against each other, which both
+    * demonstrates the idiomatic API and fences the flake. */
   def userSessions(spark: SparkSession, dir: String,
-                   gap: String = "6 hours"): DataFrame =
+                   gap: String = "6 hours"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, s"calendar-month session gaps are ambiguous: $gap")
+    val gapUs = iv.days * 86400000000L + iv.microseconds
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("brk",
+        when(lag(col("ts_us"), 1).over(byTs).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(byTs) >= gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(timestamp_micros(col("end_us") + gapUs),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** The same sessionization through Spark's built-in `session_window`
+    * aggregate — the idiomatic API, spec-cross-checked against
+    * [[userSessions]] (see that method's scaladoc for why the
+    * oracle-gated path avoids it). */
+  def userSessionsSW(spark: SparkSession, dir: String,
+                     gap: String = "6 hours"): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Custom stateful streaming (SURVEY §2.8 north star): per-key state via
@@ -41,6 +41,69 @@ object Stateful {
           val next = UserAgg(uid, n, tot)
           state.update(next)
           next
+      }
+      .toDF()
+  }
+
+  /** Open-session carry state for [[streamingSessions]]. */
+  case class OpenSession(start_us: Long, last_us: Long, n_events: Long,
+                         total_value: Double)
+
+  /** Closed session emitted by [[streamingSessions]]. */
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long,
+                           total_value: Double)
+
+  /** Session gap (6 h in µs) — same semantics as Events.userSessions. */
+  val SessionGapUs: Long = 6L * 3600 * 1000000
+
+  /** Streaming sessionization via `flatMapGroupsWithState`: the shape
+    * the built-in `session_window` aggregate can't express when the
+    * per-session output needs custom fold logic — each user's open
+    * session is carried in the state store across micro-batches; a gap
+    * ≥ 6 h closes it and EMITS it (append mode), the open tail stays
+    * pending. Events are sorted within each (user, batch) before the
+    * fold; cross-batch ordering is the file-drop order (a production
+    * deployment adds a watermark + EventTimeTimeout to both bound state
+    * and flush tails on event-time progress — same callback shape).
+    *
+    * State is one OpenSession per active user: bounded by #users, not
+    * event volume — the 100 TB property that makes stateful streaming
+    * viable. */
+  def streamingSessions(spark: SparkSession, eventsDir: String,
+                        schema: StructType,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    var reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    reader.parquet(eventsDir)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, events, state) =>
+          def eventUs(e: EventRow): Long =
+            e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
+          val sorted = events.toSeq.sortBy(e => (eventUs(e), e.event_id))
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            val us = eventUs(e)
+            open match {
+              case Some(o) if us - o.last_us < SessionGapUs =>
+                open = Some(o.copy(last_us = us, n_events = o.n_events + 1,
+                  total_value = o.total_value + e.value))
+              case Some(o) =>
+                closed += ClosedSession(uid, o.start_us, o.last_us + SessionGapUs,
+                  o.n_events, o.total_value)
+                open = Some(OpenSession(us, us, 1, e.value))
+              case None =>
+                open = Some(OpenSession(us, us, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
       }
       .toDF()
   }

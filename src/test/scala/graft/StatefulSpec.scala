@@ -31,6 +31,51 @@ class StatefulSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("flatMapGroupsWithState: closed sessions across batches == batch twin") {
+    val dir = tmpDir("fmgws")
+    val events = Tables.events(spark, sf0001)
+    // Two time-split drops so the open-session tail must cross a
+    // micro-batch boundary through the state store.
+    val cut = events.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .head().getDouble(0).toLong
+    // One file per drop: the file source feeds batches in file order, so
+    // each drop must be a single ts-contiguous file for in-order arrival.
+    events.where(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.parquet(s"$dir/events/drop=0")
+    events.where(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.parquet(s"$dir/events/drop=1")
+    val q = Stateful.streamingSessions(spark, s"$dir/events/drop=*",
+        events.schema, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .format("memory").queryName("closed_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("closed_sessions")
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+    // Batch twin minus each user's final (still-open) session.
+    val batch = graft.operators.Events.userSessions(spark, sf0001)
+      .select(col("user_id"),
+        unix_micros(to_timestamp(col("session_start"))).as("session_start_us"),
+        unix_micros(to_timestamp(col("session_end"))).as("session_end_us"),
+        col("n_events"), col("total_value"))
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max(col("session_start_us")).as("session_start_us"))
+    val expect = batch.join(lastPerUser,
+      Seq("user_id", "session_start_us"), "left_anti")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
+  test("userSessions: gaps-and-islands == session_window formulation") {
+    val a = graft.operators.Events.userSessions(spark, sf0001)
+    val b = graft.operators.Events.userSessionsSW(spark, sf0001)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty && a.count() > 0)
+  }
+
   test("sliding windows: every event lands in exactly two 2h/1h windows") {
     val events = Tables.events(spark, sf0001)
     val total = events.count()
