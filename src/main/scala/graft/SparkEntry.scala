@@ -66,6 +66,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_seq_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "q_exact_sample" -> ((s, d) => Sampling.exactSample(s, d)),
+    "q_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
     // temporal joins composed from equi-join primitives
     "q_asof_join" -> ((s, d) => Joins.asofClickPurchase(s, d)),
     "q_range_join" -> ((s, d) => Joins.rangePairs(s, d)),
@@ -830,6 +831,19 @@ object SparkEntry {
          |       MIN(doc_id) AS first_doc,
          |       MAX(doc_id) AS last_doc
          |FROM off GROUP BY 1, 2""".stripMargin,
+
+    "q_shuffle_shards" ->
+      s"""SELECT doc_id, lang, shard, pos,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |         ORDER BY pos, doc_id) AS INT) AS rank_in_shard
+         |FROM (
+         |  SELECT doc_id, lang,
+         |         CAST('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8)
+         |           AS BIGINT) % ${graft.operators.Sampling.NumShards} AS shard,
+         |         CAST('0x' || substr(md5('pos:' || doc_id::VARCHAR), 1, 8)
+         |           AS BIGINT) AS pos
+         |  FROM documents
+         |)""".stripMargin,
 
     "q_exact_sample" ->
       s"""SELECT doc_id, lang, u, CAST(rank AS INT) AS rank FROM (

@@ -93,6 +93,29 @@ object Sampling {
       .filter(col("rank") <= k)
   }
 
+  /** Shard count for [[shuffleShards]] (demo-sized; production uses
+    * O(total size / shard-file size)). */
+  val NumShards = 16
+
+  /** Deterministic global shuffle for training order, expressed as
+    * shuffled sharding: every document gets a shard (hash mod N) and a
+    * rank within its shard (ordered by a second, independent hash) — a
+    * reader consuming shards in order sees a reproducible pseudo-random
+    * permutation. This is the scale shape for "shuffle 100 TB": the
+    * only sort is per-shard (the window partitions by shard), no global
+    * ORDER BY ever materializes a single-task total order. */
+  def shuffleShards(spark: SparkSession, dir: String,
+                    shards: Int = NumShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("pos"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (h8("shard", col("doc_id")) % shards).as("shard"),
+        h8("pos", col("doc_id")).as("pos"))
+      .withColumn("rank_in_shard", row_number().over(w))
+  }
+
   /** Token budget per packed training sequence (demo-sized; the operator
     * shape is budget-agnostic). */
   val PackBudget = 512

@@ -80,6 +80,22 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
   }
 
+  test("shuffleShards: a permutation, balanced-ish, reproducible") {
+    val s = Sampling.shuffleShards(spark, SparkSpec.Sf001)
+    val n = Tables.documents(spark, SparkSpec.Sf001).count()
+    assert(s.count() == n)
+    // (shard, rank) is a dense unique key; every doc appears once.
+    assert(s.select("doc_id").distinct().count() == n)
+    assert(s.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("rank_in_shard").as("m"))
+      .where(col("c") =!= col("m")).isEmpty)
+    // No shard hogs the corpus (hash balance, loose 4x bound).
+    val sizes = s.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.max < 4 * math.max(1L, sizes.min))
+    val again = Sampling.shuffleShards(spark, SparkSpec.Sf001).repartition(5)
+    assert(s.exceptAll(again).isEmpty)
+  }
+
   test("packSequences partitions every stratum's tokens exactly once") {
     val packs = Sampling.packSequences(spark, sf0001)
     val fromPacks = packs.groupBy("lang")
