@@ -73,6 +73,20 @@ object Pipeline {
       graft.operators.Curation.curatedDocs(spark, sfDir),
       s"$outDir/curated_layer/c_documents")
 
+    // 7. Corpus assembly over the curated survivors: hash-stable
+    // train/val/test assignment (partitioned by split so a trainer reads
+    // only its slice) and the token-budget pack manifest — the last two
+    // steps between "curated corpus" and "training batches".
+    val survivors = spark.read.parquet(s"$outDir/curated_layer/c_documents")
+      .select("doc_id")
+    Sinks.createTableAs(
+      graft.operators.Sampling.trainSplit(spark, sfDir)
+        .join(survivors, "doc_id"),
+      s"$outDir/assembly_layer/a_split", partitionBy = Seq("split"))
+    Sinks.createTableAs(
+      graft.operators.Sampling.packSequences(spark, sfDir),
+      s"$outDir/assembly_layer/a_packs")
+
     LayerCounts(
       raw = Map(
         "r_campaigns" ->

@@ -177,8 +177,10 @@ object Dedup {
         .join(labels.alias("o"), Seq("doc_id"))
         .where(col("n.cluster_id") < col("o.cluster_id"))
         .isEmpty
+      labels.unpersist() // superseded checkpoint blocks don't accumulate
       labels = next
     }
+    pairs.unpersist()
     labels
   }
 

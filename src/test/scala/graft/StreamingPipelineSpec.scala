@@ -83,6 +83,12 @@ class StreamingPipelineSpec extends SparkSpec {
     // Ingested files were archived (K5) — staging is empty.
     assert(!Ingest.filesExist(spark, s"$out/ingested/csv/campaigns/*.csv"))
     // Curated corpus landed beside the business layer.
-    assert(spark.read.parquet(s"$out/curated_layer/c_documents").count() > 0)
+    val curated = spark.read.parquet(s"$out/curated_layer/c_documents").count()
+    assert(curated > 0)
+    // Assembly layer: every curated doc got a split; packs landed.
+    val split = spark.read.parquet(s"$out/assembly_layer/a_split")
+    assert(split.count() == curated)
+    assert(split.select("split").distinct().count() >= 2)
+    assert(spark.read.parquet(s"$out/assembly_layer/a_packs").count() > 0)
   }
 }
