@@ -54,8 +54,9 @@ object SparkEntry {
     "q_curation" -> ((s, d) => Curation.curatedDocs(s, d)),
     // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
     "q_generator" -> ((s, _) => sources.Generator.campaigns(s, 1000)),
-    "q_ingest_roundtrip_csv" -> ((s, d) => ingestRoundtrip(s, d, tsv = false)),
-    "q_ingest_roundtrip_tsv" -> ((s, d) => ingestRoundtrip(s, d, tsv = true)),
+    "q_ingest_roundtrip_csv" -> ((s, d) => ingestRoundtrip(s, d, "csv")),
+    "q_ingest_roundtrip_tsv" -> ((s, d) => ingestRoundtrip(s, d, "tsv")),
+    "q_ingest_roundtrip_jsonl" -> ((s, d) => ingestRoundtrip(s, d, "jsonl")),
     // multimodal binary-payload accounting
     "q_multimodal_meta" -> ((s, d) => multimodal.Multimodal.mediaStats(s, d)),
     // corpus assembly: PII scrub, repetition quality signals,
@@ -99,10 +100,10 @@ object SparkEntry {
     * Bench/Verify run and billed the staging write to the query's bench
     * time). Deleted recursively on JVM exit. */
   private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  private def stagedDir(s: SparkSession, d: String, tsv: Boolean): String =
-    stagedDirs.computeIfAbsent((d, tsv), { _ =>
+  private def stagedDir(s: SparkSession, d: String, fmt: String): String =
+    stagedDirs.computeIfAbsent((d, fmt), { _ =>
       import org.apache.spark.sql.functions._
       val shaped = Relational.transactions(s, d).select(
         col("transaction_id").cast("string").as("transaction_id"),
@@ -117,26 +118,37 @@ object SparkEntry {
           .sortBy(-_.getNameCount)
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
-      if (tsv)
-        shaped.select(concat_ws("\t", col("transaction_id"), col("income"),
-          col("country"), col("date_time")).as("line"))
-          .write.mode("overwrite").text(s"$dir/stage")
-      else
-        shaped.write.mode("overwrite").option("header", "true")
-          .csv(s"$dir/stage")
+      fmt match {
+        case "tsv" =>
+          shaped.select(concat_ws("\t", col("transaction_id"), col("income"),
+            col("country"), col("date_time")).as("line"))
+            .write.mode("overwrite").text(s"$dir/stage")
+        case "jsonl" => // gzipped JSON Lines — the LLM-corpus wire format
+          shaped.select(to_json(struct(col("transaction_id"), col("income"),
+            col("country"), col("date_time"))).as("line"))
+            .write.mode("overwrite").option("compression", "gzip")
+            .text(s"$dir/stage")
+        case _ =>
+          shaped.write.mode("overwrite").option("header", "true")
+            .csv(s"$dir/stage")
+      }
       dir.toString
     })
 
-  private def ingestRoundtrip(s: SparkSession, d: String, tsv: Boolean): DataFrame = {
+  private def ingestRoundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = stagedDir(s, d, tsv)
-    val raw =
-      if (tsv)
+    val dir = stagedDir(s, d, fmt)
+    val raw = fmt match {
+      case "tsv" =>
         sources.Ingest.readTsv(s, s"$dir/stage/*.txt",
           sources.Ingest.transactionsSchema)
-      else
+      case "jsonl" =>
+        sources.Ingest.readJsonl(s, s"$dir/stage/*.txt.gz",
+          sources.Ingest.transactionsSchema)
+      case _ =>
         sources.Ingest.readCsv(s, s"$dir/stage/*.csv",
           sources.Ingest.transactionsSchema)
+    }
     raw.select(
       col("transaction_id"),
       col("income").cast("double").as("income"),
@@ -728,6 +740,7 @@ object SparkEntry {
 
     "q_ingest_roundtrip_csv" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_tsv" -> IngestRoundtripOracle,
+    "q_ingest_roundtrip_jsonl" -> IngestRoundtripOracle,
 
     "q_pii_redact" -> {
       import graft.operators.Privacy.{EmailRe, IpRe, PhoneRe}

@@ -57,6 +57,15 @@ object Ingest {
   def readTsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("sep", "\t").csv(path)
 
+  /** JSONL ingest (north-star extension: LLM corpora overwhelmingly ship
+    * as JSON Lines, usually gzipped). Explicit schema — schema inference
+    * over 100 TB is a full extra pass. Spark decompresses by file
+    * extension transparently; note gzip is NOT splittable (one task per
+    * .gz object — corpora should be sharded into many files, which they
+    * are in practice; zstd/bzip2 split). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Raw→master normalization for transaction-shaped frames: F3/F4 casts
     * (string → double / timestamp), null-tolerant via try_* so a malformed
     * row nulls out instead of aborting a WRITE_APPEND pipeline (SURVEY
