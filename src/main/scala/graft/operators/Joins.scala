@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -23,34 +23,49 @@ import graft.Tables
   */
 object Joins {
 
-  /** For each 'click' event: the most recent 'purchase' by the same user
-    * at or before the click (LEFT semantics — unmatched clicks keep
-    * nulls). Tie rule, part of the contract: purchases at the exact
-    * click timestamp are eligible; among equal-ts purchases the largest
-    * event_id wins. Timestamps cross the oracle boundary as exact
-    * microsecond longs. */
+  /** General as-of join: for each left row, the latest right row with
+    * the same key and `right.ts <= left.ts` (LEFT semantics — unmatched
+    * left rows keep nulls). Both frames must carry `keyCols`, a long
+    * `tsCol`, and a unique long `idCol`; the right row's id and ts come
+    * back as `asof_<idCol>` / `asof_<tsCol>`. Tie rule, part of the
+    * contract: right rows at the exact left timestamp are eligible;
+    * among equal-ts right rows the largest id wins.
+    *
+    * ONE shuffle on the key (union + running `last(ignoreNulls)`), no
+    * inequality join, linear in input — the scale shape. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, idCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val r = right.select(
+      keys :+ col(tsCol) :+ lit(0).as("side") :+ col(idCol) :+
+        col(idCol).as("asof_id_") :+ col(tsCol).as("asof_ts_"): _*)
+    val l = left.select(
+      keys :+ col(tsCol) :+ lit(1).as("side") :+ col(idCol) :+
+        lit(null).cast("long").as("asof_id_") :+
+        lit(null).cast("long").as("asof_ts_"): _*)
+    // side=0 sorts right rows before an equal-ts left row (eligibility);
+    // the id breaks exact ties deterministically.
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col(tsCol), col("side"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn(s"asof_$idCol", last(col("asof_id_"), ignoreNulls = true).over(w))
+      .withColumn(s"asof_$tsCol", last(col("asof_ts_"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .drop("side", "asof_id_", "asof_ts_")
+  }
+
+  /** The fixture instance: each 'click' matched to the user's most
+    * recent 'purchase' at or before it. Timestamps cross the oracle
+    * boundary as exact microsecond longs. */
   def asofClickPurchase(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
-        col("event_id"),
-        col("event_id").as("p_id"), col("ts_us").as("p_ts_us"))
-    val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), lit(1).as("side"),
-        col("event_id"),
-        lit(null).cast("long").as("p_id"),
-        lit(null).cast("long").as("p_ts_us"))
-    // side=0 sorts purchases before an equal-ts click (eligibility);
-    // event_id breaks exact ties deterministically.
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("side"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purchases.unionByName(clicks)
-      .withColumn("asof_event_id", last(col("p_id"), ignoreNulls = true).over(w))
-      .withColumn("asof_ts_us", last(col("p_ts_us"), ignoreNulls = true).over(w))
-      .where(col("side") === 1)
+    asofJoin(
+      ev.where(col("event_type") === "click").drop("event_type"),
+      ev.where(col("event_type") === "purchase").drop("event_type"),
+      Seq("user_id"), "ts_us", "event_id")
       .select(
         col("event_id"), col("user_id"), col("ts_us"),
         col("asof_event_id"), col("asof_ts_us"),
@@ -60,28 +75,38 @@ object Joins {
   /** Range-join width (5 minutes, in microseconds). */
   val RangeUs: Long = 300L * 1000000
 
-  /** Event pairs (a, b) of the same user with a.ts < b.ts <= a.ts + 5min,
-    * rolled up by (a.event_type, b.event_type). Banded: b is keyed by its
-    * time bucket, a probes its own bucket and the next one (a window
-    * starting in bucket k can only end in k or k+1), so each candidate
-    * pair is generated exactly once by b's unique bucket. */
+  /** General banded range join: all pairs (a, b) sharing `keyCols` with
+    * `a.ts < b.ts <= a.ts + widthUs`. Non-key columns come back prefixed
+    * `a_`/`b_`. Banded: b is keyed by its fixed-width time bucket, a
+    * probes its own bucket and the next one (a window starting in bucket
+    * k can only end in k or k+1), so the equi-join generates each
+    * qualifying pair exactly once — Catalyst stays in hash-join land,
+    * never a nested-loop. */
+  def rangeJoin(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                widthUs: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    val others = df.columns.filterNot(c => keyCols.contains(c))
+    def side(p: String, bucket: Column) =
+      df.select(keys ++ others.map(c => col(c).as(s"$p$c")) :+
+        bucket.as("bucket_"): _*)
+    val b = side("b_", expr(s"$tsCol div $widthUs"))
+    val a = side("a_", explode(array(expr(s"$tsCol div $widthUs"),
+      expr(s"$tsCol div $widthUs + 1"))))
+    a.join(b, keyCols :+ "bucket_")
+      .where(col(s"b_$tsCol") > col(s"a_$tsCol") &&
+        col(s"b_$tsCol") <= col(s"a_$tsCol") + widthUs)
+      .drop("bucket_")
+  }
+
+  /** The fixture instance: same-user event pairs within 5 minutes,
+    * rolled up by (a.event_type, b.event_type). */
   def rangePairs(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    val b = ev.select(
-      col("user_id"), col("event_type").as("b_type"),
-      col("event_id").as("b_id"), col("ts_us").as("b_ts_us"),
-      expr(s"ts_us div $RangeUs").as("bucket"))
-    val a = ev.select(
-      col("user_id"), col("event_type").as("a_type"),
-      col("event_id").as("a_id"), col("ts_us").as("a_ts_us"),
-      explode(array(expr(s"ts_us div $RangeUs"),
-        expr(s"ts_us div $RangeUs + 1"))).as("bucket"))
-    a.join(b, Seq("user_id", "bucket"))
-      .where(col("b_ts_us") > col("a_ts_us") &&
-        col("b_ts_us") <= col("a_ts_us") + RangeUs)
-      .groupBy(col("a_type"), col("b_type"))
+    rangeJoin(ev, Seq("user_id"), "ts_us", RangeUs)
+      .groupBy(col("a_event_type").as("a_type"),
+        col("b_event_type").as("b_type"))
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(col("b_ts_us") - col("a_ts_us")).as("total_gap_us"),
