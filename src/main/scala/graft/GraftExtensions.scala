@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import graft.expressions.{DotProduct, HammingDistance}
+import graft.plans.RewriteDotProduct
+
+/** Engine plug-in for Spark's extension points. Two ways in:
+  *
+  *  - at session build time (the deployment path):
+  *    `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    or `SparkSession.builder().withExtensions(new GraftExtensions)`
+  *  - on a live session (tests, notebooks):
+  *    `GraftExtensions.install(spark)` — uses
+  *    `spark.experimental.extraOptimizations` and the temp-function
+  *    registry, idempotent.
+  *
+  * Installs the native expressions (`dot_d`, `hamming`) and the
+  * [[graft.plans.RewriteDotProduct]] optimizer rule that transparently
+  * upgrades HOF dot-product folds to the fused codegen loop.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+    // Function registration still goes through the session registry on
+    // first use (register() is idempotent and cheap); the optimizer rule
+    // is the piece only an extension (or experimental hook) can add.
+  }
+}
+
+object GraftExtensions {
+  /** Install on an already-running session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    DotProduct.register(spark)
+    HammingDistance.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProduct
+  }
+
+  /** Remove the live-session optimizer hook (test hygiene). */
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteDotProduct)
+}
