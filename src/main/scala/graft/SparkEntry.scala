@@ -73,6 +73,21 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => Joins.rangePairs(s, d)),
     // connected components over verified near-dup pairs
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    // salted fact⨝dim join rolled up by brand — row-identical to the
+    // plain join (the oracle IS the plain join), only the shuffle
+    // distribution changes; proves the skew mitigation is semantics-free
+    "q_salted_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = graft.Tables.lineitem(s, d).select(
+        col("l_partkey").as("partkey"), col("l_orderkey"),
+        col("l_extendedprice"))
+      val p = graft.Tables.part(s, d).select(
+        col("p_partkey").as("partkey"), col("p_brand"))
+      Skew.saltedJoin(li, p, Seq("partkey"), col("l_orderkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_items"),
+          Relational.rsum2(col("l_extendedprice")).as("total_price"))
+    }),
     // A4 scale swap-in: HLL approx distinct next to exact (rows-only
     // check - DuckDB's HLL differs, so no hash oracle; see Scaladoc).
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
@@ -907,6 +922,13 @@ object SparkEntry {
          | AND b.ts_us > a.ts_us
          | AND b.ts_us <= a.ts_us + ${graft.operators.Joins.RangeUs}
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT p_brand AS brand,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       ROUND(SUM(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""${ToksCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $minhashCtes, jac AS (
