@@ -19,11 +19,25 @@ import graft.plans.RewriteDotProduct
   * upgrades HOF dot-product folds to the fused codegen loop.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
-    // Function registration still goes through the session registry on
-    // first use (register() is idempotent and cheap); the optimizer rule
-    // is the piece only an extension (or experimental hook) can add.
+    ext.injectFunction((
+      FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_d"),
+      { children: Seq[Expression] =>
+        require(children.length == 2, "dot_d(a, b) takes two arguments")
+        DotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getCanonicalName, "hamming"),
+      { children: Seq[Expression] =>
+        require(children.length == 2, "hamming(a, b) takes two arguments")
+        HammingDistance(children(0), children(1))
+      }))
   }
 }
 

@@ -84,7 +84,8 @@ object Pipeline {
         .join(survivors, "doc_id"),
       s"$outDir/assembly_layer/a_split", partitionBy = Seq("split"))
     Sinks.createTableAs(
-      graft.operators.Sampling.packSequences(spark, sfDir),
+      graft.operators.Sampling.packSequencesOf(
+        Tables.documents(spark, sfDir).join(survivors, "doc_id")),
       s"$outDir/assembly_layer/a_packs")
 
     LayerCounts(

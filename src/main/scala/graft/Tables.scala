@@ -19,9 +19,6 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — read it as a nanosecond long (legacy flag) and truncate
-    * to microseconds (integer div, matching DuckDB's ns→µs truncation). */
   /** Explicit read schema for events.parquet: `ts` is parquet
     * TIMESTAMP(NANOS), which Spark has no native type for. Supplying
     * LongType here makes the vectorized reader hand back the raw

@@ -3,6 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Hash.h8
 
 /** Multimodal-column plumbing for the LLM-data-pipeline tier: media is
   * carried as opaque `binary` payloads with a typed metadata struct, and
@@ -16,12 +17,6 @@ import graft.Tables
   * keeps every byte-level statistic oracle-checkable.
   */
 object Multimodal {
-
-  /** First 8 md5 hex digits of s"$tag:$id" as a long (same trick as the
-    * generator — reproducible in DuckDB). */
-  private def h8(tag: String, id: Column): Column =
-    conv(substring(md5(concat(lit(tag + ":"), id.cast("string"))), 1, 8),
-      16, 10).cast("long")
 
   /** Attach an opaque binary payload + typed media metadata to each
     * document: payload = UTF-8 bytes of the text (fixture stand-in for

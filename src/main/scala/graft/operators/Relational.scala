@@ -273,23 +273,14 @@ object Relational {
     * global top-k is always contained in the salted winners — the result
     * is bit-identical to the single-window form. */
   def topProductsPerCountry(master: DataFrame, k: Int = 5,
-                            saltBuckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byCountry = master
-      .groupBy(col("transaction_country").as("country"), col("product_id"))
-      .agg(rsum2(col("income")).as("total_income"))
-    val ord = Seq(col("total_income").desc, col("product_id").asc)
-    val salted = Window
-      .partitionBy(col("country"), pmod(col("product_id"), lit(saltBuckets)))
-      .orderBy(ord: _*)
-    val global = Window.partitionBy(col("country")).orderBy(ord: _*)
-    byCountry
-      .withColumn("salt_rank", row_number().over(salted))
-      .filter(col("salt_rank") <= k)
-      .drop("salt_rank")
-      .withColumn("rank", row_number().over(global))
-      .filter(col("rank") <= k)
-  }
+                            saltBuckets: Int = 32): DataFrame =
+    Ranking.saltedTopK(
+      master
+        .groupBy(col("transaction_country").as("country"), col("product_id"))
+        .agg(rsum2(col("income")).as("total_income")),
+      part = Seq(col("country")),
+      ord = Seq(col("total_income").desc, col("product_id").asc),
+      saltOn = col("product_id"), k = k, saltBuckets = saltBuckets)
 
   /** SELECT * passthrough scan (S6 analog —
     * cloud_composer/datapipeline_gcp.py:36 `SELECT * FROM ronny_dev.stations`). */

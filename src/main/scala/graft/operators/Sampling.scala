@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import TextOps.tokens
+import Hash.h8
 
 /** Corpus-assembly operators for the LLM-data-pipeline tier: hash-based
   * train/val/test splitting, per-stratum (domain-mix) sampling, and
@@ -17,12 +18,6 @@ import TextOps.tokens
   * never change which split a document lands in.
   */
 object Sampling {
-
-  /** First 8 md5 hex digits of `tag:id` as a 32-bit uniform draw —
-    * the shared deterministic-hash idiom (see Generator). */
-  private def h8(tag: String, id: Column): Column =
-    conv(substring(md5(concat(lit(s"$tag:"), id.cast("string"))), 1, 8),
-      16, 10).cast("long")
 
   /** Hash-based train/val/test assignment: bucket = h(doc_id) mod 100,
     * <80 train / <90 val / else test. Per-row projection, no shuffle;
@@ -69,29 +64,17 @@ object Sampling {
   /** Exact-k uniform sample per stratum (the distributed reservoir-sample
     * analog): the k documents with the smallest deterministic hash draw
     * win — every run, partitioning, and engine agrees on the same k.
-    * Salted two-phase top-k (same shape as
-    * Relational.topProductsPerCountry): phase 1 ranks within
-    * (stratum, salt) buckets and keeps k per bucket, so no task ever
-    * sorts a whole stratum; phase 2 ranks the surviving k·buckets rows.
-    * Ties are impossible on (u, doc_id) ordering since doc_id is unique. */
+    * Via the shared [[Ranking.saltedTopK]]; ties are impossible on the
+    * (u, doc_id) ordering since doc_id is unique. */
   def exactSample(spark: SparkSession, dir: String, k: Int = ExactK,
-                  saltBuckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val drawn = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        h8("exact", col("doc_id")).as("u"))
-    val ord = Seq(col("u").asc, col("doc_id").asc)
-    val salted = Window
-      .partitionBy(col("lang"), pmod(col("doc_id"), lit(saltBuckets)))
-      .orderBy(ord: _*)
-    val global = Window.partitionBy(col("lang")).orderBy(ord: _*)
-    drawn
-      .withColumn("salt_rank", row_number().over(salted))
-      .filter(col("salt_rank") <= k)
-      .drop("salt_rank")
-      .withColumn("rank", row_number().over(global))
-      .filter(col("rank") <= k)
-  }
+                  saltBuckets: Int = 32): DataFrame =
+    Ranking.saltedTopK(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          h8("exact", col("doc_id")).as("u")),
+      part = Seq(col("lang")),
+      ord = Seq(col("u").asc, col("doc_id").asc),
+      saltOn = col("doc_id"), k = k, saltBuckets = saltBuckets)
 
   /** Shard count for [[shuffleShards]] (demo-sized; production uses
     * O(total size / shard-file size)). */
@@ -129,10 +112,15 @@ object Sampling {
     * (lang, doc_id) so each executor packs a contiguous shard — same
     * result, no global sort (offsets would come from a two-pass
     * per-shard prefix sum, the classic distributed scan). */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOf(Tables.documents(spark, dir))
+
+  /** Pack an arbitrary document frame (doc_id, lang, text) — the form
+    * the pipeline driver uses to pack only curation survivors. */
+  def packSequencesOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("start_offset",

@@ -89,17 +89,10 @@ object Similarity {
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qv"), col("v")) / (col("nq") * col("nv"))).as("cosine"))
-    val ord = Seq(col("cosine").desc, col("vec_id").asc)
-    val salted = Window
-      .partitionBy(col("q_id"), pmod(col("vec_id"), lit(saltBuckets)))
-      .orderBy(ord: _*)
-    val global = Window.partitionBy(col("q_id")).orderBy(ord: _*)
-    scored
-      .withColumn("salt_rank", row_number().over(salted))
-      .where(col("salt_rank") <= k)
-      .drop("salt_rank")
-      .withColumn("rank", row_number().over(global))
-      .where(col("rank") <= k)
+    Ranking.saltedTopK(scored,
+      part = Seq(col("q_id")),
+      ord = Seq(col("cosine").desc, col("vec_id").asc),
+      saltOn = col("vec_id"), k = k, saltBuckets = saltBuckets)
   }
 
   /** Multi-probe masks: the query's own bucket plus every bucket at

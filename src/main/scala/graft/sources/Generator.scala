@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Hash.h8
 
 /** S9: deterministic synthetic data generator — the engine twin of the
   * reference's Faker-based Cloud Functions
@@ -32,11 +33,6 @@ object Generator {
   private def moneyStr(cents: Column): Column =
     concat((cents / 100).cast("long").cast("string"), lit("."),
       lpad((cents % 100).cast("string"), 2, "0"))
-
-  /** First 8 md5 hex digits of s"$tag:$id" as a long in [0, 2^32). */
-  private def h8(tag: String, id: Column): Column =
-    conv(substring(md5(concat(lit(tag + ":"), id.cast("string"))), 1, 8),
-      16, 10).cast("long")
 
   /** N campaign rows in the reference's raw CSV shape (all STRING):
     * 8-digit campaign_id, 2-dp cost in [10, 1000), country, and a
