@@ -52,6 +52,8 @@ object SparkEntry {
     "q_event_sliding" -> ((s, d) => Events.slidingWindows(s, d)),
     // end-to-end corpus curation (quality gate + near-dup removal)
     "q_curation" -> ((s, d) => Curation.curatedDocs(s, d)),
+    // train/eval n-gram contamination check over the hash split
+    "q_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
     "q_generator" -> ((s, _) => sources.Generator.campaigns(s, 1000)),
     "q_ingest_roundtrip_csv" -> ((s, d) => ingestRoundtrip(s, d, "csv")),
@@ -737,6 +739,23 @@ object SparkEntry {
          |FROM ratios
          |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
          |  AND n_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""$ToksCte, split AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8)
+         |           AS BIGINT) % 100 AS bucket
+         |  FROM documents
+         |), sh AS (
+         |  SELECT toks.doc_id, split.bucket, unnest($ShinglesExpr) AS sh
+         |  FROM toks JOIN split ON toks.doc_id = split.doc_id
+         |)
+         |SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM sh a JOIN sh b USING (sh)
+         |WHERE a.bucket < 80 AND b.bucket >= 90
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 3""".stripMargin,
 
     "q_generator" -> {
       def h8(tag: String) =

@@ -32,4 +32,32 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
         col("quality_score"))
   }
+
+  /** Decontamination: find train-split documents whose n-gram content
+    * overlaps an eval-split document (the GPT-3-style "remove training
+    * docs sharing n-grams with the benchmark" step — training on eval
+    * data silently inflates benchmarks, so this check is mandatory
+    * corpus hygiene before packing).
+    *
+    * Shape: explode distinct shingles on both sides and equi-join on the
+    * shingle itself — the shuffle is keyed by n-gram, candidate pairs
+    * only materialize for actually-shared n-grams, never all-pairs. The
+    * eval side is the benchmark corpus: tiny at any scale, so Catalyst
+    * broadcasts it. Emits (train_doc, eval_doc, n_shared) for pairs with
+    * at least `minShared` shared distinct shingles (exact duplicates
+    * surface naturally with n_shared = their full shingle count). */
+  def decontaminate(spark: SparkSession, dir: String,
+                    minShared: Int = 3): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .join(Sampling.trainSplit(spark, dir).select("doc_id", "split"), "doc_id")
+    def shingled(split: String, out: String) = docs
+      .where(col("split") === split)
+      .select(col("doc_id").as(out),
+        explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
+    shingled("train", "train_doc")
+      .join(shingled("test", "eval_doc"), "sh")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }
