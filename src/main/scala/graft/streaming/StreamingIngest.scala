@@ -56,6 +56,33 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Stream-stream inner join with event-time bounds: clicks joined to
+    * purchases of the same user within the preceding hour. Both sides
+    * carry watermarks and the join condition bounds purchase-time
+    * relative to click-time, so Spark can size the join state and evict
+    * rows as the watermark advances — the constraint that makes a
+    * stream-stream join viable on an unbounded 100 TB feed (an
+    * unbounded-state join would OOM; with bounds, state is
+    * O(events in the watermark horizon)). */
+  def clickPurchaseJoinStream(spark: SparkSession, eventsDir: String,
+                              schema: StructType): DataFrame = {
+    val ev = spark.readStream.schema(schema).parquet(eventsDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming twin of Events.hourlyWindows: watermarked tumbling-window
     * aggregation over an event stream read from parquet files. Returns
     * the streaming DataFrame (caller attaches a sink; tests use a memory

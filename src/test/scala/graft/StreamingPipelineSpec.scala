@@ -73,6 +73,35 @@ class StreamingPipelineSpec extends SparkSpec {
       == docs.count())
   }
 
+  test("stream-stream join with watermarks equals the batch join") {
+    val dir = tmpDir("ssjoin")
+    val events = graft.Tables.events(spark, sf0001)
+    events.write.parquet(s"$dir/events")
+    val q = StreamingIngest.clickPurchaseJoinStream(spark, s"$dir/events",
+        events.schema)
+      .writeStream
+      .format("memory").queryName("ss_join")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ss_join").select("click_id", "purchase_id")
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+          col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "purchase_id")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("E1: pipeline smoke at sf0.001 — every layer lands with rows") {
     val out = tmpDir("pipeline")
     val counts = Pipeline.run(spark, sf0001, out, genRows = 200)
