@@ -45,6 +45,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.topkCosineLsh(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.topkCosineIvf(s, d)),
     "q_embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
+    "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // event-time aggregation (batch twins of the streaming queries)
     "q_event_windows" -> ((s, d) => Events.hourlyWindows(s, d)),
@@ -651,6 +652,14 @@ object SparkEntry {
          |  FROM bn a JOIN bn b USING (bucket)
          |  WHERE a.vec_id < b.vec_id
          |) WHERE cosine > 0.5""".stripMargin,
+
+    "q_label_centroids" ->
+      s"""$EmbCte
+         |SELECT label, CAST(i - 1 AS INT) AS dim,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       ROUND(AVG(v[i]), 6) AS mean_x
+         |FROM n, unnest(range(1, ${Similarity.Dim + 1})) AS t(i)
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_embedding_stats" ->
       s"""$EmbCte

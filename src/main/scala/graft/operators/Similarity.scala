@@ -186,6 +186,64 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** Lloyd's k-means refinement for the IVF coarse index: starting from
+    * the deterministic stride-sampled centroids, each iteration (1)
+    * assigns every vector to its nearest centroid by cosine — a
+    * broadcast of the bounded centroid set, one corpus pass — and (2)
+    * recomputes centroids as member means via the posexplode +
+    * (cell, dim) hash-aggregate shape of [[labelCentroids]] (shuffle key
+    * space = k × dim, independent of corpus size). Component means are
+    * rounded to 9 dp so the refined index is partitioning-independent
+    * and replay-stable, like every other deterministic artifact here.
+    * Returns (cell, dim, mean_x) for the refined centroids. */
+  def kmeansRefine(spark: SparkSession, dir: String,
+                   iterations: Int = 2): DataFrame = {
+    val c = corpus(spark, dir)
+    var cents = c.where(pmod(col("vec_id"), lit(CentroidStride)) === 0)
+      .select(col("vec_id").as("cell"), posexplode(col("v")).as(Seq("dim", "cx")))
+      .select(col("cell"), col("dim"), col("cx"))
+    for (_ <- 1 to iterations) {
+      // Rebuild centroid vectors (k × dim rows → k rows of array) and
+      // broadcast; assignment is a deterministic argmax (cosine desc,
+      // cell asc) per vector.
+      val cvecs = cents.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cx"))))
+          .as("pairs"))
+        .select(col("cell"),
+          transform(col("pairs"), p => p.getField("cx")).as("cv"))
+        .withColumn("cnv", sqrt(call_function("dot_d", col("cv"), col("cv"))))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      val assigned = c.crossJoin(broadcast(cvecs))
+        .select(col("vec_id"), col("cell"), col("v"),
+          (call_function("dot_d", col("cv"), col("v")) /
+            (col("cnv") * col("nv"))).as("ccos"))
+        .withColumn("r", row_number().over(byVec))
+        .where(col("r") === 1)
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("x")), 9).as("cx"))
+    }
+    cents.select(col("cell"), col("dim"), col("cx").as("mean_x"))
+  }
+
+  /** Per-label centroid components: posexplode each vector and hash-
+    * aggregate per (label, dim) — map-side partial sums collapse each
+    * partition before the shuffle, and the shuffle key space is
+    * #labels × dim regardless of corpus size (the scale shape for any
+    * vector-mean step: class centroids, k-means updates). Component
+    * means are rounded to 6 dp: row-summation order varies with
+    * partitioning, but per-row values are exact, so the rounded mean is
+    * stable (error ~1e-12 ≪ tolerance) and cross-engine identical. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean_x"))
+
   /** Corpus statistics by label: counts and L2-norm aggregates. The norm
     * sum is rounded to 6 dp — norms are bit-identical per row across
     * engines, so only group summation order differs (error ~1e-12,

@@ -95,6 +95,26 @@ class SimilaritySpec extends SparkSpec {
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) == 11.0)
   }
 
+  test("kmeansRefine: complete dims per cell, deterministic, moves centroids") {
+    import org.apache.spark.sql.functions._
+    val refined = Similarity.kmeansRefine(spark, sf0001, iterations = 2)
+    val dims = refined.groupBy("cell").count()
+    assert(dims.count() > 0 &&
+      dims.where(col("count") =!= Similarity.Dim).isEmpty)
+    // Deterministic: a second run returns identical components.
+    val again = Similarity.kmeansRefine(spark, sf0001, iterations = 2)
+    assert(refined.exceptAll(again).isEmpty && again.exceptAll(refined).isEmpty)
+    // Refinement actually moved at least one centroid off its seed.
+    val seeds = Tables.embeddings(spark, sf0001)
+      .where(pmod(col("vec_id"), lit(Similarity.CentroidStride)) === 0)
+      .select(col("vec_id").as("cell"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "sx")))
+    val moved = refined.join(seeds, Seq("cell", "dim"))
+      .where(abs(col("mean_x") - col("sx")) > 1e-9)
+    assert(moved.count() > 0)
+  }
+
   test("hyperplanes are reproducible constants") {
     val w = Similarity.hyperplanes
     assert(w.length == Similarity.NumPlanes && w.head.length == Similarity.Dim)
