@@ -758,10 +758,14 @@ object SparkEntry {
          |), sh AS (
          |  SELECT toks.doc_id, split.bucket, unnest($ShinglesExpr) AS sh
          |  FROM toks JOIN split ON toks.doc_id = split.doc_id
+         |), rare AS (
+         |  SELECT s.* FROM sh s
+         |  JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1) d USING (sh)
+         |  WHERE d.df <= 20
          |)
          |SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
          |       CAST(COUNT(*) AS BIGINT) AS n_shared
-         |FROM sh a JOIN sh b USING (sh)
+         |FROM rare a JOIN rare b USING (sh)
          |WHERE a.bucket < 80 AND b.bucket >= 90
          |GROUP BY 1, 2
          |HAVING COUNT(*) >= 3""".stripMargin,

