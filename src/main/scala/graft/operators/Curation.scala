@@ -37,32 +37,25 @@ object Curation {
     * overlaps an eval-split document (the GPT-3-style "remove training
     * docs sharing n-grams with the benchmark" step — training on eval
     * data silently inflates benchmarks, so this check is mandatory
-    * corpus hygiene before packing).
+    * corpus hygiene before packing). Emits (train_doc, eval_doc,
+    * n_shared) for pairs with at least `minShared` shared distinct
+    * shingles (exact duplicates surface naturally with n_shared = their
+    * full shingle count).
     *
-    * Shape: explode distinct shingles on both sides and equi-join on the
-    * shingle itself — the shuffle is keyed by n-gram, candidate pairs
-    * only materialize for actually-shared n-grams, never all-pairs. The
-    * eval side is the benchmark corpus: tiny at any scale, so Catalyst
-    * broadcasts it. Emits (train_doc, eval_doc, n_shared) for pairs with
-    * at least `minShared` shared distinct shingles (exact duplicates
-    * surface naturally with n_shared = their full shingle count). */
-  /** `maxDf` caps the document frequency of join-eligible shingles:
-    * an n-gram present in many documents is boilerplate, not
-    * contamination evidence, and at scale a hot n-gram's bucket goes
-    * quadratic in the join — the df gate is both the statistical and
-    * the shuffle fix (measured 9 s → ~1 s at sf0.1). Production tunes
-    * it per corpus (absolute, so the oracle is reproducible). */
+    * Shape: ONE spread corpus scan — the split is the same per-row
+    * hash-bucket projection as Sampling.trainSplit (no join needed) —
+    * into an inverted index keyed by the n-gram. `maxDf` caps the
+    * document frequency of join-eligible shingles: an n-gram present in
+    * many documents is boilerplate, not contamination evidence, and a
+    * hot n-gram's posting list goes quadratic in pair generation — the
+    * df gate is both the statistical and the shuffle fix (with spread,
+    * 10 s → ~2 s at sf0.1). Production tunes it per corpus (absolute,
+    * so the oracle is reproducible). */
   def decontaminate(spark: SparkSession, dir: String,
                     minShared: Int = 3, maxDf: Int = 20): DataFrame = {
-    // Spread before the CPU-heavy shingle explode: a single-file corpus
-    // otherwise pins ~all the tokenization on one core (measured 11 s
-    // single-task vs sub-second spread at sf0.1 — the standing lesson
-    // from the signature operators).
-    val docs = graft.Tables.documents(spark, dir)
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .join(Sampling.trainSplit(spark, dir).select("doc_id", "split"), "doc_id")
-      .select(col("doc_id"), col("split"),
+    val sh = Spread(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        Sampling.splitOf(Sampling.splitBucket(col("doc_id"))).as("split"),
         explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
     // Inverted-index shape: ONE corpus scan, ONE shuffle keyed by the
     // n-gram; each posting list is bounded by the df cap (shingles() is

@@ -57,18 +57,11 @@ object Dedup {
     * aggregation (map-side min) collapses each document before the
     * shuffle. Documents with fewer than 3 tokens have no shingles and
     * drop out (they can't near-dup by shingle overlap). */
-  /** CPU-heavy per-document stages must not inherit the file-split
-    * parallelism (a corpus delivered as few large files would serialize
-    * the hashing on few cores): spread documents across the cluster
-    * before the expensive projection. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-
   private def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = (0 until NumHashes).map { h =>
       min((lit(HashA(h)) * col("x") + lit(HashB(h))) % lit(HashP)).as(s"sig_$h")
     }
-    val sigs = spread(Tables.documents(spark, dir))
+    val sigs = Spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")))).as("s"))
       .select(col("doc_id"),
@@ -111,7 +104,7 @@ object Dedup {
     // that produced shingles, and a filter on the computed array would
     // re-evaluate the whole shingle expression per row (Catalyst inlines
     // projections into filter conditions — measured 2× cost).
-    val sh = spread(Tables.documents(spark, dir))
+    val sh = Spread(Tables.documents(spark, dir))
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
     // One pass over the (expensive) shingle frame: explode each pair
     // into its two member ids, join shingles once, then fold the two
@@ -239,7 +232,7 @@ object Dedup {
       (lo until hi).map(k =>
         when(col(s"v$k") > 0, lit(1 << (k - lo))).otherwise(lit(0)))
         .reduce(_ + _)
-    spread(Tables.documents(spark, dir))
+    Spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("m"))
       .groupBy(col("doc_id"))

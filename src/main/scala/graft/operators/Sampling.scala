@@ -19,18 +19,22 @@ import Hash.h8
   */
 object Sampling {
 
-  /** Hash-based train/val/test assignment: bucket = h(doc_id) mod 100,
-    * <80 train / <90 val / else test. Per-row projection, no shuffle;
-    * stable under re-partitioning, re-ingest and incremental appends
-    * (the property `rand()` splits lack). */
+  /** THE split assignment, as composable per-row projections (no
+    * shuffle; any operator needing a doc's split computes it inline
+    * instead of joining): bucket = h(doc_id) mod 100, <80 train /
+    * <90 val / else test. */
+  def splitBucket(id: Column): Column = h8("split", id) % 100
+  def splitOf(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** Hash-based train/val/test assignment: stable under
+    * re-partitioning, re-ingest and incremental appends (the property
+    * `rand()` splits lack). */
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        (h8("split", col("doc_id")) % 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+        splitBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", splitOf(col("bucket")))
 
   /** Per-stratum sampling rates in parts-per-million (domain-mix
     * weighting: downsample the over-represented stratum). */

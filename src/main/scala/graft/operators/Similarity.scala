@@ -66,10 +66,7 @@ object Similarity {
 
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.DotProduct.register(spark)
-    // Spread vectors across cores before the CPU-heavy projections —
-    // single-file corpora otherwise pin the math to the file-split count.
-    val e = Tables.embeddings(spark, dir)
-    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    Spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"), vec.as("v"))
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
   }
@@ -220,10 +217,16 @@ object Similarity {
             (col("cnv") * col("nv"))).as("ccos"))
         .withColumn("r", row_number().over(byVec))
         .where(col("r") === 1)
-      cents = assigned
+      val updated = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(round(avg(col("x")), 9).as("cx"))
+      // Lloyd's empty-cluster guard: a cell that attracted no members
+      // this iteration keeps its previous centroid instead of silently
+      // vanishing from the index (k must stay k).
+      val emptyCells = cents.select(col("cell")).distinct()
+        .join(updated.select(col("cell")).distinct(), Seq("cell"), "left_anti")
+      cents = updated.unionByName(cents.join(emptyCells, "cell"))
     }
     cents.select(col("cell"), col("dim"), col("cx").as("mean_x"))
   }

@@ -55,12 +55,6 @@ object TextOps {
   private def stopHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
-  /** Spread documents across cores before CPU-heavy per-row stages (a
-    * few-large-files corpus otherwise serializes on the file-split
-    * count). */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-
   /** Per-document token aggregates computed via explode + ONE hash
     * aggregate: the text is tokenized exactly once per document (array
     * expressions referenced by several consumers get re-evaluated per
@@ -74,7 +68,7 @@ object TextOps {
       count(lit(1)).as("n_tokens") +: hitLists.map { case (name, words) =>
         sum(when(col("tok").isInCollection(words), 1).otherwise(0)).as(name)
       }
-    val agg = spread(docs)
+    val agg = Spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -184,7 +178,7 @@ object TextOps {
     * left join back to the corpus. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val perGram = spread(docs)
+    val perGram = Spread(docs)
       .select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("g"))
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("n"))

@@ -99,7 +99,11 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val refined = Similarity.kmeansRefine(spark, sf0001, iterations = 2)
     val dims = refined.groupBy("cell").count()
-    assert(dims.count() > 0 &&
+    // k stays k: every seed cell survives (empty-cluster guard), with
+    // all of its dims.
+    val nSeeds = Tables.embeddings(spark, sf0001)
+      .where(pmod(col("vec_id"), lit(Similarity.CentroidStride)) === 0).count()
+    assert(dims.count() == nSeeds && nSeeds > 0 &&
       dims.where(col("count") =!= Similarity.Dim).isEmpty)
     // Deterministic: a second run returns identical components.
     val again = Similarity.kmeansRefine(spark, sf0001, iterations = 2)
