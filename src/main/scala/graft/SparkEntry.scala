@@ -36,6 +36,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     // dedup
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q_dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q_ingest_roundtrip_csv" -> ((s, d) => ingestRoundtrip(s, d, "csv")),
     "q_ingest_roundtrip_tsv" -> ((s, d) => ingestRoundtrip(s, d, "tsv")),
     "q_ingest_roundtrip_jsonl" -> ((s, d) => ingestRoundtrip(s, d, "jsonl")),
+    "q_ingest_roundtrip_orc" -> ((s, d) => ingestRoundtrip(s, d, "orc")),
     // multimodal binary-payload accounting
     "q_multimodal_meta" -> ((s, d) => multimodal.Multimodal.mediaStats(s, d)),
     // corpus assembly: PII scrub, repetition quality signals,
@@ -146,6 +148,8 @@ object SparkEntry {
             col("country"), col("date_time"))).as("line"))
             .write.mode("overwrite").option("compression", "gzip")
             .text(s"$dir/stage")
+        case "orc" =>
+          shaped.write.mode("overwrite").orc(s"$dir/stage")
         case _ =>
           shaped.write.mode("overwrite").option("header", "true")
             .csv(s"$dir/stage")
@@ -162,6 +166,9 @@ object SparkEntry {
           sources.Ingest.transactionsSchema)
       case "jsonl" =>
         sources.Ingest.readJsonl(s, s"$dir/stage/*.txt.gz",
+          sources.Ingest.transactionsSchema)
+      case "orc" =>
+        sources.Ingest.readOrc(s, s"$dir/stage/*.orc",
           sources.Ingest.transactionsSchema)
       case _ =>
         sources.Ingest.readCsv(s, s"$dir/stage/*.csv",
@@ -503,6 +510,16 @@ object SparkEntry {
         |FROM all_docs
         |GROUP BY 1""".stripMargin,
 
+    "q_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents
+        |)
+        |SELECT fingerprint, doc_id, lang, n_chars
+        |FROM fp
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id < 250)""".stripMargin,
+
     "q_minhash_pairs" ->
       s"""$ToksCte, $minhashCtes
          |SELECT doc_a, doc_b, n_band_matches FROM pairs""".stripMargin,
@@ -788,6 +805,7 @@ object SparkEntry {
     "q_ingest_roundtrip_csv" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_tsv" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_jsonl" -> IngestRoundtripOracle,
+    "q_ingest_roundtrip_orc" -> IngestRoundtripOracle,
 
     "q_pii_redact" -> {
       import graft.operators.Privacy.{EmailRe, IpRe, PhoneRe}

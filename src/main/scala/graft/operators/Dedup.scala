@@ -129,6 +129,25 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")))
   }
 
+  /** Incremental exact dedup — the standing-pipeline shape: an incoming
+    * batch is deduplicated against the fingerprints of everything
+    * already ingested (kept as a compact one-hash-per-doc table, NOT the
+    * raw corpus) via LEFT ANTI join on the fingerprint. Re-delivered
+    * documents vanish; only genuinely new content lands. The scenario
+    * here re-delivers the whole corpus against a history of the first
+    * `historyCount` docs, so exactly the unseen half survives. At scale
+    * the anti-join shuffles on the 16-byte fingerprint — history size is
+    * #docs × 16 bytes, independent of document length. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       historyCount: Long = 250): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(normText(col("text"))).as("fingerprint"))
+    val history = docs.where(col("doc_id") < historyCount)
+      .select(col("fingerprint"))
+    docs.join(history, Seq("fingerprint"), "left_anti")
+  }
+
   /** Near-duplicate clusters: connected components over the verified
     * MinHash pairs (Jaccard ≥ τ), by iterative min-label propagation to
     * the unique fixpoint — every member gets the smallest doc_id of its

@@ -66,6 +66,13 @@ object Ingest {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC ingest: the other columnar lake format Spark reads natively —
+    * vectorized reader, predicate pushdown and column pruning work the
+    * same as parquet, so a mixed parquet/ORC lake needs no special
+    * handling. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Raw→master normalization for transaction-shaped frames: F3/F4 casts
     * (string → double / timestamp), null-tolerant via try_* so a malformed
     * row nulls out instead of aborting a WRITE_APPEND pipeline (SURVEY
