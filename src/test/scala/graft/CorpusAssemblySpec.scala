@@ -80,6 +80,36 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
   }
 
+  test("packSequencesOf: chunk invariant on 10 generated corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val docGen = for {
+      lang <- Gen.oneOf("aa", "bb")
+      n <- Gen.chooseNum(0, 700) // docs can exceed the 512 budget
+    } yield (lang, ("w " * n).trim)
+    (1L to 10L).foreach { seed =>
+      val rows = Gen.listOfN(50, docGen)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      val packs = Sampling.packSequencesOf(
+          rows.toDF("doc_id", "lang", "text"))
+        .collect().groupBy(_.getString(0))
+      packs.foreach { case (_, ps) =>
+        var before = 0L
+        ps.sortBy(_.getLong(1)).foreach { p =>
+          val (packId, n) = (p.getLong(1), p.getLong(3))
+          // The pack's first doc starts at `before`, which must lie in
+          // this pack's token span [packId*B, (packId+1)*B).
+          assert(before >= packId * Sampling.PackBudget &&
+            before < (packId + 1) * Sampling.PackBudget,
+            s"seed $seed pack $packId starts at $before")
+          before += n
+        }
+      }
+    }
+  }
+
   test("shuffleShards: a permutation, balanced-ish, reproducible") {
     val s = Sampling.shuffleShards(spark, SparkSpec.Sf001)
     val n = Tables.documents(spark, SparkSpec.Sf001).count()
