@@ -154,6 +154,38 @@ object Relational {
         (round(sum(col("income")), 2) / countDistinct(col("transaction_id")))
           .as("average_transaction_value"))
 
+  /** The 100 TB shape for [[performanceMetrics]]'s exact distinct count
+    * (SURVEY §4 watch list): Spark plans mixed distinct + plain
+    * aggregates as an Expand that doubles every input row through the
+    * shuffle; this two-phase form pre-aggregates on (group keys,
+    * transaction_id) — map-side combine collapses the orders→lineitem
+    * fanout before any exchange — then finishes with a plain aggregate
+    * where the distinct count is a row count. Bit-identical results
+    * (spec-proven): all money passes unrounded through phase 1 and hits
+    * the same round(·, 2/3) at the end, which recovers the exact value
+    * in any summation order. */
+  def performanceMetricsTwoPhase(master: DataFrame): DataFrame =
+    master
+      .groupBy(col("transaction_country").as("country"),
+        dateStr(col("transaction_datetime")).as("date"),
+        col("transaction_id"))
+      .agg(
+        sum(col("income")).as("s_income"),
+        sum(col("campaign_cost")).as("s_cost"),
+        count(lit(1)).as("n_rows"))
+      .groupBy(col("country"), col("date"))
+      .agg(
+        count(lit(1)).as("transaction_count"),
+        round(sum(col("s_income")), 2).as("total_income"),
+        round(sum(col("s_cost")), 3).as("total_campaign_cost"),
+        (round(sum(col("s_income")), 2) / sum(col("n_rows")))
+          .as("average_income"),
+        (round(sum(col("s_cost")), 3) / sum(col("n_rows")))
+          .as("average_campaign_cost"),
+        round(sum(col("s_income") - col("s_cost")), 3).as("total_profit"),
+        (round(sum(col("s_income")), 2) / count(lit(1)))
+          .as("average_transaction_value"))
+
   /** b_product_performance.sql:1-18 — A2 three-key group-by. */
   def productPerformance(master: DataFrame): DataFrame =
     master

@@ -93,6 +93,14 @@ class RelationalSpec extends SparkSpec {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("performanceMetrics: two-phase distinct is bit-identical to Expand form") {
+    val m = Relational.masterModel(spark, SparkSpec.Sf001)
+    val a = Relational.performanceMetrics(m)
+    val b = Relational.performanceMetricsTwoPhase(m)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("rollup: grouping-sets formulation matches direct two-branch union") {
     val got = Relational.rollup(spark, sf0001)
     // Direct (reference-shaped) formulation: two separate aggregates.
