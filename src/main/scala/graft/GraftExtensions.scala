@@ -27,17 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_d"),
-      { children: Seq[Expression] =>
-        require(children.length == 2, "dot_d(a, b) takes two arguments")
-        DotProduct(children(0), children(1))
-      }))
+      DotProduct.builder))
     ext.injectFunction((
       FunctionIdentifier("hamming"),
       new ExpressionInfo(classOf[HammingDistance].getCanonicalName, "hamming"),
-      { children: Seq[Expression] =>
-        require(children.length == 2, "hamming(a, b) takes two arguments")
-        HammingDistance(children(0), children(1))
-      }))
+      HammingDistance.builder))
   }
 }
 

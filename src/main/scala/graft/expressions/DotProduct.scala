@@ -86,14 +86,16 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
+  /** The one function builder, shared by the live-session registry path
+    * and the spark.sql.extensions path (GraftExtensions). */
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "dot_d(a, b) takes two arguments")
+    DotProduct(children(0), children(1))
+  }
+
   /** Register `dot_d(a, b)` in the session's function registry
     * (idempotent), for use via `expr`/SQL/`call_function`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_d",
-      { children: Seq[Expression] =>
-        require(children.length == 2, "dot_d(a, b) takes two arguments")
-        DotProduct(children(0), children(1))
-      },
-      "built-in")
+      "dot_d", builder, "built-in")
 }

@@ -39,15 +39,17 @@ case class HammingDistance(left: Expression, right: Expression)
 }
 
 object HammingDistance {
+  /** The one function builder, shared by the live-session registry path
+    * and the spark.sql.extensions path (GraftExtensions). */
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "hamming(a, b) takes two arguments")
+    HammingDistance(children(0), children(1))
+  }
+
   /** Register `hamming(a, b)` in a session's function registry so it is
     * usable from `expr(...)`/SQL without a spark.sql.extensions config
     * (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming",
-      { children: Seq[Expression] =>
-        require(children.length == 2, "hamming(a, b) takes two arguments")
-        HammingDistance(children(0), children(1))
-      },
-      "built-in")
+      "hamming", builder, "built-in")
 }

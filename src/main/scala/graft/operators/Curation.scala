@@ -58,19 +58,25 @@ object Curation {
         Sampling.splitOf(Sampling.splitBucket(col("doc_id"))).as("split"),
         explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
     // Inverted-index shape: ONE corpus scan, ONE shuffle keyed by the
-    // n-gram; each posting list is bounded by the df cap (shingles() is
-    // per-doc distinct, so count(*) = df), so the pair explosion is
-    // ≤ maxDf² per shingle by construction. A self-join formulation
-    // would evaluate the shingle subtree once per side instead.
-    val postings = sh.groupBy(col("sh"))
+    // n-gram (the df window and the posting aggregate share the same
+    // partitioning, so Catalyst plans no second exchange). The df filter
+    // runs BEFORE collect_list — a hot boilerplate n-gram streams
+    // through the (spillable) window count and is discarded without
+    // ever buffering a posting list, so aggregation memory is bounded
+    // by maxDf per key no matter how hot the key (shingles() is per-doc
+    // distinct, so count(*) = df). Pair explosion is ≤ maxDf² per
+    // shingle by construction.
+    import org.apache.spark.sql.expressions.Window
+    val postings = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .where(col("df") <= maxDf)
+      .groupBy(col("sh"))
       .agg(
-        count(lit(1)).as("df"),
         collect_list(when(col("split") === "train", col("doc_id")))
           .as("train_docs"),
         collect_list(when(col("split") === "test", col("doc_id")))
           .as("eval_docs"))
-      .where(col("df") <= maxDf &&
-        size(col("train_docs")) > 0 && size(col("eval_docs")) > 0)
+      .where(size(col("train_docs")) > 0 && size(col("eval_docs")) > 0)
     postings
       .select(explode(col("train_docs")).as("train_doc"), col("eval_docs"))
       .select(col("train_doc"), explode(col("eval_docs")).as("eval_doc"))

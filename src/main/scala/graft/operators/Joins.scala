@@ -26,33 +26,40 @@ object Joins {
   /** General as-of join: for each left row, the latest right row with
     * the same key and `right.ts <= left.ts` (LEFT semantics — unmatched
     * left rows keep nulls). Both frames must carry `keyCols`, a long
-    * `tsCol`, and a unique long `idCol`; the right row's id and ts come
-    * back as `asof_<idCol>` / `asof_<tsCol>`. Tie rule, part of the
-    * contract: right rows at the exact left timestamp are eligible;
-    * among equal-ts right rows the largest id wins.
+    * `tsCol`, and a unique long `idCol`. Output = ALL left columns plus
+    * `asof_<idCol>` / `asof_<tsCol>`; the right side's OTHER payload
+    * columns are not carried (re-join them on `asof_<idCol>` — carrying
+    * them through the union would widen every left row for the whole
+    * sort). Tie rule, part of the contract: right rows at the exact
+    * left timestamp are eligible; among equal-ts right rows the largest
+    * id wins.
     *
     * ONE shuffle on the key (union + running `last(ignoreNulls)`), no
     * inequality join, linear in input — the scale shape. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, idCol: String): DataFrame = {
     val keys = keyCols.map(col)
+    val reserved = Seq("side_", "asof_id_", "asof_ts_")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"asofJoin reserves internal column names ${reserved.mkString(", ")}")
     val r = right.select(
-      keys :+ col(tsCol) :+ lit(0).as("side") :+ col(idCol) :+
+      keys :+ col(tsCol) :+ col(idCol) :+ lit(0).as("side_") :+
         col(idCol).as("asof_id_") :+ col(tsCol).as("asof_ts_"): _*)
-    val l = left.select(
-      keys :+ col(tsCol) :+ lit(1).as("side") :+ col(idCol) :+
-        lit(null).cast("long").as("asof_id_") :+
-        lit(null).cast("long").as("asof_ts_"): _*)
-    // side=0 sorts right rows before an equal-ts left row (eligibility);
-    // the id breaks exact ties deterministically.
+    val l = left
+      .withColumn("side_", lit(1))
+      .withColumn("asof_id_", lit(null).cast("long"))
+      .withColumn("asof_ts_", lit(null).cast("long"))
+    // side_=0 sorts right rows before an equal-ts left row (eligibility);
+    // the id breaks exact ties deterministically. allowMissingColumns
+    // null-pads left-only payload columns on the right branch.
     val w = Window.partitionBy(keys: _*)
-      .orderBy(col(tsCol), col("side"), col(idCol))
+      .orderBy(col(tsCol), col("side_"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionByName(l)
+    r.unionByName(l, allowMissingColumns = true)
       .withColumn(s"asof_$idCol", last(col("asof_id_"), ignoreNulls = true).over(w))
       .withColumn(s"asof_$tsCol", last(col("asof_ts_"), ignoreNulls = true).over(w))
-      .where(col("side") === 1)
-      .drop("side", "asof_id_", "asof_ts_")
+      .where(col("side_") === 1)
+      .drop("side_", "asof_id_", "asof_ts_")
   }
 
   /** The fixture instance: each 'click' matched to the user's most

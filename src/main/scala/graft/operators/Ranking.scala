@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
 object Ranking {
   def saltedTopK(df: DataFrame, part: Seq[Column], ord: Seq[Column],
                  saltOn: Column, k: Int, saltBuckets: Int): DataFrame = {
+    require(!df.columns.contains("rank") && !df.columns.contains("salt_rank"),
+      "saltedTopK emits 'rank' and uses 'salt_rank' internally — rename " +
+        "the input's conflicting column(s) first")
     val salted = Window
       .partitionBy(part :+ pmod(saltOn, lit(saltBuckets)): _*)
       .orderBy(ord: _*)

@@ -163,7 +163,12 @@ object Relational {
     * where the distinct count is a row count. Bit-identical results
     * (spec-proven): all money passes unrounded through phase 1 and hits
     * the same round(·, 2/3) at the end, which recovers the exact value
-    * in any summation order. */
+    * in any summation order; null-bearing rows contribute to exactly
+    * the same aggregates as in the Expand form (per-column non-null
+    * counts, per-row profit differences, null-skipping sums). Only
+    * requirement: transaction_id non-null (it is the join key — a null
+    * id would count as one distinct group here vs zero in
+    * countDistinct). */
   def performanceMetricsTwoPhase(master: DataFrame): DataFrame =
     master
       .groupBy(col("transaction_country").as("country"),
@@ -172,17 +177,19 @@ object Relational {
       .agg(
         sum(col("income")).as("s_income"),
         sum(col("campaign_cost")).as("s_cost"),
-        count(lit(1)).as("n_rows"))
+        sum(col("income") - col("campaign_cost")).as("s_profit"),
+        count(col("income")).as("n_income"),
+        count(col("campaign_cost")).as("n_cost"))
       .groupBy(col("country"), col("date"))
       .agg(
         count(lit(1)).as("transaction_count"),
         round(sum(col("s_income")), 2).as("total_income"),
         round(sum(col("s_cost")), 3).as("total_campaign_cost"),
-        (round(sum(col("s_income")), 2) / sum(col("n_rows")))
+        (round(sum(col("s_income")), 2) / sum(col("n_income")))
           .as("average_income"),
-        (round(sum(col("s_cost")), 3) / sum(col("n_rows")))
+        (round(sum(col("s_cost")), 3) / sum(col("n_cost")))
           .as("average_campaign_cost"),
-        round(sum(col("s_income") - col("s_cost")), 3).as("total_profit"),
+        round(sum(col("s_profit")), 3).as("total_profit"),
         (round(sum(col("s_income")), 2) / count(lit(1)))
           .as("average_transaction_value"))
 

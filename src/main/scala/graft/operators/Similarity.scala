@@ -226,7 +226,14 @@ object Similarity {
       // vanishing from the index (k must stay k).
       val emptyCells = cents.select(col("cell")).distinct()
         .join(updated.select(col("cell")).distinct(), Seq("cell"), "left_anti")
-      cents = updated.unionByName(cents.join(emptyCells, "cell"))
+      // localCheckpoint per iteration: `updated` appears twice and
+      // `cents` three times in this expression — without materializing,
+      // the crossJoin subtree would nest and re-execute per iteration
+      // (plan growth ~3× per round). k×dim rows: tiny.
+      val next = updated.unionByName(cents.join(emptyCells, "cell"))
+        .localCheckpoint()
+      cents.unpersist()
+      cents = next
     }
     cents.select(col("cell"), col("dim"), col("cx").as("mean_x"))
   }

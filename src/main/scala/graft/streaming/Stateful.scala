@@ -92,7 +92,12 @@ object Stateful {
             val us = eventUs(e)
             open match {
               case Some(o) if us - o.last_us < SessionGapUs =>
-                open = Some(o.copy(last_us = us, n_events = o.n_events + 1,
+                // Cross-batch late arrival (us inside the open session's
+                // span) must never move the session bounds backwards.
+                open = Some(o.copy(
+                  start_us = math.min(o.start_us, us),
+                  last_us = math.max(o.last_us, us),
+                  n_events = o.n_events + 1,
                   total_value = o.total_value + e.value))
               case Some(o) =>
                 closed += ClosedSession(uid, o.start_us, o.last_us + SessionGapUs,

@@ -99,6 +99,15 @@ class RelationalSpec extends SparkSpec {
     val b = Relational.performanceMetricsTwoPhase(m)
     assert(a.count() > 0)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // Identity must survive nulls (null-skipping sums, per-column
+    // non-null counts, per-row profit differences).
+    val m2 = m.withColumn("income",
+      when(pmod($"transaction_id", lit(97)) === 0, lit(null).cast("double"))
+        .otherwise($"income"))
+    val a2 = Relational.performanceMetrics(m2)
+    val b2 = Relational.performanceMetricsTwoPhase(m2)
+    assert(m2.where($"income".isNull).count() > 0)
+    assert(a2.exceptAll(b2).isEmpty && b2.exceptAll(a2).isEmpty)
   }
 
   test("rollup: grouping-sets formulation matches direct two-branch union") {
