@@ -41,6 +41,17 @@ class JoinsPropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoin carries left payload columns through untouched") {
+    val rows = sample(30, 42L).toDF("event_id", "user_id", "ts_us")
+    val left = rows.where($"event_id" % 2 === 0)
+      .withColumn("payload", $"event_id" * 10 + $"user_id")
+    val right = rows.where($"event_id" % 2 === 1)
+    val out = Joins.asofJoin(left, right, Seq("user_id"), "ts_us", "event_id")
+    assert(out.columns.contains("payload"))
+    assert(out.count() == left.count())
+    assert(out.where($"payload" =!= $"event_id" * 10 + $"user_id").isEmpty)
+  }
+
   test("rangeJoin == brute-force inequality join (15 generated cases)") {
     val width = 7L
     (1L to 15L).foreach { seed =>
