@@ -107,6 +107,15 @@ object SparkEntry {
                |FROM txn_v
                |GROUP BY 1, 2""".stripMargin)
     }),
+    // corpus analysis (round 4): boilerplate signal, exact histogram
+    // quantiles, tf-idf terms, weighted sampling, RAG chunking,
+    // domain-mix accounting
+    "q_boilerplate" -> ((s, d) => TextOps.boilerplateFraction(s, d)),
+    "q_length_quantiles" -> ((s, d) => TextOps.lengthQuantiles(s, d)),
+    "q_tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d)),
+    "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
+    "q_chunk" -> ((s, d) => TextOps.chunkDocs(s, d)),
+    "q_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -1025,6 +1034,113 @@ object SparkEntry {
          |         AS n_sampled_frames
          |FROM documents""".stripMargin
     },
+
+    "q_boilerplate" ->
+      s"""$ToksCte, sh AS (
+         |  SELECT doc_id, unnest($ShinglesExpr) AS s FROM toks
+         |), ann AS (
+         |  SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS df FROM sh
+         |), per_doc AS (
+         |  SELECT doc_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |         CAST(SUM(CASE WHEN df >= ${TextOps.BoilerplateMinDf}
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent
+         |  FROM ann GROUP BY 1
+         |)
+         |SELECT d.doc_id, d.lang,
+         |       coalesce(n_shingles, 0) AS n_shingles,
+         |       coalesce(n_frequent, 0) AS n_frequent,
+         |       CASE WHEN coalesce(n_shingles, 0) > 0
+         |            THEN CAST(n_frequent AS DOUBLE) / n_shingles
+         |            ELSE CAST(0.0 AS DOUBLE) END AS boilerplate_frac
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
+
+    "q_length_quantiles" -> {
+      val qCols = TextOps.QuantilePcts.map { p =>
+        s"MIN(CASE WHEN cum >= (n_docs * $p + 99) // 100 THEN n_chars END) AS p${p}_chars"
+      }.mkString(",\n       ")
+      s"""WITH hist AS (
+         |  SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT lang, n_chars, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+         |  FROM hist
+         |)
+         |SELECT lang, MAX(n_docs) AS n_docs,
+         |       MIN(n_chars) AS min_chars,
+         |       MAX(n_chars) AS max_chars,
+         |       $qCols
+         |FROM cum GROUP BY 1""".stripMargin
+    },
+
+    "q_tfidf_terms" ->
+      s"""$ToksCte, postings AS (
+         |  SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS tf_doc
+         |  FROM (SELECT doc_id, lang, unnest(t) AS term FROM toks)
+         |  GROUP BY 1, 2, 3
+         |), tf AS (
+         |  SELECT lang, term, CAST(SUM(tf_doc) AS BIGINT) AS tf
+         |  FROM postings GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1
+         |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents),
+         |scored AS (
+         |  SELECT lang, term, tf, df,
+         |         CAST(tf AS DOUBLE) * n_corpus / df AS score
+         |  FROM tf JOIN dfreq USING (term), nn
+         |)
+         |SELECT lang, term, tf, df, score, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY score DESC, term ASC) AS rank FROM scored
+         |) WHERE rank <= ${TextOps.TfidfK}""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars, priority, CAST(rank AS INT) AS rank
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY priority ASC, doc_id ASC) AS rank
+         |  FROM (
+         |    SELECT doc_id, source, n_chars,
+         |           CAST(CAST('0x' || substr(md5('wsample:' || doc_id::VARCHAR),
+         |             1, 8) AS BIGINT) AS DOUBLE) / n_chars AS priority
+         |    FROM documents
+         |  )
+         |) WHERE rank <= ${graft.operators.Sampling.WeightedK}""".stripMargin,
+
+    "q_chunk" -> {
+      val overlap = TextOps.ChunkSize - TextOps.ChunkStride
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |         CAST((greatest(len(text) - $overlap, 1) + ${TextOps.ChunkStride - 1})
+         |           // ${TextOps.ChunkStride} AS BIGINT) AS n_chunks
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chunks, CAST(i AS INT) AS chunk_idx,
+         |       substr(text, CAST(i AS INT) * ${TextOps.ChunkStride} + 1,
+         |         ${TextOps.ChunkSize}) AS chunk_text,
+         |       len(substr(text, CAST(i AS INT) * ${TextOps.ChunkStride} + 1,
+         |         ${TextOps.ChunkSize})) AS n_chunk_chars
+         |FROM base, unnest(range(n_chunks)) AS u(i)""".stripMargin
+    },
+
+    "q_domain_mix" ->
+      s"""$ToksCte, per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(t)) AS BIGINT) AS total_tokens
+         |  FROM toks GROUP BY 1
+         |), w AS (
+         |  SELECT *, CAST(SUM(total_tokens) OVER () AS BIGINT) AS corpus_tokens,
+         |         CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+         |  FROM per
+         |)
+         |SELECT source, n_docs, total_tokens, corpus_tokens, n_sources,
+         |       CAST(total_tokens AS DOUBLE) / corpus_tokens AS token_share,
+         |       (CAST(corpus_tokens AS DOUBLE) / n_sources) / total_tokens
+         |         AS uniform_multiplier
+         |FROM w""".stripMargin,
   )
 
   /** Shared oracle for both text round-trips: read the parquet source

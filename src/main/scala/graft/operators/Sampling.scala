@@ -103,6 +103,54 @@ object Sampling {
       .withColumn("rank_in_shard", row_number().over(w))
   }
 
+  /** Sample size per source for [[weightedSample]]. */
+  val WeightedK = 10
+
+  /** Deterministic weighted sampling without replacement (priority
+    * sampling): each document draws priority = h(doc_id) / weight with
+    * the shared md5 uniform and weight = n_chars, and the k smallest
+    * priorities per source win — longer documents are proportionally
+    * likelier to be kept. Both the draw and the IEEE division are
+    * bit-identical in DuckDB, so the winner set is engine- and
+    * partitioning-independent (a `rand()`-keyed reservoir is neither).
+    * Selection runs through the shared salted two-phase
+    * [[Ranking.saltedTopK]] — no task ever sorts a whole source's
+    * candidate list. */
+  def weightedSample(spark: SparkSession, dir: String,
+                     k: Int = WeightedK): DataFrame =
+    Ranking.saltedTopK(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (h8("wsample", col("doc_id")).cast("double") / col("n_chars"))
+            .as("priority")),
+      part = Seq(col("source")),
+      ord = Seq(col("priority").asc, col("doc_id").asc),
+      saltOn = col("doc_id"), k = k, saltBuckets = 32)
+
+  /** Domain-mix accounting: per-source doc/token totals, each source's
+    * token share, and the resampling multiplier that would equalize the
+    * mix (target = uniform across sources). The multiplier is what a
+    * data-recipe step feeds into [[stratifiedSample]]-style rates.
+    * Shape: one hash aggregate collapses the corpus to one row per
+    * source; the corpus-total window then runs over that #sources-row
+    * frame (a single tiny partition post-aggregation, not a
+    * low-cardinality window over raw documents). */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("corpus_tokens", sum(col("total_tokens")).over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .withColumn("token_share",
+        col("total_tokens").cast("double") / col("corpus_tokens"))
+      .withColumn("uniform_multiplier",
+        (col("corpus_tokens").cast("double") / col("n_sources")) /
+          col("total_tokens"))
+  }
+
   /** Token budget per packed training sequence (demo-sized; the operator
     * shape is budget-agnostic). */
   val PackBudget = 512

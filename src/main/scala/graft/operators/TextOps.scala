@@ -204,6 +204,144 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** Minimum document frequency for a shingle to count as boilerplate
+    * in [[boilerplateFraction]] (demo-sized; production tunes it to the
+    * crawl's duplication profile). */
+  val BoilerplateMinDf = 3
+
+  /** Boilerplate signal (RefinedWeb/C4-style): the fraction of a
+    * document's distinct 3-gram shingles that are corpus-frequent
+    * (document frequency ≥ [[BoilerplateMinDf]]). High fractions mark
+    * template/navigation text repeated across many pages.
+    *
+    * Shape: ONE explode of the shingle stream, document frequency as a
+    * count-over-window partitioned by shingle (not an aggregate joined
+    * back to its own input — that would plan the shingle subtree twice,
+    * the r1 double-scan lesson), then one hash aggregate per document.
+    * The window shuffle keys on the shingle value; a pathologically hot
+    * shingle is AQE-skew-split territory, and its partition holds only
+    * (doc_id, shingle) pairs, never document text. */
+  def boilerplateFraction(spark: SparkSession, dir: String,
+                          minDf: Int = BoilerplateMinDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val perDoc = Spread(docs)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_frequent"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_frequent"), lit(0L)).as("n_frequent"))
+      .withColumn("boilerplate_frac",
+        when(col("n_shingles") > 0,
+          col("n_frequent").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Percentiles (×100) emitted by [[lengthQuantiles]]. */
+  val QuantilePcts = Seq(25, 50, 75, 95)
+
+  /** Exact per-language length quantiles WITHOUT a per-language sort:
+    * aggregate to a (lang, n_chars) histogram first (bounded by the
+    * distinct-length domain, not the corpus), cumulative-sum over the
+    * tiny histogram, and read each quantile as the first value whose
+    * cumulative count reaches ceil(p·n/100) — the type-1 (inverse-ECDF)
+    * definition, all-integer so both engines agree bit-for-bit. A naive
+    * `percentile()` or per-lang row_number sorts every document of a
+    * language on one task — the low-cardinality-window scale-killer;
+    * this histogram form shuffles one row per distinct length. At 100 TB
+    * the swap-in is `percentile_approx` (same output columns, documented
+    * error bound). */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_docs", sum(col("cnt")).over(
+        Window.partitionBy(col("lang"))))
+    val qCols = QuantilePcts.map { p =>
+      min(when(col("cum") >= expr(s"(n_docs * $p + 99) div 100"),
+        col("n_chars"))).as(s"p${p}_chars")
+    }
+    cum.groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        (min(col("n_chars")).as("min_chars") +:
+          max(col("n_chars")).as("max_chars") +: qCols): _*)
+  }
+
+  /** Top terms kept per language by [[tfidfTerms]]. */
+  val TfidfK = 10
+
+  /** Characteristic terms per language by tf·idf with a linear idf
+    * (N/df instead of ln(N/df) — ln is not guaranteed correctly rounded
+    * across engines, while IEEE division is, so the score stays
+    * hash-exact; ranking order is identical since ln is monotone).
+    * tf counts a term's occurrences within the language; df counts the
+    * documents containing it corpus-wide.
+    *
+    * Shape: one explode collapses to a compact (doc, lang, term) tf
+    * frame via hash aggregate; tf and df both derive from that compact
+    * frame (a production pipeline persists it — it is the term-postings
+    * relation, ~|vocab|·|docs| rows max, orders smaller than the text).
+    * Final per-language top-k goes through the shared salted two-phase
+    * [[Ranking.saltedTopK]]. */
+  def tfidfTerms(spark: SparkSession, dir: String,
+                 k: Int = TfidfK): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val postings = Spread(docs)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf_doc"))
+    val nCorpus = docs.agg(count(lit(1)).as("n_corpus"))
+    val tf = postings.groupBy(col("lang"), col("term"))
+      .agg(sum(col("tf_doc")).as("tf"))
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // postings is one row per (doc, term)
+    val scored = tf.join(df, "term").crossJoin(broadcast(nCorpus))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_corpus") / col("df"))
+      .drop("n_corpus")
+    Ranking.saltedTopK(scored,
+      part = Seq(col("lang")),
+      ord = Seq(col("score").desc, col("term").asc),
+      saltOn = Hash.h8("tfidf", col("term")), k = k, saltBuckets = 8)
+  }
+
+  /** Chunk window size / stride (chars) for [[chunkDocs]]. */
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** Retrieval-style document chunking: fixed `ChunkSize`-char windows
+    * every `ChunkStride` chars (50-char overlap), the RAG/embedding
+    * preprocessing shape. Chunk count is the closed-form
+    * ceil(max(len − overlap, 1) / stride) — all-integer, so both
+    * engines mint identical chunk sets; the expansion is a generator
+    * (posexplode of a sequence), never a driver loop. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val overlap = ChunkSize - ChunkStride
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr(s"(greatest(length(text) - $overlap, 1) + ${ChunkStride - 1}) " +
+          s"div $ChunkStride").as("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(sequence(lit(0), col("n_chunks").cast("int") - 1))
+          .as(Seq("chunk_idx", "off")),
+        col("text"))
+      .select(col("doc_id"), col("n_chunks"), col("chunk_idx"),
+        expr(s"substring(text, chunk_idx * $ChunkStride + 1, $ChunkSize)")
+          .as("chunk_text"))
+      .withColumn("n_chunk_chars", length(col("chunk_text")))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key)
     * plus min/max shingle hashes (a winnowing-style rolling-hash sketch)
     * and the distinct-shingle count. */
