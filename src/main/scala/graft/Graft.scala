@@ -18,9 +18,11 @@ import graft.operators.Relational
 object Graft {
 
   /** One-call setup on a live session: native SQL functions (`dot_d`,
-    * `hamming`), the HOF-fold rewrite rule, and every table view. */
+    * `hamming`), the `vec_mean` UDAF, the HOF-fold rewrite rule, and
+    * every table view. */
   def install(spark: SparkSession, dir: String): Unit = {
     GraftExtensions.install(spark)
+    graft.expressions.VecMean.register(spark)
     registerViews(spark, dir)
   }
 

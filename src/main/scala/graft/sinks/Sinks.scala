@@ -65,6 +65,43 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction: rewrite a parquet layer into files of
+    * roughly `targetBytes` each (sized from the source's actual on-disk
+    * bytes, not guessed row counts). Streaming ingest and fine-grained
+    * appends accrete small files that tax every later scan with
+    * per-file open/footer costs and starve scan parallelism of balanced
+    * splits; periodic compaction is the standing-lake answer. The
+    * rewrite is one round-robin repartition — an all-to-all shuffle of
+    * the layer, run it off-peak — and lands in `destDir` so the swap
+    * into place stays atomic (rename) and readers never see a
+    * half-compacted layer. Returns the output file count. */
+  def compact(spark: SparkSession, srcDir: String, destDir: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    val bytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(srcDir).repartition(nFiles)
+      .write.mode("errorifexists").parquet(destDir)
+    nFiles
+  }
+
+  /** Idempotent partition-grain reload: overwrite ONLY the hive
+    * partitions present in `df`, leaving sibling partitions untouched
+    * (dynamic partition overwrite, scoped to this write via the
+    * `partitionOverwriteMode` option — no session-wide config
+    * mutation). This is the exactly-once shape for re-running one day
+    * of a dated layer: replaying the batch converges instead of
+    * duplicating, and a 1000-executor rewrite of one partition never
+    * touches the other 100 TB. */
+  def overwritePartitions(df: DataFrame, tablePath: String,
+                          partitionBy: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(tablePath)
+
   /** F8: mint a landed-object name `<table>_<yyyyMMdd>_<uuid4-prefix>.<ext>`
     * (`cloud_function/create_campaigns/csv/main.py:17-21`). */
   def mintObjectName(table: String, ext: String,

@@ -100,4 +100,19 @@ object StreamingIngest {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * keeps each key's fingerprint only until the watermark passes it,
+    * so state is O(keys inside the watermark horizon) — the shape that
+    * survives an unbounded feed, where a plain `dropDuplicates` on a
+    * stream accumulates every key ever seen and eventually OOMs.
+    * Contract: duplicates arriving within `delay` of each other
+    * collapse to one row (re-deliveries cluster tightly in practice);
+    * duplicates farther apart than the horizon may both survive — pair
+    * it with the batch [[graft.operators.Dedup.incrementalDedup]]
+    * anti-join for the long tail. */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+                  eventTimeCol: String, delay: String): DataFrame =
+    stream.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

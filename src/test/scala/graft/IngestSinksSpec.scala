@@ -75,6 +75,40 @@ class IngestSinksSpec extends SparkSpec {
       && r(1).getString(2) == "load_trx_txt")
   }
 
+  test("compact rewrites a many-file layer into size-targeted files") {
+    val dir = tmpDir("compact")
+    // Accrete a fragmented layer: 10 tiny appends = many small files.
+    (0 until 10).foreach { _ =>
+      Sinks.appendLayer(Generator.campaigns(spark, 100), s"$dir/frag")
+    }
+    val fragFiles = new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles >= 10)
+    val n = Sinks.compact(spark, s"$dir/frag", s"$dir/compacted",
+      targetBytes = 1L << 20)
+    val outFiles = new java.io.File(s"$dir/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == n && outFiles < fragFiles)
+    // Lossless rewrite.
+    assert(spark.read.parquet(s"$dir/compacted").collect().toSet
+      == spark.read.parquet(s"$dir/frag").collect().toSet)
+  }
+
+  test("overwritePartitions replaces only the partitions present") {
+    val dir = tmpDir("dynpart")
+    val day1 = Seq(("2023-07-06", 1L), ("2023-07-06", 2L), ("2023-07-07", 3L))
+      .toDF("date", "id")
+    Sinks.overwritePartitions(day1, s"$dir/t", Seq("date"))
+    // Reload day 07 with corrected rows; day 06 must survive untouched.
+    val fix = Seq(("2023-07-07", 30L), ("2023-07-07", 31L)).toDF("date", "id")
+    Sinks.overwritePartitions(fix, s"$dir/t", Seq("date"))
+    val got = spark.read.parquet(s"$dir/t")
+      .select($"date".cast("string"), $"id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("2023-07-06", 1L), ("2023-07-06", 2L),
+      ("2023-07-07", 30L), ("2023-07-07", 31L)))
+  }
+
   test("normalizeTransactions casts strings null-tolerantly") {
     val raw = Seq(
       ("1", "12.50", "Peru", "2023-07-07 08:21:23"),

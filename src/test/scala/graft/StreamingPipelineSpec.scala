@@ -73,6 +73,30 @@ class StreamingPipelineSpec extends SparkSpec {
       == docs.count())
   }
 
+  test("bounded-state streaming dedup collapses re-deliveries in the horizon") {
+    val dir = tmpDir("wmdedup")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        (to_timestamp(lit("2023-07-06 00:00:00"))
+          + col("doc_id").cast("int") * expr("INTERVAL 1 SECOND")).as("ts"))
+    // Every doc re-delivered once, seconds apart — inside the horizon.
+    docs.write.parquet(s"$dir/in/b0")
+    docs.withColumn("ts", col("ts") + expr("INTERVAL 5 SECONDS"))
+      .write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in/*")
+    val q = StreamingIngest.dedupStream(stream, Seq("doc_id"), "ts", "10 minutes")
+      .writeStream
+      .format("memory").queryName("wm_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("wm_dedup").count() == docs.count())
+    assert(spark.table("wm_dedup").select("doc_id").distinct().count()
+      == docs.count())
+  }
+
   test("stream-stream join with watermarks equals the batch join") {
     val dir = tmpDir("ssjoin")
     val events = graft.Tables.events(spark, sf0001)
