@@ -289,24 +289,30 @@ object TextOps {
     * documents containing it corpus-wide.
     *
     * Shape: one explode collapses to a compact (doc, lang, term) tf
-    * frame via hash aggregate; tf and df both derive from that compact
-    * frame (a production pipeline persists it — it is the term-postings
-    * relation, ~|vocab|·|docs| rows max, orders smaller than the text).
-    * Final per-language top-k goes through the shared salted two-phase
-    * [[Ranking.saltedTopK]]. */
+    * frame via hash aggregate, consumed ONCE: a second aggregate to
+    * (lang, term) carries both the language tf and a per-language
+    * document count, and df falls out as a window sum over the tiny
+    * (term, lang) frame (each doc has one lang, so per-lang doc counts
+    * sum to the corpus df) — aggregating postings separately for tf and
+    * df would plan the explode subtree twice, the r1 double-scan
+    * lesson. Final per-language top-k goes through the shared salted
+    * two-phase [[Ranking.saltedTopK]]. */
   def tfidfTerms(spark: SparkSession, dir: String,
                  k: Int = TfidfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val postings = Spread(docs)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("tf_doc"))
     val nCorpus = docs.agg(count(lit(1)).as("n_corpus"))
-    val tf = postings.groupBy(col("lang"), col("term"))
-      .agg(sum(col("tf_doc")).as("tf"))
-    val df = postings.groupBy(col("term"))
-      .agg(count(lit(1)).as("df")) // postings is one row per (doc, term)
-    val scored = tf.join(df, "term").crossJoin(broadcast(nCorpus))
+    val scored = postings
+      .groupBy(col("lang"), col("term"))
+      .agg(sum(col("tf_doc")).as("tf"),
+        count(lit(1)).as("df_lang")) // postings is one row per (doc, term)
+      .withColumn("df", sum(col("df_lang")).over(Window.partitionBy(col("term"))))
+      .drop("df_lang")
+      .crossJoin(broadcast(nCorpus))
       .withColumn("score",
         col("tf").cast("double") * col("n_corpus") / col("df"))
       .drop("n_corpus")
