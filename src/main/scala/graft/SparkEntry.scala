@@ -116,6 +116,10 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_chunk" -> ((s, d) => TextOps.chunkDocs(s, d)),
     "q_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
+    // all-rows kNN join, scalar quantization, DQ expectation report
+    "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "q_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
+    "q_dq_report" -> ((s, d) => Curation.dqReport(s, d)),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -1141,6 +1145,58 @@ object SparkEntry {
          |       (CAST(corpus_tokens AS DOUBLE) / n_sources) / total_tokens
          |         AS uniform_multiplier
          |FROM w""".stripMargin,
+
+    "q_knn_join" ->
+      s"""$EmbCte, bn AS (
+         |  SELECT *, ${bucketSql("v")} AS bucket FROM n
+         |), scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id, bucket,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> a.v[i] * b.v[i])) / (a.nv * b.nv) AS cosine
+         |  FROM bn a JOIN bn b USING (bucket)
+         |  WHERE a.vec_id <> b.vec_id
+         |)
+         |SELECT vec_id, nn_id, bucket, cosine, CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY cosine DESC, nn_id ASC) AS rank FROM scored)
+         |WHERE rank <= ${Similarity.KnnK}""".stripMargin,
+
+    "q_quantize" ->
+      s"""$EmbCte, ex AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
+         |  FROM n, unnest(range(1, ${Similarity.Dim + 1})) AS t(i)
+         |), params AS (
+         |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY 1
+         |)
+         |SELECT vec_id, ex.dim, x,
+         |       CASE WHEN mx > mn
+         |            THEN CAST(floor((x - mn) * CAST(${Similarity.QuantLevels - 1}
+         |              AS DOUBLE) / (mx - mn)) AS INT)
+         |            ELSE 0 END AS code
+         |FROM ex JOIN params ON ex.dim = params.dim""".stripMargin,
+
+    "q_dq_report" -> {
+      val langs = graft.operators.TextOps.StopWords.map(_._1)
+        .map(l => s"'$l'").mkString("(", ", ", ")")
+      s"""WITH checks AS (
+         |  SELECT 'text_present' AS rule,
+         |         coalesce(text IS NOT NULL AND len(text) > 0, false) AS ok
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'lang_known', coalesce(lang IN $langs, false) FROM documents
+         |  UNION ALL
+         |  SELECT 'n_chars_consistent', coalesce(n_chars = len(text), false)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'source_wellformed',
+         |         coalesce(regexp_matches(source, '^src[0-9]+$$'), false)
+         |  FROM documents
+         |)
+         |SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+         |FROM checks GROUP BY 1""".stripMargin
+    },
   )
 
   /** Shared oracle for both text round-trips: read the parquet source

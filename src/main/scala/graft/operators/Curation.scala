@@ -84,4 +84,47 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** The standing data-quality contract for the documents corpus,
+    * name → predicate. Rules are plain Columns, so they compile into
+    * the scan like any filter. */
+  def documentRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "text_present" -> (col("text").isNotNull && length(col("text")) > 0),
+    "lang_known" -> col("lang").isInCollection(TextOps.StopWords.map(_._1)),
+    "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+    "source_wellformed" -> col("source").rlike("^src[0-9]+$"))
+
+  /** Data-quality expectation report: per rule, rows checked / passed /
+    * failed (nulls count as failures — an unknown is not a pass). ONE
+    * corpus scan no matter how many rules: each row explodes into
+    * (rule, ok) pairs and a single hash aggregate rolls them up —
+    * map-side combine reduces every partition to #rules rows before
+    * the shuffle, so the exchange is O(rules), not O(rows). */
+  def dqReport(spark: SparkSession, dir: String): DataFrame =
+    dqReportOf(graft.Tables.documents(spark, dir), documentRules)
+
+  def dqReportOf(df: DataFrame,
+                 rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    df.select(explode(array(rules.map { case (name, cond) =>
+        struct(lit(name).as("rule"),
+          coalesce(cond, lit(false)).as("ok"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.ok").as("ok"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_fail"))
+
+  /** Quarantine split: rows passing EVERY rule vs rows failing any
+    * (with nulls failing, the two frames partition the input exactly).
+    * The good frame flows on; the bad frame lands in a quarantine
+    * layer for inspection — the gate shape a pipeline puts between
+    * ingest and the master layer. */
+  def expectSplit(df: DataFrame,
+                  rules: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, DataFrame) = {
+    val allOk = rules.map { case (_, c) => coalesce(c, lit(false)) }
+      .reduce(_ && _)
+    (df.where(allOk), df.where(!allOk))
+  }
 }

@@ -183,6 +183,67 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** Neighbors kept per vector by [[knnJoin]]. */
+  val KnnK = 3
+
+  /** Bucketed kNN self-join: every corpus vector gets its KnnK nearest
+    * same-bucket neighbors by cosine — the "find related items for ALL
+    * rows" shape (vs the bounded query set of the `topkCosine*`
+    * family). Candidates collide only inside an LSH bucket (equi-join
+    * keyed by bucket — never all-pairs at 100 TB), and per-vector
+    * selection runs through the shared salted two-phase
+    * [[Ranking.saltedTopK]]. Vectors whose bucket holds no other member
+    * have no neighbors — radius-1 multi-probe (see ProbeMasks) is the
+    * recall lever when that matters. */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = KnnK,
+              saltBuckets: Int = 16): DataFrame = {
+    val c = corpus(spark, dir).withColumn("bucket", bucketOf(col("v")))
+    val a = c.select(col("vec_id"), col("v").as("va"),
+      col("nv").as("na"), col("bucket"))
+    val b = c.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+      col("nv").as("nb"), col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .where(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"), col("bucket"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+    Ranking.saltedTopK(scored,
+      part = Seq(col("vec_id")),
+      ord = Seq(col("cosine").desc, col("nn_id").asc),
+      saltOn = col("nn_id"), k = k, saltBuckets = saltBuckets)
+  }
+
+  /** Levels for [[quantizeEmbeddings]] (int8-style: codes 0..255). */
+  val QuantLevels = 256
+
+  /** Scalar quantization calibration + encoding, long form: per-dim
+    * corpus min/max (the calibration pass — one posexplode + hash
+    * aggregate, shuffle key space = dim, corpus-size-independent), then
+    * code = floor((x − mn)·(levels−1) / (mx − mn)), clamped degenerate
+    * dims to 0. Emitted as (vec_id, dim, code) — the compact form an
+    * ANN index stores (4× smaller than float32; production packs codes
+    * to bytes at write). Every step is IEEE +,−,×,÷ and floor on
+    * identical operands, so codes are engine-identical (no
+    * transcendentals — SURVEY §8.5).
+    *
+    * The corpus IS scanned twice (calibrate, then encode) — deliberate:
+    * min/max cannot be known mid-pass, the alternative dim-keyed window
+    * puts a whole corpus-per-dim partition on one task, and production
+    * persists the 64-row calibration table anyway (encode-only
+    * thereafter, including for streaming appends). */
+  def quantizeEmbeddings(spark: SparkSession, dir: String,
+                         levels: Int = QuantLevels): DataFrame = {
+    val c = corpus(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+    val params = c.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    c.join(broadcast(params), "dim")
+      .select(col("vec_id"), col("dim"), col("x"),
+        when(col("mx") > col("mn"),
+          floor((col("x") - col("mn")) * lit((levels - 1).toDouble) /
+            (col("mx") - col("mn"))).cast("int"))
+          .otherwise(lit(0)).as("code"))
+  }
+
   /** Lloyd's k-means refinement for the IVF coarse index: starting from
     * the deterministic stride-sampled centroids, each iteration (1)
     * assigns every vector to its nearest centroid by cosine — a

@@ -102,6 +102,39 @@ object Sinks {
       .partitionBy(partitionBy: _*)
       .parquet(tablePath)
 
+  /** Keyed upsert (poor-man's MERGE) into a parquet layer: incoming
+    * rows replace existing rows with the same key; everything else
+    * survives. Plain parquet has no row-level transaction log, so the
+    * merge is survivors (existing LEFT ANTI incoming on the key) UNION
+    * incoming, written to a fresh directory and swapped into place by
+    * rename — readers see the old layer or the new one, never a blend.
+    * This is the whole-layer form; when the table is partitioned and
+    * keys map to partitions, [[overwritePartitions]] is the cheaper
+    * partition-grain variant (it rewrites only touched partitions).
+    * At 100 TB either beats a row-wise write-amplifying update; a
+    * transactional table format is the graduation path. */
+  def upsert(spark: SparkSession, incoming: DataFrame, layerPath: String,
+             keys: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val layer = new Path(layerPath)
+    val fs = layer.getFileSystem(conf)
+    if (!fs.exists(layer)) {
+      incoming.write.parquet(layerPath)
+    } else {
+      val merged = spark.read.parquet(layerPath)
+        .join(incoming.select(keys.map(org.apache.spark.sql.functions.col): _*),
+          keys, "left_anti")
+        .unionByName(incoming)
+      val tmp = new Path(layerPath + ".upsert_tmp")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      val old = new Path(layerPath + ".upsert_old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(layer, old) || !fs.rename(tmp, layer))
+        throw new java.io.IOException(s"upsert swap failed for $layerPath")
+      fs.delete(old, true)
+    }
+  }
+
   /** F8: mint a landed-object name `<table>_<yyyyMMdd>_<uuid4-prefix>.<ext>`
     * (`cloud_function/create_campaigns/csv/main.py:17-21`). */
   def mintObjectName(table: String, ext: String,

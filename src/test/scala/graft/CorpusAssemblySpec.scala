@@ -9,6 +9,31 @@ import graft.operators.{Dedup, Joins, Privacy, Sampling, TextOps}
   * oracle covers exactness at sf0.01). */
 class CorpusAssemblySpec extends SparkSpec {
 
+  test("dqReport accounts every row; expectSplit partitions exactly") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val total = Tables.documents(spark, sf0001).count()
+    val report = Curation.dqReport(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(report.keySet == Curation.documentRules.map(_._1).toSet)
+    assert(report.values.forall { case (rows, pass, fail) =>
+      rows == total && pass + fail == total })
+    // A frame with known violations: nulls count as failures.
+    val dirty = Seq(
+      (0L, "ok text", "en", 7L, "src1"),
+      (1L, null, "en", 0L, "src2"),          // text_present fails (null)
+      (2L, "xx", "??", 2L, "src3"),          // lang_known fails
+      (3L, "abc", "de", 99L, "src4"),        // n_chars_consistent fails
+      (4L, "fine", "fr", 4L, "weird"))       // source_wellformed fails
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val (good, bad) = Curation.expectSplit(dirty, Curation.documentRules)
+    assert(good.select("doc_id").as[Long].collect().toSet == Set(0L))
+    assert(bad.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    assert(good.count() + bad.count() == dirty.count())
+  }
+
   test("piiRedact scrubs exactly the synthetic contact line per doc") {
     val r = Privacy.piiRedact(spark, sf0001)
     val bad = r.where(

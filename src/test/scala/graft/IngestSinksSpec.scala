@@ -109,6 +109,25 @@ class IngestSinksSpec extends SparkSpec {
       ("2023-07-07", 30L), ("2023-07-07", 31L)))
   }
 
+  test("upsert replaces keyed rows, keeps the rest, survives re-runs") {
+    val dir = tmpDir("upsert")
+    val layer = s"$dir/layer"
+    Sinks.upsert(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), layer, Seq("id"))
+    // Overlapping batch: id 2 corrected, id 4 new.
+    val batch = Seq((2L, "B"), (4L, "d")).toDF("id", "v")
+    Sinks.upsert(spark, batch, layer, Seq("id"))
+    def state = spark.read.parquet(layer).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // Idempotent: replaying the same batch converges.
+    Sinks.upsert(spark, batch, layer, Seq("id"))
+    assert(state == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // No tmp/old residue left behind.
+    assert(!new java.io.File(s"$layer.upsert_tmp").exists)
+    assert(!new java.io.File(s"$layer.upsert_old").exists)
+  }
+
   test("normalizeTransactions casts strings null-tolerantly") {
     val raw = Seq(
       ("1", "12.50", "Peru", "2023-07-07 08:21:23"),

@@ -119,6 +119,40 @@ class SimilaritySpec extends SparkSpec {
     assert(moved.count() > 0)
   }
 
+  test("quantization: codes span [0, levels-1], extremes map to the ends") {
+    val q = Similarity.quantizeEmbeddings(spark, sf0001)
+    assert(q.where(col("code") < 0 ||
+      col("code") > Similarity.QuantLevels - 1).isEmpty)
+    // Per dim, the corpus min encodes to 0 and the max to levels-1.
+    val ends = q.groupBy(col("dim"))
+      .agg(min(col("code")).as("lo"), max(col("code")).as("hi"))
+    assert(ends.where(col("lo") =!= 0 ||
+      col("hi") =!= Similarity.QuantLevels - 1).isEmpty)
+    // Monotone within every dim: higher x never gets a lower code.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dim")).orderBy(col("x"))
+    assert(q.withColumn("prev", lag(col("code"), 1).over(w))
+      .where(col("prev").isNotNull && col("code") < col("prev")).isEmpty)
+  }
+
+  test("knnJoin: k per vector max, no self-pairs, bucket-consistent") {
+    val knn = Similarity.knnJoin(spark, sf0001)
+    assert(knn.where(col("vec_id") === col("nn_id")).isEmpty)
+    assert(knn.groupBy(col("vec_id")).count()
+      .where(col("count") > Similarity.KnnK).isEmpty)
+    // Neighbors really share the vector's LSH bucket.
+    graft.expressions.DotProduct.register(spark)
+    val buckets = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        Similarity.bucketOf(transform(col("embedding"),
+          x => x.cast("double"))).as("b"))
+    val ab = knn.join(buckets, "vec_id")
+      .join(buckets.select(col("vec_id").as("nn_id"), col("b").as("nb")),
+        "nn_id")
+    assert(ab.where(col("b") =!= col("bucket") ||
+      col("nb") =!= col("bucket")).isEmpty)
+  }
+
   test("hyperplanes are reproducible constants") {
     val w = Similarity.hyperplanes
     assert(w.length == Similarity.NumPlanes && w.head.length == Similarity.Dim)
