@@ -120,6 +120,10 @@ object SparkEntry {
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "q_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     "q_dq_report" -> ((s, d) => Curation.dqReport(s, d)),
+    // unigram-LM fluency, one-pass multi-grain rollup, running totals
+    "q_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    "q_corpus_rollup" -> ((s, d) => TextOps.corpusRollup(s, d)),
+    "q_event_cumulative" -> ((s, d) => Events.cumulativeUserValue(s, d)),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -1197,6 +1201,58 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
          |FROM checks GROUP BY 1""".stripMargin
     },
+
+    "q_lm_score" ->
+      s"""$ToksCte, occ AS (
+         |  SELECT doc_id, unnest(t) AS tok FROM toks
+         |), ann AS (
+         |  SELECT doc_id, COUNT(*) OVER (PARTITION BY tok) AS tf_corpus
+         |  FROM occ
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(tf_corpus) AS BIGINT) AS lm_mass
+         |  FROM ann GROUP BY 1
+         |), base AS (
+         |  SELECT d.doc_id, d.lang,
+         |         coalesce(n_tokens, 0) AS n_tokens,
+         |         coalesce(lm_mass, 0) AS lm_mass
+         |  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         |), tot AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+         |  FROM base
+         |)
+         |SELECT doc_id, lang, n_tokens, lm_mass, total_tokens,
+         |       CASE WHEN n_tokens > 0
+         |            THEN CAST(lm_mass AS DOUBLE) / (n_tokens * total_tokens)
+         |            ELSE CAST(0.0 AS DOUBLE) END AS mean_token_prob
+         |FROM tot""".stripMargin,
+
+    "q_corpus_rollup" ->
+      s"""$ToksCte
+         |SELECT lang, source,
+         |       CAST(GROUPING(lang) AS INT) AS g_lang,
+         |       CAST(GROUPING(source) AS INT) AS g_source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM toks
+         |GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    "q_event_cumulative" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |)
+        |SELECT user_id, event_id,
+        |       strftime(make_timestamp(ts_us), '%Y-%m-%d %H:%M:%S') AS ts,
+        |       event_type,
+        |       CAST(ROW_NUMBER() OVER w AS INT) AS n_so_far,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id
+        |         ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING), 6)
+        |         AS cum_value
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
   )
 
   /** Shared oracle for both text round-trips: read the parquet source

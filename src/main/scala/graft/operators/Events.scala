@@ -91,6 +91,31 @@ object Events {
         col("n_events"), col("total_value"))
   }
 
+  /** Per-user running totals over event time — the batch twin of
+    * [[graft.streaming.Stateful.runningUserTotals]]'s per-event state
+    * updates, and the "customer lifetime value so far" query shape. The
+    * (ts, event_id) ordering is total, so ranks are deterministic; the
+    * running sum is rounded to 6 dp because engines may associate the
+    * frame sum differently (segment trees vs incremental — error
+    * ~1e-12, far inside the rounding granularity). Scale: the window
+    * partitions by user_id — key cardinality grows with the data, so
+    * no low-cardinality single-task pileup. */
+  def cumulativeUserValue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_so_far", row_number().over(byTs))
+      .withColumn("cum_value", round(sum(col("value")).over(cum), 6))
+      .select(col("user_id"), col("event_id"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("ts"),
+        col("event_type"), col("n_so_far"), col("cum_value"))
+  }
+
   /** The same sessionization through Spark's built-in `session_window`
     * aggregate — the idiomatic API, spec-cross-checked against
     * [[userSessions]] (see that method's scaladoc for why the

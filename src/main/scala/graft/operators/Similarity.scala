@@ -244,6 +244,66 @@ object Similarity {
           .otherwise(lit(0)).as("code"))
   }
 
+  /** Persist the IVF index as two parquet tables: `centroids`
+    * (cent_id, cv, cnv — a bounded frame, always broadcastable) and
+    * `postings` partitioned BY CELL (hive layout `cell=N/`), so a query
+    * probing NumProbes cells reads exactly those directories and the
+    * scan prunes the rest of the corpus (`PartitionFilters` in the
+    * plan) — the true inverted-list access path, which the in-memory
+    * [[topkCosineIvf]] can only simulate with a shuffle. Build once,
+    * serve many: the standing-index shape for a corpus that outlives
+    * any single query's runtime. */
+  def buildIvfIndex(spark: SparkSession, dir: String,
+                    indexPath: String): Unit = {
+    val c = corpus(spark, dir)
+    val cents = c.where(pmod(col("vec_id"), lit(CentroidStride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nv").as("cnv"))
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val scoredCells = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("cv"), col("v")) / (col("cnv") * col("nv"))).as("ccos"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = scoredCells.withColumn("crank", row_number().over(byVec))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    c.join(cells, "vec_id")
+      .select(col("cell"), col("vec_id"), col("v"), col("nv"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** Serve top-k from a persisted [[buildIvfIndex]] index: rank the
+    * broadcast centroid table per query, probe the NumProbes best
+    * cells, and push `cell IN (...)` into the postings scan so only the
+    * probed partitions are read. Scoring and ranking match
+    * [[topkCosineIvf]] exactly (same argmax tie-breaks), so serving
+    * from disk is result-identical to the in-memory plan. */
+  def queryIvfIndex(spark: SparkSession, indexPath: String,
+                    queries: DataFrame, k: Int = TopK): DataFrame = {
+    graft.expressions.DotProduct.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val scored = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cent_id"),
+        (dot(col("cv"), col("qv")) / (col("cnv") * col("nq"))).as("ccos"))
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = scored.withColumn("crank", row_number().over(byQ))
+      .where(col("crank") <= NumProbes)
+      .select(col("q_id"), col("cent_id").as("cell"))
+    val postings = spark.read.parquet(s"$indexPath/postings")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    postings.join(broadcast(probes), "cell")
+      .join(broadcast(queries), Seq("q_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        (dot(col("qv"), col("v")) / (col("nq") * col("nv"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Lloyd's k-means refinement for the IVF coarse index: starting from
     * the deterministic stride-sampled centroids, each iteration (1)
     * assigns every vector to its nearest centroid by cosine — a

@@ -348,6 +348,60 @@ object TextOps {
       .withColumn("n_chunk_chars", length(col("chunk_text")))
   }
 
+  /** Unigram language-model fluency score, integer-exact: with
+    * p(tok) = tf_corpus(tok) / total_tokens, a document's mean token
+    * probability is Σ tf_corpus(tok_i) / (n_tokens · total_tokens) —
+    * numerator and denominator are exact integers, so the score is ONE
+    * IEEE division and bit-identical across engines (no per-token float
+    * sums to order, no rounding — SURVEY §8.5). Common/fluent text
+    * scores high; rare-token noise scores low — the cheap statistical
+    * cousin of perplexity filtering (CCNet-style).
+    *
+    * Shape: one explode; corpus tf as a count-over-window keyed by
+    * token (same one-pass idiom as [[boilerplateFraction]]); one
+    * per-doc aggregate; the corpus-total window runs over the compact
+    * per-doc frame, never the token stream. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val perDoc = Spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("tf_corpus",
+        count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf_corpus")).as("lm_mass"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("lm_mass"), lit(0L)).as("lm_mass"))
+      .withColumn("total_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("mean_token_prob",
+        when(col("n_tokens") > 0,
+          col("lm_mass").cast("double") /
+            (col("n_tokens") * col("total_tokens")))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Multi-grain corpus report in ONE pass: doc/token/char totals at
+    * (lang, source), (lang) and grand-total grains via ROLLUP — a
+    * single Expand + one shuffle instead of three aggregates over three
+    * scans (the same GROUPING-SETS discipline as the E3 rollup).
+    * Grouping flags disambiguate real NULL keys from subtotal rows. */
+  def corpusRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .rollup(col("lang"), col("source"))
+      .agg(
+        grouping(col("lang")).as("g_lang"),
+        grouping(col("source")).as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key)
     * plus min/max shingle hashes (a winnowing-style rolling-hash sketch)
     * and the distinct-shingle count. */

@@ -153,6 +153,32 @@ class SimilaritySpec extends SparkSpec {
       col("nb") =!= col("bucket")).isEmpty)
   }
 
+  test("persisted IVF index serves results identical to the in-memory plan") {
+    val idx = tmpDir("ivf_idx")
+    Similarity.buildIvfIndex(spark, sf0001, idx)
+    // Postings landed hive-partitioned by cell (the pruning layout).
+    val cellDirs = new java.io.File(s"$idx/postings").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs > 1)
+    graft.expressions.DotProduct.register(spark)
+    val queries = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .withColumn("nq", sqrt(call_function("dot_d", col("qv"), col("qv"))))
+    val served = Similarity.queryIvfIndex(spark, idx, queries)
+      .select("q_id", "vec_id", "cell", "cosine", "rank")
+    val inMem = Similarity.topkCosineIvf(spark, sf0001)
+      .select("q_id", "vec_id", "cell", "cosine", "rank")
+    assert(served.count() > 0)
+    assert(served.exceptAll(inMem).isEmpty && inMem.exceptAll(served).isEmpty)
+    // The probe scan prunes: only probed cells appear in the plan's
+    // partition filters (cell is a partition column, not data).
+    val plan = Similarity.queryIvfIndex(spark, idx, queries)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("cell"))
+  }
+
   test("hyperplanes are reproducible constants") {
     val w = Similarity.hyperplanes
     assert(w.length == Similarity.NumPlanes && w.head.length == Similarity.Dim)
