@@ -67,13 +67,24 @@ object Pipeline {
       Sinks.appendLayer(df, s"$outDir/business_layer/$name")
     }
 
-    // 6. LLM-tier curation: quality-gated, near-dup-free corpus beside
+    // 6. Data-quality gate between ingest and the LLM tier: rows
+    // violating the documents contract are quarantined (never silently
+    // dropped), the rule-level report lands beside them, and only the
+    // good frame flows into curation.
+    val (goodDocs, badDocs) = graft.operators.Curation.expectSplit(
+      Tables.documents(spark, sfDir), graft.operators.Curation.documentRules)
+    Sinks.appendLayer(badDocs, s"$outDir/dq_layer/quarantine_documents")
+    Sinks.appendLayer(graft.operators.Curation.dqReport(spark, sfDir),
+      s"$outDir/dq_layer/dq_report")
+
+    // 7. LLM-tier curation: quality-gated, near-dup-free corpus beside
     // the business layer (the training-data consumer's table).
     Sinks.appendLayer(
-      graft.operators.Curation.curatedDocs(spark, sfDir),
+      graft.operators.Curation.curatedDocs(spark, sfDir)
+        .join(goodDocs.select("doc_id"), "doc_id"),
       s"$outDir/curated_layer/c_documents")
 
-    // 7. Corpus assembly over the curated survivors: hash-stable
+    // 8. Corpus assembly over the curated survivors: hash-stable
     // train/val/test assignment (partitioned by split so a trainer reads
     // only its slice) and the token-budget pack manifest — the last two
     // steps between "curated corpus" and "training batches".

@@ -124,6 +124,8 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "q_corpus_rollup" -> ((s, d) => TextOps.corpusRollup(s, d)),
     "q_event_cumulative" -> ((s, d) => Events.cumulativeUserValue(s, d)),
+    // outer-join semantics (semi + anti complements in one report)
+    "q_customer_coverage" -> ((s, d) => Relational.customerCoverage(s, d)),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -1253,6 +1255,22 @@ object SparkEntry {
         |         AS cum_value
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+
+    "q_customer_coverage" ->
+      """SELECT n_name AS nation,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_with_orders,
+        |       CAST(SUM(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_without_orders
+        |FROM (
+        |  SELECT c.c_custkey, c.c_nationkey,
+        |         o.o_custkey IS NOT NULL AS has_o
+        |  FROM customer c
+        |  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |    ON c.c_custkey = o.o_custkey
+        |) x JOIN nation ON x.c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
   )
 
   /** Shared oracle for both text round-trips: read the parquet source

@@ -341,4 +341,28 @@ object Relational {
         approx_count_distinct(col("customer_id"), 0.01).as("n_approx"))
       .withColumn("rel_err",
         abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact"))
+
+  /** Outer-join semantics in one report: per nation, customers WITH and
+    * WITHOUT orders — the left join against the distinct buyer set
+    * carries the anti-join complement as NULL probes, so one query
+    * covers what separate semi + anti joins would. Scale shape: the
+    * buyer set is pre-aggregated to distinct keys BEFORE the join (the
+    * shuffle carries one row per buyer, not one per order), and the
+    * 25-row nation dim keeps its legitimate broadcast hint. */
+  def customerCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val buyers = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    c.join(buyers, c("c_custkey") === buyers("o_custkey"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L))
+          .as("n_with_orders"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("n_without_orders"))
+  }
 }

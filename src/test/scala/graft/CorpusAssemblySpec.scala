@@ -9,6 +9,21 @@ import graft.operators.{Dedup, Joins, Privacy, Sampling, TextOps}
   * oracle covers exactness at sf0.01). */
 class CorpusAssemblySpec extends SparkSpec {
 
+  test("percentile_approx tracks the exact histogram quantiles (scale swap-in)") {
+    import graft.operators.TextOps
+    val exact = TextOps.lengthQuantiles(spark, sf0001)
+      .select(col("lang"), col("p50_chars"))
+    val approx = Tables.documents(spark, sf0001)
+      .groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50_a"))
+    val joined = exact.join(approx, "lang")
+      .withColumn("rel_err",
+        abs(col("p50_a") - col("p50_chars")).cast("double") / col("p50_chars"))
+    assert(joined.count() > 0)
+    // The documented swap-in: same column meaning, bounded error.
+    assert(joined.where(col("rel_err") > 0.05).isEmpty)
+  }
+
   test("dqReport accounts every row; expectSplit partitions exactly") {
     import spark.implicits._
     import graft.operators.Curation

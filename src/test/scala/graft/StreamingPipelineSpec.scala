@@ -138,6 +138,10 @@ class StreamingPipelineSpec extends SparkSpec {
     // Curated corpus landed beside the business layer.
     val curated = spark.read.parquet(s"$out/curated_layer/c_documents").count()
     assert(curated > 0)
+    // DQ gate landed its report; the clean fixture quarantines nothing.
+    val dq = spark.read.parquet(s"$out/dq_layer/dq_report")
+    assert(dq.count() == graft.operators.Curation.documentRules.size)
+    assert(dq.where(col("n_fail") =!= 0).isEmpty)
     // Assembly layer: every curated doc got a split; packs landed.
     val split = spark.read.parquet(s"$out/assembly_layer/a_split")
     assert(split.count() == curated)
