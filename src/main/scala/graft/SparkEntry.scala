@@ -126,6 +126,9 @@ object SparkEntry {
     "q_event_cumulative" -> ((s, d) => Events.cumulativeUserValue(s, d)),
     // outer-join semantics (semi + anti complements in one report)
     "q_customer_coverage" -> ((s, d) => Relational.customerCoverage(s, d)),
+    // BPE merge mining and the cross-source duplication matrix
+    "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
+    "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -1271,6 +1274,44 @@ object SparkEntry {
         |    ON c.c_custkey = o.o_custkey
         |) x JOIN nation ON x.c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+
+    "q_bpe_merges" ->
+      s"""WITH pieces AS (
+         |  SELECT regexp_extract_all(lower(text),
+         |           '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS p
+         |  FROM documents
+         |), pairs AS (
+         |  SELECT unnest(CASE WHEN len(p) >= 2
+         |           THEN list_transform(range(1, len(p)),
+         |                  i -> p[i] || chr(9) || p[i+1])
+         |           ELSE [] END) AS pair
+         |  FROM pieces
+         |), counted AS (
+         |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |  FROM pairs GROUP BY 1
+         |)
+         |SELECT pair, n_occurrences, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    ORDER BY n_occurrences DESC, pair ASC) AS rank FROM counted
+         |) WHERE rank <= ${TextOps.BpeTopK}""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""$ToksCte, $minhashCtes, verified AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    >= CAST(0.5 AS DOUBLE)
+         |)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+         |FROM verified v
+         |JOIN documents da ON v.doc_a = da.doc_id
+         |JOIN documents db ON v.doc_b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin,
   )
 
   /** Shared oracle for both text round-trips: read the parquet source

@@ -129,6 +129,31 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")))
   }
 
+  /** Cross-source duplication matrix: verified near-dup pairs rolled up
+    * by the (unordered) source pair — the "which crawls/feeds duplicate
+    * each other" report that decides what to re-ingest and what to
+    * dedup at the boundary. Source pairs are normalized with
+    * least/greatest so (srcA, srcB) and (srcB, srcA) land in one cell.
+    * Shape: the pair frame is ≪ the corpus (LSH candidates filtered by
+    * Jaccard), so the two doc_id→source lookups shuffle only pairs. */
+  def sourceOverlap(spark: SparkSession, dir: String,
+                    minJaccard: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, dir)
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** Incremental exact dedup — the standing-pipeline shape: an incoming
     * batch is deduplicated against the fingerprints of everything
     * already ingested (kept as a compact one-hash-per-doc table, NOT the

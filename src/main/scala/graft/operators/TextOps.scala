@@ -348,6 +348,38 @@ object TextOps {
       .withColumn("n_chunk_chars", length(col("chunk_text")))
   }
 
+  /** Merge candidates kept by [[bpeMergeCandidates]]. */
+  val BpeTopK = 20
+
+  /** The first step of BPE tokenizer training: count adjacent-piece
+    * pairs across the corpus (with multiplicity) and rank the top merge
+    * candidates — in full training the winner is merged and the count
+    * repeats; this materializes the per-iteration workhorse as a
+    * corpus-scale operator. Pairs are minted inside ONE explode
+    * (generator expansion of the piece array, no window/self-join) and
+    * collapse through a single hash aggregate with map-side combine;
+    * the global top-k runs through the shared salted two-phase
+    * [[Ranking.saltedTopK]] (partition-less top-k is exactly where the
+    * salt matters — phase 1 spreads the global sort). */
+  def bpeMergeCandidates(spark: SparkSession, dir: String,
+                         k: Int = BpeTopK): DataFrame = {
+    val p = bpePieces(col("text"))
+    val pairs = when(size(p) >= 2,
+      transform(sequence(lit(0), size(p) - 2),
+        i => concat_ws("\t", element_at(p, (i + 1).cast("int")),
+          element_at(p, (i + 2).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+    val counted = Spread(Tables.documents(spark, dir))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(col("pair"), col("n_occurrences"))
+    Ranking.saltedTopK(counted,
+      part = Seq.empty,
+      ord = Seq(col("n_occurrences").desc, col("pair").asc),
+      saltOn = Hash.h8("bpe", col("pair")), k = k, saltBuckets = 16)
+  }
+
   /** Unigram language-model fluency score, integer-exact: with
     * p(tok) = tf_corpus(tok) / total_tokens, a document's mean token
     * probability is Σ tf_corpus(tok_i) / (n_tokens · total_tokens) —

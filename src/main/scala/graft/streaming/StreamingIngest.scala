@@ -101,6 +101,30 @@ object StreamingIngest {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming DQ gate: every micro-batch is split by the expectation
+    * rules — good rows land in the layer, violations in the quarantine
+    * directory, both batchId-keyed for idempotent replay (same contract
+    * as [[ingestCsvStream]]'s sink). The gate a streaming ingest puts
+    * in front of the raw layer so bad rows are captured, not silently
+    * appended; rules are plain Columns, so they run inside the batch's
+    * codegen like any filter. */
+  def dqGateStream(stream: DataFrame,
+                   rules: Seq[(String, org.apache.spark.sql.Column)],
+                   layerPath: String, quarantinePath: String,
+                   checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (good, bad) = graft.operators.Curation.expectSplit(batch, rules)
+        good.write.mode("overwrite").parquet(s"$layerPath/batch_id=$batchId")
+        bad.write.mode("overwrite")
+          .parquet(s"$quarantinePath/batch_id=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
     * keeps each key's fingerprint only until the watermark passes it,
     * so state is O(keys inside the watermark horizon) — the shape that

@@ -73,6 +73,27 @@ class StreamingPipelineSpec extends SparkSpec {
       == docs.count())
   }
 
+  test("streaming DQ gate quarantines violations per micro-batch") {
+    import spark.implicits._
+    val dir = tmpDir("dqstream")
+    val rows = Seq(
+      (0L, "good text", "en", 9L, "src1"),
+      (1L, "more good", "de", 9L, "src2"),
+      (2L, "xx", "??", 2L, "src3"),         // lang_known violation
+      (3L, "abc", "fr", 99L, "src4"))       // n_chars_consistent violation
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    rows.write.parquet(s"$dir/in/b0")
+    val stream = spark.readStream.schema(rows.schema).parquet(s"$dir/in/*")
+    StreamingIngest.dqGateStream(stream,
+      graft.operators.Curation.documentRules,
+      s"$dir/layer", s"$dir/quarantine", s"$dir/ckpt")
+    val good = spark.read.parquet(s"$dir/layer")
+      .select("doc_id").as[Long].collect().toSet
+    val bad = spark.read.parquet(s"$dir/quarantine")
+      .select("doc_id").as[Long].collect().toSet
+    assert(good == Set(0L, 1L) && bad == Set(2L, 3L))
+  }
+
   test("bounded-state streaming dedup collapses re-deliveries in the horizon") {
     val dir = tmpDir("wmdedup")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
