@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Automated plan-shape regression guards: the invariants PLANS.md
+  * documents per round, pinned so a refactor that silently doubles a
+  * scan or adds a shuffle fails CI instead of surfacing at 100 TB.
+  * Counts run against the FINAL adaptive plan (post-AQE). */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.count() // force execution so AQE finalizes
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+  private def count(plan: String, re: String): Int =
+    re.r.findAllIn(plan).size
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("master model: one scan per source table, single join shuffle tier") {
+    val p = finalPlan(q("q_master_model"))
+    assert(count(p, "Scan parquet") == 5,
+      s"master should scan its 5 source tables exactly once each\n$p")
+  }
+
+  test("rollup: one GROUPING SETS pass — no table scanned twice") {
+    val p = finalPlan(q("q_rollup"))
+    assert(count(p, "Scan parquet") == 3)
+    assert(count(p, "Expand") >= 1) // the multi-grain Expand, not dual aggs
+  }
+
+  test("map-only pipelines stay shuffle-free") {
+    Seq("q_chunk", "q_fingerprint", "q_token_count", "q_train_split",
+      "q_stratified_sample", "q_multimodal_meta", "q_pii_redact")
+      .foreach { name =>
+        val p = finalPlan(q(name))
+        assert(count(p, "Exchange (hash|range)") == 0,
+          s"$name grew a shuffle:\n$p")
+      }
+  }
+
+  test("one-pass window-derived stats: no aggregate re-joined to its input") {
+    // boilerplate / lm_score / tfidf each scan documents at most twice
+    // (stream + zero-row backfill list), never re-aggregate the explode.
+    Seq("q_boilerplate" -> 2, "q_lm_score" -> 2, "q_tfidf_terms" -> 2)
+      .foreach { case (name, maxScans) =>
+        val p = finalPlan(q(name))
+        assert(count(p, "Scan parquet") <= maxScans,
+          s"$name scans grew past $maxScans:\n$p")
+      }
+  }
+
+  test("near-dup candidate generation joins on buckets, never nested loops") {
+    Seq("q_minhash_pairs", "q_simhash_neighbors", "q_embedding_neardup",
+      "q_knn_join").foreach { name =>
+      val p = finalPlan(q(name))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$name fell into an all-pairs join:\n$p")
+    }
+  }
+
+  test("business queries push projections into the scans") {
+    val p = finalPlan(q("q_performance_metrics"))
+    assert(count(p, "PushedFilters: \\[[^\\]]") >= 1, p)
+  }
+}
