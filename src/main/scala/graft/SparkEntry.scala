@@ -129,6 +129,8 @@ object SparkEntry {
     // BPE merge mining and the cross-source duplication matrix
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
     "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // ordered funnel (sequential event pattern, chained windows)
+    "q_funnel" -> ((s, d) => Events.funnel(s, d)),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -1312,6 +1314,44 @@ object SparkEntry {
          |JOIN documents da ON v.doc_a = da.doc_id
          |JOIN documents db ON v.doc_b = db.doc_id
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), w1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t_view FROM ev
+        |), w2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t_view
+        |    THEN ts_us END) OVER (PARTITION BY user_id) AS t_click FROM w1
+        |), w3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t_click
+        |    THEN ts_us END) OVER (PARTITION BY user_id) AS t_purchase FROM w2
+        |), per_user AS (
+        |  SELECT user_id, MAX(t_view) AS tv, MAX(t_click) AS tc,
+        |         MAX(t_purchase) AS tp
+        |  FROM w3 GROUP BY 1
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_view,
+        |         CAST(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_click_after_view,
+        |         CAST(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_purchase_after_click
+        |  FROM per_user
+        |)
+        |SELECT *,
+        |       CASE WHEN n_view > 0
+        |            THEN CAST(n_click_after_view AS DOUBLE) / n_view
+        |            ELSE CAST(0.0 AS DOUBLE) END AS view_to_click,
+        |       CASE WHEN n_click_after_view > 0
+        |            THEN CAST(n_purchase_after_click AS DOUBLE)
+        |              / n_click_after_view
+        |            ELSE CAST(0.0 AS DOUBLE) END AS click_to_purchase
+        |FROM agg""".stripMargin,
   )
 
   /** Shared oracle for both text round-trips: read the parquet source

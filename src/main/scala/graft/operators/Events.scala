@@ -116,6 +116,48 @@ object Events {
         col("event_type"), col("n_so_far"), col("cum_value"))
   }
 
+  /** Ordered funnel analysis (view → click → purchase): per user, the
+    * first view, the first click AFTER that view, and the first
+    * purchase AFTER that click — the sequential-pattern query every
+    * product-analytics stack runs. Three chained min-over-user windows
+    * share one partitioning, so Catalyst plans ONE shuffle for all
+    * three stages (each window may reference the previous stage's
+    * timestamp — no per-stage self-joins); the per-user frame then
+    * collapses through a two-phase global aggregate into one row of
+    * stage counts and exact-ratio conversions. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t_view"), col("ts_us"))).over(byUser))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t_click"), col("ts_us"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("tv"), max(col("t_click")).as("tc"),
+        max(col("t_purchase")).as("tp"))
+    staged.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_click_after_view"),
+        sum(when(col("tp").isNotNull, 1L).otherwise(0L)).as("n_purchase_after_click"))
+      .withColumn("view_to_click",
+        when(col("n_view") > 0,
+          col("n_click_after_view").cast("double") / col("n_view"))
+          .otherwise(lit(0.0)))
+      .withColumn("click_to_purchase",
+        when(col("n_click_after_view") > 0,
+          col("n_purchase_after_click").cast("double") /
+            col("n_click_after_view"))
+          .otherwise(lit(0.0)))
+  }
+
   /** The same sessionization through Spark's built-in `session_window`
     * aggregate — the idiomatic API, spec-cross-checked against
     * [[userSessions]] (see that method's scaladoc for why the

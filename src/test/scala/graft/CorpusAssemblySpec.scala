@@ -9,6 +9,50 @@ import graft.operators.{Dedup, Joins, Privacy, Sampling, TextOps}
   * oracle covers exactness at sf0.01). */
 class CorpusAssemblySpec extends SparkSpec {
 
+  test("chunks reassemble losslessly to the original document") {
+    import graft.operators.TextOps
+    val overlap = TextOps.ChunkSize - TextOps.ChunkStride
+    val chunks = TextOps.chunkDocs(spark, sf0001)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getString(2)) }
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.nonEmpty && chunks.keySet == texts.keySet)
+    chunks.foreach { case (id, cs) =>
+      val rebuilt = cs.head + cs.tail.map(_.drop(overlap)).mkString
+      assert(rebuilt == texts(id), s"doc $id reassembly mismatch")
+      // every chunk except possibly the last is full-size
+      assert(cs.init.forall(_.length == TextOps.ChunkSize))
+    }
+  }
+
+  test("funnel matches a brute-force per-user replay") {
+    import graft.operators.Events
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).map { case (_, rows) =>
+      val tv = rows.filter(_._2 == "view").map(_._3).minOption
+      val tc = tv.flatMap(t =>
+        rows.filter(r => r._2 == "click" && r._3 > t).map(_._3).minOption)
+      val tp = tc.flatMap(t =>
+        rows.filter(r => r._2 == "purchase" && r._3 > t).map(_._3).minOption)
+      (tv.isDefined, tc.isDefined, tp.isDefined)
+    }
+    val got = Events.funnel(spark, sf0001).head()
+    assert(got.getLong(0) == perUser.size)
+    assert(got.getLong(1) == perUser.count(_._1))
+    assert(got.getLong(2) == perUser.count(_._2))
+    assert(got.getLong(3) == perUser.count(_._3))
+    // Stages are monotone by construction.
+    assert(got.getLong(1) >= got.getLong(2) &&
+      got.getLong(2) >= got.getLong(3))
+  }
+
   test("percentile_approx tracks the exact histogram quantiles (scale swap-in)") {
     import graft.operators.TextOps
     val exact = TextOps.lengthQuantiles(spark, sf0001)
