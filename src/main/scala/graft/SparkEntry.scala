@@ -131,6 +131,9 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     // ordered funnel (sequential event pattern, chained windows)
     "q_funnel" -> ((s, d) => Events.funnel(s, d)),
+    // production-width 64-bit simhash (quarters ARE the radius-3 bands)
+    "q_simhash64" -> ((s, d) => Dedup.simhash64(s, d)),
+    "q_simhash64_neighbors" -> ((s, d) => Dedup.simhash64Neighbors(s, d)),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -280,6 +283,24 @@ object SparkEntry {
   /** DuckDB literal for one LSH hyperplane (exact round-trip doubles). */
   private def planeSql(h: Int): String =
     Similarity.hyperplanes(h).map(_.toString).mkString("[", ", ", "]")
+
+  /** 64-bit simhash vote columns (DuckDB) — twin of Dedup.simhash64:
+    * bit k votes on md5 hex digit (k mod 32), 8-bit for k<32, 4-bit
+    * for k≥32. */
+  private def simhash64VotesSql: String =
+    (0 until 64).map { k =>
+      val mask = if (k < 32) 8 else 4
+      s"list_sum(list_transform(t, s -> CASE WHEN " +
+        s"(CAST('0x' || substr(md5(s), ${k % 32 + 1}, 1) AS INT) & $mask) " +
+        s"<> 0 THEN 1 ELSE -1 END)) AS v$k"
+    }.mkString(",\n         ")
+
+  /** Quarter j of the 64-bit signature (DuckDB) — twin of the Spark
+    * quarter() builder in Dedup.simhash64. */
+  private def simhash64QuarterSql(j: Int): String =
+    (0 until 16).map(b =>
+      s"(CASE WHEN v${16 * j + b} > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
 
   /** Bucket id expression (DuckDB) — twin of Similarity.bucketOf. */
   private def bucketSql(v: String): String =
@@ -1352,6 +1373,45 @@ object SparkEntry {
         |              / n_click_after_view
         |            ELSE CAST(0.0 AS DOUBLE) END AS click_to_purchase
         |FROM agg""".stripMargin,
+
+    "q_simhash64" ->
+      s"""$ToksCte, votes AS (
+         |  SELECT doc_id,
+         |         ${simhash64VotesSql}
+         |  FROM toks WHERE len(t) > 0
+         |)
+         |SELECT doc_id,
+         |       ${(0 until 4).map(j => s"${simhash64QuarterSql(j)} AS q$j")
+                   .mkString(",\n       ")}
+         |FROM votes""".stripMargin,
+
+    "q_simhash64_neighbors" ->
+      s"""$ToksCte, votes AS (
+         |  SELECT doc_id,
+         |         ${simhash64VotesSql}
+         |  FROM toks WHERE len(t) > 0
+         |), sigs AS (
+         |  SELECT doc_id,
+         |         ${(0 until 4).map(j => s"${simhash64QuarterSql(j)} AS q$j")
+                     .mkString(",\n         ")}
+         |  FROM votes
+         |), quarters AS (
+         |  SELECT doc_id, q0, q1, q2, q3, i AS band_idx,
+         |         [q0, q1, q2, q3][i + 1] AS band_val
+         |  FROM sigs, unnest([0, 1, 2, 3]) AS t(i)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(CAST(xor(a.q0, b.q0) AS BIGINT))
+         |          + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))
+         |          + bit_count(CAST(xor(a.q2, b.q2) AS BIGINT))
+         |          + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) AS INT)
+         |         AS hamming
+         |FROM quarters a JOIN quarters b USING (band_idx, band_val)
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(CAST(xor(a.q0, b.q0) AS BIGINT))
+         |    + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))
+         |    + bit_count(CAST(xor(a.q2, b.q2) AS BIGINT))
+         |    + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) <= 3""".stripMargin,
   )
 
   /** Shared oracle for both text round-trips: read the parquet source

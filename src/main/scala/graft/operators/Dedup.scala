@@ -259,6 +259,66 @@ object Dedup {
       .distinct()
   }
 
+  /** Production-width 64-bit SimHash, represented as four 16-bit
+    * quarters (q0..q3) instead of one signed long — the quarters ARE
+    * the radius-3 LSH bands, every value stays far inside 32 bits, and
+    * no engine ever evaluates a 1<<63 that differs in overflow
+    * semantics. Bit k's vote comes from md5 hex digit (k mod 32): the
+    * 8-bit for k<32, the 4-bit for k≥32 — one md5 per token feeds all
+    * 64 bits, same explode → ONE hash aggregate shape as [[simhash]]. */
+  def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    def voteCond(k: Int): Column = {
+      val digit = conv(substring(col("m"), (k % 32) + 1, 1), 16, 10)
+        .cast("int")
+      digit.bitwiseAND(lit(if (k < 32) 8 else 4)) > 0
+    }
+    val voteCols = (0 until 64).map { k =>
+      sum(when(voteCond(k), lit(1)).otherwise(lit(-1))).as(s"v$k")
+    }
+    def quarter(j: Int): Column =
+      (0 until 16).map(b =>
+        when(col(s"v${16 * j + b}") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+    Spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id") +:
+        (0 until 4).map(j => quarter(j).as(s"q$j")): _*)
+  }
+
+  /** Near-dup pairs over the 64-bit signature: band on the four 16-bit
+    * quarters (pigeonhole-complete for Hamming radius ≤ 3 — same
+    * guarantee as [[simhashNeighbors]], now at the width where random
+    * collisions actually thin out), exact distance via four native
+    * [[graft.expressions.HammingDistance]] calls summed. */
+  def simhash64Neighbors(spark: SparkSession, dir: String,
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band LSH over 4 quarters is only complete to distance 3; " +
+        s"got maxHamming=$maxHamming")
+    graft.expressions.HammingDistance.register(spark)
+    val sig = simhash64(spark, dir)
+    val quarters = sig.select(col("doc_id"), col("q0"), col("q1"),
+      col("q2"), col("q3"),
+      posexplode(array(col("q0"), col("q1"), col("q2"), col("q3")))
+        .as(Seq("band_idx", "band_val")))
+    val a = quarters.select(col("doc_id").as("doc_a"),
+      col("q0").as("a0"), col("q1").as("a1"), col("q2").as("a2"),
+      col("q3").as("a3"), col("band_idx"), col("band_val"))
+    val b = quarters.select(col("doc_id").as("doc_b"),
+      col("q0").as("b0"), col("q1").as("b1"), col("q2").as("b2"),
+      col("q3").as("b3"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (expr("hamming(a0, b0)") + expr("hamming(a1, b1)") +
+          expr("hamming(a2, b2)") + expr("hamming(a3, b3)")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** 16-bit SimHash over the (multiplicity-weighted) token stream: bit k
     * comes from the top bit of hex digit k of each token's md5; the
     * signature bit is the sign of the summed ±1 votes. Emitted with its

@@ -148,4 +148,25 @@ class TextDedupSpec extends SparkSpec {
       .agg(min($"quality_score"), max($"quality_score")).head()
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("simhash64 banding is COMPLETE to radius 3 vs brute force") {
+    val sigs = Dedup.simhash64(spark, sf0001).collect()
+      .map(r => (r.getLong(0), Array(r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))))
+    // Brute force every pair in Scala (the all-pairs plan the operator
+    // must never run on the cluster — fine over the fixture here).
+    val brute = (for {
+      (ia, qa) <- sigs; (ib, qb) <- sigs if ia < ib
+      h = (0 until 4).map(j => Integer.bitCount(qa(j) ^ qb(j))).sum
+      if h <= 3
+    } yield (ia, ib, h)).toSet
+    val banded = Dedup.simhash64Neighbors(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banding missed ${(brute -- banded).size} pairs / " +
+        s"invented ${(banded -- brute).size}")
+    // 64-bit width actually thins random collisions vs the 16-bit demo.
+    val demo = Dedup.simhashNeighbors(spark, sf0001).count()
+    assert(banded.size <= demo)
+  }
 }
