@@ -25,9 +25,10 @@ object Explain {
         println(s"===== $name =====")
         df.explain("formatted")
       } else {
-        // Force execution so AQE finalizes join strategies, then summarize
-        // the final adaptive plan.
-        df.count()
+        // Force THIS Dataset's QueryExecution so AQE finalizes join
+        // strategies (count() would execute a separate derived plan and
+        // leave this one at its initial, pre-AQE state).
+        df.collect()
         import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
         val finalPlan = df.queryExecution.executedPlan match {
           case a: AdaptiveSparkPlanExec => a.executedPlan.toString

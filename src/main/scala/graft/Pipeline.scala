@@ -69,19 +69,24 @@ object Pipeline {
 
     // 6. Data-quality gate between ingest and the LLM tier: rows
     // violating the documents contract are quarantined (never silently
-    // dropped), the rule-level report lands beside them, and only the
-    // good frame flows into curation.
+    // dropped), the rule-level report lands beside them, and the gated
+    // corpus is MATERIALIZED as its own layer so curation genuinely
+    // runs on good rows only — filtering curation's output instead
+    // would let a quarantined near-dup knock its DQ-passing twin out
+    // of the corpus.
     val (goodDocs, badDocs) = graft.operators.Curation.expectSplit(
       Tables.documents(spark, sfDir), graft.operators.Curation.documentRules)
     Sinks.appendLayer(badDocs, s"$outDir/dq_layer/quarantine_documents")
     Sinks.appendLayer(graft.operators.Curation.dqReport(spark, sfDir),
       s"$outDir/dq_layer/dq_report")
+    val gatedDir = s"$outDir/dq_layer/gated"
+    goodDocs.write.mode("overwrite").parquet(s"$gatedDir/documents.parquet")
 
-    // 7. LLM-tier curation: quality-gated, near-dup-free corpus beside
-    // the business layer (the training-data consumer's table).
+    // 7. LLM-tier curation over the gated layer: quality-gated,
+    // near-dup-free corpus beside the business layer (the
+    // training-data consumer's table).
     Sinks.appendLayer(
-      graft.operators.Curation.curatedDocs(spark, sfDir)
-        .join(goodDocs.select("doc_id"), "doc_id"),
+      graft.operators.Curation.curatedDocs(spark, gatedDir),
       s"$outDir/curated_layer/c_documents")
 
     // 8. Corpus assembly over the curated survivors: hash-stable

@@ -1251,7 +1251,7 @@ object SparkEntry {
          |)
          |SELECT doc_id, lang, n_tokens, lm_mass, total_tokens,
          |       CASE WHEN n_tokens > 0
-         |            THEN CAST(lm_mass AS DOUBLE) / (n_tokens * total_tokens)
+         |            THEN CAST(lm_mass AS DOUBLE) / n_tokens / total_tokens
          |            ELSE CAST(0.0 AS DOUBLE) END AS mean_token_prob
          |FROM tot""".stripMargin,
 

@@ -23,8 +23,12 @@ case class VecMeanBuffer(sums: Array[Double], n: Long)
   * better physical shape when dimensionality is large: it moves ONE
   * buffer of `dim` doubles per group per partition through the shuffle
   * (Aggregator merge = map-side partial combine), where the explode
-  * path shuffles `dim` rows per vector pre-combine. Null vectors are
-  * ignored; mixed dimensionalities fail fast.
+  * path shuffles `dim` rows per vector pre-combine. Null AND empty
+  * vectors are ignored (an empty vector carries no dimensionality and
+  * must not deflate the mean by bumping the count); mixed non-empty
+  * dimensionalities fail fast. The invariant `sums.isEmpty ⇔ n == 0`
+  * holds throughout, so merge never mistakes an accumulated buffer for
+  * an unfixed one.
   */
 object VecMean extends Aggregator[Seq[Double], VecMeanBuffer, Seq[Double]] {
 
@@ -41,7 +45,7 @@ object VecMean extends Aggregator[Seq[Double], VecMeanBuffer, Seq[Double]] {
   }
 
   override def reduce(b: VecMeanBuffer, v: Seq[Double]): VecMeanBuffer =
-    if (v == null) b else VecMeanBuffer(add(b.sums, v), b.n + 1)
+    if (v == null || v.isEmpty) b else VecMeanBuffer(add(b.sums, v), b.n + 1)
 
   override def merge(a: VecMeanBuffer, b: VecMeanBuffer): VecMeanBuffer =
     if (b.n == 0) a

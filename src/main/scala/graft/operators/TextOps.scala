@@ -214,20 +214,21 @@ object TextOps {
     * (document frequency ≥ [[BoilerplateMinDf]]). High fractions mark
     * template/navigation text repeated across many pages.
     *
-    * Shape: ONE explode of the shingle stream, document frequency as a
-    * count-over-window partitioned by shingle (not an aggregate joined
-    * back to its own input — that would plan the shingle subtree twice,
-    * the r1 double-scan lesson), then one hash aggregate per document.
-    * The window shuffle keys on the shingle value; a pathologically hot
-    * shingle is AQE-skew-split territory, and its partition holds only
-    * (doc_id, shingle) pairs, never document text. */
+    * Shape: the shingle stream aggregates to a compact (shingle, df)
+    * frame (map-side combine collapses each partition's duplicates
+    * before the shuffle), which joins back to the occurrence stream —
+    * a shuffle join AQE can skew-split when a boilerplate shingle goes
+    * Zipf-hot. The earlier count-over-window formulation put a hot
+    * shingle's ENTIRE partition on one WindowExec task with no AQE
+    * remedy (skew handling only splits join partitions); paying the
+    * shingle explode twice is linear CPU, the straggler was not. */
   def boilerplateFraction(spark: SparkSession, dir: String,
                           minDf: Int = BoilerplateMinDf): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val perDoc = Spread(docs)
+    def occ = Spread(docs)
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+    val dfreq = occ.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val perDoc = occ.join(dfreq, "s")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
@@ -360,7 +361,12 @@ object TextOps {
     * collapse through a single hash aggregate with map-side combine;
     * the global top-k runs through the shared salted two-phase
     * [[Ranking.saltedTopK]] (partition-less top-k is exactly where the
-    * salt matters — phase 1 spreads the global sort). */
+    * salt matters — phase 1 spreads the global sort). Known trade: the
+    * pair expression references the piece array three times, so
+    * CollapseProject re-runs the pre-tokenizer regex ~3× per doc
+    * (measured +4 s at sf0.1); the alternative — posexplode + lead
+    * window — runs the regex once but shuffles the ENTIRE piece stream
+    * on doc_id, and shuffle IO loses to linear CPU at 100 TB. */
   def bpeMergeCandidates(spark: SparkSession, dir: String,
                          k: Int = BpeTopK): DataFrame = {
     val p = bpePieces(col("text"))
@@ -382,24 +388,28 @@ object TextOps {
 
   /** Unigram language-model fluency score, integer-exact: with
     * p(tok) = tf_corpus(tok) / total_tokens, a document's mean token
-    * probability is Σ tf_corpus(tok_i) / (n_tokens · total_tokens) —
-    * numerator and denominator are exact integers, so the score is ONE
-    * IEEE division and bit-identical across engines (no per-token float
-    * sums to order, no rounding — SURVEY §8.5). Common/fluent text
+    * probability is Σ tf_corpus(tok_i) / n_tokens / total_tokens —
+    * numerator and counts are exact integers and the two divisions are
+    * IEEE-exact on identical operands, so the score is bit-identical
+    * across engines (no per-token float sums to order, no rounding —
+    * SURVEY §8.5). Divided TWICE on purpose: the single-divide form
+    * n_tokens·total_tokens overflows a long once total corpus tokens ×
+    * document length crosses 2^63 (a 100 TB corpus does). Common text
     * scores high; rare-token noise scores low — the cheap statistical
     * cousin of perplexity filtering (CCNet-style).
     *
-    * Shape: one explode; corpus tf as a count-over-window keyed by
-    * token (same one-pass idiom as [[boilerplateFraction]]); one
-    * per-doc aggregate; the corpus-total window runs over the compact
-    * per-doc frame, never the token stream. */
+    * Shape: corpus tf aggregates to a compact (tok, tf) frame and
+    * joins back to the occurrence stream (AQE-skew-splittable, unlike
+    * the count-over-window form whose hot-token partition lands whole
+    * on one task — see [[boilerplateFraction]]); the corpus-total
+    * window runs over the compact per-doc frame, never the stream. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val perDoc = Spread(docs)
+    def occ = Spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("tf_corpus",
-        count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val tf = occ.groupBy(col("tok")).agg(count(lit(1)).as("tf_corpus"))
+    val perDoc = occ.join(tf, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("tf_corpus")).as("lm_mass"))
@@ -412,8 +422,8 @@ object TextOps {
         sum(col("n_tokens")).over(Window.partitionBy()))
       .withColumn("mean_token_prob",
         when(col("n_tokens") > 0,
-          col("lm_mass").cast("double") /
-            (col("n_tokens") * col("total_tokens")))
+          col("lm_mass").cast("double") / col("n_tokens") /
+            col("total_tokens"))
           .otherwise(lit(0.0)))
   }
 

@@ -107,17 +107,25 @@ object Sinks {
     * survives. Plain parquet has no row-level transaction log, so the
     * merge is survivors (existing LEFT ANTI incoming on the key) UNION
     * incoming, written to a fresh directory and swapped into place by
-    * rename — readers see the old layer or the new one, never a blend.
-    * This is the whole-layer form; when the table is partitioned and
-    * keys map to partitions, [[overwritePartitions]] is the cheaper
+    * two renames. Readers never see a BLEND of old and new rows, but
+    * the swap is not atomic: there is a brief window between the
+    * renames where the layer path does not exist (a concurrent read
+    * errors rather than returning partial data, and a crash in the
+    * window is recovered by the next upsert via the `.upsert_old`
+    * restore below) — a transactional table format is the graduation
+    * path for true atomicity. When the table is partitioned and keys
+    * map to partitions, [[overwritePartitions]] is the cheaper
     * partition-grain variant (it rewrites only touched partitions).
-    * At 100 TB either beats a row-wise write-amplifying update; a
-    * transactional table format is the graduation path. */
+    * At 100 TB either beats a row-wise write-amplifying update. */
   def upsert(spark: SparkSession, incoming: DataFrame, layerPath: String,
              keys: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val layer = new Path(layerPath)
     val fs = layer.getFileSystem(conf)
+    val old = new Path(layerPath + ".upsert_old")
+    // Crash recovery: a previous run that died between its two renames
+    // left the data stranded at .upsert_old — restore it first.
+    if (!fs.exists(layer) && fs.exists(old)) fs.rename(old, layer)
     if (!fs.exists(layer)) {
       incoming.write.parquet(layerPath)
     } else {
@@ -127,10 +135,13 @@ object Sinks {
         .unionByName(incoming)
       val tmp = new Path(layerPath + ".upsert_tmp")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      val old = new Path(layerPath + ".upsert_old")
       if (fs.exists(old)) fs.delete(old, true)
-      if (!fs.rename(layer, old) || !fs.rename(tmp, layer))
+      if (!fs.rename(layer, old))
         throw new java.io.IOException(s"upsert swap failed for $layerPath")
+      if (!fs.rename(tmp, layer)) {
+        fs.rename(old, layer) // restore — never leave the path missing
+        throw new java.io.IOException(s"upsert swap failed for $layerPath")
+      }
       fs.delete(old, true)
     }
   }

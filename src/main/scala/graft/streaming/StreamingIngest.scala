@@ -116,10 +116,15 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (good, bad) = graft.operators.Curation.expectSplit(batch, rules)
-        good.write.mode("overwrite").parquet(s"$layerPath/batch_id=$batchId")
-        bad.write.mode("overwrite")
-          .parquet(s"$quarantinePath/batch_id=$batchId")
+        // Two sinks consume the batch — persist so the source files are
+        // read and the rules evaluated once, not once per sink.
+        batch.persist()
+        try {
+          val (good, bad) = graft.operators.Curation.expectSplit(batch, rules)
+          good.write.mode("overwrite").parquet(s"$layerPath/batch_id=$batchId")
+          bad.write.mode("overwrite")
+            .parquet(s"$quarantinePath/batch_id=$batchId")
+        } finally batch.unpersist()
       }
       .start()
     q.awaitTermination()

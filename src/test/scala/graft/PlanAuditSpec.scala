@@ -10,7 +10,10 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 class PlanAuditSpec extends SparkSpec {
 
   private def finalPlan(df: DataFrame): String = {
-    df.count() // force execution so AQE finalizes
+    // collect() drives THIS Dataset's QueryExecution (count() would
+    // build and run a separate groupBy().count() plan, leaving this
+    // one un-executed and the adaptive plan at its initial state).
+    df.collect()
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan.toString
       case p => p.toString
@@ -43,10 +46,12 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
-  test("one-pass window-derived stats: no aggregate re-joined to its input") {
-    // boilerplate / lm_score / tfidf each scan documents at most twice
-    // (stream + zero-row backfill list), never re-aggregate the explode.
-    Seq("q_boilerplate" -> 2, "q_lm_score" -> 2, "q_tfidf_terms" -> 2)
+  test("corpus-stat plans stay within their documented scan budget") {
+    // boilerplate / lm_score: occurrence stream consumed twice (tf
+    // aggregate + skew-splittable join back) plus the zero-row backfill
+    // list = 3; tfidf derives df from a window over the first
+    // aggregate's output = 2.
+    Seq("q_boilerplate" -> 3, "q_lm_score" -> 3, "q_tfidf_terms" -> 2)
       .foreach { case (name, maxScans) =>
         val p = finalPlan(q(name))
         assert(count(p, "Scan parquet") <= maxScans,

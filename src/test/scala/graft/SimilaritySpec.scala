@@ -172,11 +172,16 @@ class SimilaritySpec extends SparkSpec {
       .select("q_id", "vec_id", "cell", "cosine", "rank")
     assert(served.count() > 0)
     assert(served.exceptAll(inMem).isEmpty && inMem.exceptAll(served).isEmpty)
-    // The probe scan prunes: only probed cells appear in the plan's
-    // partition filters (cell is a partition column, not data).
-    val plan = Similarity.queryIvfIndex(spark, idx, queries)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("cell"))
+    // The probe scan prunes: the postings scan must carry a NON-EMPTY
+    // PartitionFilters list (dynamic partition pruning from the probe
+    // join). A bare plan.contains("cell") would be vacuously true —
+    // cell is a column name everywhere in the plan.
+    val pruned = Similarity.queryIvfIndex(spark, idx, queries)
+    pruned.collect() // finalize the adaptive plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined ||
+      plan.toLowerCase.contains("dynamicpruning"),
+      s"postings scan shows no partition pruning:\n$plan")
   }
 
   test("hyperplanes are reproducible constants") {

@@ -36,15 +36,20 @@ class UdafSpec extends SparkSpec {
     assert(n == vecsByLabel.select(col("label")).distinct().count())
   }
 
-  test("vec_mean ignores nulls; all-null group yields null") {
+  test("vec_mean ignores nulls AND empties; degenerate groups yield null") {
     import spark.implicits._
     val df = Seq(
       (1, Some(Seq(1.0, 3.0))), (1, None), (1, Some(Seq(3.0, 5.0))),
-      (2, Option.empty[Seq[Double]]))
+      (2, Option.empty[Seq[Double]]),
+      (3, Some(Seq.empty[Double])), (3, Some(Seq(2.0, 4.0))),
+      (4, Some(Seq.empty[Double])))
       .toDF("g", "v")
     val out = df.groupBy(col("g")).agg(VecMean.asUdf(col("v")).as("c"))
       .collect().map(r => (r.getInt(0), Option(r.getSeq[Double](1)))).toMap
     assert(out(1).contains(Seq(2.0, 4.0)))
     assert(out(2).isEmpty)
+    // An empty vector fixes no dimension and must not deflate the mean.
+    assert(out(3).contains(Seq(2.0, 4.0)))
+    assert(out(4).isEmpty)
   }
 }
