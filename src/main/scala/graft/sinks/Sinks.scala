@@ -34,9 +34,16 @@ object Sinks {
   }
 
   /** K4: staged CSV object write (header row, like the generator upload
-    * `create_campaigns/csv/main.py:33-43`). */
+    * `create_campaigns/csv/main.py:33-43`). Whitespace-exact: Spark's
+    * CSV writer trims leading/trailing whitespace by default
+    * (`ignore*WhiteSpace` default TRUE on write, false on read), which
+    * silently corrupts padded values on the stage→load round trip —
+    * disabled here so the staged bytes are the frame's bytes. */
   def writeCsvObjects(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   /** K5: archival move — relocate every file matching `srcGlob` into
     * `destDir` (Hadoop rename, atomic per file on a real filesystem).

@@ -57,6 +57,24 @@ object Ingest {
   def readTsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("sep", "\t").csv(path)
 
+  /** Malformed-row-capturing CSV reader: PERMISSIVE parse with the raw
+    * line preserved in `_corrupt_record` — the ingest twin of the DQ
+    * quarantine. A crooked row never aborts a 1000-file load (FAILFAST
+    * would) and never silently vanishes (DROPMALFORMED would); it lands
+    * typed-null with its original text, ready for
+    * [[graft.operators.Curation.expectSplit]]-style routing. Note
+    * Spark's lazy-parse caveat: selecting ONLY `_corrupt_record`
+    * requires a cache or a wider projection; downstream gates read data
+    * columns too, which satisfies it. */
+  def readCsvPermissive(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** JSONL ingest (north-star extension: LLM corpora overwhelmingly ship
     * as JSON Lines, usually gzipped). Explicit schema — schema inference
     * over 100 TB is a full extra pass. Spark decompresses by file

@@ -128,6 +128,60 @@ class IngestSinksSpec extends SparkSpec {
     assert(!new java.io.File(s"$layer.upsert_old").exists)
   }
 
+  test("permissive CSV capture: crooked rows land in _corrupt_record, never abort") {
+    val dir = tmpDir("permissive")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/landed.csv"),
+      ("campaign_id,cost,country,date_time\n" +
+        "10000001,12.50,Peru,2023-07-06 08:00:00\n" +
+        "10000002,9.99,Chile,2023-07-06 09:00:00,EXTRA,COLUMNS\n" +
+        "10000003,5.00,Peru,2023-07-06 10:00:00\n").getBytes("UTF-8"))
+    val raw = Ingest.readCsvPermissive(spark, s"$dir/landed.csv",
+      Ingest.campaignsSchema).cache()
+    try {
+      assert(raw.count() == 3) // nothing dropped, nothing aborted
+      val corrupt = raw.where($"_corrupt_record".isNotNull)
+      assert(corrupt.count() == 1)
+      assert(corrupt.head().getAs[String]("_corrupt_record")
+        .contains("EXTRA"))
+      assert(raw.where($"_corrupt_record".isNull).count() == 2)
+    } finally raw.unpersist()
+  }
+
+  test("CSV round-trip survives delimiters, quotes and newlines in values") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Adversarial strings: embedded commas, double quotes, newlines,
+    // tabs, leading/trailing spaces — everything CSV quoting must guard.
+    val nasty = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(",", "\"", "\n", "\t", " x ", "a,b", "say \"hi\"",
+        "line1\nline2", "")))
+      .map(_.take(30))
+    val values = nasty.pureApply(Gen.Parameters.default, Seed(7L))
+    val df = values.zipWithIndex
+      .map { case (v, i) => (i.toString, v) }
+      .toDF("id", "payload")
+    val dir = tmpDir("csvquote")
+    // Spark's CSV WRITER trims leading/trailing whitespace by default
+    // (ignore*WhiteSpace default true on write, false on read) — a
+    // lossless round-trip must disable it.
+    df.write.option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(s"$dir/out")
+    val back = spark.read
+      .schema("id STRING, payload STRING")
+      .option("header", "true")
+      .option("multiLine", "true") // quoted newlines span lines
+      .csv(s"$dir/out/*.csv")
+    val orig = df.collect().map(r => (r.getString(0),
+      Option(r.getString(1)).getOrElse(""))).toSet
+    val got = back.collect().map(r => (r.getString(0),
+      Option(r.getString(1)).getOrElse(""))).toSet
+    assert(got == orig)
+  }
+
   test("normalizeTransactions casts strings null-tolerantly") {
     val raw = Seq(
       ("1", "12.50", "Peru", "2023-07-07 08:21:23"),

@@ -163,6 +163,16 @@ class StreamingPipelineSpec extends SparkSpec {
     val dq = spark.read.parquet(s"$out/dq_layer/dq_report")
     assert(dq.count() == graft.operators.Curation.documentRules.size)
     assert(dq.where(col("n_fail") =!= 0).isEmpty)
+    // The master layer is hive-partitioned by country: a per-country
+    // consumer's filter must become a PartitionFilter (directory
+    // pruning), not a data filter over the whole layer.
+    val perCountry = spark.read
+      .parquet(s"$out/master_layer/m_data_model")
+      .where(col("transaction_country") === "PERU")
+    perCountry.collect()
+    val plan = perCountry.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"country filter did not prune master partitions:\n$plan")
     // Assembly layer: every curated doc got a split; packs landed.
     val split = spark.read.parquet(s"$out/assembly_layer/a_split")
     assert(split.count() == curated)
