@@ -130,6 +130,28 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming CDC apply: merge every micro-batch into a keyed layer
+    * via [[graft.sinks.Sinks.upsert]] — latest delivery of a key wins,
+    * and a batch replayed after a checkpoint-window failure converges
+    * (merging identical content twice is a no-op), so the layer is
+    * effectively exactly-once without a transactional format. This is
+    * the whole-layer merge; at partition-mappable keys swap in
+    * `overwritePartitions` inside the same foreachBatch. Batches are
+    * applied serially by the streaming engine — the upsert's
+    * non-atomic swap window (see its scaladoc) is the read-side
+    * caveat. */
+  def upsertStream(stream: DataFrame, layerPath: String,
+                   keys: Seq[String], checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.Sinks.upsert(batch.sparkSession, batch, layerPath, keys)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
     * keeps each key's fingerprint only until the watermark passes it,
     * so state is O(keys inside the watermark horizon) — the shape that

@@ -118,6 +118,44 @@ class StreamingPipelineSpec extends SparkSpec {
       == docs.count())
   }
 
+  test("streaming upsert applies batches as keyed merges, replay-safe") {
+    import spark.implicits._
+    val dir = tmpDir("supsert")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/in/b0")
+    val schema = spark.read.parquet(s"$dir/in/b0").schema
+    def drain(): Unit = StreamingIngest.upsertStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+      s"$dir/layer", Seq("id"), s"$dir/ckpt")
+    drain()
+    // Second arrival corrects id 2 and adds id 3.
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").write.parquet(s"$dir/in/b1")
+    drain()
+    def state = spark.read.parquet(s"$dir/layer").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // Restart with the same checkpoint: nothing re-applied, state stable.
+    drain()
+    assert(state == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("Metrics recorder captures scan and shuffle activity per action") {
+    val rec = Metrics.attach(spark)
+    try {
+      graft.operators.TextOps.textStats(spark, sf0001).collect()
+      // The listener bus is asynchronous — poll for the record.
+      val deadline = System.currentTimeMillis() + 30000
+      var snap = rec.snapshot
+      while (snap.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); snap = rec.snapshot
+      }
+      assert(snap.nonEmpty, "no metric record arrived")
+      val m = snap.head
+      assert(!m.failed && m.scanRows > 0 && m.scanFiles > 0)
+      assert(m.shuffleBytes > 0) // textStats aggregates -> one exchange
+    } finally Metrics.detach(spark, rec)
+  }
+
   test("stream-stream join with watermarks equals the batch join") {
     val dir = tmpDir("ssjoin")
     val events = graft.Tables.events(spark, sf0001)
