@@ -153,6 +153,22 @@ object Sinks {
     }
   }
 
+  /** Range-clustered layout: repartitionByRange + sortWithinPartitions
+    * on the dominant filter column before writing, so every output file
+    * covers a disjoint, internally-sorted value range. Parquet stores
+    * per-row-group min/max stats; against this layout a range predicate
+    * skips whole files/row groups at planning time, where a
+    * hash-distributed layout forces every file open. The write costs
+    * one range shuffle (sampled boundaries) — the standing-lake trade
+    * of one layout pass for every future scan. The single-column
+    * linearization is the practical subset of Z-ordering; multi-column
+    * needs an interleaved key, same write shape. */
+  def writeRangeLayout(df: DataFrame, path: String, sortCol: String,
+                       files: Int): Unit =
+    df.repartitionByRange(files, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** F8: mint a landed-object name `<table>_<yyyyMMdd>_<uuid4-prefix>.<ext>`
     * (`cloud_function/create_campaigns/csv/main.py:17-21`). */
   def mintObjectName(table: String, ext: String,

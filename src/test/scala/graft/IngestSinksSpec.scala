@@ -182,6 +182,30 @@ class IngestSinksSpec extends SparkSpec {
     assert(got == orig)
   }
 
+  test("range layout: files cover disjoint, internally sorted ranges") {
+    val dir = tmpDir("rangelayout")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"n_chars")
+    Sinks.writeRangeLayout(docs, s"$dir/t", "n_chars", files = 4)
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val vals = spark.read.parquet(f).select("n_chars")
+        .collect().map(_.getLong(0))
+      assert(vals.sameElements(vals.sorted), s"$f not internally sorted")
+      (vals.min, vals.max)
+    }.sortBy(_._1)
+    // Disjoint (touching at equal boundary values allowed): each file's
+    // min is >= the previous file's max.
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(loB >= hiA)
+      case _ =>
+    }
+    // Lossless.
+    assert(spark.read.parquet(s"$dir/t").count() == docs.count())
+  }
+
   test("normalizeTransactions casts strings null-tolerantly") {
     val raw = Seq(
       ("1", "12.50", "Peru", "2023-07-07 08:21:23"),
