@@ -27,8 +27,10 @@ object Explain {
       } else {
         // Force THIS Dataset's QueryExecution so AQE finalizes join
         // strategies (count() would execute a separate derived plan and
-        // leave this one at its initial, pre-AQE state).
-        df.collect()
+        // leave this one at its initial, pre-AQE state). toRdd executes
+        // distributed without collecting results to the driver — a
+        // SELECT-* query at a big SF must not OOM the audit tool.
+        df.queryExecution.toRdd.foreach(_ => ())
         import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
         val finalPlan = df.queryExecution.executedPlan match {
           case a: AdaptiveSparkPlanExec => a.executedPlan.toString

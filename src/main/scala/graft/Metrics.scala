@@ -15,8 +15,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * the shuffle?). Records are plain case classes; the E1 driver (or
   * any caller) can land them as a metrics table beside the data
   * layers. Listener callbacks are fired asynchronously by Spark's
-  * listener bus — readers poll [[Recorder.snapshot]] (tests) or flush
-  * at pipeline end (production).
+  * listener bus — readers poll [[Recorder.snapshot]] (tests) or call
+  * [[Recorder.drain]] periodically (production: drain keeps the buffer
+  * bounded over a long-lived session; snapshot alone would grow with
+  * every action forever).
   */
 object Metrics {
 
@@ -76,6 +78,16 @@ object Metrics {
       records.add(QueryMetric(funcName, 0L, 0L, 0L, 0L, failed = true))
 
     def snapshot: Seq[QueryMetric] = records.asScala.toSeq
+
+    /** Remove and return everything recorded so far — the flush a
+      * long-running pipeline calls periodically (landing the result as
+      * a metrics table) so the in-memory buffer stays bounded. */
+    def drain(): Seq[QueryMetric] = {
+      val out = Seq.newBuilder[QueryMetric]
+      var m = records.poll()
+      while (m != null) { out += m; m = records.poll() }
+      out.result()
+    }
   }
 
   /** Attach a recorder to the session; returns it for polling. The

@@ -1238,12 +1238,12 @@ object SparkEntry {
          |  FROM occ
          |), per_doc AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |         CAST(SUM(tf_corpus) AS BIGINT) AS lm_mass
+         |         SUM(CAST(tf_corpus AS DOUBLE)) AS lm_mass
          |  FROM ann GROUP BY 1
          |), base AS (
          |  SELECT d.doc_id, d.lang,
          |         coalesce(n_tokens, 0) AS n_tokens,
-         |         coalesce(lm_mass, 0) AS lm_mass
+         |         coalesce(lm_mass, CAST(0.0 AS DOUBLE)) AS lm_mass
          |  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
          |), tot AS (
          |  SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens

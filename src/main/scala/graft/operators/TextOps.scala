@@ -409,15 +409,20 @@ object TextOps {
     def occ = Spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = occ.groupBy(col("tok")).agg(count(lit(1)).as("tf_corpus"))
+    // lm_mass sums as DOUBLE: a long sum of corpus-hot tf values can
+    // cross 2^63 in the same extreme regime the division fix guards
+    // (and would wrap silently with ANSI off). Each addend is an exact
+    // integer, so the sum stays exact until 2^53 — beyond that it
+    // degrades gracefully instead of going negative.
     val perDoc = occ.join(tf, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(col("tf_corpus")).as("lm_mass"))
+        sum(col("tf_corpus").cast("double")).as("lm_mass"))
     docs.select(col("doc_id"), col("lang"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("lm_mass"), lit(0L)).as("lm_mass"))
+        coalesce(col("lm_mass"), lit(0.0)).as("lm_mass"))
       .withColumn("total_tokens",
         sum(col("n_tokens")).over(Window.partitionBy()))
       .withColumn("mean_token_prob",

@@ -124,29 +124,58 @@ object Sinks {
     * map to partitions, [[overwritePartitions]] is the cheaper
     * partition-grain variant (it rewrites only touched partitions).
     * At 100 TB either beats a row-wise write-amplifying update. */
+  /** `latestBy`: when a single incoming batch can carry several rows
+    * per key (CDC insert + update coalesced into one trigger), name the
+    * ordering columns — the row with the greatest (latestBy, …) value
+    * wins deterministically. With `latestBy` empty, incoming MUST be
+    * key-unique; the merge fails fast otherwise rather than silently
+    * landing conflicting rows for one key. */
   def upsert(spark: SparkSession, incoming: DataFrame, layerPath: String,
-             keys: Seq[String]): Unit = {
+             keys: Seq[String], latestBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, row_number}
+    val deduped =
+      if (latestBy.nonEmpty) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(latestBy.map(c => col(c).desc): _*)
+        incoming.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      } else {
+        val dups = incoming.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        if (!dups.isEmpty)
+          throw new IllegalArgumentException(
+            s"upsert into $layerPath: incoming batch has duplicate keys " +
+              s"and no latestBy ordering — 'latest wins' would be undefined")
+        incoming
+      }
     val conf = spark.sparkContext.hadoopConfiguration
     val layer = new Path(layerPath)
     val fs = layer.getFileSystem(conf)
     val old = new Path(layerPath + ".upsert_old")
     // Crash recovery: a previous run that died between its two renames
-    // left the data stranded at .upsert_old — restore it first.
-    if (!fs.exists(layer) && fs.exists(old)) fs.rename(old, layer)
+    // left the data stranded at .upsert_old — restore it first (and
+    // fail loudly if the restore fails: falling through would write
+    // only the incoming batch and later DELETE the stranded layer).
+    if (!fs.exists(layer) && fs.exists(old) && !fs.rename(old, layer))
+      throw new java.io.IOException(
+        s"upsert recovery failed: cannot restore $old to $layerPath")
     if (!fs.exists(layer)) {
-      incoming.write.parquet(layerPath)
+      deduped.write.parquet(layerPath)
     } else {
       val merged = spark.read.parquet(layerPath)
-        .join(incoming.select(keys.map(org.apache.spark.sql.functions.col): _*),
-          keys, "left_anti")
-        .unionByName(incoming)
+        .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(deduped)
       val tmp = new Path(layerPath + ".upsert_tmp")
       merged.write.mode("overwrite").parquet(tmp.toString)
       if (fs.exists(old)) fs.delete(old, true)
       if (!fs.rename(layer, old))
         throw new java.io.IOException(s"upsert swap failed for $layerPath")
       if (!fs.rename(tmp, layer)) {
-        fs.rename(old, layer) // restore — never leave the path missing
+        if (!fs.rename(old, layer)) // restore — never leave the path missing
+          throw new java.io.IOException(
+            s"upsert swap failed AND restore failed for $layerPath — " +
+              s"data is at $old")
         throw new java.io.IOException(s"upsert swap failed for $layerPath")
       }
       fs.delete(old, true)

@@ -141,12 +141,18 @@ object StreamingIngest {
     * non-atomic swap window (see its scaladoc) is the read-side
     * caveat. */
   def upsertStream(stream: DataFrame, layerPath: String,
-                   keys: Seq[String], checkpointDir: String): Unit = {
+                   keys: Seq[String], checkpointDir: String,
+                   latestBy: Seq[String] = Nil): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sinks.Sinks.upsert(batch.sparkSession, batch, layerPath, keys)
+        // The merge plan references the batch twice (anti-join keys +
+        // union) — persist so the source parses once per trigger.
+        batch.persist()
+        try graft.sinks.Sinks.upsert(batch.sparkSession, batch, layerPath,
+          keys, latestBy)
+        finally batch.unpersist()
       }
       .start()
     q.awaitTermination()

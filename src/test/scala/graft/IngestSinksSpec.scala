@@ -128,6 +128,23 @@ class IngestSinksSpec extends SparkSpec {
     assert(!new java.io.File(s"$layer.upsert_old").exists)
   }
 
+  test("upsert with in-batch duplicate keys: latestBy picks the winner, else fail fast") {
+    val dir = tmpDir("upsertdup")
+    val layer = s"$dir/layer"
+    // CDC batch carrying insert + update for the same key.
+    val cdc = Seq((2L, "b", 1L), (2L, "B", 2L), (3L, "c", 1L))
+      .toDF("id", "v", "seq")
+    Sinks.upsert(spark, cdc, layer, Seq("id"), latestBy = Seq("seq"))
+    val state = spark.read.parquet(layer).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state == Set((2L, "B"), (3L, "c"))) // greatest seq wins
+    // Without an ordering, conflicting keys must not land silently.
+    val err = intercept[IllegalArgumentException] {
+      Sinks.upsert(spark, cdc, layer, Seq("id"))
+    }
+    assert(err.getMessage.contains("duplicate keys"))
+  }
+
   test("permissive CSV capture: crooked rows land in _corrupt_record, never abort") {
     val dir = tmpDir("permissive")
     java.nio.file.Files.write(
