@@ -134,6 +134,8 @@ object SparkEntry {
     // production-width 64-bit simhash (quarters ARE the radius-3 bands)
     "q_simhash64" -> ((s, d) => Dedup.simhash64(s, d)),
     "q_simhash64_neighbors" -> ((s, d) => Dedup.simhash64Neighbors(s, d)),
+    // vocabulary table (tokenizer-prep artifact)
+    "q_vocab" -> ((s, d) => TextOps.vocabulary(s, d)),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -1412,6 +1414,22 @@ object SparkEntry {
          |    + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))
          |    + bit_count(CAST(xor(a.q2, b.q2) AS BIGINT))
          |    + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) <= 3""".stripMargin,
+
+    "q_vocab" ->
+      s"""$ToksCte, postings AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf_doc
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+         |  GROUP BY 1, 2
+         |), vocab AS (
+         |  SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tf,
+         |         CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM postings GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(tf) AS BIGINT) AS total_occurrences FROM vocab
+         |)
+         |SELECT term, tf, df, total_occurrences,
+         |       CAST(tf AS DOUBLE) / total_occurrences AS tf_share
+         |FROM vocab, tot""".stripMargin,
   )
 
   /** Shared oracle for both text round-trips: read the parquet source

@@ -386,6 +386,37 @@ object TextOps {
       saltOn = Hash.h8("bpe", col("pair")), k = k, saltBuckets = 16)
   }
 
+  /** Corpus vocabulary table (the tokenizer-prep artifact): per token,
+    * total occurrences (tf), containing-document count (df), and the
+    * exact share of all token occurrences. One explode collapses to the
+    * compact (doc, term) postings frame; tf and df both come from ONE
+    * aggregate over it (count of postings rows = df; sum of tf_doc =
+    * tf). Deliberately NO global rank column: ordering a whole
+    * vocabulary needs a single-task global sort — the consumer sorts
+    * its own (small) slice, or [[bpeMergeCandidates]]-style salted
+    * top-k takes the head. */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val postings = Spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf_doc"))
+    // Per-term totals AND the grand total in one ROLLUP pass, pinned
+    // (localCheckpoint) because both the vocab slice and the total
+    // slice consume it — without the pin Catalyst would re-plan the
+    // whole postings explode once per consumer.
+    val rolled = postings.rollup(col("term"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"),
+        grouping(col("term")).as("g"))
+      .localCheckpoint()
+    val vocab = rolled.where(col("g") === 0).drop("g")
+    val total = rolled.where(col("g") === 1)
+      .select(col("tf").as("total_occurrences"))
+    vocab.crossJoin(broadcast(total))
+      .withColumn("tf_share",
+        col("tf").cast("double") / col("total_occurrences"))
+  }
+
   /** Unigram language-model fluency score, integer-exact: with
     * p(tok) = tf_corpus(tok) / total_tokens, a document's mean token
     * probability is Σ tf_corpus(tok_i) / n_tokens / total_tokens —
