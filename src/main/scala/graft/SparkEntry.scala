@@ -136,6 +136,8 @@ object SparkEntry {
     "q_simhash64_neighbors" -> ((s, d) => Dedup.simhash64Neighbors(s, d)),
     // vocabulary table (tokenizer-prep artifact)
     "q_vocab" -> ((s, d) => TextOps.vocabulary(s, d)),
+    // cohort retention matrix (first-seen cohorts x hour age)
+    "q_retention" -> ((s, d) => Events.cohortRetention(s, d)),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -1430,6 +1432,22 @@ object SparkEntry {
          |SELECT term, tf, df, total_occurrences,
          |       CAST(tf AS DOUBLE) / total_occurrences AS tf_share
          |FROM vocab, tot""".stripMargin,
+
+    "q_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket
+        |  FROM events
+        |), first_seen AS (
+        |  SELECT user_id, MIN(hour_bucket) AS cohort_bucket
+        |  FROM activity GROUP BY 1
+        |)
+        |SELECT strftime(make_timestamp(cohort_bucket * 3600000000),
+        |         '%Y-%m-%d %H:00') AS cohort_hour,
+        |       a.hour_bucket - f.cohort_bucket AS age_hours,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM activity a JOIN first_seen f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** Shared oracle for both text round-trips: read the parquet source

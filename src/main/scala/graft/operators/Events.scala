@@ -158,6 +158,31 @@ object Events {
           .otherwise(lit(0.0)))
   }
 
+  /** Cohort retention: users grouped by their first-seen hour (the
+    * cohort), counted at each later hour-age at which they were active
+    * again — the "do users come back" matrix behind every retention
+    * curve. All arithmetic is integer hour-bucket math on microsecond
+    * epochs, so the matrix is engine-exact. Shape: activity collapses
+    * to distinct (user, hour) first (one row per user-hour, so the
+    * final count(*) IS distinct users), first-seen is a per-user min —
+    * both shuffles key on user_id, which scales with the data. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hour_bucket"))
+      .distinct()
+    val firstSeen = activity.groupBy(col("user_id"))
+      .agg(min(col("hour_bucket")).as("cohort_bucket"))
+    activity.join(firstSeen, "user_id")
+      .groupBy(col("cohort_bucket"),
+        (col("hour_bucket") - col("cohort_bucket")).as("age_hours"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_format(timestamp_micros(col("cohort_bucket") * 3600000000L),
+          "yyyy-MM-dd HH:00").as("cohort_hour"),
+        col("age_hours"), col("n_users"))
+  }
+
   /** The same sessionization through Spark's built-in `session_window`
     * aggregate — the idiomatic API, spec-cross-checked against
     * [[userSessions]] (see that method's scaladoc for why the
