@@ -68,6 +68,26 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(joined.where(col("rel_err") > 0.05).isEmpty)
   }
 
+  test("vocabulary shares sum to 1; retention age-0 equals cohort size") {
+    import graft.operators.{Events, TextOps}
+    val v = TextOps.vocabulary(spark, sf0001)
+    val share = v.agg(sum(col("tf_share"))).head().getDouble(0)
+    assert(math.abs(share - 1.0) < 1e-9)
+    // df can never exceed tf, and both are positive.
+    assert(v.where(col("df") > col("tf") || col("tf") <= 0).isEmpty)
+    val r = Events.cohortRetention(spark, sf0001)
+    // Every cohort has an age-0 row (its members were active then by
+    // definition), and no age is negative.
+    val cohorts = r.select("cohort_hour").distinct().count()
+    assert(r.where(col("age_hours") === 0).count() == cohorts)
+    assert(r.where(col("age_hours") < 0).isEmpty)
+    // Age-0 counts dominate every later age within the cohort.
+    val age0 = r.where(col("age_hours") === 0)
+      .select(col("cohort_hour"), col("n_users").as("n0"))
+    assert(r.join(age0, "cohort_hour").where(col("n_users") > col("n0"))
+      .isEmpty)
+  }
+
   test("dqReport accounts every row; expectSplit partitions exactly") {
     import spark.implicits._
     import graft.operators.Curation
