@@ -128,6 +128,23 @@ class IngestSinksSpec extends SparkSpec {
     assert(!new java.io.File(s"$layer.upsert_old").exists)
   }
 
+  test("upsert recovers a layer stranded at .upsert_old by a crash") {
+    val dir = tmpDir("upsertcrash")
+    val layer = s"$dir/layer"
+    Sinks.upsert(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      layer, Seq("id"))
+    // Simulate a crash between the two swap renames: the layer path is
+    // gone, the full data sits at .upsert_old.
+    assert(new java.io.File(layer)
+      .renameTo(new java.io.File(s"$layer.upsert_old")))
+    Sinks.upsert(spark, Seq((3L, "c")).toDF("id", "v"), layer, Seq("id"))
+    val state = spark.read.parquet(layer).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // Pre-crash rows were restored before merging — not silently lost.
+    assert(state == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!new java.io.File(s"$layer.upsert_old").exists)
+  }
+
   test("upsert with in-batch duplicate keys: latestBy picks the winner, else fail fast") {
     val dir = tmpDir("upsertdup")
     val layer = s"$dir/layer"
