@@ -1,8 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract): times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+/** Benchmark main (driver contract): times every benched SparkEntry query on
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract (VERDICT r4 fix #1): the per-query map outgrew the
+  * driver's tail capture once the surface passed ~60 queries (BENCH_r04
+  * came back `parsed: null` — the perf gate went blind). So the full
+  * per-query JSON goes to a FILE (bench_full.json, overridable via
+  * SPARK_GRAFT_BENCH_FULL) and is printed early for the log record, while
+  * the LAST stdout line is a compact summary guaranteed to fit any tail
+  * buffer: {"metric":"total","value":…,"unit":"sec","n_queries":…,
+  * "errors":{…},"sf":…}.
   *
   * Hygiene (VERDICT r1 fix #3): one untimed warmup pass first (JVM/codegen/
   * session costs don't land on whichever query runs first), queries run in
@@ -10,6 +19,14 @@ import org.apache.spark.sql.SparkSession
   * instead of masquerading as fast timings.
   */
 object Bench {
+  /** On the correctness surface but NOT timed: queries whose candidate
+    * volume is quadratic by construction and that exist as pedagogical /
+    * spec-proof twins of a production-shaped sibling. VERDICT r4 fix #4:
+    * the 16-bit SimHash bands over a 16-value bucket domain (~N²/8
+    * candidate pairs at any corpus size); `q_simhash64_neighbors` is the
+    * production shape and stays benched. */
+  val notBenched: Set[String] = Set("q_simhash_neighbors")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,7 +37,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => notBenched(name) }
+      .sortBy(_._1)
     // Warmup: run everything once, untimed; ignore failures here (they are
     // captured in the timed pass).
     ordered.foreach { case (_, fn) =>
@@ -47,7 +66,16 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // file record is best-effort; stdout is the contract
+    println(full)
+    // LAST line, compact and tail-safe — this is what the driver parses.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

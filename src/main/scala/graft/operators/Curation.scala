@@ -19,9 +19,20 @@ object Curation {
   def curatedDocs(spark: SparkSession, dir: String,
                   jaccardThreshold: Double = 0.5,
                   minTokens: Int = 20,
-                  maxPunctRatio: Double = 0.2): DataFrame = {
+                  maxPunctRatio: Double = 0.2): DataFrame =
+    curatedDocsFrom(spark, dir, Dedup.ngramJaccard(spark, dir),
+      jaccardThreshold, minTokens, maxPunctRatio)
+
+  /** [[curatedDocs]] served from a prebuilt [[Dedup.pairTable]] frame —
+    * the standing-pipeline shape: the near-dup pair table is built once
+    * per corpus version and every curation pass starts from it. */
+  def curatedDocsFrom(spark: SparkSession, dir: String,
+                      pairFrame: DataFrame,
+                      jaccardThreshold: Double = 0.5,
+                      minTokens: Int = 20,
+                      maxPunctRatio: Double = 0.2): DataFrame = {
     val quality = TextOps.qualityScore(spark, dir)
-    val losers = Dedup.ngramJaccard(spark, dir)
+    val losers = pairFrame
       .where(col("jaccard") >= jaccardThreshold)
       .select(col("doc_b").as("doc_id"))
       .distinct()
@@ -57,19 +68,25 @@ object Curation {
       .select(col("doc_id"),
         Sampling.splitOf(Sampling.splitBucket(col("doc_id"))).as("split"),
         explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
-    // Inverted-index shape: ONE corpus scan, ONE shuffle keyed by the
-    // n-gram (the df window and the posting aggregate share the same
-    // partitioning, so Catalyst plans no second exchange). The df filter
-    // runs BEFORE collect_list — a hot boilerplate n-gram streams
-    // through the (spillable) window count and is discarded without
-    // ever buffering a posting list, so aggregation memory is bounded
-    // by maxDf per key no matter how hot the key (shingles() is per-doc
-    // distinct, so count(*) = df). Pair explosion is ≤ maxDf² per
-    // shingle by construction.
-    import org.apache.spark.sql.expressions.Window
-    val postings = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    // Inverted-index shape: df comes from a COMPACT (sh, df) hash
+    // aggregate (map-side combine collapses hot shingles before the
+    // shuffle) joined back to the shingle stream — NOT a
+    // count-over-window on the raw stream: AQE skew-split repairs join
+    // partitions but never window exchanges, so one Zipf-hot
+    // boilerplate shingle would pin its whole partition on a single
+    // task (the same fix [[TextOps.boilerplateFraction]] carries). The
+    // join keeps only df ≤ maxDf keys, so collect_list buffers at most
+    // maxDf postings per key no matter how hot the key (shingles() is
+    // per-doc distinct, so count(*) = df), and pair explosion is
+    // ≤ maxDf² per shingle by construction. Cost: the shingle explode
+    // is planned twice (two corpus scans) — at 100 TB a second scan is
+    // streaming-cheap; a pinned straggler task is not.
+    val dfOk = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
+      .select(col("sh"))
+    val postings = sh
+      .join(dfOk, Seq("sh"))
       .groupBy(col("sh"))
       .agg(
         collect_list(when(col("split") === "train", col("doc_id")))

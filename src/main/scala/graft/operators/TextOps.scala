@@ -432,14 +432,21 @@ object TextOps {
     * Shape: corpus tf aggregates to a compact (tok, tf) frame and
     * joins back to the occurrence stream (AQE-skew-splittable, unlike
     * the count-over-window form whose hot-token partition lands whole
-    * on one task — see [[boilerplateFraction]]); the corpus-total
-    * window runs over the compact per-doc frame, never the stream. */
+    * on one task — see [[boilerplateFraction]]); the corpus total is
+    * Σ tf over that same compact frame (≡ Σ n_tokens per doc, exactly,
+    * as longs), reduced to a one-row frame and broadcast — NOT a
+    * partitionBy()-empty window, which would drag every per-doc row
+    * through a single task (the [[vocabulary]] discipline). The tf
+    * frame is pinned (localCheckpoint) because both the join-back and
+    * the total consume it — vocab-sized, not corpus-sized, so the pin
+    * is cheap at any scale. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     def occ = Spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = occ.groupBy(col("tok")).agg(count(lit(1)).as("tf_corpus"))
+      .localCheckpoint()
+    val total = tf.agg(sum(col("tf_corpus")).as("total_tokens"))
     // lm_mass sums as DOUBLE: a long sum of corpus-hot tf values can
     // cross 2^63 in the same extreme regime the division fix guards
     // (and would wrap silently with ANSI off). Each addend is an exact
@@ -454,8 +461,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("lm_mass"), lit(0.0)).as("lm_mass"))
-      .withColumn("total_tokens",
-        sum(col("n_tokens")).over(Window.partitionBy()))
+      .crossJoin(broadcast(total))
       .withColumn("mean_token_prob",
         when(col("n_tokens") > 0,
           col("lm_mass").cast("double") / col("n_tokens") /

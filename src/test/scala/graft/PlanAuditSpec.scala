@@ -47,16 +47,31 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("corpus-stat plans stay within their documented scan budget") {
-    // boilerplate / lm_score: occurrence stream consumed twice (tf
-    // aggregate + skew-splittable join back) plus the zero-row backfill
-    // list = 3; tfidf derives df from a window over the first
-    // aggregate's output = 2.
-    Seq("q_boilerplate" -> 3, "q_lm_score" -> 3, "q_tfidf_terms" -> 2)
+    // boilerplate: occurrence stream consumed twice (tf aggregate +
+    // skew-splittable join back) plus the zero-row backfill list = 3;
+    // lm_score: tf frame is pinned (localCheckpoint), so the final plan
+    // scans only the join-back stream + the backfill list = 2; tfidf
+    // derives df from a window over the first aggregate's output = 2.
+    Seq("q_boilerplate" -> 3, "q_lm_score" -> 2, "q_tfidf_terms" -> 2)
       .foreach { case (name, maxScans) =>
         val p = finalPlan(q(name))
         assert(count(p, "Scan parquet") <= maxScans,
           s"$name scans grew past $maxScans:\n$p")
       }
+  }
+
+  test("no corpus-stream windows: df/total stats come from compact aggregates") {
+    // VERDICT r4 fixes #2/#3: a count-over-window on a raw token/shingle
+    // stream pins a Zipf-hot partition on one task (AQE skew-split never
+    // repairs window exchanges), and a partitionBy()-empty window drags
+    // every row through a single task. Both queries must derive their
+    // second-grain stats (df caps, corpus totals) from compact hash
+    // aggregates joined/broadcast back — i.e. plan NO Window at all.
+    Seq("q_decontaminate", "q_lm_score").foreach { name =>
+      val p = finalPlan(q(name))
+      assert(!p.contains("Window"),
+        s"$name reintroduced a window over a corpus stream:\n$p")
+    }
   }
 
   test("near-dup candidate generation joins on buckets, never nested loops") {
