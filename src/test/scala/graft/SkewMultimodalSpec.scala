@@ -69,6 +69,79 @@ class SkewMultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Deterministic 16x16 PNG: left half pure black, right half pure
+    * white — every positional luminance bucket and channel mean has an
+    * exact closed-form value, so the decode assertions are equality,
+    * not tolerance. */
+  private def halfWhitePng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("featureExtract decodes REAL pixels from a PNG payload") {
+    val png = halfWhitePng()
+    val df = Seq((1L, png)).toDF("doc_id", "payload")
+    val feat = Multimodal.featureExtract(df, dim = 8)
+      .head().getSeq[Float](1)
+    // Row-major buckets of 32 px each: every bucket spans 2 full rows,
+    // each half black (lum 0) / half white (lum exactly 1.0 — 255 *
+    // (299+587+114) / 255000), so every bucket mean is exactly 0.5.
+    assert(feat.toList == List.fill(8)(0.5f))
+  }
+
+  test("imageStats reports true decoded dims and channel means") {
+    val png = halfWhitePng()
+    val df = Seq((1L, png)).toDF("doc_id", "payload")
+    val r = Multimodal.imageStats(df).head()
+    assert(r.getInt(1) == 16 && r.getInt(2) == 16)
+    // Half 0x00, half 0xff per channel: mean exactly 127.5.
+    assert(r.getDouble(3) == 127.5 && r.getDouble(4) == 127.5 &&
+      r.getDouble(5) == 127.5)
+    // Text-byte payloads decode as no image and are absent here.
+    assert(Multimodal.imageStats(
+      Multimodal.withPayload(spark, sf0001)).isEmpty)
+  }
+
+  test("resizeImages really resamples: output re-decodes at box dims") {
+    val src = new java.awt.image.BufferedImage(
+      64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img2rgb(src, x, y)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(df, maxSide = 16)
+      .orderBy($"doc_id").collect()
+    // decodable payload: resampled to 16x8 and the new bytes re-decode
+    assert(out(0).getInt(2) == 16 && out(0).getInt(3) == 8 &&
+      out(0).getBoolean(4))
+    val redecoded = Multimodal.decodeImage(out(0).getAs[Array[Byte]](1)).get
+    assert(redecoded.getWidth == 16 && redecoded.getHeight == 8)
+    // non-decodable payload: untouched pass-through, flagged
+    assert(!out(1).getBoolean(4) &&
+      new String(out(1).getAs[Array[Byte]](1), "UTF-8") == "not an image")
+  }
+
+  private def img2rgb(img: java.awt.image.BufferedImage, x: Int, y: Int): Unit =
+    img.setRGB(x, y, ((x * 4) << 16) | ((y * 8) << 8) | 0x40)
+
+  test("featureExtract falls back to the byte-fold stub off the image path") {
+    val p = Multimodal.withPayload(spark, sf0001)
+    val real = Multimodal.featureExtract(p, dim = 8)
+    val stub = Multimodal.featureExtractStub(p, dim = 8)
+    // fixture payloads are text bytes — none decode, so the real path
+    // must agree with the stub bit-for-bit on every row
+    val joined = real.select($"doc_id", $"feature".as("fa"))
+      .join(stub.select($"doc_id", $"feature".as("fb")), "doc_id")
+    assert(joined.where($"fa" =!= $"fb").isEmpty)
+  }
+
   test("frame sampling: stride covers [0, n) with at most ~8 samples") {
     val df = Seq(1, 7, 8, 9, 240).toDF("n")
       .select($"n", Multimodal.frameSampleIndices($"n").as("idx"))
