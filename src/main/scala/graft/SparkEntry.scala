@@ -141,7 +141,8 @@ object SparkEntry {
     "q_customer_coverage" -> ((s, d) => Relational.customerCoverage(s, d)),
     // BPE merge mining and the cross-source duplication matrix
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
-    "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    "q_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlapFrom(s, d, stagedPairTable(s, d))),
     // ordered funnel (sequential event pattern, chained windows)
     "q_funnel" -> ((s, d) => Events.funnel(s, d)),
     // production-width 64-bit simhash (quarters ARE the radius-3 bands)
