@@ -356,27 +356,46 @@ object TextOps {
     * pairs across the corpus (with multiplicity) and rank the top merge
     * candidates — in full training the winner is merged and the count
     * repeats; this materializes the per-iteration workhorse as a
-    * corpus-scale operator. Pairs are minted inside ONE explode
-    * (generator expansion of the piece array, no window/self-join) and
-    * collapse through a single hash aggregate with map-side combine;
-    * the global top-k runs through the shared salted two-phase
-    * [[Ranking.saltedTopK]] (partition-less top-k is exactly where the
-    * salt matters — phase 1 spreads the global sort). Known trade: the
-    * pair expression references the piece array three times, so
-    * CollapseProject re-runs the pre-tokenizer regex ~3× per doc
-    * (measured +4 s at sf0.1); the alternative — posexplode + lead
-    * window — runs the regex once but shuffles the ENTIRE piece stream
-    * on doc_id, and shuffle IO loses to linear CPU at 100 TB. */
+    * corpus-scale operator.
+    *
+    * Pair mining runs in `mapPartitions` — the sanctioned imperative
+    * escape hatch — because this is the rare spot where every
+    * declarative form is measurably wrong: the array-generator
+    * expression references the piece array three times, and
+    * CollapseProject re-runs the pre-tokenizer regex per reference
+    * (~3× CPU per doc, measured +4 s at sf0.1); the posexplode + lead
+    * window runs the regex once but shuffles the ENTIRE piece stream
+    * on doc_id, and shuffle IO loses to linear CPU at 100 TB. Here the
+    * regex runs exactly once per document and pairs stream straight
+    * into the hash aggregate (map-side combine) with NO pre-aggregate
+    * shuffle. The tokenization reproduces [[bpePieces]] exactly — same
+    * Java regex engine Spark's `regexp_extract_all` uses, same
+    * pattern, locale-independent lowercase — pinned by the unchanged
+    * DuckDB oracle twin. The global top-k runs through the shared
+    * salted two-phase [[Ranking.saltedTopK]] (partition-less top-k is
+    * exactly where the salt matters — phase 1 spreads the global
+    * sort). */
   def bpeMergeCandidates(spark: SparkSession, dir: String,
                          k: Int = BpeTopK): DataFrame = {
-    val p = bpePieces(col("text"))
-    val pairs = when(size(p) >= 2,
-      transform(sequence(lit(0), size(p) - 2),
-        i => concat_ws("\t", element_at(p, (i + 1).cast("int")),
-          element_at(p, (i + 2).cast("int")))))
-      .otherwise(array().cast("array<string>"))
-    val counted = Spread(Tables.documents(spark, dir))
-      .select(explode(pairs).as("pair"))
+    import spark.implicits._
+    val pairRows = Spread(Tables.documents(spark, dir))
+      .select(col("text")).as[String]
+      .mapPartitions { docs =>
+        val re = java.util.regex.Pattern
+          .compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+        docs.flatMap { text =>
+          if (text == null) Iterator.empty
+          else {
+            val m = re.matcher(text.toLowerCase(java.util.Locale.ROOT))
+            val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (m.find()) pieces += m.group()
+            if (pieces.length < 2) Iterator.empty
+            else pieces.iterator.sliding(2).withPartial(false)
+              .map(p => p.head + "\t" + p(1))
+          }
+        }
+      }
+    val counted = pairRows.toDF("pair")
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_occurrences"))
       .select(col("pair"), col("n_occurrences"))
