@@ -64,38 +64,38 @@ object Curation {
     * so the oracle is reproducible). */
   def decontaminate(spark: SparkSession, dir: String,
                     minShared: Int = 3, maxDf: Int = 20): DataFrame = {
+    graft.expressions.BoundedCollectLong.register(spark)
     val sh = Spread(graft.Tables.documents(spark, dir))
       .select(col("doc_id"),
         Sampling.splitOf(Sampling.splitBucket(col("doc_id"))).as("split"),
         explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
-    // Inverted-index shape: df comes from a COMPACT (sh, df) hash
-    // aggregate (map-side combine collapses hot shingles before the
-    // shuffle) joined back to the shingle stream — NOT a
-    // count-over-window on the raw stream: AQE skew-split repairs join
-    // partitions but never window exchanges, so one Zipf-hot
-    // boilerplate shingle would pin its whole partition on a single
-    // task (the same fix [[TextOps.boilerplateFraction]] carries). The
-    // join keeps only df ≤ maxDf keys, so collect_list buffers at most
-    // maxDf postings per key no matter how hot the key (shingles() is
-    // per-doc distinct, so count(*) = df), and pair explosion is
-    // ≤ maxDf² per shingle by construction. Cost: the shingle explode
-    // is planned twice (two corpus scans) — at 100 TB a second scan is
-    // streaming-cheap; a pinned straggler task is not.
-    val dfOk = sh.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
-      .select(col("sh"))
+    // Inverted-index shape: ONE corpus scan, ONE shuffle, bounded
+    // memory per key. The df cap and the posting lists come from the
+    // SAME hash aggregate via [[graft.expressions.BoundedCollectLong]]:
+    // the exact occurrence count rides next to an at-most-maxDf capped
+    // list, so a Zipf-hot boilerplate shingle streams through at
+    // counting cost (no unbounded collect_list buffer, no
+    // count-over-window pinning the hot partition on one task — AQE
+    // never splits a window exchange — and no second corpus scan for a
+    // separate (sh, df) frame to join back). Groups passing df ≤ maxDf
+    // have provably complete lists (true count ≤ cap), so the gate
+    // BEFORE the pair explode keeps explosion ≤ maxDf² per shingle by
+    // construction (shingles() is per-doc distinct, so count(*) = df).
     val postings = sh
-      .join(dfOk, Seq("sh"))
       .groupBy(col("sh"))
       .agg(
-        collect_list(when(col("split") === "train", col("doc_id")))
-          .as("train_docs"),
-        collect_list(when(col("split") === "test", col("doc_id")))
-          .as("eval_docs"))
-      .where(size(col("train_docs")) > 0 && size(col("eval_docs")) > 0)
+        count(lit(1)).as("df"),
+        call_function("bounded_collect_long",
+          when(col("split") === "train", col("doc_id")), lit(maxDf))
+          .as("tr"),
+        call_function("bounded_collect_long",
+          when(col("split") === "test", col("doc_id")), lit(maxDf))
+          .as("ev"))
+      .where(col("df") <= maxDf &&
+        col("tr.n") > 0 && col("ev.n") > 0)
     postings
-      .select(explode(col("train_docs")).as("train_doc"), col("eval_docs"))
+      .select(explode(col("tr.vals")).as("train_doc"),
+        col("ev.vals").as("eval_docs"))
       .select(col("train_doc"), explode(col("eval_docs")).as("eval_doc"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))

@@ -52,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     // lm_score: tf frame is pinned (localCheckpoint), so the final plan
     // scans only the join-back stream + the backfill list = 2; tfidf
     // derives df from a window over the first aggregate's output = 2.
-    Seq("q_boilerplate" -> 3, "q_lm_score" -> 2, "q_tfidf_terms" -> 2)
+    // decontaminate: BoundedCollectLong rides the df aggregate, so the
+    // inverted index needs exactly ONE corpus scan.
+    Seq("q_boilerplate" -> 3, "q_lm_score" -> 2, "q_tfidf_terms" -> 2,
+      "q_decontaminate" -> 1)
       .foreach { case (name, maxScans) =>
         val p = finalPlan(q(name))
         assert(count(p, "Scan parquet") <= maxScans,

@@ -52,4 +52,34 @@ class UdafSpec extends SparkSpec {
     assert(out(3).contains(Seq(2.0, 4.0)))
     assert(out(4).isEmpty)
   }
+
+  test("bounded_collect_long: exact n, capped vals, merge-safe, null-skipping") {
+    graft.expressions.BoundedCollectLong.register(spark)
+    // 8 partitions force partial-buffer merges; 3 groups of ~333 rows
+    // against a cap of 10.
+    val rows = spark.range(0, 1000)
+      .select((col("id") % 3).as("k"), col("id").as("v"))
+      .repartition(8)
+      .groupBy(col("k"))
+      .agg(expr("bounded_collect_long(v, 10)").as("b"))
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val b = r.getStruct(1)
+      val expectN = (0L until 1000L).count(_ % 3 == k)
+      assert(b.getLong(0) == expectN)            // exact count, past the cap
+      val vals = b.getSeq[Long](1)
+      assert(vals.length == 10)                  // capped, never more
+      assert(vals.forall(_ % 3 == k))            // only own-group members
+      assert(vals.distinct.length == 10)         // no duplicates minted
+    }
+    // under-cap group keeps everything; nulls are skipped like collect_list
+    val small = spark.range(0, 5)
+      .select(when(col("id") =!= 2, col("id")).as("v"))
+      .agg(expr("bounded_collect_long(v, 10)").as("b"))
+      .head().getStruct(0)
+    assert(small.getLong(0) == 4)
+    assert(small.getSeq[Long](1).sorted == Seq(0L, 1L, 3L, 4L))
+  }
 }
