@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.expressions.{DotProduct, HammingDistance}
+import graft.expressions.{BoundedCollectLong, DotProduct, HammingDistance}
 import graft.plans.RewriteDotProduct
 
 /** Engine plug-in for Spark's extension points. Two ways in:
@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming"),
       new ExpressionInfo(classOf[HammingDistance].getCanonicalName, "hamming"),
       HammingDistance.builder))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_collect_long"),
+      new ExpressionInfo(classOf[BoundedCollectLong].getCanonicalName,
+        "bounded_collect_long"),
+      BoundedCollectLong.builder))
   }
 }
 
@@ -40,6 +45,7 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     DotProduct.register(spark)
     HammingDistance.register(spark)
+    BoundedCollectLong.register(spark)
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
