@@ -75,7 +75,12 @@ object Bench {
     catch { case _: Throwable => () } // file record is best-effort; stdout is the contract
     println(full)
     // LAST line, compact and tail-safe — this is what the driver parses.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    // Only error NAMES ride here (bounded: ~15 bytes/query); messages
+    // live in the full line / bench_full.json. Embedding full messages
+    // would regrow the line past the tail buffer in exactly the
+    // mass-failure regime where reporting matters most.
+    val errNames = errors.map(e => jstr(e._1)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"error_queries":$errNames,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -178,6 +178,19 @@ object SparkEntry {
     * previous per-construction staging leaked several temp copies per
     * Bench/Verify run and billed the staging write to the query's bench
     * time). Deleted recursively on JVM exit. */
+  /** Fresh temp dir registered for recursive deletion at JVM exit —
+    * the one cleanup block all staging sites share. */
+  private def tempDirWithCleanup(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    dir
+  }
+
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -190,13 +203,7 @@ object SparkEntry {
         col("transaction_country").as("country"),
         date_format(col("transaction_datetime"), "yyyy-MM-dd HH:mm:ss")
           .as("date_time"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_rt")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      val dir = tempDirWithCleanup("graft_rt")
       fmt match {
         case "tsv" =>
           shaped.select(concat_ws("\t", col("transaction_id"), col("income"),
@@ -227,13 +234,7 @@ object SparkEntry {
 
   private def stagedPairTable(s: SparkSession, d: String): DataFrame = {
     val path = stagedPairTables.computeIfAbsent(d, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_pairs")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      val dir = tempDirWithCleanup("graft_pairs")
       operators.Dedup.buildPairTable(s, d, s"$dir/pairs")
       s"$dir/pairs"
     })
@@ -254,15 +255,13 @@ object SparkEntry {
   private def stagedJdbc(s: SparkSession, d: String): (String, Long, Long) =
     stagedJdbcDbs.computeIfAbsent(d, { _ =>
       import org.apache.spark.sql.functions._
-      val dir = java.nio.file.Files.createTempDirectory("graft_derby")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-      // Keep Derby's derby.log inside the doomed temp dir.
-      System.setProperty("derby.system.home", dir.toString)
+      val dir = tempDirWithCleanup("graft_derby")
+      // NO derby.system.home mutation: the property is read once at
+      // Derby boot, so setting it here is a no-op if anything booted
+      // Derby earlier (a metastore-enabled session) and, worse, would
+      // silently reroot any LATER relative-path Derby DB into this
+      // doomed temp dir. The DB path below is absolute; derby.log
+      // lands in CWD (gitignored) — harmless, and no global state.
       val url = s"jdbc:derby:$dir/txndb;create=true"
       val shaped = Relational.transactions(s, d).select(
         col("transaction_id").cast("long").as("transaction_id"),
@@ -270,49 +269,45 @@ object SparkEntry {
         col("transaction_country").as("country"),
         date_format(col("transaction_datetime"), "yyyy-MM-dd HH:mm:ss")
           .as("date_time"))
-      // Staging-time bounds for the partitioned read: a one-row agg,
-      // driver-side by necessity (they parameterize the reader).
-      val row = shaped.agg(min(col("transaction_id")),
-        max(col("transaction_id"))).collect()(0)
-      shaped.repartition(4).write.mode("overwrite")
-        .option("createTableColumnTypes",
-          "transaction_id BIGINT, income VARCHAR(32), country VARCHAR(64), " +
-            "date_time VARCHAR(32)")
-        .jdbc(url, "transactions", new java.util.Properties())
-      (url, row.getLong(0), row.getLong(1))
+        .persist() // two staging actions (bounds agg + write) — one join
+      try {
+        // Staging-time bounds for the partitioned read: a one-row agg,
+        // driver-side by necessity (they parameterize the reader).
+        val row = shaped.agg(min(col("transaction_id")),
+          max(col("transaction_id"))).collect()(0)
+        shaped.repartition(4).write.mode("overwrite")
+          .option("createTableColumnTypes",
+            "transaction_id BIGINT, income VARCHAR(32), country VARCHAR(64), " +
+              "date_time VARCHAR(32)")
+          .jdbc(url, "transactions", new java.util.Properties())
+        (url, row.getLong(0), row.getLong(1))
+      } finally shaped.unpersist()
     })
 
   private def ingestRoundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (fmt == "jdbc") {
-      val (url, lo, hi) = stagedJdbc(s, d)
-      val raw = sources.Ingest
-        .readJdbc(s, url, "transactions", "transaction_id", lo, hi, 8)
-        .select(col("transaction_id").cast("string").as("transaction_id"),
-          col("income"), col("country"), col("date_time"))
-      return raw.select(
-        col("transaction_id"),
-        col("income").cast("double").as("income"),
-        col("country"),
-        to_timestamp(col("date_time"), "yyyy-MM-dd HH:mm:ss").as("date_time"),
-        substring(col("date_time"), 1, 10).as("date"),
-        substring(col("date_time"), 12, 8).as("time"))
-    }
-    val dir = stagedDir(s, d, fmt)
     val raw = fmt match {
+      case "jdbc" =>
+        val (url, lo, hi) = stagedJdbc(s, d)
+        sources.Ingest
+          .readJdbc(s, url, "transactions", "transaction_id", lo, hi, 8)
+          .select(col("transaction_id").cast("string").as("transaction_id"),
+            col("income"), col("country"), col("date_time"))
       case "tsv" =>
-        sources.Ingest.readTsv(s, s"$dir/stage/*.txt",
+        sources.Ingest.readTsv(s, s"${stagedDir(s, d, fmt)}/stage/*.txt",
           sources.Ingest.transactionsSchema)
       case "jsonl" =>
-        sources.Ingest.readJsonl(s, s"$dir/stage/*.txt.gz",
+        sources.Ingest.readJsonl(s, s"${stagedDir(s, d, fmt)}/stage/*.txt.gz",
           sources.Ingest.transactionsSchema)
       case "orc" =>
-        sources.Ingest.readOrc(s, s"$dir/stage/*.orc",
+        sources.Ingest.readOrc(s, s"${stagedDir(s, d, fmt)}/stage/*.orc",
           sources.Ingest.transactionsSchema)
       case _ =>
-        sources.Ingest.readCsv(s, s"$dir/stage/*.csv",
+        sources.Ingest.readCsv(s, s"${stagedDir(s, d, fmt)}/stage/*.csv",
           sources.Ingest.transactionsSchema)
     }
+    // ONE raw→master normalization for all five formats — text and
+    // JDBC must stay in lockstep against the shared oracle.
     raw.select(
       col("transaction_id"),
       col("income").cast("double").as("income"),

@@ -124,7 +124,15 @@ object Multimodal {
     * the driver. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch {
+      // NOT just IOException: JDK codecs throw RuntimeExceptions on
+      // some malformed-but-recognized payloads (a BMP header declaring
+      // negative dims → NegativeArraySizeException, broken ICC data →
+      // CMMException). A corrupt payload must yield None, never kill
+      // the task — the operator is documented total over arbitrary
+      // bytes.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** dim-bucket mean-luminance profile over the raster in row-major
     * order (Rec. 601 integer weights over 255000 — exact rationals, so
@@ -199,17 +207,22 @@ object Multimodal {
   /** REAL resize for decodable payloads: Java2D bilinear resample into
     * the bounding box + PNG re-encode (still JDK-only); aspect ratio
     * preserved via a single scale factor, floor-rounded like
-    * [[resizeStub]]'s metadata math. Non-decodable payloads pass
-    * through untouched with resized = false, so the operator is total
-    * over a mixed-modality column. */
+    * [[resizeStub]]'s metadata math. Contract over a mixed-modality
+    * column: decodable images get their TRUE decoded dims (resized =
+    * whether a resample actually ran — within-box images pass through
+    * at original bytes and dims, matching [[resizeStub]]'s clamp-to-1
+    * metadata); non-decodable payloads pass through untouched with
+    * width = height = -1, the "no image here" marker. */
   def resizeImages(payloads: DataFrame, maxSide: Int = 256): DataFrame = {
     import payloads.sparkSession.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        decodeImage(bytes)
-          .filter(i => math.max(i.getWidth, i.getHeight) > maxSide)
-          .map { img =>
+        decodeImage(bytes) match {
+          case None => (id, bytes, -1, -1, false)
+          case Some(img) if math.max(img.getWidth, img.getHeight) <= maxSide =>
+            (id, bytes, img.getWidth, img.getHeight, false)
+          case Some(img) =>
             val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
             val nw = math.max(1, math.floor(img.getWidth * scale).toInt)
             val nh = math.max(1, math.floor(img.getHeight * scale).toInt)
@@ -223,8 +236,7 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(dst, "png", bos)
             (id, bos.toByteArray, nw, nh, true)
-          }
-          .getOrElse((id, bytes, -1, -1, false))
+        }
       })
       .toDF("doc_id", "payload", "width", "height", "resized")
   }

@@ -27,10 +27,17 @@ object TextOps {
   def tokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("\\S+"), lit(0))
 
+  /** The pre-tokenizer regex, shared by the declarative [[bpePieces]]
+    * and the imperative pair miner in [[bpeMergeCandidates]] — ONE
+    * constant so the two paths (and their common DuckDB oracle twin)
+    * cannot silently desync. Spark's `regexp_extract_all` runs this
+    * through the same java.util.regex engine the miner uses. */
+  val BpePiecePattern: String = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
   /** BPE-ish sub-word pieces: alpha runs, digit runs, and single
     * non-alphanumeric marks — the classic pre-tokenizer regex shape. */
   def bpePieces(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    regexp_extract_all(lower(c), lit(BpePiecePattern), lit(0))
 
   /** Distinct word n-gram shingles of the normalized token stream
     * (the MinHash/Jaccard unit). Empty array when fewer than n tokens
@@ -381,8 +388,10 @@ object TextOps {
     val pairRows = Spread(Tables.documents(spark, dir))
       .select(col("text")).as[String]
       .mapPartitions { docs =>
-        val re = java.util.regex.Pattern
-          .compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+        // Locale.ROOT mirrors Spark lower()'s locale-INDEPENDENT
+        // UTF8String lowercase (a default-locale toLowerCase would
+        // diverge under tr/az JVM locales on dotted-I).
+        val re = java.util.regex.Pattern.compile(BpePiecePattern)
         docs.flatMap { text =>
           if (text == null) Iterator.empty
           else {

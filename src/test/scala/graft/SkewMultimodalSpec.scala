@@ -114,7 +114,8 @@ class SkewMultimodalSpec extends SparkSpec {
       img2rgb(src, x, y)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(src, "png", bos)
-    val df = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes("UTF-8")))
+    val df = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes("UTF-8")),
+      (3L, halfWhitePng()))
       .toDF("doc_id", "payload")
     val out = Multimodal.resizeImages(df, maxSide = 16)
       .orderBy($"doc_id").collect()
@@ -123,9 +124,14 @@ class SkewMultimodalSpec extends SparkSpec {
       out(0).getBoolean(4))
     val redecoded = Multimodal.decodeImage(out(0).getAs[Array[Byte]](1)).get
     assert(redecoded.getWidth == 16 && redecoded.getHeight == 8)
-    // non-decodable payload: untouched pass-through, flagged
-    assert(!out(1).getBoolean(4) &&
+    // non-decodable payload: untouched pass-through, -1 dims marker
+    assert(!out(1).getBoolean(4) && out(1).getInt(2) == -1 &&
       new String(out(1).getAs[Array[Byte]](1), "UTF-8") == "not an image")
+    // decodable but already within the box: TRUE dims, original bytes,
+    // resized=false (a valid image must never look like a non-image)
+    assert(out(2).getInt(2) == 16 && out(2).getInt(3) == 16 &&
+      !out(2).getBoolean(4) &&
+      java.util.Arrays.equals(out(2).getAs[Array[Byte]](1), halfWhitePng()))
   }
 
   private def img2rgb(img: java.awt.image.BufferedImage, x: Int, y: Int): Unit =
