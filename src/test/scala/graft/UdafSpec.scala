@@ -82,4 +82,30 @@ class UdafSpec extends SparkSpec {
     assert(small.getLong(0) == 4)
     assert(small.getSeq[Long](1).sorted == Seq(0L, 1L, 3L, 4L))
   }
+
+  test("bounded_collect_long survives the sort-based fallback (spill path)") {
+    // ObjectHashAggregate falls back to sort-based aggregation past
+    // this many distinct keys per task — set it to 2 so the fallback
+    // (and with it the serialize/deserialize round-trip of partial
+    // buffers) is forced on a 100-key workload. Counts must stay exact
+    // and caps intact, exactly as on the pure hash path.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "2")
+      val rows = spark.range(0, 10000)
+        .select((col("id") % 100).as("k"), col("id").as("v"))
+        .repartition(8)
+        .groupBy(col("k"))
+        .agg(expr("bounded_collect_long(v, 7)").as("b"))
+        .collect()
+      assert(rows.length == 100)
+      rows.foreach { r =>
+        val b = r.getStruct(1)
+        assert(b.getLong(0) == 100L)         // exact count per key
+        val vals = b.getSeq[Long](1)
+        assert(vals.length == 7 && vals.forall(_ % 100 == r.getLong(0)))
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
