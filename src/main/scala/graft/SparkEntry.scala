@@ -157,6 +157,16 @@ object SparkEntry {
     // range-partitioned scan (8 parallel connections), then normalized
     // through the same raw→master casts as the text formats.
     "q_ingest_roundtrip_jdbc" -> ((s, d) => ingestRoundtrip(s, d, "jdbc")),
+    // analytic-window surface: LAG/LEAD/NTILE/PERCENT_RANK in one
+    // user-partitioned pass
+    "q_event_leadlag" -> ((s, d) => Events.leadLagAnalytics(s, d)),
+    // pivot with an EXPLICIT value domain (no eager distinct-values job)
+    "q_event_pivot" -> ((s, d) => Events.typePivot(s, d)),
+    // per-type daily z-score outliers from exact integer moment sums
+    "q_event_anomaly" -> ((s, d) => Events.valueAnomalies(s, d)),
+    // single-pass quantile sketch next to the exact histogram path,
+    // rank-tolerance-verified like q_approx_distinct
+    "q_approx_quantiles" -> ((s, d) => TextOps.approxLengthQuantiles(s, d)),
     // INTERSECT/EXCEPT completeness rows: sources publishing in both /
     // only the first of two language slices of the corpus.
     "q_set_ops" -> ((s, d) => {
@@ -970,6 +980,85 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q_event_leadlag" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |)
+        |SELECT user_id, event_id,
+        |       strftime(make_timestamp(ts_us), '%Y-%m-%d %H:%M:%S') AS ts,
+        |       event_type,
+        |       ts_us - LAG(ts_us, 1) OVER wt AS prev_gap_us,
+        |       LEAD(ts_us, 1) OVER wt - ts_us AS next_gap_us,
+        |       CAST(NTILE(4) OVER wv AS INT) AS value_quartile,
+        |       ROUND(PERCENT_RANK() OVER wv, 6) AS value_pct_rank
+        |FROM ev
+        |WINDOW wt AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |       wv AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+
+    "q_event_pivot" -> {
+      val cols = operators.Events.EventTypes.map { t =>
+        s"""NULLIF(CAST(COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT), 0) AS ${t}_n,
+           |       ROUND(SUM(CASE WHEN event_type = '$t' THEN value END), 2) AS ${t}_value""".stripMargin
+      }.mkString(",\n       ")
+      s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+         |       $cols
+         |FROM events
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q_event_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+        |         ROUND(SUM(value), 2) AS daily_value
+        |  FROM events GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT *, CAST(ROUND(daily_value * 100) AS BIGINT) AS cents
+        |  FROM daily
+        |), stats AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(cents) AS BIGINT) AS s1,
+        |         CAST(SUM(cents * cents) AS BIGINT) AS s2
+        |  FROM d2 GROUP BY 1
+        |), m AS (
+        |  SELECT d2.event_type AS event_type, d2.date AS date,
+        |         d2.daily_value AS daily_value, d2.cents AS cents,
+        |         CAST(s.s1 AS DOUBLE) / s.n AS mean_c,
+        |         CASE WHEN s.n > 1 THEN
+        |           (CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+        |             / (s.n - 1)
+        |         ELSE 0.0 END AS var_c
+        |  FROM d2 JOIN stats s ON d2.event_type = s.event_type
+        |), z AS (
+        |  SELECT event_type, date, daily_value,
+        |         CASE WHEN var_c > 0
+        |           THEN ROUND((cents - mean_c) / sqrt(var_c), 6)
+        |           ELSE 0.0 END AS z
+        |  FROM m
+        |)
+        |SELECT event_type, date, daily_value, z,
+        |       CASE WHEN abs(z) >= 2.0 THEN 1 ELSE 0 END AS anomaly
+        |FROM z""".stripMargin,
+
+    "q_approx_quantiles" ->
+      s"""WITH hist AS (
+        |  SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT lang, n_chars, cnt,
+        |         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+        |  FROM hist
+        |), pcts AS (SELECT UNNEST([${operators.TextOps.QuantilePcts.mkString(", ")}]) AS pct)
+        |SELECT lang, pct, MAX(n_docs) AS n_docs,
+        |       MIN(CASE WHEN cum >= (n_docs * pct + 99) // 100
+        |         THEN n_chars END) AS exact_chars,
+        |       1 AS approx_ok
+        |FROM cum CROSS JOIN pcts
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_set_ops" ->
       """SELECT source, 'intersect' AS op FROM
         |  (SELECT source FROM documents WHERE lang = 'en'

@@ -183,6 +183,112 @@ object Events {
         col("age_hours"), col("n_users"))
   }
 
+  /** Per-user event-stream analytics — the LAG/LEAD/NTILE/PERCENT_RANK
+    * surface beyond the ranking and running-total shapes already
+    * covered: microsecond gaps to the previous/next event, the event's
+    * value quartile within its user, and its exact percentile rank.
+    * Both windows partition by user_id, so Catalyst plans ONE shuffle
+    * for all four functions (the second window only re-sorts within
+    * partitions). Gap arithmetic stays in integer microseconds
+    * (engine-exact); percent_rank divides two small exact integers —
+    * (rank−1)/(n−1) — through the identical IEEE expression in both
+    * engines, and the (value, event_id) order is total so every rank
+    * and bucket is deterministic. Scale: user_id cardinality grows with
+    * the data — no low-cardinality pileup, no global window. */
+  def leadLagAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_gap_us",
+        col("ts_us") - lag(col("ts_us"), 1).over(byTs))
+      .withColumn("next_gap_us",
+        lead(col("ts_us"), 1).over(byTs) - col("ts_us"))
+      .withColumn("value_quartile", ntile(4).over(byValue))
+      .withColumn("value_pct_rank",
+        round(percent_rank().over(byValue), 6))
+      .select(col("user_id"), col("event_id"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("ts"),
+        col("event_type"), col("prev_gap_us"), col("next_gap_us"),
+        col("value_quartile"), col("value_pct_rank"))
+  }
+
+  /** Event types present in the fixture stream — the explicit pivot
+    * domain (see [[typePivot]] for why explicit matters at scale). */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Event-type pivot: one row per day, one (count, value-sum) column
+    * pair per event type. The pivot domain is EXPLICIT —
+    * `pivot(col, values)` with an enumerated list skips the eager
+    * distinct-values job Spark otherwise runs before the plan is even
+    * built (a full second pass over the corpus, collected to the
+    * driver, just to learn five strings — at 100 TB that job dwarfs
+    * the pivot itself). With the domain pinned this is ONE hash
+    * aggregate, one shuffle on the date key. A (day, type) combination
+    * with no rows stays null (Spark pivot semantics); the oracle twin
+    * reproduces that with NULLIF on the conditional count. */
+  def typePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).cast("string").as("date"),
+        col("event_type"), col("value"))
+      .groupBy(col("date"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("value"))
+
+  /** Daily per-type value anomalies by z-score, engine-exact: daily
+    * sums round to 2 dp and move to integer cents, the per-type moment
+    * sums (n, Σx, Σx²) accumulate in BIGINT — integer addition is
+    * order-independent, so no float-association drift across engines —
+    * and the z expression then divides the same exact integers through
+    * the identical IEEE expression shape on both sides. The per-type
+    * stats come from a compact aggregate joined back (broadcast at
+    * runtime by AQE; the daily aggregate's exchange is reused for both
+    * consumers) — no global or per-type window ever touches the daily
+    * stream. Zero-variance series get z = 0 rather than a division
+    * blow-up. Scale note: Σ(cents²) overflows BIGINT once a single
+    * day-type cell approaches ~$3×10⁹ at ~10⁶ cells; at that scale the
+    * moment columns swap to DECIMAL(38,0) — same plan shape. */
+  def valueAnomalies(spark: SparkSession, dir: String,
+                     zThreshold: Double = 2.0): DataFrame =
+    anomaliesFromDaily(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          to_date(col("ts")).cast("string").as("date"))
+        .agg(round(sum(col("value")), 2).as("daily_value")),
+      zThreshold)
+
+  /** Z-score core of [[valueAnomalies]] over any pre-aggregated
+    * (event_type, date, daily_value) frame — split out so the guard
+    * paths (zero variance, single-row series) are provable on
+    * constructed inputs. */
+  def anomaliesFromDaily(dailyIn: DataFrame,
+                         zThreshold: Double = 2.0): DataFrame = {
+    val daily = dailyIn
+      .withColumn("cents", round(col("daily_value") * 100).cast("long"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    daily.join(stats, "event_type")
+      .withColumn("mean_c", col("s1").cast("double") / col("n"))
+      .withColumn("var_c",
+        when(col("n") > 1,
+          (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n"))
+            / (col("n") - 1))
+          .otherwise(lit(0.0)))
+      .withColumn("z",
+        when(col("var_c") > 0,
+          round((col("cents") - col("mean_c")) / sqrt(col("var_c")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("date"), col("daily_value"), col("z"),
+        when(abs(col("z")) >= lit(zThreshold), 1).otherwise(0).as("anomaly"))
+  }
+
   /** The same sessionization through Spark's built-in `session_window`
     * aggregate — the idiomatic API, spec-cross-checked against
     * [[userSessions]] (see that method's scaladoc for why the

@@ -286,6 +286,62 @@ object TextOps {
           max(col("n_chars")).as("max_chars") +: qCols): _*)
   }
 
+  /** GK-sketch accuracy for [[approxLengthQuantiles]]: rank error ≤
+    * n/accuracy. */
+  val QuantileAccuracy = 10000
+
+  /** The sketch path next to [[lengthQuantiles]]' exact path: per-lang
+    * length percentiles via `percentile_approx` (a single-pass
+    * Greenwald-Khanna sketch — the 100 TB shape, where even the
+    * histogram's distinct-length domain is worth avoiding a second
+    * grain for), VERIFIED against the exact inverse-ECDF answer in the
+    * same frame. Like q_approx_distinct, the sketch VALUE can't
+    * hash-compare across engines, so the dumped frame carries the
+    * exact quantile plus a rank-tolerance verdict and the oracle
+    * asserts the verdict column is all-ones: the returned element's
+    * rank interval [cum−cnt+1, cum] (read from the histogram) must
+    * overlap the target rank p·n/100 within n/accuracy + 1 (the +1
+    * absorbs inverse-ECDF discreteness on tiny groups). Shape: two
+    * narrow scans of (lang, n_chars) — one histogram grain, one sketch
+    * grain — windows only over the compact histogram, quantile reads
+    * joined back against broadcast-size per-(lang,pct) rows. */
+  def approxLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
+    val hist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_docs", sum(col("cnt")).over(
+        Window.partitionBy(col("lang"))))
+    val pcts = QuantilePcts.toDF("pct")
+    val exact = hist.crossJoin(broadcast(pcts))
+      .groupBy(col("lang"), col("pct"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(when(col("cum") >= expr("(n_docs * pct + 99) div 100"),
+          col("n_chars"))).as("exact_chars"))
+    val approx = docs.groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"),
+        array(QuantilePcts.map(p => lit(p / 100.0)): _*),
+        lit(QuantileAccuracy)).as("av"))
+      .select(col("lang"), posexplode(col("av")).as(Seq("i", "approx_chars")))
+      .withColumn("pct", element_at(
+        array(QuantilePcts.map(lit): _*), col("i") + 1))
+      .drop("i")
+    exact.join(approx, Seq("lang", "pct"))
+      .join(hist.select(col("lang"), col("n_chars").as("approx_chars"),
+        col("cnt"), col("cum")), Seq("lang", "approx_chars"))
+      .withColumn("target", col("n_docs") * col("pct") / 100.0)
+      .withColumn("tol",
+        col("n_docs").cast("double") / QuantileAccuracy + 1.0)
+      .select(col("lang"), col("pct"), col("n_docs"), col("exact_chars"),
+        when(col("cum") >= col("target") - col("tol") &&
+          col("cum") - col("cnt") + 1 <= col("target") + col("tol"), 1)
+          .otherwise(0).as("approx_ok"))
+  }
+
   /** Top terms kept per language by [[tfidfTerms]]. */
   val TfidfK = 10
 

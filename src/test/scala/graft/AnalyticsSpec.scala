@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, TextOps}
+
+/** Semantic invariants for the round-5 analytic surface: lead/lag
+  * self-consistency, ntile bucket balance, pivot mass conservation,
+  * z-score guard paths, and the approx-quantile rank-tolerance verdict.
+  * (Value-level parity vs DuckDB is the oracle gate's job; these pin the
+  * properties an oracle hash can't express — e.g. that a pivot conserves
+  * the un-pivoted mass, or that zero variance can never divide by zero.) */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leadlag: prev/next gaps mirror each other and nulls mark stream edges") {
+    val ll = Events.leadLagAnalytics(spark, sf0001).cache()
+    try {
+      val users = ll.select(col("user_id")).distinct().count()
+      assert(ll.where(col("prev_gap_us").isNull).count() == users,
+        "exactly one null prev-gap (the first event) per user")
+      assert(ll.where(col("next_gap_us").isNull).count() == users,
+        "exactly one null next-gap (the last event) per user")
+      assert(ll.where(col("prev_gap_us") < 0 || col("next_gap_us") < 0)
+        .count() == 0, "time moves forward within a user stream")
+      // Every non-edge prev gap is some event's next gap of the same
+      // size: the two multisets (grouped per user) must be identical.
+      val prevM = ll.where(col("prev_gap_us").isNotNull)
+        .groupBy(col("user_id"), col("prev_gap_us").as("gap"))
+        .count()
+      val nextM = ll.where(col("next_gap_us").isNotNull)
+        .groupBy(col("user_id"), col("next_gap_us").as("gap"))
+        .count()
+      assert(prevM.exceptAll(nextM).isEmpty && nextM.exceptAll(prevM).isEmpty,
+        "per-user prev-gap and next-gap multisets must coincide")
+    } finally ll.unpersist()
+  }
+
+  test("leadlag: ntile quartiles are balanced and ordered by value") {
+    val ll = Events.leadLagAnalytics(spark, sf0001).cache()
+    try {
+      val sizes = ll.groupBy("user_id", "value_quartile").count()
+        .groupBy("user_id")
+        .agg(max("count").as("mx"), min("count").as("mn"),
+          countDistinct("value_quartile").as("nq"))
+        .collect()
+      sizes.foreach { r =>
+        assert(r.getAs[Long]("mx") - r.getAs[Long]("mn") <= 1,
+          s"ntile buckets within a user differ by at most 1: $r")
+        assert(r.getAs[Long]("nq") <= 4)
+      }
+      // pct_rank must be monotone in value within a user: the max value
+      // of quartile q stays <= the min value of quartile q+1.
+      val q = ll.groupBy("user_id", "value_quartile")
+        .agg(max("value_pct_rank").as("mxp"), min("value_pct_rank").as("mnp"))
+      val viol = q.as("a").join(q.as("b"),
+          $"a.user_id" === $"b.user_id" &&
+            $"a.value_quartile" + 1 === $"b.value_quartile")
+        .where($"a.mxp" > $"b.mnp")
+      assert(viol.isEmpty, "percent_rank ordered across quartile boundaries")
+    } finally ll.unpersist()
+  }
+
+  test("pivot conserves the un-pivoted mass per day") {
+    val piv = Events.typePivot(spark, sf0001)
+    val nCols = Events.EventTypes.map(t => coalesce(col(s"${t}_n"), lit(0L)))
+    val fromPivot = piv.select(
+      col("date"), nCols.reduce(_ + _).as("n"))
+    val plain = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).cast("string").as("date"))
+      .agg(count(lit(1)).as("n"))
+    assert(fromPivot.exceptAll(plain).isEmpty &&
+      plain.exceptAll(fromPivot).isEmpty,
+      "summing the pivoted counts re-derives the plain per-day counts")
+  }
+
+  test("anomaly z-scores: zero variance and single-row series never blow up") {
+    val daily = Seq(
+      ("flat", "2026-01-01", 10.0), ("flat", "2026-01-02", 10.0),
+      ("flat", "2026-01-03", 10.0),
+      ("lone", "2026-01-01", 42.0),
+      ("spike", "2026-01-01", 10.0), ("spike", "2026-01-02", 10.0),
+      ("spike", "2026-01-03", 10.0), ("spike", "2026-01-04", 10.0),
+      ("spike", "2026-01-05", 10.0), ("spike", "2026-01-06", 10.0),
+      ("spike", "2026-01-07", 200.0))
+      .toDF("event_type", "date", "daily_value")
+    val out = Events.anomaliesFromDaily(daily).cache()
+    try {
+      assert(out.where(col("z").isNull || isnan(col("z"))).count() == 0)
+      assert(out.where(col("event_type").isin("flat", "lone") &&
+        (col("z") =!= 0.0 || col("anomaly") =!= 0)).count() == 0,
+        "constant and single-point series carry z=0, no anomaly")
+      val spike = out.where(col("event_type") === "spike" &&
+        col("date") === "2026-01-07").collect().head
+      assert(spike.getAs[Int]("anomaly") == 1 &&
+        spike.getAs[Double]("z") > 2.0, s"the 20x day is flagged: $spike")
+      assert(out.where(col("event_type") === "spike").count() == 7)
+    } finally out.unpersist()
+  }
+
+  test("anomaly on the fixture: z-scores of each series sum to ~0") {
+    // Σz = 0 holds exactly for (x-mean)/std over any series; rounding to
+    // 6 dp leaves at most n*5e-7 of drift.
+    Events.valueAnomalies(spark, sf0001)
+      .groupBy("event_type")
+      .agg(sum("z").as("sz"), count(lit(1)).as("n"))
+      .collect()
+      .foreach { r =>
+        assert(math.abs(r.getAs[Double]("sz")) <= r.getAs[Long]("n") * 5e-7,
+          s"z-scores of a series sum to zero: $r")
+      }
+  }
+
+  test("approx quantiles agree with the exact inverse-ECDF path") {
+    val aq = TextOps.approxLengthQuantiles(spark, sf0001).cache()
+    try {
+      assert(aq.where(col("approx_ok") =!= 1).count() == 0,
+        "GK sketch rank error within tolerance for every (lang, pct)")
+      // exact_chars must match the wide exact-quantile frame column-wise.
+      val wide = TextOps.lengthQuantiles(spark, sf0001)
+      TextOps.QuantilePcts.foreach { p =>
+        val fromWide = wide.select(col("lang"), col(s"p${p}_chars"))
+        val fromLong = aq.where(col("pct") === p)
+          .select(col("lang"), col("exact_chars"))
+        assert(fromWide.exceptAll(fromLong).isEmpty &&
+          fromLong.exceptAll(fromWide).isEmpty,
+          s"p$p exact quantiles agree between the wide and long frames")
+      }
+    } finally aq.unpersist()
+  }
+}

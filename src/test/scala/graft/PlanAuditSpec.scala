@@ -87,6 +87,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("analytic surface keeps its documented shuffle/scan budget") {
+    // leadlag: both windows partition by user_id, so ONE exchange serves
+    // all four functions (the second window only re-sorts in place).
+    val ll = finalPlan(q("q_event_leadlag"))
+    assert(count(ll, "Scan parquet") == 1 &&
+      count(ll, "Exchange (hash|range)") == 1,
+      s"leadlag should be 1 scan + 1 shuffle:\n$ll")
+    // pivot: explicit value domain — NO eager distinct-values pass, so
+    // the whole query is one scan feeding the two-level pivot aggregate.
+    val pv = finalPlan(q("q_event_pivot"))
+    assert(count(pv, "Scan parquet") == 1 &&
+      count(pv, "Exchange (hash|range)") <= 2,
+      s"pivot should be 1 scan + the two-level aggregate:\n$pv")
+    // anomaly: per-type moments come from a compact aggregate joined
+    // back — no Window, and the daily aggregate's exchange is REUSED so
+    // the events table is scanned once.
+    val an = finalPlan(q("q_event_anomaly"))
+    assert(count(an, "Scan parquet") == 1 && !an.contains("Window"),
+      s"anomaly must reuse the daily aggregate, not rescan or window:\n$an")
+    // approx quantiles: histogram grain + sketch grain = 2 narrow scans.
+    val aq = finalPlan(q("q_approx_quantiles"))
+    assert(count(aq, "Scan parquet") <= 2,
+      s"approx quantiles reads (lang, n_chars) twice at most:\n$aq")
+  }
+
   test("business queries push projections into the scans") {
     val p = finalPlan(q("q_performance_metrics"))
     assert(count(p, "PushedFilters: \\[[^\\]]") >= 1, p)
