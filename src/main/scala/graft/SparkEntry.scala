@@ -162,6 +162,8 @@ object SparkEntry {
     "q_event_leadlag" -> ((s, d) => Events.leadLagAnalytics(s, d)),
     // pivot with an EXPLICIT value domain (no eager distinct-values job)
     "q_event_pivot" -> ((s, d) => Events.typePivot(s, d)),
+    // unpivot (melt) — the pivot's inverse; round-trips to the plain agg
+    "q_event_unpivot" -> ((s, d) => Events.typeUnpivot(s, d)),
     // per-type daily z-score outliers from exact integer moment sums
     "q_event_anomaly" -> ((s, d) => Events.valueAnomalies(s, d)),
     // single-pass quantile sketch next to the exact histogram path,
@@ -1007,6 +1009,12 @@ object SparkEntry {
          |FROM events
          |GROUP BY 1""".stripMargin
     },
+
+    "q_event_unpivot" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type,
+        |       ROUND(SUM(value), 2) AS daily_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_event_anomaly" ->
       """WITH daily AS (

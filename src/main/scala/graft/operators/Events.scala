@@ -241,6 +241,24 @@ object Events {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("value"))
 
+  /** Inverse of [[typePivot]]: melt the per-type value columns back to
+    * (date, event_type, daily_value) long form through the native
+    * `unpivot` — an Expand over the already-aggregated pivot frame, so
+    * the melt itself is map-only (no shuffle beyond the pivot's own).
+    * Null cells (day-type combos with no events) drop on the way back,
+    * making pivot∘unpivot EXACTLY the plain two-key aggregate — the
+    * round-trip AnalyticsSpec proves in-engine and the oracle twin
+    * states directly. The unpivot aliases carry the bare event type, so
+    * no string surgery on generated column names survives to the
+    * output. */
+  def typeUnpivot(spark: SparkSession, dir: String): DataFrame =
+    typePivot(spark, dir)
+      .unpivot(
+        Array(col("date")),
+        EventTypes.map(t => col(s"${t}_value").as(t)).toArray,
+        "event_type", "daily_value")
+      .where(col("daily_value").isNotNull)
+
   /** Daily per-type value anomalies by z-score, engine-exact: daily
     * sums round to 2 dp and move to integer cents, the per-type moment
     * sums (n, Σx, Σx²) accumulate in BIGINT — integer addition is

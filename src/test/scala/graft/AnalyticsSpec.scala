@@ -73,6 +73,17 @@ class AnalyticsSpec extends SparkSpec {
       "summing the pivoted counts re-derives the plain per-day counts")
   }
 
+  test("pivot then unpivot round-trips to the plain two-key aggregate") {
+    val melted = Events.typeUnpivot(spark, sf0001)
+    val plain = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).cast("string").as("date"),
+        col("event_type"))
+      .agg(round(sum(col("value")), 2).as("daily_value"))
+    assert(melted.exceptAll(plain).isEmpty &&
+      plain.exceptAll(melted).isEmpty,
+      "unpivot(pivot(x)) == groupBy(date, event_type) exactly")
+  }
+
   test("anomaly z-scores: zero variance and single-row series never blow up") {
     val daily = Seq(
       ("flat", "2026-01-01", 10.0), ("flat", "2026-01-02", 10.0),
