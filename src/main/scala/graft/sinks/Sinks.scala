@@ -198,6 +198,67 @@ object Sinks {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** The multi-column completion of [[writeRangeLayout]]: cluster files
+    * on a Z-ORDER (Morton) key so range predicates on ANY of the layout
+    * columns — and especially on several at once — skip files via
+    * parquet min/max stats. A single-column range layout makes each
+    * file span the full domain of every OTHER column, so a 2-D box
+    * predicate still opens every file matching dim 1; interleaving the
+    * bits gives every file a small bounding box in all layout dims at
+    * once (file count intersecting a box shrinks from O(selectivity·F)
+    * to ~O(box-area·F)).
+    *
+    * Mechanics: each column is min/max-normalized to a 16-bit integer
+    * (the min/max pass is ONE compact aggregate collected to the
+    * driver — 2·N scalars, not data); bit b of column i lands at
+    * position b·N+i of the 64-bit z-value (so ≤ 4 columns); the write
+    * is then exactly the range-layout shape — one sampled range
+    * shuffle on z, sort within partitions, every task writes its own
+    * file. The z column is dropped before writing: it is a LAYOUT
+    * device, not data, and recomputable from the stats. Nulls
+    * normalize to bucket 0 (they sort first, same as a plain sort
+    * layout). Skew note: repartitionByRange samples the z
+    * distribution, so value-heavy cells split across files instead of
+    * pinning one writer. */
+  def writeZOrderLayout(df: DataFrame, path: String, cols: Seq[String],
+                        files: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size <= 4,
+      s"z-order interleaves 16 bits per column into 64: 1-4 cols, got $cols")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val z = zValue(cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (row.getAs[Double](s"mn_$c"), row.getAs[Double](s"mx_$c"))
+      val span = if (mx > mn) mx - mn else 1.0
+      // 16-bit bucket; nulls → 0 (sort first, like a plain sort layout)
+      least(greatest(coalesce(
+        ((col(c).cast("double") - mn) / span * 65535.0), lit(0.0)),
+        lit(0.0)), lit(65535.0)).cast("long")
+    })
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Morton interleave of pre-bucketed 16-bit values: bit b of input i
+    * → output bit b·N+i. Unrolled into 16·N codegen-friendly
+    * shift/or terms — no UDF, stays inside whole-stage codegen. */
+  private def zValue(buckets: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val n = buckets.size
+    val terms = for {
+      (bk, i) <- buckets.zipWithIndex
+      b <- 0 until 16
+    } yield shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** F8: mint a landed-object name `<table>_<yyyyMMdd>_<uuid4-prefix>.<ext>`
     * (`cloud_function/create_campaigns/csv/main.py:17-21`). */
   def mintObjectName(table: String, ext: String,
