@@ -169,6 +169,9 @@ object SparkEntry {
     // single-pass quantile sketch next to the exact histogram path,
     // rank-tolerance-verified like q_approx_distinct
     "q_approx_quantiles" -> ((s, d) => TextOps.approxLengthQuantiles(s, d)),
+    // frequent-items sketch (approx_top_k) next to the exact top-k,
+    // additive-error-verified — completes the verified-sketch tier
+    "q_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(s, d)),
     // INTERSECT/EXCEPT completeness rows: sources publishing in both /
     // only the first of two language slices of the corpus.
     "q_set_ops" -> ((s, d) => {
@@ -1009,6 +1012,17 @@ object SparkEntry {
          |FROM events
          |GROUP BY 1""".stripMargin
     },
+
+    "q_heavy_hitters" ->
+      s"""$ToksCte, counts AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM (SELECT unnest(t) AS tok FROM toks)
+         |  GROUP BY 1
+         |)
+         |SELECT tok, n_tok, 1 AS approx_ok
+         |FROM counts
+         |ORDER BY n_tok DESC, tok
+         |LIMIT 20""".stripMargin,
 
     "q_event_unpivot" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type,

@@ -342,6 +342,45 @@ object TextOps {
           .otherwise(0).as("approx_ok"))
   }
 
+  /** Items tracked by the [[heavyHitters]] frequent-items sketch. */
+  val HeavyHittersTracked = 10000
+
+  /** Corpus heavy hitters: the exact global top-k tokens next to Spark
+    * 4's `approx_top_k` (an Apache DataSketches frequent-items sketch —
+    * single-pass, mergeable, fixed memory: THE 100 TB shape, where the
+    * exact path's full token aggregate is worth skipping). Completes
+    * the verified-sketch tier: HLL (q_approx_distinct), GK quantiles
+    * (q_approx_quantiles), and now frequent items — each exact-checked
+    * in the same frame with a tolerance verdict the oracle asserts
+    * all-ones. The frequent-items guarantee is additive: every true
+    * count-(3.5·N/maxTracked) heavy item is tracked, with estimate
+    * error ≤ that same bound (+1 absorbs the boundary), so each exact
+    * top-k token must appear in the sketch within tolerance. The exact
+    * side is a hash aggregate into `TakeOrderedAndProject` (per-
+    * partition top-k, then a k-row merge on the driver-side single
+    * partition — never a global sort), deterministically tie-broken by
+    * (count desc, token asc); the sketch side is ONE one-row aggregate
+    * exploded to k rows and hash-joined back. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20,
+                   maxTracked: Int = HeavyHittersTracked): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val exactTop = counts.orderBy(col("n_tok").desc, col("tok")).limit(k)
+    val total = counts.agg(sum(col("n_tok")).as("n_total"))
+    val sketch = toks
+      .agg(expr(s"approx_top_k(tok, $k, $maxTracked)").as("sk"))
+      .select(explode(col("sk")).as("s"))
+      .select(col("s.item").as("tok"), col("s.count").as("est"))
+    exactTop.join(sketch, Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("n_tok"),
+        when(col("est").isNotNull &&
+          abs(col("est") - col("n_tok")) <=
+            col("n_total") * 3.5 / maxTracked + 1.0, 1)
+          .otherwise(0).as("approx_ok"))
+  }
+
   /** Top terms kept per language by [[tfidfTerms]]. */
   val TfidfK = 10
 

@@ -121,6 +121,25 @@ class AnalyticsSpec extends SparkSpec {
       }
   }
 
+  test("heavy hitters: sketch tracks every exact top-k token within additive error") {
+    val hh = TextOps.heavyHitters(spark, sf0001).cache()
+    try {
+      assert(hh.count() == 20)
+      assert(hh.where(col("approx_ok") =!= 1).count() == 0,
+        "every exact heavy hitter appears in the sketch within tolerance")
+      // The exact side must equal a brute-force count over the token
+      // stream with the same (count desc, token) tie-break.
+      val brute = Tables.documents(spark, sf0001)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").count()
+        .orderBy(col("count").desc, col("tok")).limit(20)
+        .withColumnRenamed("count", "n_tok")
+      assert(hh.select("tok", "n_tok").exceptAll(brute).isEmpty &&
+        brute.exceptAll(hh.select("tok", "n_tok")).isEmpty,
+        "exact top-k side matches brute force")
+    } finally hh.unpersist()
+  }
+
   test("approx quantiles agree with the exact inverse-ECDF path") {
     val aq = TextOps.approxLengthQuantiles(spark, sf0001).cache()
     try {
