@@ -1000,7 +1000,8 @@ object SparkEntry {
         |       ROUND(PERCENT_RANK() OVER wv, 6) AS value_pct_rank
         |FROM ev
         |WINDOW wt AS (PARTITION BY user_id ORDER BY ts_us, event_id),
-        |       wv AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+        |       wv AS (PARTITION BY user_id
+        |              ORDER BY value NULLS FIRST, event_id)""".stripMargin,
 
     "q_event_pivot" -> {
       val cols = operators.Events.EventTypes.map { t =>

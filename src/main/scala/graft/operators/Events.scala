@@ -193,8 +193,11 @@ object Events {
     * (engine-exact); percent_rank divides two small exact integers —
     * (rank−1)/(n−1) — through the identical IEEE expression in both
     * engines, and the (value, event_id) order is total so every rank
-    * and bucket is deterministic. Scale: user_id cardinality grows with
-    * the data — no low-cardinality pileup, no global window. */
+    * and bucket is deterministic. The oracle twin spells out NULLS
+    * FIRST to match Spark's ASC default (DuckDB defaults to NULLS
+    * LAST — invisible on the null-free fixture, a silent divergence on
+    * real data). Scale: user_id cardinality grows with the data — no
+    * low-cardinality pileup, no global window. */
   def leadLagAnalytics(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byTs = Window.partitionBy(col("user_id"))

@@ -225,6 +225,12 @@ object Sinks {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size <= 4,
       s"z-order interleaves 16 bits per column into 64: 1-4 cols, got $cols")
+    cols.foreach { c =>
+      val f = df.schema(c)
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order layout column must be numeric (strings would all " +
+          s"collapse to bucket 0): $c is ${f.dataType.simpleString}")
+    }
     val aggs = cols.flatMap { c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"),
         max(col(c).cast("double")).as(s"mx_$c"))
