@@ -183,16 +183,6 @@ object SparkEntry {
     }),
   )
 
-  /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
-    * into the reference's raw text format, stage it as CSV-with-header
-    * (or headerless TSV), re-read with the all-STRING raw schema, and
-    * normalize through the raw→master casts. The oracle reads the
-    * parquet directly — a hash match proves the text round-trip is
-    * lossless. */
-  /** Staged text copies, one per (sfDir, format) per JVM (ADVICE r2: the
-    * previous per-construction staging leaked several temp copies per
-    * Bench/Verify run and billed the staging write to the query's bench
-    * time). Deleted recursively on JVM exit. */
   /** Fresh temp dir registered for recursive deletion at JVM exit —
     * the one cleanup block all staging sites share. */
   private def tempDirWithCleanup(prefix: String): java.nio.file.Path = {
@@ -206,9 +196,19 @@ object SparkEntry {
     dir
   }
 
+  /** Staged text copies, one per (sfDir, format) per JVM (ADVICE r2: the
+    * previous per-construction staging leaked several temp copies per
+    * Bench/Verify run and billed the staging write to the query's bench
+    * time). Deleted recursively on JVM exit. */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** S1/S5 + F1-F4 exercised end-to-end: shape the fixture transactions
+    * into the reference's raw text format, stage it as CSV-with-header
+    * (or headerless TSV), re-read with the all-STRING raw schema, and
+    * normalize through the raw→master casts. The oracle reads the
+    * parquet directly — a hash match proves the text round-trip is
+    * lossless. */
   private def stagedDir(s: SparkSession, d: String, fmt: String): String =
     stagedDirs.computeIfAbsent((d, fmt), { _ =>
       import org.apache.spark.sql.functions._

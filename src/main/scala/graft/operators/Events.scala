@@ -248,19 +248,32 @@ object Events {
     * (date, event_type, daily_value) long form through the native
     * `unpivot` — an Expand over the already-aggregated pivot frame, so
     * the melt itself is map-only (no shuffle beyond the pivot's own).
-    * Null cells (day-type combos with no events) drop on the way back,
-    * making pivot∘unpivot EXACTLY the plain two-key aggregate — the
-    * round-trip AnalyticsSpec proves in-engine and the oracle twin
-    * states directly. The unpivot aliases carry the bare event type, so
-    * no string surgery on generated column names survives to the
-    * output. */
+    * Each melted cell is a (count, value-sum) STRUCT so absence is
+    * judged on the COUNT: a (day, type) combo with no events drops on
+    * the way back, while one whose events all carry NULL values
+    * survives with a NULL sum — exactly what the plain two-key
+    * aggregate produces (filtering on the value alone would wrongly
+    * drop that second class; invisible on the null-free fixture, a
+    * divergence on real data). pivot∘unpivot is therefore EXACTLY the
+    * plain aggregate — the round-trip AnalyticsSpec proves in-engine
+    * and the oracle twin states directly. The unpivot aliases carry
+    * the bare event type, so no string surgery on generated column
+    * names survives to the output. */
   def typeUnpivot(spark: SparkSession, dir: String): DataFrame =
-    typePivot(spark, dir)
-      .unpivot(
+    meltTypePivot(typePivot(spark, dir))
+
+  /** Melt core of [[typeUnpivot]] over any [[typePivot]]-shaped frame —
+    * split out so the all-NULL-values cell class (absent from the
+    * null-free fixture) is provable on constructed input. */
+  def meltTypePivot(piv: DataFrame): DataFrame =
+    piv.unpivot(
         Array(col("date")),
-        EventTypes.map(t => col(s"${t}_value").as(t)).toArray,
-        "event_type", "daily_value")
-      .where(col("daily_value").isNotNull)
+        EventTypes.map(t =>
+          struct(col(s"${t}_n").as("n"), col(s"${t}_value").as("v")).as(t))
+          .toArray,
+        "event_type", "cell")
+      .where(col("cell.n").isNotNull)
+      .select(col("date"), col("event_type"), col("cell.v").as("daily_value"))
 
   /** Daily per-type value anomalies by z-score, engine-exact: daily
     * sums round to 2 dp and move to integer cents, the per-type moment

@@ -360,7 +360,13 @@ object TextOps {
     * partition top-k, then a k-row merge on the driver-side single
     * partition — never a global sort), deterministically tie-broken by
     * (count desc, token asc); the sketch side is ONE one-row aggregate
-    * exploded to k rows and hash-joined back. */
+    * exploded and hash-joined back. The sketch is queried with 5k
+    * SLACK, not k: estimated ordering can displace a true top-k item
+    * past the cut when neighbors sit within the error bound of each
+    * other, and the additive guarantee covers tracked items, not the
+    * cut itself — slack keeps boundary-tied items in the join (ties
+    * denser than 5k-deep within 2·error remain theoretically able to
+    * evict, which the verdict column would then surface, not hide). */
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 20,
                    maxTracked: Int = HeavyHittersTracked): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -369,7 +375,7 @@ object TextOps {
     val exactTop = counts.orderBy(col("n_tok").desc, col("tok")).limit(k)
     val total = counts.agg(sum(col("n_tok")).as("n_total"))
     val sketch = toks
-      .agg(expr(s"approx_top_k(tok, $k, $maxTracked)").as("sk"))
+      .agg(expr(s"approx_top_k(tok, ${5 * k}, $maxTracked)").as("sk"))
       .select(explode(col("sk")).as("s"))
       .select(col("s.item").as("tok"), col("s.count").as("est"))
     exactTop.join(sketch, Seq("tok"), "left")

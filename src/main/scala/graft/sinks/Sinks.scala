@@ -236,6 +236,10 @@ object Sinks {
         max(col(c).cast("double")).as(s"mx_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    if (row.isNullAt(0)) { // empty input: no stats to layout on — write
+      df.write.mode("overwrite").parquet(path) // the empty dataset as-is,
+      return // matching writeRangeLayout's behavior
+    }
     val z = zValue(cols.zipWithIndex.map { case (c, i) =>
       val (mn, mx) = (row.getAs[Double](s"mn_$c"), row.getAs[Double](s"mx_$c"))
       val span = if (mx > mn) mx - mn else 1.0

@@ -84,6 +84,26 @@ class AnalyticsSpec extends SparkSpec {
       "unpivot(pivot(x)) == groupBy(date, event_type) exactly")
   }
 
+  test("unpivot keeps all-NULL-value cells and drops truly absent ones") {
+    // A day where clicks happened but every value was NULL (n=2, v=null)
+    // must survive the melt with a NULL sum — that IS what the plain
+    // aggregate produces; a combo with no rows at all (n=null) must not.
+    val piv = Seq(("2026-01-01", Some(2L), None: Option[Double]))
+      .toDF("date", "click_n", "click_value")
+      .withColumn("error_n", lit(null).cast("long"))
+      .withColumn("error_value", lit(null).cast("double"))
+      .withColumn("purchase_n", lit(3L))
+      .withColumn("purchase_value", lit(1.5))
+      .withColumn("signup_n", lit(null).cast("long"))
+      .withColumn("signup_value", lit(null).cast("double"))
+      .withColumn("view_n", lit(null).cast("long"))
+      .withColumn("view_value", lit(null).cast("double"))
+    val out = Events.meltTypePivot(piv).collect()
+      .map(r => (r.getString(1), Option(r.get(2)))).toMap
+    assert(out == Map("click" -> None, "purchase" -> Some(1.5)),
+      s"melt keeps the null-sum click cell, drops absent types: $out")
+  }
+
   test("anomaly z-scores: zero variance and single-row series never blow up") {
     val daily = Seq(
       ("flat", "2026-01-01", 10.0), ("flat", "2026-01-02", 10.0),

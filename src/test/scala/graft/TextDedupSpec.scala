@@ -150,26 +150,19 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("pair table build/serve is bit-identical to inline recompute") {
-    val dir = java.nio.file.Files.createTempDirectory("pairs_spec")
-    try {
-      Dedup.buildPairTable(spark, sf0001, s"$dir/pairs")
-      val served = Dedup.pairTable(spark, s"$dir/pairs")
-      val inline = Dedup.ngramJaccard(spark, sf0001)
-      // exceptAll both ways = multiset equality, doubles included
-      // (parquet round-trips IEEE doubles and longs exactly)
-      assert(served.exceptAll(inline).isEmpty &&
-        inline.exceptAll(served).isEmpty)
-      // consumers served from the table match their inline twins
-      val cServed = Dedup.dedupClustersFrom(served)
-      val cInline = Dedup.dedupClusters(spark, sf0001)
-      assert(cServed.exceptAll(cInline).isEmpty &&
-        cInline.exceptAll(cServed).isEmpty)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    val dir = tmpDir("pairs_spec")
+    Dedup.buildPairTable(spark, sf0001, s"$dir/pairs")
+    val served = Dedup.pairTable(spark, s"$dir/pairs")
+    val inline = Dedup.ngramJaccard(spark, sf0001)
+    // exceptAll both ways = multiset equality, doubles included
+    // (parquet round-trips IEEE doubles and longs exactly)
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty)
+    // consumers served from the table match their inline twins
+    val cServed = Dedup.dedupClustersFrom(served)
+    val cInline = Dedup.dedupClusters(spark, sf0001)
+    assert(cServed.exceptAll(cInline).isEmpty &&
+      cInline.exceptAll(cServed).isEmpty)
   }
 
   test("simhash64 banding is COMPLETE to radius 3 vs brute force") {
