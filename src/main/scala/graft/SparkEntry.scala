@@ -172,6 +172,22 @@ object SparkEntry {
     // frequent-items sketch (approx_top_k) next to the exact top-k,
     // additive-error-verified — completes the verified-sketch tier
     "q_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(s, d)),
+    // the composed end-to-end chain — curation (pair-table near-dup
+    // removal + quality gate) → hash train-split → token-budget
+    // packing — as ONE Catalyst plan: the split is a per-row
+    // projection (no join), packing's per-lang window runs on the
+    // already-thinned survivors, and Catalyst prunes/pushes through
+    // the whole composition. Proves the operators are an ENGINE, not
+    // isolated demos.
+    "q_corpus_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val curated = Curation.curatedDocsFrom(s, d, stagedPairTable(s, d))
+        .select(col("doc_id"))
+      val kept = graft.Tables.documents(s, d)
+        .join(curated, "doc_id")
+        .where(Sampling.splitBucket(col("doc_id")) < 80)
+      Sampling.packSequencesOf(kept)
+    }),
     // INTERSECT/EXCEPT completeness rows: sources publishing in both /
     // only the first of two language slices of the corpus.
     "q_set_ops" -> ((s, d) => {
@@ -1024,6 +1040,54 @@ object SparkEntry {
          |FROM counts
          |ORDER BY n_tok DESC, tok
          |LIMIT 20""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      s"""$ToksCte, $minhashCtes, jac AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |), losers AS (
+         |  SELECT DISTINCT doc_b FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |), base AS (
+         |  SELECT doc_id,
+         |         len(text) AS n_chars,
+         |         len(t) AS n_tokens,
+         |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         |         ${hitsExpr(TextOps.StopWords.head._2)} AS n_stop
+         |  FROM toks
+         |), ratios AS (
+         |  SELECT *,
+         |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+         |         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+         |  FROM base
+         |), curated AS (
+         |  SELECT doc_id FROM ratios
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+         |    AND n_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)
+         |), kept AS (
+         |  SELECT toks.doc_id AS doc_id, lang,
+         |         CAST(len(t) AS BIGINT) AS n_tokens
+         |  FROM toks JOIN curated ON toks.doc_id = curated.doc_id
+         |  WHERE CAST('0x' || substr(md5('split:' || toks.doc_id::VARCHAR), 1, 8)
+         |          AS BIGINT) % 100 < 80
+         |), off AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_offset
+         |  FROM kept
+         |)
+         |SELECT lang,
+         |       start_offset // ${operators.Sampling.PackBudget} AS pack_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       MIN(doc_id) AS first_doc,
+         |       MAX(doc_id) AS last_doc
+         |FROM off GROUP BY 1, 2""".stripMargin,
 
     "q_event_unpivot" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type,

@@ -9,6 +9,26 @@ import graft.operators.{Dedup, Joins, Privacy, Sampling, TextOps}
   * oracle covers exactness at sf0.01). */
 class CorpusAssemblySpec extends SparkSpec {
 
+  test("composed pipeline packs exactly the curation-surviving train docs") {
+    import graft.operators.Curation
+    val packs = SparkEntry.queries("q_corpus_pipeline")(spark, sf0001)
+    val packed = packs.agg(sum("n_docs").as("d"), sum("n_tokens").as("t"))
+      .head()
+    // Independent recomputation through the inline (non-pair-table)
+    // curation path and the standalone split operator.
+    val kept = Curation.curatedDocs(spark, sf0001).select("doc_id")
+      .join(Sampling.trainSplit(spark, sf0001)
+        .where(col("split") === "train").select("doc_id"), "doc_id")
+    val keptTokens = Tables.documents(spark, sf0001)
+      .join(kept, "doc_id")
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(packed.getLong(0) == kept.count(),
+      "every curation survivor in the train split is packed exactly once")
+    assert(packed.getLong(1) == keptTokens,
+      "pack token mass equals the kept documents' token mass")
+  }
+
   test("chunks reassemble losslessly to the original document") {
     import graft.operators.TextOps
     val overlap = TextOps.ChunkSize - TextOps.ChunkStride
