@@ -271,6 +271,29 @@ class IngestSinksSpec extends SparkSpec {
       back.exceptAll(grid).isEmpty && grid.exceptAll(back).isEmpty)
   }
 
+  test("versioned publish: readers follow LATEST, crashes stay invisible, vacuum keeps current") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft_pub")
+    val v1 = spark.range(10).select(col("id"))
+    val v2 = spark.range(20).select(col("id"))
+    assert(Sinks.publishVersioned(v1, s"$dir/t") == 1)
+    assert(Sinks.readLatest(spark, s"$dir/t").count() == 10)
+    assert(Sinks.publishVersioned(v2, s"$dir/t") == 2)
+    assert(Sinks.readLatest(spark, s"$dir/t").count() == 20)
+    // Crashed publish: a v=3 directory exists but the pointer was never
+    // flipped — readers keep resolving v=2, and the next publish moves
+    // PAST the stranded number instead of colliding with it.
+    spark.range(5).write.parquet(s"$dir/t/v=3")
+    assert(Sinks.readLatest(spark, s"$dir/t").count() == 20)
+    assert(Sinks.publishVersioned(v1, s"$dir/t") == 4)
+    assert(Sinks.readLatest(spark, s"$dir/t").count() == 10)
+    // Vacuum drops everything below current (incl. the stranded v=3),
+    // never the pointed-to version itself.
+    assert(Sinks.vacuumVersions(spark, s"$dir/t") == Seq(1, 2, 3))
+    assert(Sinks.readLatest(spark, s"$dir/t").count() == 10)
+    assert(!new java.io.File(s"$dir/t/v=1").exists())
+  }
+
   test("normalizeTransactions casts strings null-tolerantly") {
     val raw = Seq(
       ("1", "12.50", "Peru", "2023-07-07 08:21:23"),
