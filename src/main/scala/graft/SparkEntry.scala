@@ -1052,18 +1052,17 @@ object SparkEntry {
          |), losers AS (
          |  SELECT DISTINCT doc_b FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
          |), base AS (
+         |  -- only the gates `curated` filters on (the stopword signal
+         |  -- feeds quality_score, which the pipeline does not re-emit)
          |  SELECT doc_id,
          |         len(text) AS n_chars,
          |         len(t) AS n_tokens,
-         |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
-         |         ${hitsExpr(TextOps.StopWords.head._2)} AS n_stop
+         |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
          |  FROM toks
          |), ratios AS (
          |  SELECT *,
          |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
-         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
-         |         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
-         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio
          |  FROM base
          |), curated AS (
          |  SELECT doc_id FROM ratios

@@ -266,16 +266,7 @@ object TextOps {
     * the swap-in is `percentile_approx` (same output columns, documented
     * error bound). */
   def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = Tables.documents(spark, dir)
-      .groupBy(col("lang"), col("n_chars"))
-      .agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n_docs", sum(col("cnt")).over(
-        Window.partitionBy(col("lang"))))
+    val cum = cumLengthHist(spark, dir)
     val qCols = QuantilePcts.map { p =>
       min(when(col("cum") >= expr(s"(n_docs * $p + 99) div 100"),
         col("n_chars"))).as(s"p${p}_chars")
@@ -284,6 +275,24 @@ object TextOps {
       .agg(max(col("n_docs")).as("n_docs"),
         (min(col("n_chars")).as("min_chars") +:
           max(col("n_chars")).as("max_chars") +: qCols): _*)
+  }
+
+  /** THE cumulative length histogram — (lang, n_chars, cnt, cum,
+    * n_docs), the single definition of the type-1 inverse-ECDF both the
+    * exact quantile path and the sketch-verification path read from (a
+    * second copy could drift and silently desync the anchor from the
+    * thing it anchors). Windows run over the compact histogram frame
+    * (bounded by the distinct-length domain, not the corpus). */
+  private def cumLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_docs", sum(col("cnt")).over(
+        Window.partitionBy(col("lang"))))
   }
 
   /** GK-sketch accuracy for [[approxLengthQuantiles]]: rank error ≤
@@ -306,16 +315,9 @@ object TextOps {
     * grain — windows only over the compact histogram, quantile reads
     * joined back against broadcast-size per-(lang,pct) rows. */
   def approxLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
-    val hist = docs.groupBy(col("lang"), col("n_chars"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n_docs", sum(col("cnt")).over(
-        Window.partitionBy(col("lang"))))
+    val hist = cumLengthHist(spark, dir)
     val pcts = QuantilePcts.toDF("pct")
     val exact = hist.crossJoin(broadcast(pcts))
       .groupBy(col("lang"), col("pct"))
@@ -373,13 +375,17 @@ object TextOps {
       .select(explode(tokens(col("text"))).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
     val exactTop = counts.orderBy(col("n_tok").desc, col("tok")).limit(k)
-    val total = counts.agg(sum(col("n_tok")).as("n_total"))
+    // n_total rides the sketch's ONE-row aggregate (a separate
+    // counts.agg would be a third consumer of the exploded-token tree,
+    // leaning on exchange reuse to avoid a redundant pass) and reaches
+    // every exploded row by projection — no crossJoin needed.
     val sketch = toks
-      .agg(expr(s"approx_top_k(tok, ${5 * k}, $maxTracked)").as("sk"))
-      .select(explode(col("sk")).as("s"))
-      .select(col("s.item").as("tok"), col("s.count").as("est"))
+      .agg(expr(s"approx_top_k(tok, ${5 * k}, $maxTracked)").as("sk"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_total"), explode(col("sk")).as("s"))
+      .select(col("s.item").as("tok"), col("s.count").as("est"),
+        col("n_total"))
     exactTop.join(sketch, Seq("tok"), "left")
-      .crossJoin(broadcast(total))
       .select(col("tok"), col("n_tok"),
         when(col("est").isNotNull &&
           abs(col("est") - col("n_tok")) <=

@@ -209,9 +209,10 @@ object Sinks {
     * to ~O(box-area·F)).
     *
     * Mechanics: each column is min/max-normalized to a 16-bit integer
-    * (the min/max pass is ONE compact aggregate collected to the
+    * (15-bit at 4 columns, keeping the interleave out of the sign bit;
+    * the min/max pass is ONE compact aggregate collected to the
     * driver — 2·N scalars, not data); bit b of column i lands at
-    * position b·N+i of the 64-bit z-value (so ≤ 4 columns); the write
+    * position b·N+i of the 63-bit z-value (so ≤ 4 columns); the write
     * is then exactly the range-layout shape — one sampled range
     * shuffle on z, sort within partitions, every task writes its own
     * file. The z column is dropped before writing: it is a LAYOUT
@@ -231,23 +232,32 @@ object Sinks {
         s"z-order layout column must be numeric (strings would all " +
           s"collapse to bucket 0): $c is ${f.dataType.simpleString}")
     }
-    val aggs = cols.flatMap { c =>
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"),
         max(col(c).cast("double")).as(s"mx_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
-    if (row.isNullAt(0)) { // empty input: no stats to layout on — write
-      df.write.mode("overwrite").parquet(path) // the empty dataset as-is,
-      return // matching writeRangeLayout's behavior
+    if (row.getAs[Long]("n") == 0L) { // empty input: no stats to layout
+      df.write.mode("overwrite").parquet(path) // on — write the empty
+      return // dataset as-is, matching writeRangeLayout's behavior
     }
+    // 15 bits/col at 4 cols keeps the top interleaved bit out of the
+    // SIGN position (16·4 = 64 would put column 3's high bit at bit 63,
+    // turning the upper half of its domain negative and wrapping the
+    // Morton order at the signed sort boundary).
+    val bits = if (cols.size == 4) 15 else 16
+    val top = (1L << bits) - 1
     val z = zValue(cols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (row.getAs[Double](s"mn_$c"), row.getAs[Double](s"mx_$c"))
+      val mn = if (row.isNullAt(row.fieldIndex(s"mn_$c"))) 0.0
+        else row.getAs[Double](s"mn_$c")
+      val mx = if (row.isNullAt(row.fieldIndex(s"mx_$c"))) 0.0
+        else row.getAs[Double](s"mx_$c")
       val span = if (mx > mn) mx - mn else 1.0
-      // 16-bit bucket; nulls → 0 (sort first, like a plain sort layout)
+      // bucket in [0, 2^bits); nulls → 0 (sort first, like a plain sort)
       least(greatest(coalesce(
-        ((col(c).cast("double") - mn) / span * 65535.0), lit(0.0)),
-        lit(0.0)), lit(65535.0)).cast("long")
-    })
+        ((col(c).cast("double") - mn) / span * top), lit(0.0)),
+        lit(0.0)), lit(top.toDouble)).cast("long")
+    }, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
@@ -255,16 +265,18 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Morton interleave of pre-bucketed 16-bit values: bit b of input i
-    * → output bit b·N+i. Unrolled into 16·N codegen-friendly
-    * shift/or terms — no UDF, stays inside whole-stage codegen. */
-  private def zValue(buckets: Seq[org.apache.spark.sql.Column])
-      : org.apache.spark.sql.Column = {
+  /** Morton interleave of pre-bucketed `bits`-wide values: bit b of
+    * input i → output bit b·N+i (N·bits ≤ 63 so the sign bit stays
+    * clear). Unrolled into bits·N codegen-friendly shift/or terms — no
+    * UDF, stays inside whole-stage codegen. */
+  private def zValue(buckets: Seq[org.apache.spark.sql.Column],
+                     bits: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val n = buckets.size
+    require(n * bits <= 63, s"z-value would reach the sign bit: $n x $bits")
     val terms = for {
       (bk, i) <- buckets.zipWithIndex
-      b <- 0 until 16
+      b <- 0 until bits
     } yield shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * n + i)
     terms.reduce(_.bitwiseOR(_))
   }
@@ -293,9 +305,13 @@ object Sinks {
     val tmp = new Path(root, s".LATEST.tmp.$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    val ptr = new Path(root, "LATEST")
-    fs.delete(ptr, false) // rename-over-existing is not portable
-    require(fs.rename(tmp, ptr), s"pointer flip failed for $tableDir v=$next")
+    // Atomic overwrite-rename (FileContext honors Rename.OVERWRITE on
+    // HDFS-semantics filesystems) — a delete-then-rename pair would open
+    // a window where LATEST does not exist, and a crash inside it would
+    // strand the table pointerless, breaking the old-or-new guarantee.
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, new Path(root, "LATEST"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 

@@ -271,6 +271,32 @@ class IngestSinksSpec extends SparkSpec {
       back.exceptAll(grid).isEmpty && grid.exceptAll(back).isEmpty)
   }
 
+  test("z-order at 4 columns keeps the interleave out of the sign bit") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft_z4")
+    // Only the 4th column varies: its bits occupy the interleave's top
+    // positions, so 16-bit buckets would place its high bit at bit 63 —
+    // the SIGN — wrapping the sort and handing the wrap-straddling file
+    // a full-domain bounding box that overlaps every other file's.
+    val grid = spark.range(4096).select(lit(1L).as("a"), lit(1L).as("b"),
+      lit(1L).as("c"), col("id").as("d"))
+    Sinks.writeZOrderLayout(grid, s"$dir/z4", Seq("a", "b", "c", "d"),
+      files = 8)
+    val ranges = new java.io.File(s"$dir/z4").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getPath).agg(min("d"), max("d"))
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length >= 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(loB > hiA, s"file d-ranges must stay disjoint: ${ranges.toSeq}")
+      case _ =>
+    }
+    assert(spark.read.parquet(s"$dir/z4").count() == 4096)
+  }
+
   test("versioned publish: readers follow LATEST, crashes stay invisible, vacuum keeps current") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("graft_pub")
