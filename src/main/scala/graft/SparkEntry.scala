@@ -164,6 +164,8 @@ object SparkEntry {
     "q_event_pivot" -> ((s, d) => Events.typePivot(s, d)),
     // unpivot (melt) — the pivot's inverse; round-trips to the plain agg
     "q_event_unpivot" -> ((s, d) => Events.typeUnpivot(s, d)),
+    // CUBE: all four (type × date) grains in one Expand pass
+    "q_event_cube" -> ((s, d) => Events.typeCube(s, d)),
     // per-type daily z-score outliers from exact integer moment sums
     "q_event_anomaly" -> ((s, d) => Events.valueAnomalies(s, d)),
     // single-pass quantile sketch next to the exact histogram path,
@@ -1093,6 +1095,16 @@ object SparkEntry {
         |       ROUND(SUM(value), 2) AS daily_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_cube" ->
+      """SELECT event_type,
+        |       CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+        |       CAST(GROUPING(event_type) AS INT) AS g_type,
+        |       CAST(GROUPING(CAST(CAST(ts AS DATE) AS VARCHAR)) AS INT) AS g_date,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))""".stripMargin,
 
     "q_event_anomaly" ->
       """WITH daily AS (

@@ -323,6 +323,26 @@ object Events {
         when(abs(col("z")) >= lit(zThreshold), 1).otherwise(0).as("anomaly"))
   }
 
+  /** CUBE over (event_type, date): all four grouping grains — per
+    * cell, per type, per day, grand total — in ONE pass (completing
+    * the GROUP BY / ROLLUP / CUBE grouping-analytics triple next to
+    * [[graft.operators.TextOps.corpusRollup]]'s ROLLUP). Spark plans
+    * the same Expand → single hash aggregate as GROUPING SETS: one
+    * scan, one shuffle, regardless of grain count — four separate
+    * aggregates UNION'd would scan and shuffle four times. GROUPING()
+    * flags disambiguate a NULL group key from the all-grain row,
+    * identically in both engines. */
+  def typeCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        to_date(col("ts")).cast("string").as("date"), col("value"))
+      .cube(col("event_type"), col("date"))
+      .agg(
+        grouping(col("event_type")).as("g_type"),
+        grouping(col("date")).as("g_date"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+
   /** The same sessionization through Spark's built-in `session_window`
     * aggregate — the idiomatic API, spec-cross-checked against
     * [[userSessions]] (see that method's scaladoc for why the

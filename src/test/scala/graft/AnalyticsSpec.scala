@@ -104,6 +104,20 @@ class AnalyticsSpec extends SparkSpec {
       s"melt keeps the null-sum click cell, drops absent types: $out")
   }
 
+  test("cube grains re-aggregate consistently to the same total") {
+    val cube = Events.typeCube(spark, sf0001).cache()
+    try {
+      val total = Tables.events(spark, sf0001).count()
+      def mass(gType: Int, gDate: Int): Long =
+        cube.where(col("g_type") === gType && col("g_date") === gDate)
+          .agg(sum("n_events")).head().getLong(0)
+      assert(mass(0, 0) == total, "cell grain sums to the corpus")
+      assert(mass(0, 1) == total, "per-type grain sums to the corpus")
+      assert(mass(1, 0) == total, "per-day grain sums to the corpus")
+      assert(mass(1, 1) == total, "grand-total row IS the corpus count")
+    } finally cube.unpersist()
+  }
+
   test("anomaly z-scores: zero variance and single-row series never blow up") {
     val daily = Seq(
       ("flat", "2026-01-01", 10.0), ("flat", "2026-01-02", 10.0),
