@@ -142,6 +142,35 @@ class AnalyticsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("anomaly core properties hold on generated daily frames (20 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      typ <- Gen.oneOf("a", "b", "c")
+      day <- Gen.chooseNum(1, 28)
+      cents <- Gen.chooseNum(-500000L, 500000L)
+    } yield (typ, f"2026-01-$day%02d", cents / 100.0)
+    (1L to 20L).foreach { seed =>
+      val rows = Gen.listOfN(40, rowGen)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .distinctBy(r => (r._1, r._2)) // one row per (type, day)
+      val out = Events.anomaliesFromDaily(rows.toDF(
+        "event_type", "date", "daily_value")).cache()
+      try {
+        assert(out.count() == rows.size, s"seed $seed: no rows lost/dropped")
+        assert(out.where(col("z").isNull || isnan(col("z"))).count() == 0)
+        assert(out.where((abs(col("z")) >= 2.0) =!= (col("anomaly") === 1))
+          .count() == 0, s"seed $seed: flag must equal |z| >= threshold")
+        out.groupBy("event_type")
+          .agg(sum("z").as("sz"), count(lit(1)).as("n")).collect()
+          .foreach { r =>
+            assert(math.abs(r.getAs[Double]("sz")) <=
+              r.getAs[Long]("n") * 5e-7, s"seed $seed: sum-z ~ 0: $r")
+          }
+      } finally out.unpersist()
+    }
+  }
+
   test("anomaly on the fixture: z-scores of each series sum to ~0") {
     // Σz = 0 holds exactly for (x-mean)/std over any series; rounding to
     // 6 dp leaves at most n*5e-7 of drift.
