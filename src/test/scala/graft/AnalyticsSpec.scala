@@ -142,9 +142,21 @@ class AnalyticsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
-  test("anomaly core properties hold on generated daily frames (20 seeds)") {
+  /** Σz = 0 holds exactly for (x-mean)/std over any series; rounding
+    * to 6 dp (Events z output) leaves at most n·5e-7 of drift. */
+  private def assertSeriesZSumsToZero(out: org.apache.spark.sql.DataFrame,
+                                      ctx: String): Unit =
+    out.groupBy("event_type")
+      .agg(sum("z").as("sz"), count(lit(1)).as("n")).collect()
+      .foreach { r =>
+        assert(math.abs(r.getAs[Double]("sz")) <= r.getAs[Long]("n") * 5e-7,
+          s"$ctx: z-scores of a series sum to zero: $r")
+      }
+
+  test("anomaly core matches an independent z computation (20 seeds)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
+    val threshold = 1.5 // non-default, so the parameter is proven threaded
     val rowGen = for {
       typ <- Gen.oneOf("a", "b", "c")
       day <- Gen.chooseNum(1, 28)
@@ -154,34 +166,44 @@ class AnalyticsSpec extends SparkSpec {
       val rows = Gen.listOfN(40, rowGen)
         .pureApply(Gen.Parameters.default, Seed(seed))
         .distinctBy(r => (r._1, r._2)) // one row per (type, day)
-      val out = Events.anomaliesFromDaily(rows.toDF(
-        "event_type", "date", "daily_value")).cache()
+      // Driver-side oracle, same arithmetic shape as the operator
+      // (BigDecimal HALF_UP mirrors Spark's round(_, 6)).
+      val byType = rows.groupBy(_._1)
+      val expected: Map[(String, String), (Double, Int)] =
+        byType.flatMap { case (typ, rs) =>
+          val cents = rs.map(r => math.round(r._3 * 100).toDouble)
+          val n = cents.size
+          val (s1, s2) = (cents.sum, cents.map(c => c * c).sum)
+          val mean = s1 / n
+          val varc = if (n > 1) (s2 - s1 * s1 / n) / (n - 1) else 0.0
+          rs.zip(cents).map { case (r, c) =>
+            val z = if (varc > 0)
+              BigDecimal((c - mean) / math.sqrt(varc))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else 0.0
+            (typ, r._2) -> (z, if (math.abs(z) >= threshold) 1 else 0)
+          }
+        }
+      val out = Events.anomaliesFromDaily(
+        rows.toDF("event_type", "date", "daily_value"), threshold).cache()
       try {
         assert(out.count() == rows.size, s"seed $seed: no rows lost/dropped")
-        assert(out.where(col("z").isNull || isnan(col("z"))).count() == 0)
-        assert(out.where((abs(col("z")) >= 2.0) =!= (col("anomaly") === 1))
-          .count() == 0, s"seed $seed: flag must equal |z| >= threshold")
-        out.groupBy("event_type")
-          .agg(sum("z").as("sz"), count(lit(1)).as("n")).collect()
-          .foreach { r =>
-            assert(math.abs(r.getAs[Double]("sz")) <=
-              r.getAs[Long]("n") * 5e-7, s"seed $seed: sum-z ~ 0: $r")
-          }
+        out.collect().foreach { r =>
+          val key = (r.getString(0), r.getString(1))
+          val (zExp, flagExp) = expected(key)
+          val z = r.getDouble(3)
+          assert(!z.isNaN && math.abs(z - zExp) <= 1e-9,
+            s"seed $seed $key: z=$z expected $zExp")
+          assert(r.getInt(4) == flagExp,
+            s"seed $seed $key: flag=${r.getInt(4)} expected $flagExp")
+        }
+        assertSeriesZSumsToZero(out, s"seed $seed")
       } finally out.unpersist()
     }
   }
 
   test("anomaly on the fixture: z-scores of each series sum to ~0") {
-    // Σz = 0 holds exactly for (x-mean)/std over any series; rounding to
-    // 6 dp leaves at most n*5e-7 of drift.
-    Events.valueAnomalies(spark, sf0001)
-      .groupBy("event_type")
-      .agg(sum("z").as("sz"), count(lit(1)).as("n"))
-      .collect()
-      .foreach { r =>
-        assert(math.abs(r.getAs[Double]("sz")) <= r.getAs[Long]("n") * 5e-7,
-          s"z-scores of a series sum to zero: $r")
-      }
+    assertSeriesZSumsToZero(Events.valueAnomalies(spark, sf0001), "fixture")
   }
 
   test("heavy hitters: sketch tracks every exact top-k token within additive error") {
