@@ -57,11 +57,17 @@ object Dedup {
     * aggregation (map-side min) collapses each document before the
     * shuffle. Documents with fewer than 3 tokens have no shingles and
     * drop out (they can't near-dup by shingle overlap). */
-  private def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private def bandedSignatures(spark: SparkSession, dir: String): DataFrame =
+    bandedSignaturesOf(Tables.documents(spark, dir))
+
+  /** [[bandedSignatures]] over an arbitrary (doc_id, text) frame — the
+    * form the incremental maintenance path feeds new-arrival slices
+    * through. */
+  private def bandedSignaturesOf(docs: DataFrame): DataFrame = {
     val sigCols = (0 until NumHashes).map { h =>
       min((lit(HashA(h)) * col("x") + lit(HashB(h))) % lit(HashP)).as(s"sig_$h")
     }
-    val sigs = Spread(Tables.documents(spark, dir))
+    val sigs = Spread(docs)
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")))).as("s"))
       .select(col("doc_id"),
@@ -99,18 +105,26 @@ object Dedup {
     * |A∩B| / |A∪B| on distinct 3-gram shingle sets. Joins the shingle
     * arrays back onto the (small) candidate set — the quadratic work is
     * bounded by LSH bucket collisions. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    verifyPairs(minhashPairs(spark, dir), Tables.documents(spark, dir))
+
+  /** Exact-Jaccard verification of a (doc_a, doc_b, n_band_matches)
+    * candidate frame against the documents that can supply the shingle
+    * sets — ONE definition shared by the full rebuild and the
+    * incremental append (two copies of the fold could drift and break
+    * their bit-identity proof). */
+  private def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame = {
     // No size(sh)>0 filter here: candidate pairs only reference docs
     // that produced shingles, and a filter on the computed array would
     // re-evaluate the whole shingle expression per row (Catalyst inlines
     // projections into filter conditions — measured 2× cost).
-    val sh = Spread(Tables.documents(spark, dir))
+    val sh = Spread(docs)
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
     // One pass over the (expensive) shingle frame: explode each pair
     // into its two member ids, join shingles once, then fold the two
     // sides back with a max-of-conditional aggregate (arrays are
     // orderable; each side has exactly one non-null candidate).
-    val sides = minhashPairs(spark, dir)
+    val sides = cand
       .select(col("doc_a"), col("doc_b"), col("n_band_matches"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     sides.join(sh, "doc_id")
@@ -146,6 +160,53 @@ object Dedup {
 
   def pairTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Persist the banded LSH bucket index — (doc_id, band_idx,
+    * band_key) — the state that makes pair maintenance INCREMENTAL: a
+    * standing pipeline signatures each arrival slice once and appends,
+    * instead of re-signaturing 100 TB per corpus version. */
+  def buildSignatureTable(docs: DataFrame, out: String): Unit =
+    bandedSignaturesOf(docs)
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .write.mode("overwrite").parquet(out)
+
+  /** Incremental near-dup maintenance: signature the NEW docs only,
+    * bucket-join new-vs-(old ∪ new) against the persisted index —
+    * old-vs-old pairs are already in the table and are never
+    * recomputed — verify candidates by exact Jaccard (shingles are
+    * joined back only for pair MEMBERS, a semi-join-pruned corpus
+    * read), then append the new pairs and the new signatures. Per
+    * increment the cost is O(|new| shingling + bucket collisions), not
+    * O(corpus). The new-new side of the join produces each pair from
+    * both directions, so bands are distinct-counted. The two appends
+    * are at-least-once (a crash between them means re-running the
+    * slice — same contract as the K1 append sinks); a standing
+    * pipeline wraps both under one [[graft.sinks.Sinks.publishVersioned]]
+    * version for atomicity. TextDedupSpec proves bootstrap + increment
+    * ≡ full rebuild, bit-identical. */
+  def appendToPairTable(spark: SparkSession, newDocs: DataFrame,
+                        allDocs: DataFrame, sigPath: String,
+                        pairPath: String): Unit = {
+    val newSigs = bandedSignaturesOf(newDocs)
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .localCheckpoint() // pinned: feeds the join AND the append
+    val allSigs = spark.read.parquet(sigPath).unionByName(newSigs)
+    val cand = newSigs.as("a").hint("shuffle_hash")
+      .join(allSigs.as("b").hint("shuffle_hash"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.band_idx").as("band_idx"))
+      .distinct() // new-new pairs arrive once per band from EACH side
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_band_matches"))
+    verifyPairs(cand, allDocs).write.mode("append").parquet(pairPath)
+    newSigs.write.mode("append").parquet(sigPath)
+  }
 
   /** Cross-source duplication matrix: verified near-dup pairs rolled up
     * by the (unordered) source pair — the "which crawls/feeds duplicate

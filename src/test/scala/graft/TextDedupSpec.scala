@@ -149,6 +149,25 @@ class TextDedupSpec extends SparkSpec {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
 
+  test("incremental pair maintenance equals the full rebuild, bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("inc_pairs")
+    val docs = Tables.documents(spark, sf0001)
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val inc = docs.where(col("doc_id") % 5 === 0)
+    // Bootstrap: empty index, then the base corpus IS the first slice.
+    Dedup.buildSignatureTable(base.limit(0), s"$dir/sigs")
+    Dedup.appendToPairTable(spark, base, base, s"$dir/sigs", s"$dir/pairs")
+    // Arrival slice: new-vs-all candidates only; old-vs-old pairs are
+    // never recomputed.
+    Dedup.appendToPairTable(spark, inc, docs, s"$dir/sigs", s"$dir/pairs")
+    val incremental = Dedup.pairTable(spark, s"$dir/pairs")
+    val full = Dedup.ngramJaccard(spark, sf0001)
+    assert(incremental.exceptAll(full).isEmpty &&
+      full.exceptAll(incremental).isEmpty,
+      "bootstrap + increment must reproduce the full rebuild exactly")
+  }
+
   test("pair table build/serve is bit-identical to inline recompute") {
     val dir = tmpDir("pairs_spec")
     Dedup.buildPairTable(spark, sf0001, s"$dir/pairs")
