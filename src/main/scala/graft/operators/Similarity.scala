@@ -64,9 +64,15 @@ object Similarity {
       .map(h => when(dot(planeLit(h), v) > 0, lit(1 << h)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    corpusOf(spark, Tables.embeddings(spark, dir))
+
+  /** The normalized (vec_id, label, v, nv) corpus shape over an
+    * arbitrary raw-embeddings frame — shared by the dir readers and
+    * the incremental index path so the norm arithmetic has one home. */
+  private def corpusOf(spark: SparkSession, emb: DataFrame): DataFrame = {
     graft.expressions.DotProduct.register(spark)
-    Spread(Tables.embeddings(spark, dir))
+    Spread(emb)
       .select(col("vec_id"), col("label"), vec.as("v"))
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
   }
@@ -254,8 +260,15 @@ object Similarity {
     * serve many: the standing-index shape for a corpus that outlives
     * any single query's runtime. */
   def buildIvfIndex(spark: SparkSession, dir: String,
-                    indexPath: String): Unit = {
-    val c = corpus(spark, dir)
+                    indexPath: String): Unit =
+    buildIvfIndexOf(spark, Tables.embeddings(spark, dir), indexPath)
+
+  /** [[buildIvfIndex]] over an arbitrary raw-embeddings frame — the
+    * form the incremental-maintenance spec builds its base index
+    * through. */
+  def buildIvfIndexOf(spark: SparkSession, emb: DataFrame,
+                      indexPath: String): Unit = {
+    val c = corpusOf(spark, emb)
     val cents = c.where(pmod(col("vec_id"), lit(CentroidStride)) === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nv").as("cnv"))
@@ -271,6 +284,36 @@ object Similarity {
     c.join(cells, "vec_id")
       .select(col("cell"), col("vec_id"), col("v"), col("nv"))
       .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** Incremental IVF maintenance: assign ONLY the arrival slice to the
+    * already-trained centroids (read back from the index — broadcast,
+    * bounded) and append its postings into the cell-partitioned layout
+    * (hive partition append touches only the cells the new vectors land
+    * in). Centroids stay FIXED — the production contract: cells are
+    * retrained on full rebuild, not per arrival, so serving stays
+    * consistent while the corpus grows; per-increment cost is
+    * O(|slice| · centroids), never O(corpus). `newVecs` takes the raw
+    * embeddings shape (vec_id, label, emb Array[Float]); the same
+    * norm/assignment arithmetic as [[buildIvfIndex]] guarantees an
+    * appended index is bit-identical to rebuilding with the same
+    * centroid set (SimilaritySpec). */
+  def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame,
+                       indexPath: String): Unit = {
+    val nv = corpusOf(spark, newVecs)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val scoredCells = nv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("cv"), col("v")) / (col("cnv") * col("nv"))).as("ccos"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = scoredCells.withColumn("crank", row_number().over(byVec))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    nv.join(cells, "vec_id")
+      .select(col("cell"), col("vec_id"), col("v"), col("nv"))
+      .write.mode("append").partitionBy("cell")
       .parquet(s"$indexPath/postings")
   }
 

@@ -153,6 +153,34 @@ class SimilaritySpec extends SparkSpec {
       col("nb") =!= col("bucket")).isEmpty)
   }
 
+  test("incremental IVF append equals a rebuild over the same centroid set") {
+    val dir = tmpDir("ivf_inc")
+    val emb = Tables.embeddings(spark, sf0001)
+    // The arrival slice avoids stride multiples, so the base-only build
+    // trains the SAME centroids the full rebuild would — making the
+    // fixed-centroid append exactly comparable.
+    val inc = emb.where(col("vec_id") % Similarity.CentroidStride =!= 0 &&
+      col("vec_id") % 7 === 3)
+    val base = emb.join(inc.select("vec_id"), Seq("vec_id"), "left_anti")
+    Similarity.buildIvfIndexOf(spark, base, s"$dir/a")
+    Similarity.appendToIvfIndex(spark, inc, s"$dir/a")
+    Similarity.buildIvfIndexOf(spark, emb, s"$dir/b")
+    val pa = spark.read.parquet(s"$dir/a/postings")
+    val pb = spark.read.parquet(s"$dir/b/postings")
+    assert(pa.count() == emb.count(), "every vector posted exactly once")
+    assert(pa.exceptAll(pb).isEmpty && pb.exceptAll(pa).isEmpty,
+      "append-maintained postings are bit-identical to the rebuild")
+    // And serving from the maintained index answers identically.
+    graft.expressions.DotProduct.register(spark)
+    val queries = emb.where(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .withColumn("nq", sqrt(call_function("dot_d", col("qv"), col("qv"))))
+    val sa = Similarity.queryIvfIndex(spark, s"$dir/a", queries)
+    val sb = Similarity.queryIvfIndex(spark, s"$dir/b", queries)
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
+  }
+
   test("persisted IVF index serves results identical to the in-memory plan") {
     val idx = tmpDir("ivf_idx")
     Similarity.buildIvfIndex(spark, sf0001, idx)
