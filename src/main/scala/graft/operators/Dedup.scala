@@ -82,12 +82,21 @@ object Dedup {
     sigs.select(col("doc_id"), bands.as("bands"))
   }
 
+  /** The exploded (doc_id, band_idx, band_key) signature-row shape —
+    * ONE definition for candidate generation, the persisted index, and
+    * the incremental append (the unionByName between persisted and
+    * fresh signatures, and the bit-identity proof, both depend on the
+    * three paths never drifting). */
+  private def signatureRows(docs: DataFrame): DataFrame =
+    bandedSignaturesOf(docs)
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+
   /** LSH candidate pairs: explode band keys, self-join per bucket,
     * count how many bands each pair agrees on. The join shuffles on
     * (band_idx, band_key) — per-bucket work only, never all-pairs. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val banded = bandedSignatures(spark, dir)
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val banded = signatureRows(Tables.documents(spark, dir))
     // shuffle-hash hint: with identical shuffle exchanges on both sides
     // Spark's ReuseExchange computes the banded-signature subtree ONCE
     // (AQE's broadcast choice would otherwise plan it twice).
@@ -166,10 +175,7 @@ object Dedup {
     * standing pipeline signatures each arrival slice once and appends,
     * instead of re-signaturing 100 TB per corpus version. */
   def buildSignatureTable(docs: DataFrame, out: String): Unit =
-    bandedSignaturesOf(docs)
-      .select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-      .write.mode("overwrite").parquet(out)
+    signatureRows(docs).write.mode("overwrite").parquet(out)
 
   /** Incremental near-dup maintenance: signature the NEW docs only,
     * bucket-join new-vs-(old ∪ new) against the persisted index —
@@ -188,24 +194,38 @@ object Dedup {
   def appendToPairTable(spark: SparkSession, newDocs: DataFrame,
                         allDocs: DataFrame, sigPath: String,
                         pairPath: String): Unit = {
-    val newSigs = bandedSignaturesOf(newDocs)
-      .select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val newSigs = signatureRows(newDocs)
       .localCheckpoint() // pinned: feeds the join AND the append
-    val allSigs = spark.read.parquet(sigPath).unionByName(newSigs)
-    val cand = newSigs.as("a").hint("shuffle_hash")
-      .join(allSigs.as("b").hint("shuffle_hash"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-        col("a.band_idx").as("band_idx"))
-      .distinct() // new-new pairs arrive once per band from EACH side
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_band_matches"))
-    verifyPairs(cand, allDocs).write.mode("append").parquet(pairPath)
-    newSigs.write.mode("append").parquet(sigPath)
+    try {
+      val allSigs = spark.read.parquet(sigPath).unionByName(newSigs)
+      val cand = newSigs.as("a").hint("shuffle_hash")
+        .join(allSigs.as("b").hint("shuffle_hash"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          col("a.band_idx").as("band_idx"))
+        .distinct() // new-new pairs arrive once per band from EACH side
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_band_matches"))
+        .localCheckpoint() // pinned: feeds the member list AND the verify
+      try {
+        // Shingle ONLY the candidate members: without this semi-join the
+        // verify step would re-shingle the whole corpus per increment —
+        // the exact O(corpus) cost the incremental path exists to avoid
+        // (the scan still lists corpus rows; the expensive tokenize/
+        // shingle/explode compute runs for members only, and the
+        // broadcast-size member list lets runtime filtering prune
+        // scan-side too).
+        val members = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        verifyPairs(cand, allDocs.join(members, Seq("doc_id"), "left_semi"))
+          .write.mode("append").parquet(pairPath)
+        newSigs.write.mode("append").parquet(sigPath)
+      } finally cand.unpersist()
+    } finally newSigs.unpersist()
   }
 
   /** Cross-source duplication matrix: verified near-dup pairs rolled up

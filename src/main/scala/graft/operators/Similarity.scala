@@ -273,6 +273,17 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nv").as("cnv"))
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assignCells(c, cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** Nearest-centroid assignment of a normalized corpus frame — ONE
+    * definition of the scoring and (ccos desc, cent_id asc) tie-break
+    * shared by the full build and the incremental append, so their
+    * bit-identity proof (SimilaritySpec) cannot drift. Returns the
+    * cell-partitioned postings shape. */
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
     val scoredCells = c.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         (dot(col("cv"), col("v")) / (col("cnv") * col("nv"))).as("ccos"))
@@ -283,8 +294,6 @@ object Similarity {
       .select(col("vec_id"), col("cent_id").as("cell"))
     c.join(cells, "vec_id")
       .select(col("cell"), col("vec_id"), col("v"), col("nv"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/postings")
   }
 
   /** Incremental IVF maintenance: assign ONLY the arrival slice to the
@@ -295,24 +304,21 @@ object Similarity {
     * retrained on full rebuild, not per arrival, so serving stays
     * consistent while the corpus grows; per-increment cost is
     * O(|slice| · centroids), never O(corpus). `newVecs` takes the raw
-    * embeddings shape (vec_id, label, emb Array[Float]); the same
-    * norm/assignment arithmetic as [[buildIvfIndex]] guarantees an
-    * appended index is bit-identical to rebuilding with the same
-    * centroid set (SimilaritySpec). */
+    * embeddings shape (vec_id, label, emb Array[Float]); [[assignCells]]
+    * is the SAME code the full build runs, so an appended index is
+    * bit-identical to rebuilding with the same centroid set
+    * (SimilaritySpec). The append is at-least-once: a crash after the
+    * write followed by a re-run would post the slice twice, and
+    * duplicate postings DO corrupt top-k serving (both copies rank) —
+    * unlike the pair table's additive counts, this is not benign, so a
+    * standing pipeline must run each slice exactly once per index
+    * version: stage the index under [[graft.sinks.Sinks.publishVersioned]]
+    * and re-point only after the slice's append completed. */
   def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame,
                        indexPath: String): Unit = {
     val nv = corpusOf(spark, newVecs)
     val cents = spark.read.parquet(s"$indexPath/centroids")
-    val scoredCells = nv.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (dot(col("cv"), col("v")) / (col("cnv") * col("nv"))).as("ccos"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val cells = scoredCells.withColumn("crank", row_number().over(byVec))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
-    nv.join(cells, "vec_id")
-      .select(col("cell"), col("vec_id"), col("v"), col("nv"))
+    assignCells(nv, cents)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexPath/postings")
   }
