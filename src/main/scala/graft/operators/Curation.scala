@@ -140,6 +140,10 @@ object Curation {
   def expectSplit(df: DataFrame,
                   rules: Seq[(String, org.apache.spark.sql.Column)])
       : (DataFrame, DataFrame) = {
+    // Fail fast with a meaningful message: an empty rule set would
+    // otherwise die inside a micro-batch as `empty.reduce`, pointing at
+    // Scala collections instead of the misconfiguration.
+    require(rules.nonEmpty, "expectSplit needs at least one DQ rule")
     val allOk = rules.map { case (_, c) => coalesce(c, lit(false)) }
       .reduce(_ && _)
     (df.where(allOk), df.where(!allOk))

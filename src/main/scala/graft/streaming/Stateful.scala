@@ -91,18 +91,31 @@ object Stateful {
           sorted.foreach { e =>
             val us = eventUs(e)
             open match {
-              case Some(o) if us - o.last_us < SessionGapUs =>
-                // Cross-batch late arrival (us inside the open session's
-                // span) must never move the session bounds backwards.
+              case Some(o) if us >= o.start_us - SessionGapUs &&
+                  us - o.last_us < SessionGapUs =>
+                // Within one gap of the open session on EITHER edge:
+                // merge, extending the bounds as needed. Both edges must
+                // be checked — us - last_us is negative for any late
+                // arrival, so the upper-edge test alone would merge an
+                // event hours before start_us and manufacture a session
+                // with an internal gap wider than the threshold.
                 open = Some(o.copy(
                   start_us = math.min(o.start_us, us),
                   last_us = math.max(o.last_us, us),
                   n_events = o.n_events + 1,
                   total_value = o.total_value + e.value))
-              case Some(o) =>
+              case Some(o) if us - o.last_us >= SessionGapUs =>
                 closed += ClosedSession(uid, o.start_us, o.last_us + SessionGapUs,
                   o.n_events, o.total_value)
                 open = Some(OpenSession(us, us, 1, e.value))
+              case Some(_) =>
+                // More than a gap BEFORE the open session: batch
+                // semantics would have placed it in an earlier, already-
+                // emitted session, which append mode cannot revise — emit
+                // it as its own late singleton rather than corrupting the
+                // open session's bounds. (A production deployment's
+                // watermark drops such events before they reach here.)
+                closed += ClosedSession(uid, us, us + SessionGapUs, 1, e.value)
               case None =>
                 open = Some(OpenSession(us, us, 1, e.value))
             }

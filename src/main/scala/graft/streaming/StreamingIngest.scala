@@ -45,12 +45,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Idempotent: a replayed batchId overwrites its own partition
-        // directory. Readers of layerPath see a `batch_id` partition
-        // column (ingest provenance). One stream per layer path —
-        // concurrent streams sharing a layer would need the checkpoint
-        // id folded into the directory name.
-        batch.write.mode("overwrite").parquet(s"$layerPath/batch_id=$batchId")
+        writeBatchPartition(batch, layerPath, batchId)
       }
       .start()
     q.awaitTermination()
@@ -83,10 +78,25 @@ object StreamingIngest {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** THE idempotent micro-batch sink shared by every file-landing
+    * stream here: a replayed batchId overwrites its own deterministic
+    * `batch_id=N` partition directory, so checkpoint-window replays
+    * converge instead of duplicating. Readers see `batch_id` as a
+    * partition column (ingest provenance). One stream per root path —
+    * concurrent streams sharing a layer would need the checkpoint id
+    * folded into the directory name. */
+  private def writeBatchPartition(batch: DataFrame, root: String,
+                                  batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$root/batch_id=$batchId")
+
   /** Streaming twin of Events.hourlyWindows: watermarked tumbling-window
     * aggregation over an event stream read from parquet files. Returns
     * the streaming DataFrame (caller attaches a sink; tests use a memory
-    * sink with AvailableNow and compare against the batch twin). */
+    * sink with AvailableNow and compare against the batch twin).
+    * Documented deviation: the batch twin's `n_users` (COUNT DISTINCT)
+    * column is absent — distinct aggregation is unsupported on
+    * streams; a consumer needing it swaps in `approx_count_distinct`
+    * and accepts the documented HLL error. */
   def hourlyWindowsStream(spark: SparkSession, eventsDir: String,
                           schema: StructType): DataFrame =
     spark.readStream
@@ -121,9 +131,8 @@ object StreamingIngest {
         batch.persist()
         try {
           val (good, bad) = graft.operators.Curation.expectSplit(batch, rules)
-          good.write.mode("overwrite").parquet(s"$layerPath/batch_id=$batchId")
-          bad.write.mode("overwrite")
-            .parquet(s"$quarantinePath/batch_id=$batchId")
+          writeBatchPartition(good, layerPath, batchId)
+          writeBatchPartition(bad, quarantinePath, batchId)
         } finally batch.unpersist()
       }
       .start()
@@ -131,8 +140,13 @@ object StreamingIngest {
   }
 
   /** Streaming CDC apply: merge every micro-batch into a keyed layer
-    * via [[graft.sinks.Sinks.upsert]] — latest delivery of a key wins,
-    * and a batch replayed after a checkpoint-window failure converges
+    * via [[graft.sinks.Sinks.upsert]] — latest delivery of a key wins
+    * ACROSS batches; WITHIN a micro-batch that carries several rows for
+    * one key (two CDC files coalesced into one trigger), `latestBy`
+    * must name the ordering columns or the merge fails fast (upsert's
+    * key-unique require) instead of guessing a winner — pass it
+    * whenever the feed can coalesce deliveries. A batch replayed after
+    * a checkpoint-window failure converges
     * (merging identical content twice is a no-op), so the layer is
     * effectively exactly-once without a transactional format. This is
     * the whole-layer merge; at partition-mappable keys swap in

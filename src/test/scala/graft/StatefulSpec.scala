@@ -70,6 +70,44 @@ class StatefulSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("streamingSessions: cross-batch late arrivals never corrupt the open session") {
+    import Stateful.EventRow
+    import spark.implicits._
+    val dir = tmpDir("fmgws_late")
+    val H = 3600L * 1000000 // one hour in µs
+    def row(id: Long, hours: Long): EventRow =
+      EventRow(id, new java.sql.Timestamp(hours * 3600 * 1000), 1L, "view",
+        1.0, "{}")
+    // Drop 0 (in order): events at 0h and 10h — the 10h arrival closes
+    // session [0h, 6h] and opens at 10h.
+    Seq(row(1, 0), row(2, 10)).toDF()
+      .coalesce(1).write.parquet(s"$dir/events/drop=0")
+    // Drop 1 (late): 3h is more than a gap BEFORE the open session's
+    // start (10h − 3h > 6h) — batch semantics would place it in the
+    // already-emitted session, so it must surface as a late singleton,
+    // NOT stretch the open session's start down to 3h (the pre-fix
+    // behavior: us − last_us is negative, so the upper-edge guard alone
+    // merged it). 8h is within a gap of the start → merges, start 8h.
+    Seq(row(3, 3), row(4, 8)).toDF()
+      .coalesce(1).write.parquet(s"$dir/events/drop=1")
+    val q = Stateful.streamingSessions(spark, s"$dir/events/drop=*",
+        Seq(row(1, 0)).toDF().schema, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .format("memory").queryName("late_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("late_sessions")
+      .select("session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(closed == Set(
+      (0L, 6 * H, 1L),      // the in-order session
+      (3 * H, 9 * H, 1L)),  // the late singleton — not merged
+      s"closed sessions: $closed")
+  }
+
   test("userSessions: gaps-and-islands == session_window formulation") {
     val a = graft.operators.Events.userSessions(spark, sf0001)
     val b = graft.operators.Events.userSessionsSW(spark, sf0001)
