@@ -40,7 +40,9 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
-    "q_simhash_neighbors" -> ((s, d) => Dedup.simhashNeighbors(s, d)),
+    // 16-bit simhashNeighbors is pedagogical/quadratic — spec-only
+    // (TextDedupSpec), not on the oracle or bench surface (VERDICT r5 #3);
+    // q_simhash64_neighbors below is the production shape.
     // similarity search
     "q_topk_similarity" -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.topkCosineLsh(s, d)),
@@ -199,6 +201,9 @@ object SparkEntry {
         docs.where(col("lang") === "en").select(col("source")),
         docs.where(col("lang") === "de").select(col("source")))
     }),
+    // Standalone global ORDER BY … LIMIT (VERDICT r5 ask #5): plans as
+    // TakeOrderedAndProject — per-partition heaps, no global sort.
+    "q_order_limit" -> ((s, d) => Ranking.orderLimit(s, d)),
   )
 
   /** Fresh temp dir registered for recursive deletion at JVM exit —
@@ -745,36 +750,6 @@ object SparkEntry {
          |FROM halves""".stripMargin
     },
 
-    "q_simhash_neighbors" -> {
-      val votes = (0 until 16).map { k =>
-        s"list_sum(list_transform(t, s -> CASE WHEN CAST('0x' || substr(md5(s), ${k + 1}, 1) AS INT) >= 8 THEN 1 ELSE -1 END)) AS v$k"
-      }.mkString(",\n         ")
-      def bits(lo: Int, hi: Int): String =
-        (lo until hi).map(k =>
-          s"(CASE WHEN v$k > 0 THEN ${1 << (k - lo)} ELSE 0 END)")
-          .mkString(" + ")
-      s"""$ToksCte, votes AS (
-         |  SELECT doc_id,
-         |         $votes
-         |  FROM toks WHERE len(t) > 0
-         |), sigs AS (
-         |  SELECT doc_id,
-         |         ${bits(0, 8)} AS lo,
-         |         ${bits(8, 16)} AS hi
-         |  FROM votes
-         |), full_sigs AS (
-         |  SELECT doc_id, lo + hi * 256 AS simhash, hi, lo FROM sigs
-         |), quarters AS (
-         |  SELECT doc_id, simhash, q AS q_idx, (simhash >> (4*q)) & 15 AS q_val
-         |  FROM full_sigs, unnest([0, 1, 2, 3]) AS t(q)
-         |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INT) AS hamming
-         |FROM quarters a JOIN quarters b USING (q_idx, q_val)
-         |WHERE a.doc_id < b.doc_id
-         |  AND bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3""".stripMargin
-    },
-
     "q_topk_similarity" ->
       s"""$EmbCte, q AS (
          |  SELECT vec_id AS q_id, v AS qv, nv AS nq FROM n
@@ -810,10 +785,44 @@ object SparkEntry {
          |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          |WHERE rank <= ${Similarity.TopK}""".stripMargin,
 
+    // q_ann_ivf trains KmIterations Lloyd rounds from the stride seed
+    // (Similarity.trainedCentroidsOf); the twin unrolls them: aN =
+    // assignment (argmax cosine, cell-asc tie-break), mN = 9-dp member
+    // means per (cell, dim), kN = empty-cell guard (keep previous),
+    // cN = rebuilt centroid vectors. Must track kmeansRefineOf exactly.
     "q_ann_ivf" ->
-      s"""$EmbCte, cents AS (
-         |  SELECT vec_id AS cent_id, v AS cv, nv AS cnv FROM n
+      s"""$EmbCte, c0 AS (
+         |  SELECT vec_id AS cell, v AS cv, nv AS cnv FROM n
          |  WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |)${(1 to Similarity.KmIterations).map { it =>
+             val prev = s"c${it - 1}"
+             s""", a$it AS (
+         |  SELECT n.vec_id, $prev.cell, n.v,
+         |         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |             i -> cv[i] * v[i])) / (cnv * nv) DESC, $prev.cell ASC) AS r
+         |  FROM n, $prev
+         |), m$it AS (
+         |  SELECT cell, i - 1 AS dim, round(avg(v[i]), 9) AS cx
+         |  FROM a$it, range(1, ${Similarity.Dim + 1}) AS t(i)
+         |  WHERE r = 1
+         |  GROUP BY cell, i
+         |), k$it AS (
+         |  SELECT cell, i - 1 AS dim, cv[i] AS cx
+         |  FROM $prev, range(1, ${Similarity.Dim + 1}) AS t(i)
+         |  WHERE cell NOT IN (SELECT DISTINCT cell FROM m$it)
+         |), l$it AS (
+         |  SELECT * FROM m$it UNION ALL SELECT * FROM k$it
+         |), r$it AS (
+         |  SELECT cell, list(cx ORDER BY dim) AS cv FROM l$it GROUP BY cell
+         |), c$it AS (
+         |  SELECT cell, cv,
+         |         sqrt(list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> cv[i] * cv[i]))) AS cnv
+         |  FROM r$it
+         |)"""
+           }.mkString}, cents AS (
+         |  SELECT cell AS cent_id, cv, cnv FROM c${Similarity.KmIterations}
          |), ranked AS (
          |  SELECT n.vec_id, cents.cent_id,
          |         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
@@ -1167,6 +1176,12 @@ object SparkEntry {
         |  (SELECT source FROM documents WHERE lang = 'en'
         |   EXCEPT
         |   SELECT source FROM documents WHERE lang = 'de')""".stripMargin,
+
+    "q_order_limit" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |ORDER BY n_chars DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
 
     "q_pii_redact" -> {
       import graft.operators.Privacy.{EmailRe, IpRe, PhoneRe}

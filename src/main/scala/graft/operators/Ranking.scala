@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Salted two-phase grouped top-k, shared by every operator that keeps
   * k rows per group (top products, cosine top-k, exact-k sampling):
@@ -27,4 +28,18 @@ object Ranking {
       .withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
   }
+
+  /** Standalone global ORDER BY … LIMIT (VERDICT r5 ask #5) — the one
+    * everyday interactive shape that had no dedicated oracle row: the
+    * n longest documents by `n_chars`, `doc_id` ASC tiebreak (total
+    * order ⇒ deterministic result). Spark plans `orderBy(…).limit(n)`
+    * as TakeOrderedAndProject: each partition keeps an n-row heap and
+    * the driver merges #partitions·n rows — NO global sort, no range
+    * exchange, no skew exposure, so the shape holds at any corpus size
+    * for interactive n. PlanAuditSpec pins the plan sort-free. */
+  def orderLimit(spark: SparkSession, dir: String, n: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .limit(n)
 }

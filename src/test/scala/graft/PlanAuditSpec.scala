@@ -24,10 +24,21 @@ class PlanAuditSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf0001)
 
-  test("master model: one scan per source table, single join shuffle tier") {
+  test("master model: window-free, cost agg broadcast back onto the fact") {
+    // VERDICT r5 fix #1 (§8.7): campaign_cost must come from the compact
+    // (nation, country, month) aggregate broadcast back — NEVER a window
+    // over the raw fact (AQE can skew-split a join but never a window
+    // exchange, and the window shuffled the whole fact). Ad-hoc plan cost:
+    // the orders⨝customer⨝nation subtree is planned twice (agg input +
+    // fact side) = 8 scans; the E1 standing pipeline passes a persisted
+    // txn frame, which collapses that back to one pass.
     val p = finalPlan(q("q_master_model"))
-    assert(count(p, "Scan parquet") == 5,
-      s"master should scan its 5 source tables exactly once each\n$p")
+    assert(!p.contains("Window"),
+      s"master model reintroduced a window over the raw fact:\n$p")
+    assert(count(p, "Scan parquet") <= 8,
+      s"master scan budget blown (expect ≤ 2× its 5 source tables):\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 4,
+      s"cost join-back (and dims) should broadcast:\n$p")
   }
 
   test("rollup: one GROUPING SETS pass — no table scanned twice") {
@@ -78,7 +89,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("near-dup candidate generation joins on buckets, never nested loops") {
-    Seq("q_minhash_pairs", "q_simhash_neighbors", "q_embedding_neardup",
+    Seq("q_minhash_pairs", "q_simhash64_neighbors", "q_embedding_neardup",
       "q_knn_join").foreach { name =>
       val p = finalPlan(q(name))
       assert(!p.contains("BroadcastNestedLoopJoin") &&
@@ -110,6 +121,14 @@ class PlanAuditSpec extends SparkSpec {
     val aq = finalPlan(q("q_approx_quantiles"))
     assert(count(aq, "Scan parquet") <= 2,
       s"approx quantiles reads (lang, n_chars) twice at most:\n$aq")
+  }
+
+  test("order+limit plans as TakeOrderedAndProject — no global sort") {
+    val p = finalPlan(q("q_order_limit"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must take the per-partition-heap path:\n$p")
+    assert(count(p, "Exchange rangepartitioning") == 0 && !p.contains("Sort "),
+      s"a range-exchange global sort must never materialize for LIMIT n:\n$p")
   }
 
   test("business queries push projections into the scans") {

@@ -76,6 +76,28 @@ class SimilaritySpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("trained centroids: recall vs exact ≥ the stride-seed baseline") {
+    // VERDICT r5 ask #4: the trained path must be the default build
+    // because recall at scale depends on centroid quality. Measured
+    // recall@k vs the exact top-k, trained (the q_ann_ivf default)
+    // must not lose to the raw stride seed it refines.
+    val exact = Similarity.topkCosine(spark, SparkSpec.Sf001)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = Similarity.normalizedCorpus(spark, SparkSpec.Sf001)
+    def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.topkCosineIvfWith(c, cents)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val trained = recallOf(Similarity.trainedCentroidsOf(c))
+    val stride = recallOf(Similarity.strideCentroidsOf(c))
+    assert(trained > 0.0, "trained IVF found nothing from the exact top-k")
+    assert(trained >= stride,
+      s"Lloyd refinement lost recall: trained=$trained < stride=$stride")
+  }
+
   test("dot_d: bit-identical to the HOF fold, null on mismatch/nulls") {
     import org.apache.spark.sql.functions._
     graft.expressions.DotProduct.register(spark)
@@ -156,15 +178,19 @@ class SimilaritySpec extends SparkSpec {
   test("incremental IVF append equals a rebuild over the same centroid set") {
     val dir = tmpDir("ivf_inc")
     val emb = Tables.embeddings(spark, sf0001)
-    // The arrival slice avoids stride multiples, so the base-only build
-    // trains the SAME centroids the full rebuild would — making the
-    // fixed-centroid append exactly comparable.
     val inc = emb.where(col("vec_id") % Similarity.CentroidStride =!= 0 &&
       col("vec_id") % 7 === 3)
     val base = emb.join(inc.select("vec_id"), Seq("vec_id"), "left_anti")
     Similarity.buildIvfIndexOf(spark, base, s"$dir/a")
     Similarity.appendToIvfIndex(spark, inc, s"$dir/a")
-    Similarity.buildIvfIndexOf(spark, emb, s"$dir/b")
+    // The rebuild must hold the centroid set FIXED (the production
+    // contract: appends never retrain; cells retrain only on a full
+    // rebuild). Since round 6 builds TRAIN their centroids, a full-corpus
+    // training run would diverge from the base-only one by construction —
+    // so rebuild b against index a's persisted centroids.
+    Similarity.buildIvfIndexWith(
+      Similarity.normalizedCorpusOf(spark, emb),
+      spark.read.parquet(s"$dir/a/centroids"), s"$dir/b")
     val pa = spark.read.parquet(s"$dir/a/postings")
     val pb = spark.read.parquet(s"$dir/b/postings")
     assert(pa.count() == emb.count(), "every vector posted exactly once")
