@@ -326,9 +326,12 @@ object SparkEntry {
     import org.apache.spark.sql.functions._
     val raw = fmt match {
       case "jdbc" =>
-        val (url, lo, hi) = stagedJdbc(s, d)
+        // Bounds come from the source itself (readJdbcAutoBounds probes
+        // MIN/MAX), not from staged literals — the standing contract for
+        // an operational table whose key range grows.
+        val (url, _, _) = stagedJdbc(s, d)
         sources.Ingest
-          .readJdbc(s, url, "transactions", "transaction_id", lo, hi, 8)
+          .readJdbcAutoBounds(s, url, "transactions", "transaction_id", 8)
           .select(col("transaction_id").cast("string").as("transaction_id"),
             col("income"), col("country"), col("date_time"))
       case "tsv" =>

@@ -167,8 +167,16 @@ object Dedup {
   def buildPairTable(spark: SparkSession, dir: String, out: String): Unit =
     ngramJaccard(spark, dir).write.mode("overwrite").parquet(out)
 
+  /** Serve the persisted pair table. Defensive full-row distinct
+    * (ADVICE r5): the incremental appends are at-least-once, and a
+    * replayed slice appends bit-identical rows — which are NOT benign
+    * for count-shaped consumers ([[sourceOverlapFrom]]'s n_dup_pairs
+    * counts pair rows) — so serving collapses exact duplicates. A clean
+    * build has none (pairs are grouped per (doc_a, doc_b) before the
+    * write), so this is free in the no-replay case and the
+    * serve-vs-inline bit-identity proof (TextDedupSpec) still holds. */
   def pairTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(path).distinct()
 
   /** Persist the banded LSH bucket index — (doc_id, band_idx,
     * band_key) — the state that makes pair maintenance INCREMENTAL: a
@@ -187,10 +195,17 @@ object Dedup {
     * O(corpus). The new-new side of the join produces each pair from
     * both directions, so bands are distinct-counted. The two appends
     * are at-least-once (a crash between them means re-running the
-    * slice — same contract as the K1 append sinks); a standing
-    * pipeline wraps both under one [[graft.sinks.Sinks.publishVersioned]]
-    * version for atomicity. TextDedupSpec proves bootstrap + increment
-    * ≡ full rebuild, bit-identical. */
+    * slice — same contract as the K1 append sinks). Replayed appends
+    * write bit-identical rows, which [[pairTable]] collapses with a
+    * full-row distinct at serve time — but a replay after only the PAIR
+    * append (before the signature append) then re-run end-to-end is
+    * fine, while a replay that re-runs only appendToPairTable after
+    * BOTH appends landed would re-bucket the slice against its own
+    * signatures; the distinct still absorbs it because the recomputed
+    * pairs are value-identical. A standing pipeline should still wrap
+    * both paths under one [[graft.sinks.Sinks.publishVersioned]]
+    * version so a half-applied slice is never served. TextDedupSpec
+    * proves bootstrap + increment ≡ full rebuild, bit-identical. */
   def appendToPairTable(spark: SparkSession, newDocs: DataFrame,
                         allDocs: DataFrame, sigPath: String,
                         pairPath: String): Unit = {

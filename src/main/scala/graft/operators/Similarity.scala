@@ -322,6 +322,13 @@ object Similarity {
     * full-corpus one diverge by construction). */
   def buildIvfIndexWith(c: DataFrame, cents: DataFrame,
                         indexPath: String): Unit = {
+    // ADVICE r5: an empty centroid set would assign NO cells (the
+    // crossJoin produces zero rows) and silently publish an index that
+    // loses every vector — fail fast instead. The set is bounded, so
+    // the probe is a cheap one-partition job at build time.
+    require(!cents.isEmpty,
+      s"refusing to build IVF index at $indexPath with ZERO centroids " +
+        "(corpus too small for the stride seed, or a mis-built input)")
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
     assignCells(c, cents)
       .write.mode("overwrite").partitionBy("cell")
@@ -364,15 +371,23 @@ object Similarity {
     * bit-identical to rebuilding with the same centroid set
     * (SimilaritySpec). The append is at-least-once: a crash after the
     * write followed by a re-run would post the slice twice, and
-    * duplicate postings DO corrupt top-k serving (both copies rank) —
-    * unlike the pair table's additive counts, this is not benign, so a
-    * standing pipeline must run each slice exactly once per index
-    * version: stage the index under [[graft.sinks.Sinks.publishVersioned]]
-    * and re-point only after the slice's append completed. */
+    * duplicate postings corrupt top-k serving (both copies rank; ties
+    * then break nondeterministically) — the pair table has the same
+    * replay exposure and absorbs it with a serve-time distinct
+    * ([[graft.operators.Dedup.pairTable]]); postings could too, but the
+    * clean fix is not to serve a half-applied index at all: stage the
+    * index under [[graft.sinks.Sinks.publishVersioned]] and re-point
+    * only after the slice's append completed. */
   def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame,
                        indexPath: String): Unit = {
     val nv = corpusOf(spark, newVecs)
     val cents = spark.read.parquet(s"$indexPath/centroids")
+    // ADVICE r5: an empty/truncated centroid table would make the
+    // assignment crossJoin produce zero rows and the append write
+    // NOTHING — the whole arrival slice silently lost. Fail fast.
+    require(!cents.isEmpty,
+      s"IVF index at $indexPath has an empty centroid table — " +
+        "mis-built or truncated; appending would silently drop the slice")
     assignCells(nv, cents)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexPath/postings")

@@ -289,19 +289,51 @@ object Sinks {
     * single small object, last-writer-wins). Readers resolve the
     * pointer first, so they observe either the old version or the new
     * one — never a blend, never a half-written directory; a crash
-    * mid-write leaves an unreferenced `v=<n>` that the NEXT publish
-    * skips past (versions only move forward) and [[vacuumVersions]]
-    * reclaims. This is the pattern transactional table formats
+    * mid-write leaves an unreferenced stage directory that
+    * [[vacuumVersions]]' caller can reclaim, and version numbers only
+    * move forward. This is the pattern transactional table formats
     * industrialize; at 100 TB the version directories share nothing, so
     * publish cost is one full write with zero read amplification and
-    * rollback is re-pointing LATEST. Returns the published version. */
+    * rollback is re-pointing LATEST. Returns the published version.
+    *
+    * Concurrency (ADVICE r5): CONCURRENT PUBLISHERS ARE SAFE on
+    * HDFS-semantics filesystems — each publisher writes its data into a
+    * unique hidden stage directory, and the commit point is a
+    * no-overwrite rename of that directory to `v=<n>`: the filesystem
+    * grants each version number to exactly ONE publisher; a loser
+    * observes the collision and retries the rename at the next free
+    * number (its data is already written — the retry costs one metadata
+    * op, no rewrite). Version directories therefore never blend. The
+    * LATEST flip remains last-writer-wins: racing publishes may leave
+    * the pointer briefly at the other (complete) version — still
+    * old-or-new, never a mix; serial publishers see strict
+    * monotonicity. On object stores without atomic directory rename,
+    * run one publisher per table. */
   def publishVersioned(df: DataFrame, tableDir: String): Int = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
-    val next = 1 + listVersions(fs, root).foldLeft(0)(math.max)
-    df.write.mode("errorifexists").parquet(s"$tableDir/v=$next")
+    fs.mkdirs(root)
+    val stage = new Path(root,
+      s".stage-${java.util.UUID.randomUUID.toString.take(8)}")
+    df.write.mode("errorifexists").parquet(stage.toString)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    var next = 1 + listVersions(fs, root).foldLeft(0)(math.max)
+    var committed = false
+    while (!committed) {
+      try {
+        // Rename.NONE: fails if the destination exists — the atomic
+        // claim on this version number.
+        fc.rename(stage, new Path(root, s"v=$next"),
+          org.apache.hadoop.fs.Options.Rename.NONE)
+        committed = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          next += 1 // lost the race for this number; data is staged, retry
+      }
+    }
     val tmp = new Path(root, s".LATEST.tmp.$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
@@ -309,9 +341,8 @@ object Sinks {
     // HDFS-semantics filesystems) — a delete-then-rename pair would open
     // a window where LATEST does not exist, and a crash inside it would
     // strand the table pointerless, breaking the old-or-new guarantee.
-    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
-      .rename(tmp, new Path(root, "LATEST"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fc.rename(tmp, new Path(root, "LATEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 

@@ -115,6 +115,33 @@ object Ingest {
       .option("numPartitions", numPartitions)
       .jdbc(url, table, properties)
 
+  /** [[readJdbc]] with the partition bounds discovered from the source
+    * itself (VERDICT r5 ask #8): one single-row MIN/MAX pushed down to
+    * the database — an index-range probe there, never a table scan of
+    * consequence — so callers don't hand-maintain bound literals that
+    * drift as the operational table grows. Bounds only SHAPE the strides
+    * (Spark's first/last partitions are open-ended), so a row arriving
+    * between the probe and the read is still ingested; skew in the key
+    * space degrades balance, not correctness. Fails fast on an empty
+    * table (no bounds ⇒ nothing to partition). */
+  def readJdbcAutoBounds(spark: SparkSession, url: String, table: String,
+                         partitionColumn: String, numPartitions: Int,
+                         properties: java.util.Properties =
+                           new java.util.Properties()): DataFrame = {
+    // Quote through the url's JDBC dialect: Spark's writer creates
+    // quoted (case-exact) identifiers, so an unquoted probe would get
+    // case-folded by the database and miss the column.
+    val qc = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(partitionColumn)
+    val probe = spark.read.jdbc(url,
+      s"(SELECT MIN($qc) AS mn, MAX($qc) AS mx " +
+        s"FROM $table) AS bounds", properties).collect()(0)
+    require(!probe.isNullAt(0) && !probe.isNullAt(1),
+      s"$table is empty or $partitionColumn all-null: no partition bounds")
+    readJdbc(spark, url, table, partitionColumn,
+      probe.getLong(0), probe.getLong(1), numPartitions, properties)
+  }
+
   /** Raw→master normalization for transaction-shaped frames: F3/F4 casts
     * (string → double / timestamp), null-tolerant via try_* so a malformed
     * row nulls out instead of aborting a WRITE_APPEND pipeline (SURVEY

@@ -87,7 +87,16 @@ object Stateful {
             e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
           val sorted = events.toSeq.sortBy(e => (eventUs(e), e.event_id))
           var open = state.getOption
+          // Late-zone buffer (ADVICE r5): late arrivals are sessionized
+          // TOGETHER within the batch instead of each becoming its own
+          // overlapping singleton — two late events within one gap of
+          // each other emit as ONE late session, matching batch
+          // semantics as closely as append mode allows.
+          var lateOpen: Option[OpenSession] = None
           val closed = Seq.newBuilder[ClosedSession]
+          def closeLate(lo: OpenSession): Unit =
+            closed += ClosedSession(uid, lo.start_us, lo.last_us + SessionGapUs,
+              lo.n_events, lo.total_value)
           sorted.foreach { e =>
             val us = eventUs(e)
             open match {
@@ -111,15 +120,29 @@ object Stateful {
               case Some(_) =>
                 // More than a gap BEFORE the open session: batch
                 // semantics would have placed it in an earlier, already-
-                // emitted session, which append mode cannot revise — emit
-                // it as its own late singleton rather than corrupting the
-                // open session's bounds. (A production deployment's
-                // watermark drops such events before they reach here.)
-                closed += ClosedSession(uid, us, us + SessionGapUs, 1, e.value)
+                // emitted session, which append mode cannot revise — fold
+                // it into the batch's late-zone session (events sort
+                // ascending, so only the trailing edge needs checking)
+                // rather than corrupting the open session's bounds.
+                // Residual divergence, by design: late sessions cannot
+                // merge ACROSS batches, and a late chain that climbs to
+                // within one gap of the open session's start still splits
+                // (the chain's tail merges upward instead). A production
+                // deployment's watermark drops such events earlier.
+                lateOpen match {
+                  case Some(lo) if us - lo.last_us < SessionGapUs =>
+                    lateOpen = Some(lo.copy(last_us = us,
+                      n_events = lo.n_events + 1,
+                      total_value = lo.total_value + e.value))
+                  case other =>
+                    other.foreach(closeLate)
+                    lateOpen = Some(OpenSession(us, us, 1, e.value))
+                }
               case None =>
                 open = Some(OpenSession(us, us, 1, e.value))
             }
           }
+          lateOpen.foreach(closeLate)
           open.foreach(state.update)
           closed.result().iterator
       }

@@ -172,6 +172,55 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Standing near-dup index maintenance (VERDICT r5 ask #7): each
+    * micro-batch of arriving documents lands in the docs layer
+    * (batchId-idempotent) and is folded into the persisted signature +
+    * pair index via [[graft.operators.Dedup.appendToPairTable]] — the
+    * stream side of the build/serve split, so overlap / cluster /
+    * curation consumers always serve from a fresh index instead of
+    * re-shingling the corpus per query. Cost per trigger is
+    * O(|batch| shingling + bucket collisions), never O(corpus) — the
+    * batch incremental contract, now riding ingest.
+    *
+    * Delivery contract: the docs-layer write converges under replay
+    * (deterministic batch_id partition, overwrite), but the pair/sig
+    * appends are AT-LEAST-ONCE — a batch replayed after a
+    * checkpoint-window crash appends its pairs twice, which inflates
+    * pair-count consumers (see appendToPairTable's scaladoc). A
+    * production deployment stages the index under
+    * [[graft.sinks.Sinks.publishVersioned]] and re-points only after
+    * the trigger commits; the serve path also dedupes defensively. */
+  def pairIndexMaintenanceStream(stream: DataFrame, docsLayer: String,
+                                 sigPath: String, pairPath: String,
+                                 checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // Batch feeds the layer write, the signature pass, and the
+        // candidate join — persist so the source parses once.
+        batch.persist()
+        try {
+          writeBatchPartition(batch, docsLayer, batchId)
+          // Bootstrap an empty signature index on first contact so the
+          // incremental append always has a table to join against.
+          val sigDir = new org.apache.hadoop.fs.Path(sigPath)
+          val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(sigDir))
+            graft.operators.Dedup.buildSignatureTable(batch.limit(0), sigPath)
+          // The corpus-so-far INCLUDING this batch (members of candidate
+          // pairs are re-read here for exact-Jaccard verification).
+          val all = spark.read.parquet(docsLayer)
+            .select(batch.columns.map(col(_)).toIndexedSeq: _*)
+          graft.operators.Dedup.appendToPairTable(spark, batch, all,
+            sigPath, pairPath)
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
     * keeps each key's fingerprint only until the watermark passes it,
     * so state is O(keys inside the watermark horizon) — the shape that

@@ -320,6 +320,41 @@ class IngestSinksSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t/v=1").exists())
   }
 
+  test("S6: range-partitioned JDBC read pushes predicates and strides") {
+    // A small live Derby table with a known key range.
+    val dir = tmpDir("jdbc_push")
+    val url = s"jdbc:derby:$dir/pushdb;create=true"
+    spark.range(0, 100).selectExpr("id AS k", "CAST(id * 2 AS LONG) AS v")
+      .write.option("createTableColumnTypes", "k BIGINT, v BIGINT")
+      .jdbc(url, "t", new java.util.Properties())
+    val df = Ingest.readJdbcAutoBounds(spark, url, "t", "k", 4)
+    // Auto-bounds found the true range and produced the stride layout:
+    // 4 partitions whose generated WHERE clauses tile the key space
+    // (Spark keeps first/last open-ended so no row can fall outside).
+    assert(df.rdd.getNumPartitions == 4)
+    val clauses = df.rdd.partitions.map { p =>
+      val m = p.getClass.getMethod("whereClause")
+      m.setAccessible(true)
+      m.invoke(p).asInstanceOf[String]
+    }
+    assert(clauses.length == 4 && clauses.distinct.length == 4)
+    assert(clauses.forall(_.contains("\"k\"")),
+      s"stride predicates must range over the partition column: " +
+        clauses.mkString(" | "))
+    assert(clauses.exists(_.contains("<")) && clauses.exists(_.contains(">=")),
+      "strides must tile the key space with half-open ranges")
+    assert(df.count() == 100)
+    // pushDownPredicate (default true): a filter on the partition column
+    // reaches the generated per-partition SQL as a PushedFilters entry —
+    // the database prunes, Spark never sees the excluded rows.
+    val filtered = df.where(col("k") >= 50)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.replaceAll("\\s", "").contains("GreaterThanOrEqual(k,50)"),
+      s"partition-column filter must be pushed to the source:\n$plan")
+    assert(filtered.count() == 50)
+  }
+
   test("normalizeTransactions casts strings null-tolerantly") {
     val raw = Seq(
       ("1", "12.50", "Peru", "2023-07-07 08:21:23"),

@@ -53,20 +53,17 @@ class SkewMultimodalSpec extends SparkSpec {
     assert(a.getSeq[Float](1).length == 8)
   }
 
-  test("resizeStub: dims fit the box, aspect preserved, payload untouched") {
+  test("resizeImages is total over a non-decodable corpus: pass-through") {
+    // Fixture payloads are text bytes — no JDK codec decodes them, so
+    // every row must survive untouched with the -1 no-image marker
+    // (the operator never drops or corrupts rows it cannot decode).
     val p = Multimodal.withPayload(spark, sf0001)
-    val r = Multimodal.resizeStub(p, maxSide = 256)
-    val row = r.join(p.select($"doc_id", $"payload".as("orig"),
-        $"meta".as("m0")), "doc_id")
-      .select($"meta.width", $"meta.height", $"m0.width", $"m0.height",
-        ($"payload" === $"orig").as("same"))
-    row.collect().foreach { x =>
-      val (w, h, w0, h0) = (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3))
-      assert(w <= 256 && h <= 256 && w >= 1 && h >= 1)
-      // no upscaling
-      assert(w <= w0 && h <= h0)
-      assert(x.getBoolean(4))
-    }
+    val r = Multimodal.resizeImages(p, maxSide = 256)
+    assert(r.count() == p.count())
+    val bad = r.join(p.select($"doc_id", $"payload".as("orig")), "doc_id")
+      .where($"width" =!= -1 || $"height" =!= -1 || $"resized" ||
+        $"payload" =!= $"orig")
+    assert(bad.isEmpty)
   }
 
   /** Deterministic 16x16 PNG: left half pure black, right half pure
@@ -124,6 +121,18 @@ class SkewMultimodalSpec extends SparkSpec {
       out(0).getBoolean(4))
     val redecoded = Multimodal.decodeImage(out(0).getAs[Array[Byte]](1)).get
     assert(redecoded.getWidth == 16 && redecoded.getHeight == 8)
+    // KNOWN-IMAGE PIXEL MEANS (VERDICT r5 ask #6): the area-average is
+    // pure integer math, so the 4×4 block means of the linear gradients
+    // have closed forms — r(x=k) = mean(16k + {0,4,8,12}) = 16k+6,
+    // g(y=j) = mean(32j + {0,8,16,24}) = 32j+12, b = 0x40 constant.
+    // Equality, not tolerance: this is what makes the resample testable
+    // (Java2D interpolation output is pipeline-dependent).
+    for (j <- 0 until 8; k <- 0 until 16) {
+      val p = redecoded.getRGB(k, j)
+      assert(((p >> 16) & 0xff) == 16 * k + 6, s"r at ($k,$j)")
+      assert(((p >> 8) & 0xff) == 32 * j + 12, s"g at ($k,$j)")
+      assert((p & 0xff) == 0x40, s"b at ($k,$j)")
+    }
     // non-decodable payload: untouched pass-through, -1 dims marker
     assert(!out(1).getBoolean(4) && out(1).getInt(2) == -1 &&
       new String(out(1).getAs[Array[Byte]](1), "UTF-8") == "not an image")

@@ -82,13 +82,14 @@ class StatefulSpec extends SparkSpec {
     // session [0h, 6h] and opens at 10h.
     Seq(row(1, 0), row(2, 10)).toDF()
       .coalesce(1).write.parquet(s"$dir/events/drop=0")
-    // Drop 1 (late): 3h is more than a gap BEFORE the open session's
-    // start (10h − 3h > 6h) — batch semantics would place it in the
-    // already-emitted session, so it must surface as a late singleton,
-    // NOT stretch the open session's start down to 3h (the pre-fix
-    // behavior: us − last_us is negative, so the upper-edge guard alone
-    // merged it). 8h is within a gap of the start → merges, start 8h.
-    Seq(row(3, 3), row(4, 8)).toDF()
+    // Drop 1 (late): 1h and 3h are each more than a gap BEFORE the open
+    // session's start (10h − 3h > 6h) — batch semantics would place them
+    // in the already-emitted session, which append mode cannot revise —
+    // and they are within one gap of EACH OTHER, so they must emit as
+    // ONE late session [1h, 3h+6h], not two overlapping singletons
+    // (ADVICE r5) and must NOT stretch the open session's start down.
+    // 8h is within a gap of the start → merges, start 8h.
+    Seq(row(3, 3), row(5, 1), row(4, 8)).toDF()
       .coalesce(1).write.parquet(s"$dir/events/drop=1")
     val q = Stateful.streamingSessions(spark, s"$dir/events/drop=*",
         Seq(row(1, 0)).toDF().schema, maxFilesPerTrigger = Some(1))
@@ -104,7 +105,7 @@ class StatefulSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(closed == Set(
       (0L, 6 * H, 1L),      // the in-order session
-      (3 * H, 9 * H, 1L)),  // the late singleton — not merged
+      (1 * H, 9 * H, 2L)),  // ONE late session covering both late events
       s"closed sessions: $closed")
   }
 

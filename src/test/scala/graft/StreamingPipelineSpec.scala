@@ -139,6 +139,32 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(state == Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("stream-maintained pair index equals the batch rebuild") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("pairstream")
+    val docs = graft.Tables.documents(spark, sf0001)
+    // Three arrival slices, one file each, drained one per trigger —
+    // the standing-ingest shape (bootstrap batch + two increments).
+    for (m <- 0 to 2)
+      docs.where(pmod(col("doc_id"), lit(3)) === m)
+        .coalesce(1).write.parquet(s"$dir/in/slice$m")
+    val schema = spark.read.parquet(s"$dir/in/slice0").schema
+    StreamingIngest.pairIndexMaintenanceStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+      s"$dir/docs", s"$dir/sigs", s"$dir/pairs", s"$dir/ckpt")
+    // Every arrival landed in the docs layer exactly once…
+    assert(spark.read.parquet(s"$dir/docs").count() == docs.count())
+    // …and the maintained index is bit-identical to rebuilding from
+    // the full corpus in one pass (same proof shape as TextDedupSpec's
+    // batch increment, now driven through micro-batches).
+    val maintained = graft.operators.Dedup.pairTable(spark, s"$dir/pairs")
+    val rebuilt = graft.operators.Dedup.ngramJaccard(spark, sf0001)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "micro-batch maintenance must reproduce the one-pass rebuild")
+  }
+
   test("Metrics recorder captures scan and shuffle activity per action") {
     val rec = Metrics.attach(spark)
     try {
