@@ -320,6 +320,33 @@ class IngestSinksSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t/v=1").exists())
   }
 
+  test("versioned publish: concurrent publishers never blend a version") {
+    // ADVICE r5: two publishers racing the same table must not
+    // interleave files into one v=N. The stage-then-claim rename makes
+    // the version number an atomic, single-winner resource; assertions
+    // hold under ANY thread interleaving (the point of the test).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpDir("pub_race")
+    val inputs = (1 to 4).map(i => i -> spark.range(i * 10L).toDF())
+    val got = Await.result(
+      Future.sequence(inputs.map { case (i, df) =>
+        Future(Sinks.publishVersioned(df, s"$dir/t") -> i)
+      }), 5.minutes)
+    // Each publisher claimed a distinct version number…
+    assert(got.map(_._1).distinct.length == 4, s"versions: $got")
+    // …and each version directory holds exactly ITS publisher's rows
+    // (10/20/30/40 distinguish the four inputs).
+    got.foreach { case (v, i) =>
+      assert(spark.read.parquet(s"$dir/t/v=$v").count() == i * 10L,
+        s"v=$v blended or lost rows")
+    }
+    // The pointer resolves to one complete published version.
+    assert(Set(10L, 20L, 30L, 40L)
+      .contains(Sinks.readLatest(spark, s"$dir/t").count()))
+  }
+
   test("S6: range-partitioned JDBC read pushes predicates and strides") {
     // A small live Derby table with a known key range.
     val dir = tmpDir("jdbc_push")
