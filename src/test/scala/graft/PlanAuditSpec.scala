@@ -123,6 +123,48 @@ class PlanAuditSpec extends SparkSpec {
       s"approx quantiles reads (lang, n_chars) twice at most:\n$aq")
   }
 
+  test("master model over a persisted txn frame: ONE pass over the fact") {
+    // The §8.7 standing-pipeline claim, pinned: when the E1 driver
+    // hands masterModelFrom a persisted transaction frame, the cost
+    // aggregate's second pass becomes a cached read — the plan holds
+    // cached scans plus exactly the lineitem + part parquet scans, and
+    // still no Window.
+    val txn = graft.operators.Relational.transactions(spark, sf0001)
+      .persist()
+    try {
+      val df = graft.operators.Relational.masterModelFrom(txn,
+        graft.Tables.lineitem(spark, sf0001),
+        graft.Tables.part(spark, sf0001))
+      df.collect()
+      // Tree-walk, not string-count: the string rendering of an
+      // InMemoryRelation embeds its CACHED lineage (parquet scans that
+      // do not re-execute), while in the operator tree the cache read
+      // is a leaf — exactly the distinction this test is about.
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def walk(p: SparkPlan, f: SparkPlan => Int): Int = {
+        val nested = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, f)
+          case q: QueryStageExec => walk(q.plan, f)
+          case _ => 0
+        }
+        f(p) + nested + p.children.map(walk(_, f)).sum
+      }
+      val plan = df.queryExecution.executedPlan
+      val parquetScans = walk(plan,
+        { case _: FileSourceScanExec => 1; case _ => 0 })
+      val cacheReads = walk(plan,
+        { case _: InMemoryTableScanExec => 1; case _ => 0 })
+      assert(!plan.toString.contains("Window"), s"window reappeared:\n$plan")
+      assert(parquetScans == 2,
+        s"persisted-txn master must scan parquet only for lineitem+part " +
+          s"(got $parquetScans):\n$plan")
+      assert(cacheReads >= 2,
+        s"both branches must read the cached fact (got $cacheReads):\n$plan")
+    } finally txn.unpersist()
+  }
+
   test("order+limit plans as TakeOrderedAndProject — no global sort") {
     val p = finalPlan(q("q_order_limit"))
     assert(p.contains("TakeOrderedAndProject"),

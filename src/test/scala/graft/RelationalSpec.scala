@@ -80,6 +80,37 @@ class RelationalSpec extends SparkSpec {
     } finally m.unpersist()
   }
 
+  test("masterModel: cost agg+join-back is bit-identical to the window form") {
+    // The §8.7 swap's hash-neutrality claim, proven: the retired
+    // window formulation (rebuilt here in-test) and the shipped
+    // broadcast join-back produce the SAME multiset — the round(·,2)
+    // inside the cost formula recovers the exact sum in any summation
+    // order, so partitioning/plan differences cannot reach the values.
+    import org.apache.spark.sql.expressions.Window
+    val txn = Relational.transactions(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val part = Tables.part(spark, sf0001)
+    val shipped = Relational.masterModelFrom(txn, li, part)
+    val w = Window.partitionBy(
+      $"n_nationkey", $"transaction_country", $"tmonth")
+    val windowed = txn
+      .withColumn("campaign_id",
+        ($"n_nationkey" * 1000000 + year($"tmonth") * 100 +
+          month($"tmonth")).cast("long"))
+      .withColumn("campaign_cost",
+        round(round(sum($"income").over(w), 2) * lit(0.1).cast("double"), 3))
+      .join(li, $"transaction_id" === $"l_orderkey")
+      .join(part, $"l_partkey" === $"p_partkey")
+      .select($"campaign_id", $"campaign_cost", $"transaction_id",
+        $"income", $"transaction_country", $"customer_id",
+        $"l_partkey".as("product_id"), $"l_quantity".as("quantity"),
+        $"l_extendedprice".as("price"), $"p_brand".as("category"),
+        $"transaction_datetime")
+    assert(shipped.columns.toSeq == windowed.columns.toSeq)
+    assert(shipped.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(shipped).isEmpty)
+  }
+
   test("topProductsPerCountry: salted two-phase equals single-window top-k") {
     val m = Relational.masterModel(spark, sf0001)
     val got = Relational.topProductsPerCountry(m, k = 3, saltBuckets = 8)
