@@ -131,6 +131,7 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_chunk" -> ((s, d) => TextOps.chunkDocs(s, d)),
     "q_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
+    "q_temperature_mix" -> ((s, d) => Sampling.temperatureMix(s, d)),
     // all-rows kNN join, scalar quantization, DQ expectation report
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "q_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
@@ -1511,6 +1512,31 @@ object SparkEntry {
          |       (CAST(corpus_tokens AS DOUBLE) / n_sources) / total_tokens
          |         AS uniform_multiplier
          |FROM w""".stripMargin,
+
+    // α = 0.5 by design: share^0.5 is sqrt — IEEE-correctly-rounded on
+    // both engines — where a general pow would be engine-local. Only the
+    // normalizer z is order-sensitive; round(·, 9) absorbs it, and every
+    // later term is quotients/products of identical operands.
+    "q_temperature_mix" ->
+      s"""$ToksCte, per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(t)) AS BIGINT) AS total_tokens
+         |  FROM toks GROUP BY 1
+         |), w AS (
+         |  SELECT *, CAST(SUM(total_tokens) OVER () AS BIGINT) AS corpus_tokens
+         |  FROM per
+         |), s AS (
+         |  SELECT *, CAST(total_tokens AS DOUBLE) / corpus_tokens AS token_share,
+         |         sqrt(CAST(total_tokens AS DOUBLE) / corpus_tokens) AS share_pow
+         |  FROM w
+         |), zz AS (
+         |  SELECT *, round(SUM(share_pow) OVER (), 9) AS z FROM s
+         |)
+         |SELECT source, n_docs, total_tokens, corpus_tokens, token_share,
+         |       share_pow / z AS temp_share,
+         |       share_pow / z * CAST(corpus_tokens AS DOUBLE) / total_tokens
+         |         AS temp_multiplier
+         |FROM zz""".stripMargin,
 
     "q_knn_join" ->
       s"""$EmbCte, bn AS (

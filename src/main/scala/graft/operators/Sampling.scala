@@ -151,6 +151,45 @@ object Sampling {
           col("total_tokens"))
   }
 
+  /** Temperature-flattened domain mix — the standard pretraining
+    * data-recipe step (sampling share ∝ natural share^α, α = 1/T):
+    * α < 1 upsamples small domains and downsamples dominant ones
+    * without inverting the order; α = 1 is the natural mix, α → 0 the
+    * uniform one. Emits each source's natural token share, its
+    * temperature share, and the resampling multiplier that hits the
+    * temperature mix at unchanged corpus size (feed it into
+    * [[stratifiedSample]]-style ppm rates).
+    *
+    * Cross-engine exactness (the reason α defaults to 0.5): share^0.5
+    * is `sqrt`, which IEEE 754 requires correctly rounded — bit-exact
+    * on both engines — while general `pow` is transcendental and
+    * engine-local (§8.5 discipline; same reason tf-idf uses linear
+    * idf). The only order-sensitive value is the share_pow
+    * normalizer, rounded to 9 dp (error ~1e-15 ≪ granule); every
+    * later expression is quotients/products of identical operands.
+    * Shape: one corpus-collapsing hash aggregate; both windows run
+    * over the #sources-row frame, never the raw corpus. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("corpus_tokens", sum(col("total_tokens")).over(all))
+      .withColumn("token_share",
+        col("total_tokens").cast("double") / col("corpus_tokens"))
+      .withColumn("share_pow", sqrt(col("token_share")))
+      .withColumn("z", round(sum(col("share_pow")).over(all), 9))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"),
+        col("corpus_tokens"), col("token_share"),
+        (col("share_pow") / col("z")).as("temp_share"),
+        (col("share_pow") / col("z") * col("corpus_tokens").cast("double")
+          / col("total_tokens")).as("temp_multiplier"))
+  }
+
   /** Token budget per packed training sequence (demo-sized; the operator
     * shape is budget-agnostic). */
   val PackBudget = 512

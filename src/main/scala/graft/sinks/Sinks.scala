@@ -354,6 +354,44 @@ object Sinks {
     spark.read.parquet(s"$tableDir/v=${currentVersion(fs, root)}")
   }
 
+  /** Read one specific published version (time travel over the
+    * [[publishVersioned]] layout). */
+  def readVersion(spark: SparkSession, tableDir: String, version: Int): DataFrame =
+    spark.read.parquet(s"$tableDir/v=$version")
+
+  /** Keyed diff of two published versions — the review artifact for a
+    * versioned corpus ("what did this rebuild actually change?"):
+    * one row per key whose state differs, `change` ∈ added / removed /
+    * changed (any non-key column differs; unchanged keys are absent —
+    * at 100 TB the diff output is proportional to the CHANGE, not the
+    * corpus). Requires key-unique versions (the [[upsert]] contract).
+    * Shape: one full-outer join shuffle-keyed on the keys; both sides
+    * are plain version-directory scans with pushdown; null-safe
+    * struct equality (<=>) classifies in the join's own projection, so
+    * the whole diff is one exchange round. */
+  def diffVersions(spark: SparkSession, tableDir: String,
+                   oldVersion: Int, newVersion: Int,
+                   keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = readVersion(spark, tableDir, oldVersion)
+    val n = readVersion(spark, tableDir, newVersion)
+    require(o.columns.sorted.sameElements(n.columns.sorted),
+      s"schema drift between v=$oldVersion and v=$newVersion — diff by " +
+        "key is ill-defined; handle migrations explicitly")
+    val valueCols = o.columns.filterNot(keys.contains).sorted.toIndexedSeq
+    def tagged(df: DataFrame, tag: String) =
+      df.select(keys.map(col) ++
+        Seq(struct(valueCols.map(col): _*).as(s"${tag}_vals"),
+          lit(1).as(s"${tag}_present")): _*)
+    tagged(o, "old").join(tagged(n, "new"), keys.toIndexedSeq, "full_outer")
+      .withColumn("change",
+        when(col("old_present").isNull, lit("added"))
+          .when(col("new_present").isNull, lit("removed"))
+          .when(!(col("old_vals") <=> col("new_vals")), lit("changed")))
+      .where(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** Drop every version directory below the pointed-to one (how long a
     * time-travel window to keep is the caller's policy; the pointed
     * version and any NEWER unreferenced one — a publish may be in

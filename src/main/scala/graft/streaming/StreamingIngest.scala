@@ -221,6 +221,42 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Standing ANN-index maintenance — the IVF twin of
+    * [[pairIndexMaintenanceStream]]: the FIRST micro-batch bootstraps
+    * the index (trains centroids from the batch via
+    * [[graft.operators.Similarity.buildIvfIndexOf]] — production points
+    * the bootstrap at a representative base corpus, i.e. makes the
+    * first slice big); every later batch assigns its vectors to the
+    * FIXED persisted centroids and appends only the touched cell
+    * partitions. Per-trigger cost is O(|batch| · centroids), never
+    * O(corpus); centroid retraining happens only on an explicit full
+    * rebuild, exactly the batch contract.
+    *
+    * Delivery: appends are at-least-once, and duplicate postings DO
+    * corrupt top-k serving — a production deployment stages the index
+    * under [[graft.sinks.Sinks.publishVersioned]] and re-points after
+    * the trigger commits (see appendToIvfIndex's scaladoc). */
+  def ivfIndexMaintenanceStream(stream: DataFrame, indexPath: String,
+                                checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        batch.persist()
+        try {
+          val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+          val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(cents))
+            graft.operators.Similarity.buildIvfIndexOf(spark, batch, indexPath)
+          else
+            graft.operators.Similarity.appendToIvfIndex(spark, batch, indexPath)
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
     * keeps each key's fingerprint only until the watermark passes it,
     * so state is O(keys inside the watermark horizon) — the shape that

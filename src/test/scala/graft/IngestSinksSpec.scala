@@ -320,6 +320,23 @@ class IngestSinksSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t/v=1").exists())
   }
 
+  test("diffVersions classifies added / removed / changed keys only") {
+    val dir = tmpDir("vdiff")
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+    // v2: id 2 changed (score), id 3 removed, id 4 added, id 1 untouched.
+    val v2 = Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "d", 40.0))
+      .toDF("id", "name", "score")
+    assert(Sinks.publishVersioned(v1, s"$dir/t") == 1)
+    assert(Sinks.publishVersioned(v2, s"$dir/t") == 2)
+    val diff = Sinks.diffVersions(spark, s"$dir/t", 1, 2, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((2L, "changed"), (3L, "removed"), (4L, "added")),
+      s"got $diff")
+    // Same version diffed against itself is empty (no unchanged noise).
+    assert(Sinks.diffVersions(spark, s"$dir/t", 2, 2, Seq("id")).isEmpty)
+  }
+
   test("versioned publish: concurrent publishers never blend a version") {
     // ADVICE r5: two publishers racing the same table must not
     // interleave files into one v=N. The stage-then-claim rename makes

@@ -165,6 +165,34 @@ class StreamingPipelineSpec extends SparkSpec {
       "micro-batch maintenance must reproduce the one-pass rebuild")
   }
 
+  test("stream-maintained IVF index equals a fixed-centroid rebuild") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("ivfstream")
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    // Slice 0 bootstraps (it carries stride multiples, so centroids
+    // train); slices 1-2 append against the then-fixed centroids.
+    for (m <- 0 to 2)
+      emb.where(pmod(col("vec_id"), lit(3)) === m)
+        .coalesce(1).write.parquet(s"$dir/in/slice$m")
+    val schema = spark.read.parquet(s"$dir/in/slice0").schema
+    StreamingIngest.ivfIndexMaintenanceStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+      s"$dir/idx", s"$dir/ckpt")
+    val maintained = spark.read.parquet(s"$dir/idx/postings")
+    assert(maintained.count() == emb.count(), "every vector posted once")
+    // Rebuild the full corpus against the STREAM's centroids (appends
+    // never retrain — the batch contract): postings must be
+    // bit-identical.
+    graft.operators.Similarity.buildIvfIndexWith(
+      graft.operators.Similarity.normalizedCorpusOf(spark, emb),
+      spark.read.parquet(s"$dir/idx/centroids"), s"$dir/rebuild")
+    val rebuilt = spark.read.parquet(s"$dir/rebuild/postings")
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "stream maintenance must equal the fixed-centroid rebuild")
+  }
+
   test("Metrics recorder captures scan and shuffle activity per action") {
     val rec = Metrics.attach(spark)
     try {
