@@ -39,6 +39,7 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     // 16-bit simhashNeighbors is pedagogical/quadratic — spec-only
     // (TextDedupSpec), not on the oracle or bench surface (VERDICT r5 #3);
@@ -729,6 +730,28 @@ object SparkEntry {
          |FROM pairs p
          |JOIN docs a ON p.doc_a = a.doc_id
          |JOIN docs b ON p.doc_b = b.doc_id""".stripMargin,
+
+    // Containment = the ngram_jaccard frame plus the two asymmetric
+    // ratios, filtered on max(c_a, c_b) ≥ 0.5 — integer/SIZE division,
+    // no rounding needed.
+    "q_containment" ->
+      s"""$ToksCte, $minhashCtes, verified AS (
+         |  SELECT p.doc_a, p.doc_b, p.n_band_matches,
+         |         len(a.sh) AS n_a,
+         |         len(b.sh) AS n_b,
+         |         len(list_intersect(a.sh, b.sh)) AS n_inter,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |)
+         |SELECT *,
+         |       CAST(n_inter AS DOUBLE) / n_a AS containment_a,
+         |       CAST(n_inter AS DOUBLE) / n_b AS containment_b
+         |FROM verified
+         |WHERE greatest(CAST(n_inter AS DOUBLE) / n_a,
+         |               CAST(n_inter AS DOUBLE) / n_b) >= 0.5""".stripMargin,
 
     "q_simhash" -> {
       val votes = (0 until 16).map { k =>

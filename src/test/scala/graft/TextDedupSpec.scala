@@ -204,4 +204,31 @@ class TextDedupSpec extends SparkSpec {
     val demo = Dedup.simhashNeighbors(spark, sf0001).count()
     assert(banded.size <= demo)
   }
+
+  test("containment flags near-supersets that symmetric Jaccard misses") {
+    // A 10-shingle doc fully inside a 100-shingle doc: jaccard = 0.1
+    // (would never pass a 0.5 dedup gate) but containment_a = 1.0 —
+    // exactly the quote/inclusion case the asymmetric ratio exists for.
+    val contained = Seq((1L, 2L, 3L, 10, 100, 10))
+      .toDF("doc_a", "doc_b", "n_band_matches", "n_a", "n_b", "n_inter")
+      .withColumn("jaccard",
+        $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
+    val hit = Dedup.containmentFrom(contained, 0.5).collect()
+    assert(hit.length == 1)
+    assert(hit(0).getAs[Double]("containment_a") == 1.0 &&
+      hit(0).getAs[Double]("containment_b") == 0.1 &&
+      hit(0).getAs[Double]("jaccard") == 0.1)
+    // A genuinely weak overlap (4/10, 4/100) stays filtered.
+    val weak = Seq((1L, 2L, 3L, 10, 100, 4))
+      .toDF("doc_a", "doc_b", "n_band_matches", "n_a", "n_b", "n_inter")
+      .withColumn("jaccard",
+        $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
+    assert(Dedup.containmentFrom(weak, 0.5).isEmpty)
+    // On the fixture surface: every emitted row satisfies the gate and
+    // containment always dominates jaccard (A∩B ≤ A∪B).
+    val fx = Dedup.containmentPairs(spark, sf0001)
+    assert(fx.where(greatest($"containment_a", $"containment_b") < 0.5 ||
+      $"containment_a" < $"jaccard" || $"containment_b" < $"jaccard")
+      .isEmpty)
+  }
 }
