@@ -60,6 +60,8 @@ object SparkEntry {
     // fix #6) — result-identical to recomputing the chain inline.
     "q_curation" -> ((s, d) =>
       Curation.curatedDocsFrom(s, d, stagedPairTable(s, d))),
+    "q_curation_containment" -> ((s, d) =>
+      Curation.curatedDocsContainmentFrom(s, d, stagedPairTable(s, d))),
     // train/eval n-gram contamination check over the hash split
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
@@ -985,6 +987,57 @@ object SparkEntry {
          |         AS quality_score
          |FROM ratios
          |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+         |  AND n_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)""".stripMargin,
+
+    // q_curation plus the asymmetric rule: a member contained in its
+    // partner (containment ≥ 0.9) loses even under the jaccard gate;
+    // mutual containment keeps the lower doc_id.
+    "q_curation_containment" ->
+      s"""$ToksCte, $minhashCtes, jac AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         len(a.sh) AS n_a, len(b.sh) AS n_b,
+         |         len(list_intersect(a.sh, b.sh)) AS n_inter,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |), losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM jac
+         |  WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |  UNION
+         |  SELECT DISTINCT CASE
+         |    WHEN CAST(n_inter AS DOUBLE) / n_a >= CAST(0.9 AS DOUBLE)
+         |     AND CAST(n_inter AS DOUBLE) / n_b >= CAST(0.9 AS DOUBLE)
+         |      THEN greatest(doc_a, doc_b)
+         |    WHEN CAST(n_inter AS DOUBLE) / n_a >= CAST(0.9 AS DOUBLE)
+         |      THEN doc_a
+         |    ELSE doc_b END AS doc_id
+         |  FROM jac
+         |  WHERE greatest(CAST(n_inter AS DOUBLE) / n_a,
+         |                 CAST(n_inter AS DOUBLE) / n_b) >= CAST(0.9 AS DOUBLE)
+         |), base AS (
+         |  SELECT doc_id,
+         |         len(text) AS n_chars,
+         |         len(t) AS n_tokens,
+         |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         |         ${hitsExpr(TextOps.StopWords.head._2)} AS n_stop
+         |  FROM toks
+         |), ratios AS (
+         |  SELECT *,
+         |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+         |         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+         |  FROM base
+         |)
+         |SELECT doc_id, n_tokens, punct_ratio,
+         |       least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+         |         + (CAST(1.0 AS DOUBLE) - punct_ratio) * CAST(0.3 AS DOUBLE)
+         |         + least(CAST(1.0 AS DOUBLE), stop_ratio * CAST(5.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+         |         AS quality_score
+         |FROM ratios
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          |  AND n_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)""".stripMargin,
 
     "q_decontaminate" ->

@@ -44,6 +44,51 @@ object Curation {
         col("quality_score"))
   }
 
+  /** Containment-aware curation: [[curatedDocsFrom]]'s quality gates and
+    * symmetric-jaccard losers PLUS the asymmetric rule — a member
+    * CONTAINED in its pair partner (containment ≥ cThreshold) loses
+    * even when jaccard stays under the gate, the quote/inclusion case
+    * symmetric dedup structurally misses (jaccard ≤ |A|/|B| however
+    * complete the inclusion). The contained (shorter) member drops —
+    * its content survives in the keeper; mutually-contained
+    * near-identical pairs keep the lower doc_id, matching the
+    * symmetric rule's convention. Same shape: loser frames ≪ corpus,
+    * one LEFT ANTI join. */
+  def curatedDocsContainment(spark: SparkSession, dir: String,
+                             jaccardThreshold: Double = 0.5,
+                             containmentThreshold: Double = 0.9,
+                             minTokens: Int = 20,
+                             maxPunctRatio: Double = 0.2): DataFrame =
+    curatedDocsContainmentFrom(spark, dir, Dedup.ngramJaccard(spark, dir),
+      jaccardThreshold, containmentThreshold, minTokens, maxPunctRatio)
+
+  /** [[curatedDocsContainment]] served from a prebuilt pair frame. */
+  def curatedDocsContainmentFrom(spark: SparkSession, dir: String,
+                                 pairFrame: DataFrame,
+                                 jaccardThreshold: Double = 0.5,
+                                 containmentThreshold: Double = 0.9,
+                                 minTokens: Int = 20,
+                                 maxPunctRatio: Double = 0.2): DataFrame = {
+    val quality = TextOps.qualityScore(spark, dir)
+    val jLosers = pairFrame
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_b").as("doc_id"))
+    val cLosers = Dedup.containmentFrom(pairFrame, containmentThreshold)
+      .select(
+        when(col("containment_a") >= containmentThreshold &&
+            col("containment_b") >= containmentThreshold,
+          greatest(col("doc_a"), col("doc_b")))
+          .when(col("containment_a") >= containmentThreshold, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"))
+    val losers = jLosers.unionByName(cLosers).distinct()
+    quality
+      .join(losers, Seq("doc_id"), "left_anti")
+      .where(col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio)
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("quality_score"))
+  }
+
   /** Decontamination: find train-split documents whose n-gram content
     * overlaps an eval-split document (the GPT-3-style "remove training
     * docs sharing n-grams with the benchmark" step — training on eval
