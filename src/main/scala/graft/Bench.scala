@@ -56,20 +56,31 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     var errors = Map.empty[String, String]
-    val reps: Seq[Seq[(String, Double)]] = (1 to Reps).map { _ =>
+    val reps: Seq[Seq[(String, Double, Boolean)]] = (1 to Reps).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          if (!errors.contains(name))
-            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            if (!errors.contains(name))
+              errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
     val names = ordered.map(_._1)
+    // Failed reps are EXCLUDED from min/mean — a transient failure's
+    // fast abort must not masquerade as the query's best time (the
+    // min-of-reps gate would otherwise report a deflated total in
+    // exactly the flaky regime it exists to police). A query with no
+    // successful rep keeps its failed-attempt times so the artifact
+    // still carries a duration next to its errors entry.
     val byName: Map[String, Seq[Double]] =
-      reps.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      reps.flatten.groupBy(_._1).map { case (n, samples) =>
+        val good = samples.collect { case (_, t, true) => t }
+        n -> (if (good.nonEmpty) good else samples.map(_._2))
+      }
     val mins = names.map(n => n -> byName(n).min)
     val means = names.map(n => n -> byName(n).sum / byName(n).size)
     def jstr(s: String): String =

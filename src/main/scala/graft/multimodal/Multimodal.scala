@@ -196,8 +196,11 @@ object Multimodal {
                    nw: Int, nh: Int): java.awt.image.BufferedImage = {
     val sw = img.getWidth
     val sh = img.getHeight
-    val dst = new java.awt.image.BufferedImage(
-      nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // Bulk ARGB extraction once up front: per-pixel getRGB pays a
+    // color-model conversion per call — ~10× slower on the executor
+    // hot path, for bit-identical packed values.
+    val px = img.getRGB(0, 0, sw, sh, null, 0, sw)
+    val out = new Array[Int](nw * nh)
     var y = 0
     while (y < nh) {
       val y0 = y * sh / nh
@@ -209,21 +212,25 @@ object Multimodal {
         var r = 0L; var g = 0L; var b = 0L
         var sy = y0
         while (sy < y1) {
+          val row = sy * sw
           var sx = x0
           while (sx < x1) {
-            val p = img.getRGB(sx, sy)
+            val p = px(row + sx)
             r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
             sx += 1
           }
           sy += 1
         }
         val n = (x1 - x0).toLong * (y1 - y0)
-        dst.setRGB(x, y,
-          ((r / n).toInt << 16) | ((g / n).toInt << 8) | (b / n).toInt)
+        out(y * nw + x) =
+          ((r / n).toInt << 16) | ((g / n).toInt << 8) | (b / n).toInt
         x += 1
       }
       y += 1
     }
+    val dst = new java.awt.image.BufferedImage(
+      nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    dst.setRGB(0, 0, nw, nh, out, 0, nw)
     dst
   }
 

@@ -179,9 +179,8 @@ object Similarity {
   /** [[topkCosineIvf]] body over explicit (cent_id, cv, cnv) centroids —
     * shared by the trained default and the spec's stride-seed recall
     * baseline. */
-  def topkCosineIvfWith(c: DataFrame, centroids: DataFrame,
+  def topkCosineIvfWith(c: DataFrame, cents: DataFrame,
                         k: Int = TopK): DataFrame = {
-    val cents = centroids
     val scoredCells = c.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         (dot(col("cv"), col("v")) / (col("cnv") * col("nv"))).as("ccos"))

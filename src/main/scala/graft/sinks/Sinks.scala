@@ -323,15 +323,23 @@ object Sinks {
     var committed = false
     while (!committed) {
       try {
-        // Rename.NONE: fails if the destination exists — the atomic
-        // claim on this version number.
+        // Rename.NONE: fails if the destination exists — the claim on
+        // this version number.
         fc.rename(stage, new Path(root, s"v=$next"),
           org.apache.hadoop.fs.Options.Rename.NONE)
         committed = true
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.PathExistsException =>
-          next += 1 // lost the race for this number; data is staged, retry
+        // The exists-check inside FileContext.rename is check-then-act
+        // on most filesystems, so a racing loser may surface as a PLAIN
+        // IOException from the underlying rename (ENOTEMPTY etc.), not
+        // only as FileAlreadyExistsException. Disambiguate by looking
+        // at the destination: if someone now owns v=next we lost the
+        // race (data is staged — retrying costs one metadata op);
+        // otherwise it is a genuine I/O failure and must propagate,
+        // not spin the retry loop forever.
+        case e: java.io.IOException =>
+          if (fs.exists(new Path(root, s"v=$next"))) next += 1
+          else throw e
       }
     }
     val tmp = new Path(root, s".LATEST.tmp.$next")
@@ -375,7 +383,10 @@ object Sinks {
     import org.apache.spark.sql.functions._
     val o = readVersion(spark, tableDir, oldVersion)
     val n = readVersion(spark, tableDir, newVersion)
-    require(o.columns.sorted.sameElements(n.columns.sorted),
+    // Names AND types: a type migration (score INT → BIGINT) with
+    // matching names must fail fast here, not as a confusing struct
+    // comparison error downstream.
+    require(o.dtypes.sortBy(_._1).sameElements(n.dtypes.sortBy(_._1)),
       s"schema drift between v=$oldVersion and v=$newVersion — diff by " +
         "key is ill-defined; handle migrations explicitly")
     val valueCols = o.columns.filterNot(keys.contains).sorted.toIndexedSeq

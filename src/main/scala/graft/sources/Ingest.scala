@@ -138,8 +138,16 @@ object Ingest {
         s"FROM $table) AS bounds", properties).collect()(0)
     require(!probe.isNullAt(0) && !probe.isNullAt(1),
       s"$table is empty or $partitionColumn all-null: no partition bounds")
+    // Through Number, not getLong: the database maps the key column to
+    // whatever integral type it likes (INTEGER, DECIMAL(p,0), BIGINT) —
+    // bounds only shape strides, so narrowing to Long is always safe.
+    def bound(i: Int): Long = probe.get(i) match {
+      case n: Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"$partitionColumn bound is non-numeric: $other")
+    }
     readJdbc(spark, url, table, partitionColumn,
-      probe.getLong(0), probe.getLong(1), numPartitions, properties)
+      bound(0), bound(1), numPartitions, properties)
   }
 
   /** Raw→master normalization for transaction-shaped frames: F3/F4 casts

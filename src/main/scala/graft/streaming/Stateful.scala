@@ -100,14 +100,18 @@ object Stateful {
           sorted.foreach { e =>
             val us = eventUs(e)
             open match {
-              case Some(o) if us >= o.start_us - SessionGapUs &&
+              case Some(o) if us > o.start_us - SessionGapUs &&
                   us - o.last_us < SessionGapUs =>
-                // Within one gap of the open session on EITHER edge:
-                // merge, extending the bounds as needed. Both edges must
-                // be checked — us - last_us is negative for any late
-                // arrival, so the upper-edge test alone would merge an
-                // event hours before start_us and manufacture a session
-                // with an internal gap wider than the threshold.
+                // STRICTLY within one gap of the open session on either
+                // edge: merge, extending the bounds as needed. Both
+                // edges must be checked — us - last_us is negative for
+                // any late arrival, so the upper-edge test alone would
+                // merge an event hours before start_us. Both edges use
+                // the same convention as the closing branch (a gap of
+                // exactly SessionGapUs SPLITS): with >= on the lower
+                // edge, an event exactly one gap before start_us would
+                // merge and manufacture a session whose internal gap
+                // equals the threshold — diverging from the batch twin.
                 open = Some(o.copy(
                   start_us = math.min(o.start_us, us),
                   last_us = math.max(o.last_us, us),

@@ -86,10 +86,14 @@ class StatefulSpec extends SparkSpec {
     // session's start (10h − 3h > 6h) — batch semantics would place them
     // in the already-emitted session, which append mode cannot revise —
     // and they are within one gap of EACH OTHER, so they must emit as
-    // ONE late session [1h, 3h+6h], not two overlapping singletons
-    // (ADVICE r5) and must NOT stretch the open session's start down.
-    // 8h is within a gap of the start → merges, start 8h.
-    Seq(row(3, 3), row(5, 1), row(4, 8)).toDF()
+    // ONE late session, not two overlapping singletons (ADVICE r5) and
+    // must NOT stretch the open session's start down. 4h sits EXACTLY
+    // one gap before the start (10h − 6h): a gap equal to the threshold
+    // splits (the closing branch's convention), so it must also land in
+    // the late session — with >= on the lower-edge guard it would merge
+    // upward and manufacture an internal gap == threshold. 8h is
+    // strictly within a gap of the start → merges, start 8h.
+    Seq(row(3, 3), row(5, 1), row(6, 4), row(4, 8)).toDF()
       .coalesce(1).write.parquet(s"$dir/events/drop=1")
     val q = Stateful.streamingSessions(spark, s"$dir/events/drop=*",
         Seq(row(1, 0)).toDF().schema, maxFilesPerTrigger = Some(1))
@@ -104,8 +108,9 @@ class StatefulSpec extends SparkSpec {
       .select("session_start_us", "session_end_us", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(closed == Set(
-      (0L, 6 * H, 1L),      // the in-order session
-      (1 * H, 9 * H, 2L)),  // ONE late session covering both late events
+      (0L, 6 * H, 1L),       // the in-order session
+      (1 * H, 10 * H, 3L)),  // ONE late session: 1h, 3h, and the 4h
+                             // exact-boundary event — end = 4h + gap
       s"closed sessions: $closed")
   }
 
