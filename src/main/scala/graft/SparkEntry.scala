@@ -48,6 +48,19 @@ object SparkEntry {
     "q_topk_similarity" -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.topkCosineLsh(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.topkCosineIvf(s, d)),
+    // Same answer from the PERSISTED trained index (built once per JVM):
+    // the production build/serve split, with cell-partition pruning.
+    "q_ann_ivf_served" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val idx = stagedIvfIndex(s, d)
+      graft.expressions.DotProduct.register(s)
+      val queries = graft.Tables.embeddings(s, d)
+        .where(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qv"))
+        .withColumn("nq", sqrt(call_function("dot_d", col("qv"), col("qv"))))
+      Similarity.queryIvfIndex(s, idx, queries)
+    }),
     "q_embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
@@ -283,6 +296,23 @@ object SparkEntry {
     operators.Dedup.pairTable(s, path)
   }
 
+  /** Persisted IVF index, built (centroids TRAINED) once per (sfDir,
+    * JVM) — the production build/serve split on the oracle surface:
+    * `q_ann_ivf` carries training in-query so the WHOLE pipeline is
+    * oracle-checked; `q_ann_ivf_served` answers the same query from
+    * this staged index (identical results — same trained centroids,
+    * same tie-breaks — so the TWO paths share one DuckDB twin) at
+    * serve-path cost, with cell-partition pruning doing the work. */
+  private val stagedIvfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedIvfIndex(s: SparkSession, d: String): String =
+    stagedIvfIndexes.computeIfAbsent(d, { _ =>
+      val dir = tempDirWithCleanup("graft_ivf")
+      operators.Similarity.buildIvfIndex(s, d, s"$dir/ivf")
+      s"$dir/ivf"
+    })
+
   /** In-process Derby holding the transactions fixture — the hermetic
     * stand-in for the reference's operational Cloud SQL MySQL (S6,
     * `cloud_composer/datapipeline_gcp.py:33-36,85-93`). Staged once per
@@ -431,6 +461,75 @@ object SparkEntry {
        |  FROM c
        |)""".stripMargin
   }
+
+  /** q_ann_ivf twin: trains KmIterations Lloyd rounds from the stride
+    * seed (Similarity.trainedCentroidsOf); unrolled as aN = assignment
+    * (argmax cosine, cell-asc tie-break), mN = 9-dp member means per
+    * (cell, dim), kN = empty-cell guard (keep previous), cN = rebuilt
+    * centroid vectors. Must track kmeansRefineOf exactly. Shared by
+    * q_ann_ivf (in-query training) and q_ann_ivf_served (persisted
+    * index) — identical results by construction. */
+  private lazy val annIvfSql: String =
+      s"""$EmbCte, c0 AS (
+         |  SELECT vec_id AS cell, v AS cv, nv AS cnv FROM n
+         |  WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |)${(1 to Similarity.KmIterations).map { it =>
+             val prev = s"c${it - 1}"
+             s""", a$it AS (
+         |  SELECT n.vec_id, $prev.cell, n.v,
+         |         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |             i -> cv[i] * v[i])) / (cnv * nv) DESC, $prev.cell ASC) AS r
+         |  FROM n, $prev
+         |), m$it AS (
+         |  SELECT cell, i - 1 AS dim, round(avg(v[i]), 9) AS cx
+         |  FROM a$it, range(1, ${Similarity.Dim + 1}) AS t(i)
+         |  WHERE r = 1
+         |  GROUP BY cell, i
+         |), k$it AS (
+         |  SELECT cell, i - 1 AS dim, cv[i] AS cx
+         |  FROM $prev, range(1, ${Similarity.Dim + 1}) AS t(i)
+         |  WHERE cell NOT IN (SELECT DISTINCT cell FROM m$it)
+         |), l$it AS (
+         |  SELECT * FROM m$it UNION ALL SELECT * FROM k$it
+         |), r$it AS (
+         |  SELECT cell, list(cx ORDER BY dim) AS cv FROM l$it GROUP BY cell
+         |), c$it AS (
+         |  SELECT cell, cv,
+         |         sqrt(list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> cv[i] * cv[i]))) AS cnv
+         |  FROM r$it
+         |)"""
+           }.mkString}, cents AS (
+         |  SELECT cell AS cent_id, cv, cnv FROM c${Similarity.KmIterations}
+         |), ranked AS (
+         |  SELECT n.vec_id, cents.cent_id,
+         |         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |             i -> cv[i] * v[i])) / (cnv * nv) DESC, cent_id ASC) AS crank
+         |  FROM n, cents
+         |), cells AS (
+         |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS cell FROM ranked
+         |  WHERE crank <= ${Similarity.NumProbes} AND vec_id < ${Similarity.NumQueries}
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv, nv AS nq FROM n
+         |  WHERE vec_id < ${Similarity.NumQueries}
+         |), scored AS (
+         |  SELECT q.q_id, n.vec_id, cells.cell,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM n
+         |  JOIN cells ON n.vec_id = cells.vec_id
+         |  JOIN probes ON cells.cell = probes.cell
+         |  JOIN q ON probes.q_id = q.q_id
+         |  WHERE n.vec_id <> q.q_id
+         |)
+         |SELECT q_id, vec_id, cell, cosine, CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+         |WHERE rank <= ${Similarity.TopK}""".stripMargin
 
   /** DuckDB literal for one LSH hyperplane (exact round-trip doubles). */
   private def planeSql(h: Int): String =
@@ -819,67 +918,10 @@ object SparkEntry {
     // assignment (argmax cosine, cell-asc tie-break), mN = 9-dp member
     // means per (cell, dim), kN = empty-cell guard (keep previous),
     // cN = rebuilt centroid vectors. Must track kmeansRefineOf exactly.
-    "q_ann_ivf" ->
-      s"""$EmbCte, c0 AS (
-         |  SELECT vec_id AS cell, v AS cv, nv AS cnv FROM n
-         |  WHERE vec_id % ${Similarity.CentroidStride} = 0
-         |)${(1 to Similarity.KmIterations).map { it =>
-             val prev = s"c${it - 1}"
-             s""", a$it AS (
-         |  SELECT n.vec_id, $prev.cell, n.v,
-         |         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-         |           list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-         |             i -> cv[i] * v[i])) / (cnv * nv) DESC, $prev.cell ASC) AS r
-         |  FROM n, $prev
-         |), m$it AS (
-         |  SELECT cell, i - 1 AS dim, round(avg(v[i]), 9) AS cx
-         |  FROM a$it, range(1, ${Similarity.Dim + 1}) AS t(i)
-         |  WHERE r = 1
-         |  GROUP BY cell, i
-         |), k$it AS (
-         |  SELECT cell, i - 1 AS dim, cv[i] AS cx
-         |  FROM $prev, range(1, ${Similarity.Dim + 1}) AS t(i)
-         |  WHERE cell NOT IN (SELECT DISTINCT cell FROM m$it)
-         |), l$it AS (
-         |  SELECT * FROM m$it UNION ALL SELECT * FROM k$it
-         |), r$it AS (
-         |  SELECT cell, list(cx ORDER BY dim) AS cv FROM l$it GROUP BY cell
-         |), c$it AS (
-         |  SELECT cell, cv,
-         |         sqrt(list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-         |           i -> cv[i] * cv[i]))) AS cnv
-         |  FROM r$it
-         |)"""
-           }.mkString}, cents AS (
-         |  SELECT cell AS cent_id, cv, cnv FROM c${Similarity.KmIterations}
-         |), ranked AS (
-         |  SELECT n.vec_id, cents.cent_id,
-         |         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-         |           list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-         |             i -> cv[i] * v[i])) / (cnv * nv) DESC, cent_id ASC) AS crank
-         |  FROM n, cents
-         |), cells AS (
-         |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
-         |), probes AS (
-         |  SELECT vec_id AS q_id, cent_id AS cell FROM ranked
-         |  WHERE crank <= ${Similarity.NumProbes} AND vec_id < ${Similarity.NumQueries}
-         |), q AS (
-         |  SELECT vec_id AS q_id, v AS qv, nv AS nq FROM n
-         |  WHERE vec_id < ${Similarity.NumQueries}
-         |), scored AS (
-         |  SELECT q.q_id, n.vec_id, cells.cell,
-         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
-         |  FROM n
-         |  JOIN cells ON n.vec_id = cells.vec_id
-         |  JOIN probes ON cells.cell = probes.cell
-         |  JOIN q ON probes.q_id = q.q_id
-         |  WHERE n.vec_id <> q.q_id
-         |)
-         |SELECT q_id, vec_id, cell, cosine, CAST(rank AS INT) AS rank
-         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-         |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
-         |WHERE rank <= ${Similarity.TopK}""".stripMargin,
+    "q_ann_ivf" -> annIvfSql,
+    // The served path answers from the SAME trained centroids with the
+    // same tie-breaks, so it shares the twin verbatim.
+    "q_ann_ivf_served" -> annIvfSql,
 
     "q_embedding_neardup" ->
       s"""$EmbCte, bn AS (
