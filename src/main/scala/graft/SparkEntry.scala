@@ -535,6 +535,45 @@ object SparkEntry {
   private def planeSql(h: Int): String =
     Similarity.hyperplanes(h).map(_.toString).mkString("[", ", ", "]")
 
+  /** Banded-LSH CTE block (DuckDB) — twin of
+    * Similarity.bandedSignatureRows. `params` derives the per-table
+    * width h from COUNT(*) with the SAME integer inequalities as
+    * Similarity.tablePlanesFor (no float log2 — cross-engine exact);
+    * `planes` recomputes the md5-derived hyperplane components in SQL
+    * ((hex4(md5('w:p:i')) − 32768) / 32768 — a 16-bit numerator over
+    * 2^15, exactly representable, identical to the Scala derivation);
+    * `sigs` sets bit j of table t's signature when the projection onto
+    * plane t·MaxTablePlanes+j is positive, for j < h (the per-plane
+    * dot is the same LTR list_sum fold as every other vector twin). */
+  private def bandedLshCtes: String = {
+    val S = Similarity
+    val whens = (S.MinTablePlanes until S.MaxTablePlanes)
+      .map(hh => s"WHEN cnt <= ${S.TargetBucket.toLong << hh} THEN $hh")
+      .mkString("\n       |              ")
+    val pow2 = (0 until S.MaxTablePlanes).map(1L << _)
+      .mkString("[", ", ", "]")
+    s""", params AS (
+       |  SELECT CASE $whens
+       |              ELSE ${S.MaxTablePlanes} END AS h
+       |  FROM (SELECT COUNT(*) AS cnt FROM n)
+       |), planes AS (
+       |  SELECT p, list_transform(range(0, ${S.Dim}), i ->
+       |    (CAST('0x' || substr(md5('w:' || CAST(p AS VARCHAR) || ':' ||
+       |       CAST(i AS VARCHAR)), 1, 4) AS INT) - 32768) / 32768.0) AS pw
+       |  FROM range(0, ${S.NumTables * S.MaxTablePlanes}) AS tp(p)
+       |), sigs AS (
+       |  SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS sig FROM (
+       |    SELECT n.vec_id, tbl, j,
+       |           CASE WHEN list_sum(list_transform(range(1, ${S.Dim + 1}),
+       |                  i -> pw[i] * v[i])) > 0
+       |                THEN ($pow2)[j + 1] ELSE 0 END AS bit
+       |    FROM n, params, range(0, ${S.NumTables}) AS tt(tbl),
+       |         range(0, ${S.MaxTablePlanes}) AS tj(j), planes
+       |    WHERE j < h AND planes.p = tbl * ${S.MaxTablePlanes} + j
+       |  ) GROUP BY vec_id, tbl
+       |)""".stripMargin
+  }
+
   /** 64-bit simhash vote columns (DuckDB) — twin of Dedup.simhash64:
     * bit k votes on md5 hex digit (k mod 32), 8-bit for k<32, 4-bit
     * for k≥32. */
@@ -924,15 +963,20 @@ object SparkEntry {
     "q_ann_ivf_served" -> annIvfSql,
 
     "q_embedding_neardup" ->
-      s"""$EmbCte, bn AS (
-         |  SELECT *, ${bucketSql("v")} AS bucket FROM n
+      s"""$EmbCte$bandedLshCtes, cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_tables
+         |  FROM sigs a JOIN sigs b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2
          |)
          |SELECT * FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, bucket,
+         |  SELECT cand.vec_a, cand.vec_b, cand.n_tables,
          |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-         |           i -> a.v[i] * b.v[i])) / (a.nv * b.nv) AS cosine
-         |  FROM bn a JOIN bn b USING (bucket)
-         |  WHERE a.vec_id < b.vec_id
+         |           i -> x.v[i] * y.v[i])) / (x.nv * y.nv) AS cosine
+         |  FROM cand
+         |  JOIN n x ON cand.vec_a = x.vec_id
+         |  JOIN n y ON cand.vec_b = y.vec_id
          |) WHERE cosine > 0.5""".stripMargin,
 
     "q_label_centroids" ->
@@ -1657,16 +1701,19 @@ object SparkEntry {
          |FROM zz""".stripMargin,
 
     "q_knn_join" ->
-      s"""$EmbCte, bn AS (
-         |  SELECT *, ${bucketSql("v")} AS bucket FROM n
+      s"""$EmbCte$bandedLshCtes, cand AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id
          |), scored AS (
-         |  SELECT a.vec_id, b.vec_id AS nn_id, bucket,
+         |  SELECT cand.vec_id, cand.nn_id,
          |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-         |           i -> a.v[i] * b.v[i])) / (a.nv * b.nv) AS cosine
-         |  FROM bn a JOIN bn b USING (bucket)
-         |  WHERE a.vec_id <> b.vec_id
+         |           i -> x.v[i] * y.v[i])) / (x.nv * y.nv) AS cosine
+         |  FROM cand
+         |  JOIN n x ON cand.vec_id = x.vec_id
+         |  JOIN n y ON cand.nn_id = y.vec_id
          |)
-         |SELECT vec_id, nn_id, bucket, cosine, CAST(rank AS INT) AS rank
+         |SELECT vec_id, nn_id, cosine, CAST(rank AS INT) AS rank
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |        ORDER BY cosine DESC, nn_id ASC) AS rank FROM scored)
          |WHERE rank <= ${Similarity.KnnK}""".stripMargin,
