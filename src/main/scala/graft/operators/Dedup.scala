@@ -196,16 +196,19 @@ object Dedup {
   def buildPairTable(spark: SparkSession, dir: String, out: String): Unit =
     ngramJaccard(spark, dir).write.mode("overwrite").parquet(out)
 
-  /** Serve the persisted pair table. Defensive full-row distinct
-    * (ADVICE r5): the incremental appends are at-least-once, and a
-    * replayed slice appends bit-identical rows — which are NOT benign
-    * for count-shaped consumers ([[sourceOverlapFrom]]'s n_dup_pairs
-    * counts pair rows) — so serving collapses exact duplicates. A clean
-    * build has none (pairs are grouped per (doc_a, doc_b) before the
-    * write), so this is free in the no-replay case and the
-    * serve-vs-inline bit-identity proof (TextDedupSpec) still holds. */
+  /** Serve the persisted pair table. The streaming layout carries a
+    * `batch_id` provenance partition ([[appendToPairTableBatch]]) —
+    * dropped here so consumers see one schema whatever maintained the
+    * table. The full-row distinct is now a DEFENSE-IN-DEPTH no-op, not
+    * a required pass (ADVICE r5 → VERDICT r6 #6): the batch append
+    * anti-joins against existing rows (a replayed slice writes zero
+    * rows) and the streaming path overwrites its own batch partition
+    * (replays converge bit-identically), so a healthy table has no
+    * duplicates for it to collapse — it stays because count-shaped
+    * consumers ([[sourceOverlapFrom]]'s n_dup_pairs) are NOT robust to
+    * a duplicate smuggled in by an out-of-contract writer. */
   def pairTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).distinct()
+    spark.read.parquet(path).drop("batch_id").distinct()
 
   /** Persist the banded LSH bucket index — (doc_id, band_idx,
     * band_key) — the state that makes pair maintenance INCREMENTAL: a
@@ -214,27 +217,64 @@ object Dedup {
   def buildSignatureTable(docs: DataFrame, out: String): Unit =
     signatureRows(docs).write.mode("overwrite").parquet(out)
 
+  /** LSH candidates of the new slice against the full signature set —
+    * the ONE definition of incremental candidate generation shared by
+    * the batch append and the streaming batch-keyed append (their
+    * bit-identity proofs depend on it never drifting). The new-new
+    * side of the join produces each pair from both directions, so
+    * bands are distinct-counted. Returns a localCheckpoint-pinned
+    * frame (it feeds the member list AND the verify); callers
+    * unpersist. */
+  private def candidatePairs(newSigs: DataFrame,
+                             allSigs: DataFrame): DataFrame =
+    newSigs.as("a").hint("shuffle_hash")
+      .join(allSigs.as("b").hint("shuffle_hash"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.band_idx").as("band_idx"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_band_matches"))
+      .localCheckpoint()
+
+  /** Verified pairs for an increment: shingle ONLY the candidate
+    * members — without the semi-join the verify step would re-shingle
+    * the whole corpus per increment, the exact O(corpus) cost the
+    * incremental path exists to avoid (the scan still lists corpus
+    * rows; the expensive tokenize/shingle/explode compute runs for
+    * members only, and the broadcast-size member list lets runtime
+    * filtering prune scan-side too). */
+  private def verifiedIncrement(cand: DataFrame,
+                                allDocs: DataFrame): DataFrame = {
+    val members = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    verifyPairs(cand, allDocs.join(members, Seq("doc_id"), "left_semi"))
+  }
+
   /** Incremental near-dup maintenance: signature the NEW docs only,
     * bucket-join new-vs-(old ∪ new) against the persisted index —
     * old-vs-old pairs are already in the table and are never
-    * recomputed — verify candidates by exact Jaccard (shingles are
-    * joined back only for pair MEMBERS, a semi-join-pruned corpus
-    * read), then append the new pairs and the new signatures. Per
-    * increment the cost is O(|new| shingling + bucket collisions), not
-    * O(corpus). The new-new side of the join produces each pair from
-    * both directions, so bands are distinct-counted. The two appends
-    * are at-least-once (a crash between them means re-running the
-    * slice — same contract as the K1 append sinks). Replayed appends
-    * write bit-identical rows, which [[pairTable]] collapses with a
-    * full-row distinct at serve time — but a replay after only the PAIR
-    * append (before the signature append) then re-run end-to-end is
-    * fine, while a replay that re-runs only appendToPairTable after
-    * BOTH appends landed would re-bucket the slice against its own
-    * signatures; the distinct still absorbs it because the recomputed
-    * pairs are value-identical. A standing pipeline should still wrap
-    * both paths under one [[graft.sinks.Sinks.publishVersioned]]
-    * version so a half-applied slice is never served. TextDedupSpec
-    * proves bootstrap + increment ≡ full rebuild, bit-identical. */
+    * recomputed — verify candidates by exact Jaccard, then append the
+    * new pairs and the new signatures. Per increment the cost is
+    * O(|new| shingling + bucket collisions), not O(corpus).
+    *
+    * Replay-idempotent at the ROW level (VERDICT r6 #6): both appends
+    * anti-join against what the table already holds, so a re-run of an
+    * already-applied slice writes ZERO rows instead of bit-identical
+    * duplicates, and a crash between the two appends converges on
+    * re-run (the pair anti-join removes the landed half, the signature
+    * append completes). [[pairTable]]'s serve-time distinct remains as
+    * defense-in-depth only. A standing pipeline should still wrap both
+    * paths under one [[graft.sinks.Sinks.publishVersioned]] version so
+    * a HALF-APPLIED slice is never served mid-append; the streaming
+    * twin ([[appendToPairTableBatch]]) gets the same property from
+    * batch-keyed overwrite instead. TextDedupSpec proves bootstrap +
+    * increment ≡ full rebuild, bit-identical, and that a replayed
+    * append is a no-op. */
   def appendToPairTable(spark: SparkSession, newDocs: DataFrame,
                         allDocs: DataFrame, sigPath: String,
                         pairPath: String): Unit = {
@@ -242,32 +282,76 @@ object Dedup {
       .localCheckpoint() // pinned: feeds the join AND the append
     try {
       val allSigs = spark.read.parquet(sigPath).unionByName(newSigs)
-      val cand = newSigs.as("a").hint("shuffle_hash")
-        .join(allSigs.as("b").hint("shuffle_hash"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") =!= col("b.doc_id"))
-        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-          col("a.band_idx").as("band_idx"))
-        .distinct() // new-new pairs arrive once per band from EACH side
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_band_matches"))
-        .localCheckpoint() // pinned: feeds the member list AND the verify
+      val cand = candidatePairs(newSigs, allSigs)
       try {
-        // Shingle ONLY the candidate members: without this semi-join the
-        // verify step would re-shingle the whole corpus per increment —
-        // the exact O(corpus) cost the incremental path exists to avoid
-        // (the scan still lists corpus rows; the expensive tokenize/
-        // shingle/explode compute runs for members only, and the
-        // broadcast-size member list lets runtime filtering prune
-        // scan-side too).
-        val members = cand
-          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-          .distinct()
-        verifyPairs(cand, allDocs.join(members, Seq("doc_id"), "left_semi"))
-          .write.mode("append").parquet(pairPath)
-        newSigs.write.mode("append").parquet(sigPath)
+        val fresh = verifiedIncrement(cand, allDocs)
+        // Append-time dedupe: a replayed slice's pairs are already in
+        // the table — drop them BEFORE the write (pair rows are
+        // value-deterministic per (doc_a, doc_b), so key anti-join
+        // suffices). The pair table is LSH-candidate-sized, far
+        // smaller than the corpus; the anti-join shuffles only it.
+        // localCheckpoint before each write: the anti-join READS the
+        // very path the append then writes — materializing first keeps
+        // the scan's file list from racing its own output.
+        val existingPairs = readIfExists(spark, pairPath)
+        val newPairs = (existingPairs match {
+          case Some(e) => fresh.join(e.select(col("doc_a"), col("doc_b")),
+            Seq("doc_a", "doc_b"), "left_anti")
+          case None => fresh
+        }).localCheckpoint()
+        try newPairs.write.mode("append").parquet(pairPath)
+        finally newPairs.unpersist()
+        // Same for signatures: full-row anti-join (a signature row IS
+        // its key), so replaying after both appends landed is a no-op.
+        val sigsToAdd = newSigs.join(spark.read.parquet(sigPath),
+            Seq("doc_id", "band_idx", "band_key"), "left_anti")
+          .localCheckpoint()
+        try sigsToAdd.write.mode("append").parquet(sigPath)
+        finally sigsToAdd.unpersist()
+      } finally cand.unpersist()
+    } finally newSigs.unpersist()
+  }
+
+  private def readIfExists(spark: SparkSession,
+                           path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
+  /** Batch-keyed twin of [[appendToPairTable]] for the STREAMING
+    * maintenance path (VERDICT r6 #3): the slice's verified pairs and
+    * signatures land under the micro-batch's own `batch_id=N`
+    * partition directories with OVERWRITE, so a batch replayed after a
+    * checkpoint-window crash converges to the same bytes — exactly-once
+    * by layout, the same deterministic-subdirectory trick the E2
+    * docs-layer sink uses (and stronger than the batch API's row-level
+    * anti-join: a replay here never even rewrites rows it already
+    * has, it atomically replaces its own partition). Self-bootstrapping:
+    * the first batch finds no signature table and joins against an
+    * empty frame — no separate bootstrap write whose replay could
+    * double-apply. The candidate/verify chain is the SAME code as the
+    * batch API, so stream-maintained ≡ rebuild stays bit-identical
+    * (StreamingPipelineSpec). */
+  def appendToPairTableBatch(spark: SparkSession, newDocs: DataFrame,
+                             allDocs: DataFrame, sigPath: String,
+                             pairPath: String, batchId: Long): Unit = {
+    val newSigs = signatureRows(newDocs).localCheckpoint()
+    try {
+      val existing = readIfExists(spark, sigPath) match {
+        case Some(df) =>
+          // The replayed batch's own (crashed, possibly partial)
+          // signature partition must not count as "already seen" —
+          // partition-pruned exclusion, then back to the bare shape.
+          df.where(col("batch_id") =!= batchId)
+            .select(col("doc_id"), col("band_idx"), col("band_key"))
+        case None => newSigs.limit(0)
+      }
+      val cand = candidatePairs(newSigs, existing.unionByName(newSigs))
+      try {
+        verifiedIncrement(cand, allDocs)
+          .write.mode("overwrite").parquet(s"$pairPath/batch_id=$batchId")
+        newSigs.write.mode("overwrite").parquet(s"$sigPath/batch_id=$batchId")
       } finally cand.unpersist()
     } finally newSigs.unpersist()
   }

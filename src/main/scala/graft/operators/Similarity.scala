@@ -494,6 +494,55 @@ object Similarity {
     * clean fix is not to serve a half-applied index at all: stage the
     * index under [[graft.sinks.Sinks.publishVersioned]] and re-point
     * only after the slice's append completed. */
+  /** Batch-keyed twin of [[appendToIvfIndex]] for the STREAMING
+    * maintenance path (VERDICT r6 #3 + ADVICE r6 bootstrap-replay): the
+    * slice's postings land under the micro-batch's own `batch_id=N`
+    * partition directory (cell-partitioned inside it) with OVERWRITE,
+    * so a batch replayed after a checkpoint-window crash converges to
+    * the same bytes instead of appending duplicate postings — which
+    * would corrupt top-k serving (both copies rank). Exactly-once by
+    * layout; `batch_id` rides as a provenance partition column and
+    * cell-pruning still applies (both are partition keys). Assignment
+    * is the shared [[assignCells]] against the persisted centroids. */
+  def appendToIvfIndexBatch(spark: SparkSession, newVecs: DataFrame,
+                            indexPath: String, batchId: Long): Unit = {
+    val nv = corpusOf(spark, newVecs)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    require(!cents.isEmpty,
+      s"IVF index at $indexPath has an empty centroid table — " +
+        "mis-built or truncated; appending would silently drop the slice")
+    assignCells(nv, cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/postings/batch_id=$batchId")
+  }
+
+  /** Bootstrap twin of [[appendToIvfIndexBatch]]: train centroids from
+    * the first slice and write BOTH tables idempotently — centroids by
+    * plain overwrite (training is deterministic, so a replay rewrites
+    * identical bytes), postings under the batch's own partition. The
+    * ADVICE r6 crash window (bootstrap writes landed, checkpoint
+    * commit didn't) therefore converges WHICHEVER branch the replay
+    * takes: re-entering here retrains to the identical centroids and
+    * overwrites; falling through to the append branch (centroids
+    * exist) assigns against the very centroids this bootstrap
+    * persisted — the same [[assignCells]] the bootstrap ran — and
+    * overwrites the same batch partition. */
+  def buildIvfIndexBatch(spark: SparkSession, emb: DataFrame,
+                         indexPath: String, batchId: Long): Unit = {
+    val c = corpusOf(spark, emb)
+    val cents = trainedCentroidsOf(c)
+    require(!cents.isEmpty,
+      s"refusing to bootstrap IVF index at $indexPath with ZERO " +
+        "centroids (empty first slice)")
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    // Assign against the PERSISTED centroids (parquet round-trips the
+    // 9-dp doubles exactly) so Lloyd doesn't recompute for the
+    // assignment pass and the append branch is provably identical.
+    assignCells(c, spark.read.parquet(s"$indexPath/centroids"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/postings/batch_id=$batchId")
+  }
+
   def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame,
                        indexPath: String): Unit = {
     val nv = corpusOf(spark, newVecs)

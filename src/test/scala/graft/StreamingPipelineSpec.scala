@@ -163,6 +163,26 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(maintained.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(maintained).isEmpty,
       "micro-batch maintenance must reproduce the one-pass rebuild")
+    // Replay proof (VERDICT r6 #3): re-apply the LAST batch exactly as
+    // a checkpoint-window replay would — the foreachBatch body is
+    // appendToPairTableBatch, so invoking it again with the same
+    // (slice, batchId) models the crash-replay faithfully. The RAW
+    // table (no serve-time distinct) must be bit-identical after:
+    // batchId-keyed overwrite, zero appended duplicates.
+    val docsLayer = spark.read.parquet(s"$dir/docs")
+    val lastBatch = docsLayer.agg(max(col("batch_id"))).head()
+      .getAs[Number](0).longValue
+    val lastSlice = docsLayer.where(col("batch_id") === lastBatch)
+      .select(docs.columns.map(col(_)).toIndexedSeq: _*)
+    val all = docsLayer.select(docs.columns.map(col(_)).toIndexedSeq: _*)
+    val rawBefore = spark.read.parquet(s"$dir/pairs").localCheckpoint()
+    graft.operators.Dedup.appendToPairTableBatch(spark, lastSlice, all,
+      s"$dir/sigs", s"$dir/pairs", lastBatch)
+    val rawAfter = spark.read.parquet(s"$dir/pairs")
+    assert(rawAfter.count() == rawBefore.count() &&
+      rawAfter.exceptAll(rawBefore).isEmpty &&
+      rawBefore.exceptAll(rawAfter).isEmpty,
+      "a replayed batch must converge bit-identically, not append")
   }
 
   test("stream-maintained IVF index equals a fixed-centroid rebuild") {
@@ -179,18 +199,48 @@ class StreamingPipelineSpec extends SparkSpec {
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
       s"$dir/idx", s"$dir/ckpt")
-    val maintained = spark.read.parquet(s"$dir/idx/postings")
+    val postingCols = Seq("cell", "vec_id", "v", "nv").map(col(_))
+    def maintained = spark.read.parquet(s"$dir/idx/postings")
+      .select(postingCols: _*)
     assert(maintained.count() == emb.count(), "every vector posted once")
     // Rebuild the full corpus against the STREAM's centroids (appends
     // never retrain — the batch contract): postings must be
-    // bit-identical.
+    // bit-identical (modulo the stream layout's batch_id provenance
+    // partition, excluded from the compare).
     graft.operators.Similarity.buildIvfIndexWith(
       graft.operators.Similarity.normalizedCorpusOf(spark, emb),
       spark.read.parquet(s"$dir/idx/centroids"), s"$dir/rebuild")
     val rebuilt = spark.read.parquet(s"$dir/rebuild/postings")
+      .select(postingCols: _*)
     assert(maintained.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(maintained).isEmpty,
       "stream maintenance must equal the fixed-centroid rebuild")
+    // Replay proofs (VERDICT r6 #3 + ADVICE r6). Case 1 — the ADVICE
+    // bootstrap window: crash AFTER the bootstrap's writes but BEFORE
+    // the checkpoint commit; the replay finds centroids on disk and
+    // takes the APPEND branch with batch 0's slice. Must converge, not
+    // double-post.
+    val b0vecs = spark.read.parquet(s"$dir/idx/postings")
+      .where(col("batch_id") === 0).select(col("vec_id"))
+    val slice0 = emb.join(b0vecs, "vec_id")
+    val rawBefore = spark.read.parquet(s"$dir/idx/postings")
+      .select(postingCols: _*).localCheckpoint()
+    graft.operators.Similarity.appendToIvfIndexBatch(
+      spark, slice0, s"$dir/idx", 0)
+    assert(maintained.count() == emb.count() &&
+      maintained.exceptAll(rawBefore).isEmpty &&
+      rawBefore.exceptAll(maintained).isEmpty,
+      "replayed bootstrap (append branch) must converge bit-identically")
+    // Case 2 — a replayed LATER batch overwrites its own partition.
+    val bmax = spark.read.parquet(s"$dir/idx/postings")
+      .agg(max(col("batch_id"))).head().getAs[Number](0).longValue
+    val sliceN = emb.join(spark.read.parquet(s"$dir/idx/postings")
+      .where(col("batch_id") === bmax).select(col("vec_id")), "vec_id")
+    graft.operators.Similarity.appendToIvfIndexBatch(
+      spark, sliceN, s"$dir/idx", bmax)
+    assert(maintained.count() == emb.count() &&
+      maintained.exceptAll(rawBefore).isEmpty,
+      "replayed append batch must converge bit-identically")
   }
 
   test("Metrics recorder captures scan and shuffle activity per action") {

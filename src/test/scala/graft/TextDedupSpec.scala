@@ -166,6 +166,16 @@ class TextDedupSpec extends SparkSpec {
     assert(incremental.exceptAll(full).isEmpty &&
       full.exceptAll(incremental).isEmpty,
       "bootstrap + increment must reproduce the full rebuild exactly")
+    // Replayed append is a no-op at the ROW level (VERDICT r6 #6): the
+    // append-time anti-joins drop already-present pairs AND signatures,
+    // so re-running the slice writes zero rows — checked on the RAW
+    // table, without the serve-time distinct defense.
+    val rawPairs = spark.read.parquet(s"$dir/pairs").count()
+    val rawSigs = spark.read.parquet(s"$dir/sigs").count()
+    Dedup.appendToPairTable(spark, inc, docs, s"$dir/sigs", s"$dir/pairs")
+    assert(spark.read.parquet(s"$dir/pairs").count() == rawPairs &&
+      spark.read.parquet(s"$dir/sigs").count() == rawSigs,
+      "replayed appendToPairTable must write zero duplicate rows")
   }
 
   test("pair table build/serve is bit-identical to inline recompute") {
