@@ -81,6 +81,18 @@ object Bench {
         val good = samples.collect { case (_, t, true) => t }
         n -> (if (good.nonEmpty) good else samples.map(_._2))
       }
+    // Per-query successful-rep count (ADVICE r6): a query that failed
+    // some reps but succeeded once still contributes its min to
+    // "value" while appearing in errors — n_ok < Reps in
+    // bench_full.json flags exactly that flaky regime, so a
+    // cross-round comparison can tell a clean min from a
+    // survivor-of-3. NOTE on cross-round totals: "value" has been the
+    // SUM OF PER-QUERY MINs over Reps rounds since round 6; rounds ≤ 5
+    // published single-pass sums — compare accordingly.
+    val nOk: Map[String, Int] =
+      reps.flatten.groupBy(_._1).map { case (n, samples) =>
+        n -> samples.count(_._3)
+      }
     val mins = names.map(n => n -> byName(n).min)
     val means = names.map(n => n -> byName(n).sum / byName(n).size)
     def jstr(s: String): String =
@@ -96,8 +108,10 @@ object Bench {
       .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
+    val nOkJson = names.map(n => s"${jstr(n)}:${nOk(n)}")
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":${jmap(mins)},"queries_mean":${jmap(means)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":${jmap(mins)},"queries_mean":${jmap(means)},"queries_n_ok":$nOkJson,"errors":$errJson,"sf":${jstr(sfDir)}}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),

@@ -160,8 +160,14 @@ object SparkEntry {
     "q_customer_coverage" -> ((s, d) => Relational.customerCoverage(s, d)),
     // BPE merge mining and the cross-source duplication matrix
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
+    // Build/serve identity on the oracle surface for the minhash tier
+    // (VERDICT r6 #4, mirroring q_ann_ivf_served): the SERVED form
+    // reads the once-per-JVM staged pair table, the INLINE form
+    // recomputes the whole minhash→LSH→exact-Jaccard chain in-query;
+    // both hash-match the SAME DuckDB twin.
     "q_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapFrom(s, d, stagedPairTable(s, d))),
+    "q_source_overlap_inline" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     // ordered funnel (sequential event pattern, chained windows)
     "q_funnel" -> ((s, d) => Events.funnel(s, d)),
     // production-width 64-bit simhash (quarters ARE the radius-3 bands)
@@ -208,6 +214,19 @@ object SparkEntry {
         .join(curated, "doc_id")
         .where(Sampling.splitBucket(col("doc_id")) < 80)
       Sampling.packSequencesOf(kept)
+    }),
+    // The composed chain WITH the data-recipe stage (VERDICT r6 #7):
+    // curation → temperature-weighted per-source resample (the
+    // temperatureMix accounting applied as ppm rates IN the plan, a
+    // #sources-row broadcast) → hash train-split → token packing.
+    "q_corpus_pipeline_temp" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val curated = Curation.curatedDocsFrom(s, d, stagedPairTable(s, d))
+        .select(col("doc_id"))
+      val kept = graft.Tables.documents(s, d).join(curated, "doc_id")
+      val sampled = Sampling.temperatureSampleOf(kept)
+        .where(Sampling.splitBucket(col("doc_id")) < 80)
+      Sampling.packSequencesOf(sampled)
     }),
     // INTERSECT/EXCEPT completeness rows: sources publishing in both /
     // only the first of two language slices of the corpus.
@@ -608,6 +627,29 @@ object SparkEntry {
       s"(CASE WHEN list_sum(list_transform(range(1, ${Similarity.Dim + 1}), " +
         s"i -> (${planeSql(h)})[i] * $v[i])) > 0 THEN ${1 << h} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** q_source_overlap twin — shared VERBATIM by the served form
+    * (staged pair table) and q_source_overlap_inline (in-query chain):
+    * the two Spark paths are result-identical by construction
+    * (parquet round-trips longs/doubles exactly), so one SQL covers
+    * both, exactly like annIvfSql for the IVF build/serve split. */
+  private lazy val sourceOverlapSql: String =
+      s"""$ToksCte, $minhashCtes, verified AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    >= CAST(0.5 AS DOUBLE)
+         |)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+         |FROM verified v
+         |JOIN documents da ON v.doc_a = da.doc_id
+         |JOIN documents db ON v.doc_b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin
 
   /** Shared CTE prefix mirroring Relational.{transactions,masterModel}
     * — token-for-token the same arithmetic as the DataFrame side
@@ -1275,6 +1317,77 @@ object SparkEntry {
          |       MAX(doc_id) AS last_doc
          |FROM off GROUP BY 1, 2""".stripMargin,
 
+    // The temperature-weighted composed chain: same curation CTEs, then
+    // the temperatureMix accounting over the SURVIVORS (identical IEEE
+    // expression shape as q_temperature_mix: double-share, sqrt,
+    // 9-dp-rounded normalizer, LTR multiplier), integer ppm gate on the
+    // shared md5 draw, split gate, packing.
+    "q_corpus_pipeline_temp" ->
+      s"""$ToksCte, $minhashCtes, jac AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |), losers AS (
+         |  SELECT DISTINCT doc_b FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |), base AS (
+         |  SELECT doc_id,
+         |         len(text) AS n_chars,
+         |         len(t) AS n_tokens,
+         |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+         |  FROM toks
+         |), ratios AS (
+         |  SELECT *,
+         |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio
+         |  FROM base
+         |), curated AS (
+         |  SELECT doc_id FROM ratios
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+         |    AND n_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)
+         |), kept0 AS (
+         |  SELECT toks.doc_id AS doc_id, lang, source,
+         |         CAST(len(t) AS BIGINT) AS n_tokens
+         |  FROM toks JOIN curated ON toks.doc_id = curated.doc_id
+         |), mix AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM kept0 GROUP BY 1
+         |), mix2 AS (
+         |  SELECT source, total_tokens,
+         |         CAST(SUM(total_tokens) OVER () AS BIGINT) AS corpus_tokens,
+         |         sqrt(CAST(total_tokens AS DOUBLE)
+         |           / CAST(SUM(total_tokens) OVER () AS BIGINT)) AS share_pow
+         |  FROM mix
+         |), rates AS (
+         |  SELECT source,
+         |         LEAST(1000000, CAST(floor(
+         |           share_pow / round(SUM(share_pow) OVER (), 9)
+         |             * CAST(corpus_tokens AS DOUBLE) / total_tokens
+         |             * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS rate_ppm
+         |  FROM mix2
+         |), kept AS (
+         |  SELECT k.doc_id, lang, n_tokens
+         |  FROM kept0 k JOIN rates USING (source)
+         |  WHERE CAST('0x' || substr(md5('tsample:' || k.doc_id::VARCHAR), 1, 8)
+         |          AS BIGINT) % 1000000 < rate_ppm
+         |    AND CAST('0x' || substr(md5('split:' || k.doc_id::VARCHAR), 1, 8)
+         |          AS BIGINT) % 100 < 80
+         |), off AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_offset
+         |  FROM kept
+         |)
+         |SELECT lang,
+         |       start_offset // ${operators.Sampling.PackBudget} AS pack_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       MIN(doc_id) AS first_doc,
+         |       MAX(doc_id) AS last_doc
+         |FROM off GROUP BY 1, 2""".stripMargin,
+
     "q_event_unpivot" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type,
         |       ROUND(SUM(value), 2) AS daily_value
@@ -1853,23 +1966,12 @@ object SparkEntry {
          |    ORDER BY n_occurrences DESC, pair ASC) AS rank FROM counted
          |) WHERE rank <= ${TextOps.BpeTopK}""".stripMargin,
 
-    "q_source_overlap" ->
-      s"""$ToksCte, $minhashCtes, verified AS (
-         |  SELECT p.doc_a, p.doc_b
-         |  FROM pairs p
-         |  JOIN docs a ON p.doc_a = a.doc_id
-         |  JOIN docs b ON p.doc_b = b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-         |    >= CAST(0.5 AS DOUBLE)
-         |)
-         |SELECT least(da.source, db.source) AS source_a,
-         |       greatest(da.source, db.source) AS source_b,
-         |       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
-         |FROM verified v
-         |JOIN documents da ON v.doc_a = da.doc_id
-         |JOIN documents db ON v.doc_b = db.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+    // Served (from the staged pair table) and inline (recomputing the
+    // minhash→LSH→verify chain in-query) forms SHARE one twin — the
+    // build/serve identity proof for the minhash tier on the oracle
+    // surface, mirroring q_ann_ivf / q_ann_ivf_served (VERDICT r6 #4).
+    "q_source_overlap" -> sourceOverlapSql,
+    "q_source_overlap_inline" -> sourceOverlapSql,
 
     "q_funnel" ->
       """WITH ev AS (

@@ -169,8 +169,15 @@ object Sampling {
     * later expression is quotients/products of identical operands.
     * Shape: one corpus-collapsing hash aggregate; both windows run
     * over the #sources-row frame, never the raw corpus. */
-  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(spark, dir)
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(Tables.documents(spark, dir))
+
+  /** [[temperatureMix]] over an arbitrary (source, text) frame — the
+    * form the composed pipeline feeds its curation SURVIVORS through
+    * (the recipe reweights what will actually be trained on, not the
+    * raw corpus). */
+  def temperatureMixOf(docs: DataFrame): DataFrame = {
+    val per = docs
       .select(col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy(col("source"))
@@ -188,6 +195,30 @@ object Sampling {
         (col("share_pow") / col("z")).as("temp_share"),
         (col("share_pow") / col("z") * col("corpus_tokens").cast("double")
           / col("total_tokens")).as("temp_multiplier"))
+  }
+
+  /** The [[temperatureMix]] accounting APPLIED, in the same plan
+    * (VERDICT r6 #7): per-source multipliers become integer ppm keep
+    * rates (rate = min(10⁶, ⌊multiplier·10⁶⌋) — a Bernoulli thinning
+    * can only DOWNsample, so under-represented sources clamp to
+    * keep-everything; true upsampling is epoch repetition at the
+    * reader) and gate the same md5 draw as [[stratifiedSample]]. The
+    * mix table is a #sources-row aggregate broadcast back onto the
+    * corpus — no driver round-trip hand-carries rates, so Catalyst
+    * sees account → rate → sample as ONE plan. The corpus IS scanned
+    * twice (accounting pass + sampling pass), like quantize's
+    * calibrate/encode: the rates cannot be known mid-scan, and a
+    * standing pipeline persists the tiny mix table anyway. floor of
+    * multiplier·10⁶ is cross-engine exact: the multiplier is sqrt and
+    * quotients of identical operands (bit-exact), and IEEE ×/floor on
+    * identical doubles are deterministic. */
+  def temperatureSampleOf(docs: DataFrame): DataFrame = {
+    val rates = temperatureMixOf(docs)
+      .select(col("source"),
+        least(lit(1000000L), floor(col("temp_multiplier") * lit(1000000.0)))
+          .as("rate_ppm"))
+    docs.join(broadcast(rates), "source")
+      .where(h8("tsample", col("doc_id")) % 1000000 < col("rate_ppm"))
   }
 
   /** Token budget per packed training sequence (demo-sized; the operator

@@ -304,11 +304,14 @@ object Sinks {
     * observes the collision and retries the rename at the next free
     * number (its data is already written — the retry costs one metadata
     * op, no rewrite). Version directories therefore never blend. The
-    * LATEST flip remains last-writer-wins: racing publishes may leave
-    * the pointer briefly at the other (complete) version — still
-    * old-or-new, never a mix; serial publishers see strict
-    * monotonicity. On object stores without atomic directory rename,
-    * run one publisher per table. */
+    * LATEST flip is MONOTONIC (ADVICE r6): a publisher re-reads the
+    * pointer and skips the flip when it already names a version ≥ its
+    * own, so a race loser can no longer park readers on the older
+    * version until the next publish; the residual check-then-flip race
+    * is a bounded metadata-op window between two writers that both
+    * hold ≥ this version — old-or-new, never a mix, and serial
+    * publishers see strict monotonicity. On object stores without
+    * atomic directory rename, run one publisher per table. */
   def publishVersioned(df: DataFrame, tableDir: String): Int = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -342,16 +345,39 @@ object Sinks {
           else throw e
       }
     }
-    val tmp = new Path(root, s".LATEST.tmp.$next")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    // Atomic overwrite-rename (FileContext honors Rename.OVERWRITE on
-    // HDFS-semantics filesystems) — a delete-then-rename pair would open
-    // a window where LATEST does not exist, and a crash inside it would
-    // strand the table pointerless, breaking the old-or-new guarantee.
-    fc.rename(tmp, new Path(root, "LATEST"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // Monotonic LATEST flip (ADVICE r6): the race LOSER here claimed a
+    // LOWER version than a publish that already flipped the pointer —
+    // a last-writer-wins flip would regress readers to the older
+    // version INDEFINITELY (until the next publish), not "briefly".
+    // Re-read the pointer and skip the flip when it already names a
+    // version >= ours; the check-then-flip window is a bounded
+    // metadata-op race (both racers hold >= our version), vastly
+    // narrower than the unbounded regression it replaces, and any
+    // interleaving still leaves LATEST on a COMPLETE version.
+    if (readLatestVersion(fs, root).forall(_ < next)) {
+      val tmp = new Path(root, s".LATEST.tmp.$next")
+      val out = fs.create(tmp, true)
+      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+      // Atomic overwrite-rename (FileContext honors Rename.OVERWRITE on
+      // HDFS-semantics filesystems) — a delete-then-rename pair would open
+      // a window where LATEST does not exist, and a crash inside it would
+      // strand the table pointerless, breaking the old-or-new guarantee.
+      fc.rename(tmp, new Path(root, "LATEST"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     next
+  }
+
+  private def readLatestVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                root: Path): Option[Int] = {
+    val ptr = new Path(root, "LATEST")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      txt.toIntOption
+    }
   }
 
   /** Resolve the LATEST pointer and read that version (an unreferenced
@@ -389,6 +415,17 @@ object Sinks {
     require(o.dtypes.sortBy(_._1).sameElements(n.dtypes.sortBy(_._1)),
       s"schema drift between v=$oldVersion and v=$newVersion — diff by " +
         "key is ill-defined; handle migrations explicitly")
+    // ADVICE r6: the diff's internal columns would silently collide
+    // with same-named DATA columns (a table already carrying `change`
+    // makes the classification ambiguous-or-wrong) — fail fast. Fixed
+    // names + require beats uniqufied names: the output contract
+    // (`change`) stays stable and documented.
+    val reserved =
+      Seq("old_vals", "new_vals", "old_present", "new_present", "change")
+    val clash = o.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"diffVersions reserves column name(s) ${clash.mkString(", ")} — " +
+        "rename them in the table (or diff a projection) first")
     val valueCols = o.columns.filterNot(keys.contains).sorted.toIndexedSeq
     def tagged(df: DataFrame, tag: String) =
       df.select(keys.map(col) ++

@@ -128,9 +128,23 @@ object Ingest {
                          partitionColumn: String, numPartitions: Int,
                          properties: java.util.Properties =
                            new java.util.Properties()): DataFrame = {
-    // Quote through the url's JDBC dialect: Spark's writer creates
-    // quoted (case-exact) identifiers, so an unquoted probe would get
-    // case-folded by the database and miss the column.
+    // Quote the COLUMN through the url's JDBC dialect: Spark's writer
+    // creates quoted (case-exact) column identifiers, so an unquoted
+    // probe would get case-folded by the database and miss it. The
+    // TABLE is deliberately NOT quoted — it must resolve exactly as
+    // the unquoted `dbtable` the paired readJdbc/writer used (quoting
+    // here would flip case-folding semantics and miss tables created
+    // unquoted) — but it IS validated against an identifier pattern
+    // (ADVICE r6): raw interpolation into the probe SQL was an
+    // injection hazard for non-literal callers. Plain or
+    // schema-qualified names pass; anything else (spaces, quotes,
+    // parens) fails fast with a pointer to readJdbc, whose dbtable
+    // option accepts arbitrary subqueries WITHOUT string-building SQL
+    // here.
+    require(table.matches("""[A-Za-z0-9_$.]+"""),
+      s"readJdbcAutoBounds interpolates the table name into a probe " +
+        s"query and accepts only plain/schema-qualified identifiers; " +
+        s"got '$table' — probe bounds yourself and call readJdbc")
     val qc = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
       .quoteIdentifier(partitionColumn)
     val probe = spark.read.jdbc(url,

@@ -335,6 +335,43 @@ class IngestSinksSpec extends SparkSpec {
       s"got $diff")
     // Same version diffed against itself is empty (no unchanged noise).
     assert(Sinks.diffVersions(spark, s"$dir/t", 2, 2, Seq("id")).isEmpty)
+    // ADVICE r6: a data column named like an internal diff column must
+    // fail fast, not classify ambiguously-or-wrong.
+    val clash = Seq((1L, "x")).toDF("id", "change")
+    Sinks.publishVersioned(clash, s"$dir/c")
+    Sinks.publishVersioned(clash, s"$dir/c")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.diffVersions(spark, s"$dir/c", 1, 2, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("change"))
+  }
+
+  test("versioned publish: LATEST flip is monotonic under late losers") {
+    // ADVICE r6: a publisher whose flip would REGRESS the pointer
+    // (another publish already advanced it) must skip the flip — the
+    // pointer never moves backward. Simulated by advancing LATEST by
+    // hand past the next claim before publishing again.
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("pub_mono")
+    assert(Sinks.publishVersioned(spark.range(10).toDF(), s"$dir/t") == 1)
+    // A "faster racer" has flipped the pointer far ahead (its version
+    // directory need not exist for the flip-skip decision — only the
+    // pointer value matters to monotonicity). Written through the
+    // Hadoop FS like the real flip, so the local-FS checksum follows.
+    val ptrPath = new org.apache.hadoop.fs.Path(s"$dir/t/LATEST")
+    val fs = ptrPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(ptrPath, true)
+    try out.write("7".getBytes("UTF-8")) finally out.close()
+    // The late publisher claims the next free DIRECTORY number (2) but
+    // must not drag the pointer back from 7.
+    assert(Sinks.publishVersioned(spark.range(20).toDF(), s"$dir/t") == 2)
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/t/LATEST")), "UTF-8").trim
+    assert(ptr == "7", s"pointer regressed to $ptr")
+    // A publish that claims PAST the pointer flips it forward again.
+    spark.range(5).write.parquet(s"$dir/t/v=7")
+    assert(Sinks.publishVersioned(spark.range(30).toDF(), s"$dir/t") == 8)
+    assert(Sinks.readLatest(spark, s"$dir/t").count() == 30)
   }
 
   test("versioned publish: concurrent publishers never blend a version") {
