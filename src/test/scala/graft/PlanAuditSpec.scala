@@ -98,6 +98,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("banded LSH self-joins reuse the signature exchange (§8.8)") {
+    // The (vec_id, tbl, sig) subtree is expensive (NumTables × h dot
+    // products per vector) and feeds BOTH sides of the candidate
+    // self-join — identical shuffle-hash exchanges must collapse into
+    // one computed + one ReusedExchange, the same guarantee
+    // q_minhash_pairs carries for its banded-signature subtree.
+    Seq("q_embedding_neardup", "q_knn_join", "q_minhash_pairs")
+      .foreach { name =>
+        val p = finalPlan(q(name))
+        assert(p.contains("ReusedExchange"),
+          s"$name computes its signature subtree twice:\n$p")
+      }
+  }
+
+  test("IVF hash-sample seed: no global sort anywhere in training (§8.8)") {
+    // seedCentroidsOf is orderBy(md5, vec_id).limit(k) — it must plan
+    // as TakeOrderedAndProject (per-partition k-row heaps + driver
+    // merge), never a range-exchange global Sort: the seed selection
+    // runs over the WHOLE corpus at build time, exactly where a
+    // single-task sort would pin 100 TB. rangepartitioning appears
+    // in no IVF plan at all (the only sorts are per-partition,
+    // inside window/aggregate operators).
+    Seq("q_ann_ivf", "q_ann_ivf_served").foreach { name =>
+      val p = finalPlan(q(name))
+      assert(!p.contains("rangepartitioning"),
+        s"$name grew a global sort exchange:\n$p")
+    }
+    // The Lloyd loop materializes its iterations via localCheckpoint,
+    // so the seed subtree never appears in q_ann_ivf's FINAL plan —
+    // pin the seed frame's own plan instead.
+    import graft.operators.Similarity
+    val c = Similarity.normalizedCorpus(spark, sf0001)
+    val p = finalPlan(
+      Similarity.seedCentroidsOf(c, Similarity.centroidCountFor(c.count())))
+    assert(p.contains("TakeOrderedAndProject") &&
+      !p.contains("rangepartitioning"),
+      s"seed selection must be heap-merge, not a global sort:\n$p")
+  }
+
   test("analytic surface keeps its documented shuffle/scan budget") {
     // leadlag: both windows partition by user_id, so ONE exchange serves
     // all four functions (the second window only re-sorts in place).
