@@ -651,6 +651,41 @@ object SparkEntry {
          |JOIN documents db ON v.doc_b = db.doc_id
          |GROUP BY 1, 2""".stripMargin
 
+  /** Curation CTE block (jac → losers → base → ratios → curated)
+    * shared VERBATIM by q_corpus_pipeline and q_corpus_pipeline_temp
+    * (r7 review): the jaccard expression shape, punct regex, and gate
+    * constants are load-bearing cross-engine arithmetic — two copies
+    * could drift apart silently, surfacing only as a hash mismatch.
+    * `base` carries only the gates `curated` filters on (the stopword
+    * signal feeds quality_score, which the pipelines do not
+    * re-emit). */
+  private lazy val pipelineCurationCtes: String =
+    """, jac AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM pairs p
+      |  JOIN docs a ON p.doc_a = a.doc_id
+      |  JOIN docs b ON p.doc_b = b.doc_id
+      |), losers AS (
+      |  SELECT DISTINCT doc_b FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
+      |), base AS (
+      |  SELECT doc_id,
+      |         len(text) AS n_chars,
+      |         len(t) AS n_tokens,
+      |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+      |  FROM toks
+      |), ratios AS (
+      |  SELECT *,
+      |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+      |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio
+      |  FROM base
+      |), curated AS (
+      |  SELECT doc_id FROM ratios
+      |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+      |    AND n_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)
+      |)""".stripMargin
+
   /** Shared CTE prefix mirroring Relational.{transactions,masterModel}
     * — token-for-token the same arithmetic as the DataFrame side
     * (campaign_cost as a window sum over the single txn frame; campaign_id
@@ -1271,33 +1306,7 @@ object SparkEntry {
          |LIMIT 20""".stripMargin,
 
     "q_corpus_pipeline" ->
-      s"""$ToksCte, $minhashCtes, jac AS (
-         |  SELECT p.doc_a, p.doc_b,
-         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-         |  FROM pairs p
-         |  JOIN docs a ON p.doc_a = a.doc_id
-         |  JOIN docs b ON p.doc_b = b.doc_id
-         |), losers AS (
-         |  SELECT DISTINCT doc_b FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
-         |), base AS (
-         |  -- only the gates `curated` filters on (the stopword signal
-         |  -- feeds quality_score, which the pipeline does not re-emit)
-         |  SELECT doc_id,
-         |         len(text) AS n_chars,
-         |         len(t) AS n_tokens,
-         |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
-         |  FROM toks
-         |), ratios AS (
-         |  SELECT *,
-         |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
-         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio
-         |  FROM base
-         |), curated AS (
-         |  SELECT doc_id FROM ratios
-         |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)
-         |    AND n_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)
-         |), kept AS (
+      s"""$ToksCte, $minhashCtes$pipelineCurationCtes, kept AS (
          |  SELECT toks.doc_id AS doc_id, lang,
          |         CAST(len(t) AS BIGINT) AS n_tokens
          |  FROM toks JOIN curated ON toks.doc_id = curated.doc_id
@@ -1323,31 +1332,7 @@ object SparkEntry {
     // 9-dp-rounded normalizer, LTR multiplier), integer ppm gate on the
     // shared md5 draw, split gate, packing.
     "q_corpus_pipeline_temp" ->
-      s"""$ToksCte, $minhashCtes, jac AS (
-         |  SELECT p.doc_a, p.doc_b,
-         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-         |  FROM pairs p
-         |  JOIN docs a ON p.doc_a = a.doc_id
-         |  JOIN docs b ON p.doc_b = b.doc_id
-         |), losers AS (
-         |  SELECT DISTINCT doc_b FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
-         |), base AS (
-         |  SELECT doc_id,
-         |         len(text) AS n_chars,
-         |         len(t) AS n_tokens,
-         |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
-         |  FROM toks
-         |), ratios AS (
-         |  SELECT *,
-         |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
-         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio
-         |  FROM base
-         |), curated AS (
-         |  SELECT doc_id FROM ratios
-         |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)
-         |    AND n_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)
-         |), kept0 AS (
+      s"""$ToksCte, $minhashCtes$pipelineCurationCtes, kept0 AS (
          |  SELECT toks.doc_id AS doc_id, lang, source,
          |         CAST(len(t) AS BIGINT) AS n_tokens
          |  FROM toks JOIN curated ON toks.doc_id = curated.doc_id

@@ -281,7 +281,14 @@ object Dedup {
     val newSigs = signatureRows(newDocs)
       .localCheckpoint() // pinned: feeds the join AND the append
     try {
-      val allSigs = spark.read.parquet(sigPath).unionByName(newSigs)
+      val persistedSigs = spark.read.parquet(sigPath)
+      // This flat-append API must not write root-level files into a
+      // STREAM-maintained (batch_id-partitioned) table — the mixed
+      // layout would be unreadable. Fail fast toward the batch twin.
+      require(!persistedSigs.columns.contains("batch_id"),
+        s"$sigPath is batch_id-keyed (stream-maintained) — use " +
+          "appendToPairTableBatch, which overwrites its own partition")
+      val allSigs = persistedSigs.unionByName(newSigs)
       val cand = candidatePairs(newSigs, allSigs)
       try {
         val fresh = verifiedIncrement(cand, allDocs)
@@ -294,6 +301,9 @@ object Dedup {
         // very path the append then writes — materializing first keeps
         // the scan's file list from racing its own output.
         val existingPairs = readIfExists(spark, pairPath)
+        existingPairs.foreach(e => require(!e.columns.contains("batch_id"),
+          s"$pairPath is batch_id-keyed (stream-maintained) — use " +
+            "appendToPairTableBatch, which overwrites its own partition"))
         val newPairs = (existingPairs match {
           case Some(e) => fresh.join(e.select(col("doc_a"), col("doc_b")),
             Seq("doc_a", "doc_b"), "left_anti")
@@ -336,6 +346,12 @@ object Dedup {
   def appendToPairTableBatch(spark: SparkSession, newDocs: DataFrame,
                              allDocs: DataFrame, sigPath: String,
                              pairPath: String, batchId: Long): Unit = {
+    // A table bootstrapped flat (buildSignatureTable / the batch
+    // append API) adopts the batch-keyed layout on first contact —
+    // flat children next to batch_id= dirs would make the whole
+    // directory unreadable at partition discovery (r7 review).
+    graft.sinks.Sinks.adoptFlatLayout(spark, sigPath)
+    graft.sinks.Sinks.adoptFlatLayout(spark, pairPath)
     val newSigs = signatureRows(newDocs).localCheckpoint()
     try {
       val existing = readIfExists(spark, sigPath) match {

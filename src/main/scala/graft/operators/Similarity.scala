@@ -308,19 +308,28 @@ object Similarity {
     * pair collided in (the LSH amplification at work). The
     * symmetric-pair convention (vec_a < vec_b) matches the MinHash
     * dedup output shape, so the two near-dup families compose. */
+  /** The banded-bucket collision self-join both self-join operators
+    * share — ONE definition so the shuffle-hash hints (identical
+    * exchanges ⇒ ReuseExchange computes the signature subtree ONCE,
+    * the minhashPairs trick, PlanAuditSpec-pinned) and the (tbl, sig)
+    * key can't drift between them. `pred` is the pair convention:
+    * `<` for symmetric pairs, `=!=` for directed neighbor lists. */
+  private def bandedCollisions(sigs: DataFrame,
+                               pred: (Column, Column) => Column): DataFrame = {
+    val a = sigs.hint("shuffle_hash").as("a")
+    val b = sigs.hint("shuffle_hash").as("b")
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          pred(col("a.vec_id"), col("b.vec_id")))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+  }
+
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double = 0.5): DataFrame = {
     val h = tablePlanesFor(corpusSize(spark, dir))
     val c = corpus(spark, dir)
-    val sigs = bandedSignatureRows(c, h)
-    // shuffle-hash hint both sides: identical exchanges ⇒ ReuseExchange
-    // computes the signature subtree ONCE (same trick as minhashPairs).
-    val a = sigs.hint("shuffle_hash").as("a")
-    val b = sigs.hint("shuffle_hash").as("b")
-    val cand = a.join(b,
-        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cand = bandedCollisions(bandedSignatureRows(c, h), _ < _)
+      .groupBy(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       .agg(count(lit(1)).as("n_tables"))
     val va = c.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nv").as("na"))
@@ -349,13 +358,8 @@ object Similarity {
               saltBuckets: Int = 16): DataFrame = {
     val h = tablePlanesFor(corpusSize(spark, dir))
     val c = corpus(spark, dir)
-    val sigs = bandedSignatureRows(c, h)
-    val a = sigs.hint("shuffle_hash").as("a")
-    val b = sigs.hint("shuffle_hash").as("b")
-    val cand = a.join(b,
-        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"))
+    val cand = bandedCollisions(bandedSignatureRows(c, h), _ =!= _)
+      .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"))
       .distinct()
     val va = c.select(col("vec_id"), col("v").as("va"), col("nv").as("na"))
     val vb = c.select(col("vec_id").as("nn_id"), col("v").as("vb"),
@@ -506,6 +510,11 @@ object Similarity {
     * is the shared [[assignCells]] against the persisted centroids. */
   def appendToIvfIndexBatch(spark: SparkSession, newVecs: DataFrame,
                             indexPath: String, batchId: Long): Unit = {
+    // An index built flat (buildIvfIndex) adopts the batch-keyed
+    // layout on first stream contact: its cell=* dirs move under
+    // batch_id=-1, because batch_id= dirs NEXT TO flat cell=* dirs
+    // make the whole postings directory unreadable (r7 review).
+    graft.sinks.Sinks.adoptFlatLayout(spark, s"$indexPath/postings")
     val nv = corpusOf(spark, newVecs)
     val cents = spark.read.parquet(s"$indexPath/centroids")
     require(!cents.isEmpty,
@@ -529,6 +538,7 @@ object Similarity {
     * overwrites the same batch partition. */
   def buildIvfIndexBatch(spark: SparkSession, emb: DataFrame,
                          indexPath: String, batchId: Long): Unit = {
+    graft.sinks.Sinks.adoptFlatLayout(spark, s"$indexPath/postings")
     val c = corpusOf(spark, emb)
     val cents = trainedCentroidsOf(c)
     require(!cents.isEmpty,
@@ -546,6 +556,16 @@ object Similarity {
   def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame,
                        indexPath: String): Unit = {
     val nv = corpusOf(spark, newVecs)
+    // This flat-append API must not write cell=* dirs into a
+    // STREAM-maintained (batch_id-keyed) postings layout — the mix is
+    // unreadable at partition discovery. Fail fast toward the batch
+    // twin (r7 review).
+    val postings = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(postings) || !fs.listStatus(postings)
+        .exists(_.getPath.getName.startsWith("batch_id=")),
+      s"$indexPath/postings is batch_id-keyed (stream-maintained) — " +
+        "use appendToIvfIndexBatch, which overwrites its own partition")
     val cents = spark.read.parquet(s"$indexPath/centroids")
     // ADVICE r5: an empty/truncated centroid table would make the
     // assignment crossJoin produce zero rows and the append write

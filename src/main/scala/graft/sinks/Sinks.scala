@@ -304,14 +304,18 @@ object Sinks {
     * observes the collision and retries the rename at the next free
     * number (its data is already written — the retry costs one metadata
     * op, no rewrite). Version directories therefore never blend. The
-    * LATEST flip is MONOTONIC (ADVICE r6): a publisher re-reads the
-    * pointer and skips the flip when it already names a version ≥ its
-    * own, so a race loser can no longer park readers on the older
-    * version until the next publish; the residual check-then-flip race
-    * is a bounded metadata-op window between two writers that both
-    * hold ≥ this version — old-or-new, never a mix, and serial
-    * publishers see strict monotonicity. On object stores without
-    * atomic directory rename, run one publisher per table. */
+    * pointer is MONOTONIC BY CONSTRUCTION (ADVICE r6, hardened r7):
+    * each publisher records its version as its OWN empty marker file
+    * `_latest/<n>`, and readers resolve MAX(markers). File creations
+    * commute — there is no shared pointer file to overwrite, so no
+    * check-then-flip interleaving exists in which a race loser can
+    * regress readers (the single-file re-read-then-rename this
+    * replaces narrowed that race but could not close it: a loser
+    * whose overwrite landed last still parked readers on the older
+    * version). Rollback = delete the newer markers. Legacy tables
+    * carrying only a one-line `LATEST` file still resolve (fallback
+    * read); their next publish writes a marker and the table is
+    * migrated. */
   def publishVersioned(df: DataFrame, tableDir: String): Int = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -345,40 +349,17 @@ object Sinks {
           else throw e
       }
     }
-    // Monotonic LATEST flip (ADVICE r6): the race LOSER here claimed a
-    // LOWER version than a publish that already flipped the pointer —
-    // a last-writer-wins flip would regress readers to the older
-    // version INDEFINITELY (until the next publish), not "briefly".
-    // Re-read the pointer and skip the flip when it already names a
-    // version >= ours; the check-then-flip window is a bounded
-    // metadata-op race (both racers hold >= our version), vastly
-    // narrower than the unbounded regression it replaces, and any
-    // interleaving still leaves LATEST on a COMPLETE version.
-    if (readLatestVersion(fs, root).forall(_ < next)) {
-      val tmp = new Path(root, s".LATEST.tmp.$next")
-      val out = fs.create(tmp, true)
-      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-      // Atomic overwrite-rename (FileContext honors Rename.OVERWRITE on
-      // HDFS-semantics filesystems) — a delete-then-rename pair would open
-      // a window where LATEST does not exist, and a crash inside it would
-      // strand the table pointerless, breaking the old-or-new guarantee.
-      fc.rename(tmp, new Path(root, "LATEST"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+    // The version is complete — record its marker. Creating a fresh
+    // file per publisher commutes with every concurrent publish, so
+    // the resolved pointer (max over markers) never moves backward.
+    fs.mkdirs(new Path(root, MarkerDir))
+    fs.create(new Path(root, s"$MarkerDir/$next"), false).close()
     next
   }
 
-  private def readLatestVersion(fs: org.apache.hadoop.fs.FileSystem,
-                                root: Path): Option[Int] = {
-    val ptr = new Path(root, "LATEST")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-      txt.toIntOption
-    }
-  }
+  /** Directory of per-version publish markers; `_`-prefixed so Spark's
+    * partition discovery ignores it next to the `v=<n>` dirs. */
+  private val MarkerDir = "_latest"
 
   /** Resolve the LATEST pointer and read that version (an unreferenced
     * higher `v=` from a crashed publish is invisible here). */
@@ -443,13 +424,18 @@ object Sinks {
   /** Drop every version directory below the pointed-to one (how long a
     * time-travel window to keep is the caller's policy; the pointed
     * version and any NEWER unreferenced one — a publish may be in
-    * flight — survive). Returns the versions removed. */
+    * flight — survive). Vacuumed versions lose their publish markers
+    * too, so a later "rollback by deleting newer markers" can never
+    * point at a reclaimed directory. Returns the versions removed. */
   def vacuumVersions(spark: SparkSession, tableDir: String): Seq[Int] = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = currentVersion(fs, root)
     val old = listVersions(fs, root).filter(_ < current).sorted
-    old.foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+    old.foreach { v =>
+      fs.delete(new Path(root, s"v=$v"), true)
+      fs.delete(new Path(root, s"$MarkerDir/$v"), false)
+    }
     old
   }
 
@@ -462,12 +448,52 @@ object Sinks {
 
   private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
                              root: Path): Int = {
-    val ptr = new Path(root, "LATEST")
-    require(fs.exists(ptr), s"no LATEST pointer under $root — never published?")
-    val in = fs.open(ptr)
-    val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-    txt.toInt
+    val md = new Path(root, MarkerDir)
+    val markers =
+      if (fs.exists(md))
+        fs.listStatus(md).toSeq.flatMap(_.getPath.getName.toIntOption)
+      else Nil
+    if (markers.nonEmpty) markers.max
+    else {
+      // Legacy single-file pointer (pre-r7 tables): resolve it so an
+      // existing deployment keeps reading; the next publish writes a
+      // marker and the table migrates forward.
+      val ptr = new Path(root, "LATEST")
+      require(fs.exists(ptr),
+        s"no publish marker or LATEST pointer under $root — never published?")
+      val in = fs.open(ptr)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      txt.toInt
+    }
+  }
+
+  /** Adopt a FLAT-layout table into the `batch_id=N`-keyed layout the
+    * streaming maintenance writes (r7 review): every non-hidden child
+    * of `dir` that is not already a `batch_id=` partition — root-level
+    * part files for pair/signature tables, `cell=*` dirs for IVF
+    * postings — moves under `batch_id=-1/` (the pre-stream history).
+    * Without this, a batch-keyed write next to flat children makes the
+    * WHOLE directory unreadable ("conflicting directory structures" at
+    * partition discovery). Metadata-only renames; idempotent (a replay
+    * finds nothing left to move, a crash mid-move resumes on the next
+    * call). Run at stream-attach time, quiesced — concurrent readers
+    * during adoption may see a partial view, the same caveat as the
+    * compact/upsert directory swaps. */
+  def adoptFlatLayout(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val kids = fs.listStatus(root).toSeq.filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_id=") || n.startsWith("_") || n.startsWith(".")
+    }
+    if (kids.nonEmpty) {
+      val legacy = new Path(root, "batch_id=-1")
+      fs.mkdirs(legacy)
+      kids.foreach(st =>
+        fs.rename(st.getPath, new Path(legacy, st.getPath.getName)))
+    }
   }
 
   /** F8: mint a landed-object name `<table>_<yyyyMMdd>_<uuid4-prefix>.<ext>`

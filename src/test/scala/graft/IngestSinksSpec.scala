@@ -346,32 +346,86 @@ class IngestSinksSpec extends SparkSpec {
     assert(e.getMessage.contains("change"))
   }
 
-  test("versioned publish: LATEST flip is monotonic under late losers") {
-    // ADVICE r6: a publisher whose flip would REGRESS the pointer
-    // (another publish already advanced it) must skip the flip — the
-    // pointer never moves backward. Simulated by advancing LATEST by
-    // hand past the next claim before publishing again.
-    import org.apache.spark.sql.functions._
+  test("versioned publish: marker pointer is monotonic; legacy LATEST resolves") {
+    // ADVICE r6 (hardened r7): the pointer is MAX over per-version
+    // marker files — creations commute, so a race loser's marker can
+    // never regress readers, under ANY interleaving (the single
+    // pointer-file flip it replaces had an unfixable
+    // check-then-overwrite window).
     val dir = tmpDir("pub_mono")
     assert(Sinks.publishVersioned(spark.range(10).toDF(), s"$dir/t") == 1)
-    // A "faster racer" has flipped the pointer far ahead (its version
-    // directory need not exist for the flip-skip decision — only the
-    // pointer value matters to monotonicity). Written through the
-    // Hadoop FS like the real flip, so the local-FS checksum follows.
-    val ptrPath = new org.apache.hadoop.fs.Path(s"$dir/t/LATEST")
-    val fs = ptrPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(ptrPath, true)
-    try out.write("7".getBytes("UTF-8")) finally out.close()
-    // The late publisher claims the next free DIRECTORY number (2) but
-    // must not drag the pointer back from 7.
-    assert(Sinks.publishVersioned(spark.range(20).toDF(), s"$dir/t") == 2)
-    val ptr = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/t/LATEST")), "UTF-8").trim
-    assert(ptr == "7", s"pointer regressed to $ptr")
-    // A publish that claims PAST the pointer flips it forward again.
-    spark.range(5).write.parquet(s"$dir/t/v=7")
+    // A "faster racer" published v=7 and recorded its marker.
+    spark.range(70).write.parquet(s"$dir/t/v=7")
+    val m7 = new org.apache.hadoop.fs.Path(s"$dir/t/_latest/7")
+    val fs = m7.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(m7, false).close()
+    // The regression shape the marker scheme closes: a race loser's
+    // pointer record lands LATER but names a LOWER version. With
+    // markers that is just a stale file below the max — resolution is
+    // order-free, so hand-creating it after the racer's marker cannot
+    // move the pointer (the old overwrite-flip scheme regressed here).
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/t/_latest/0"), false)
+      .close()
+    assert(Sinks.readLatest(spark, s"$dir/t").count() == 70,
+      "a stale lower marker must not move the pointer")
+    // The next publish claims past every existing directory and the
+    // pointer follows it forward.
     assert(Sinks.publishVersioned(spark.range(30).toDF(), s"$dir/t") == 8)
     assert(Sinks.readLatest(spark, s"$dir/t").count() == 30)
+    // Legacy migration: a pre-marker table carrying only a LATEST file
+    // still resolves, and its next publish writes a marker.
+    val legacy = s"$dir/legacy"
+    spark.range(40).write.parquet(s"$legacy/v=1")
+    val lp = new org.apache.hadoop.fs.Path(s"$legacy/LATEST")
+    val out = fs.create(lp, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    assert(Sinks.readLatest(spark, legacy).count() == 40)
+    assert(Sinks.publishVersioned(spark.range(50).toDF(), legacy) == 2)
+    assert(Sinks.readLatest(spark, legacy).count() == 50)
+  }
+
+  test("flat-layout tables adopt the batch_id layout; flat APIs refuse mixes") {
+    import org.apache.spark.sql.functions._
+    // IVF: build flat, then a batch-keyed stream append attaches — the
+    // flat cells must move under batch_id=-1 (mixed layouts are
+    // unreadable at partition discovery), serving keeps every vector.
+    val dir = tmpDir("adopt")
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = emb.where(col("vec_id") % 7 =!= 3)
+    val inc = emb.where(col("vec_id") % 7 === 3)
+    graft.operators.Similarity.buildIvfIndexOf(spark, base, s"$dir/ivf")
+    graft.operators.Similarity.appendToIvfIndexBatch(spark, inc, s"$dir/ivf", 5)
+    val postings = spark.read.parquet(s"$dir/ivf/postings")
+    assert(postings.count() == emb.count(), "adoption lost postings")
+    assert(postings.columns.contains("batch_id") &&
+      postings.columns.contains("cell"))
+    // The flat append API refuses a stream-maintained layout.
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.appendToIvfIndex(spark, inc, s"$dir/ivf")
+    }
+    assert(e.getMessage.contains("appendToIvfIndexBatch"))
+    // Pairs: flat bootstrap (buildSignatureTable + batch append), then
+    // the batch-keyed stream variant attaches and the serve path still
+    // matches the one-pass rebuild.
+    val docs = Tables.documents(spark, sf0001)
+    val dbase = docs.where(col("doc_id") % 5 =!= 0)
+    val dinc = docs.where(col("doc_id") % 5 === 0)
+    graft.operators.Dedup.buildSignatureTable(dbase.limit(0), s"$dir/sigs")
+    graft.operators.Dedup.appendToPairTable(spark, dbase, dbase,
+      s"$dir/sigs", s"$dir/pairs")
+    graft.operators.Dedup.appendToPairTableBatch(spark, dinc, docs,
+      s"$dir/sigs", s"$dir/pairs", 3)
+    val served = graft.operators.Dedup.pairTable(spark, s"$dir/pairs")
+    val rebuilt = graft.operators.Dedup.ngramJaccard(spark, sf0001)
+    assert(served.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(served).isEmpty,
+      "flat bootstrap + batch-keyed increment must equal the rebuild")
+    // And the flat append API refuses the now-batch_id-keyed table.
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.appendToPairTable(spark, dinc, docs,
+        s"$dir/sigs", s"$dir/pairs")
+    }
+    assert(e2.getMessage.contains("appendToPairTableBatch"))
   }
 
   test("versioned publish: concurrent publishers never blend a version") {
