@@ -673,7 +673,7 @@ object SparkEntry {
       |  SELECT doc_id,
       |         len(text) AS n_chars,
       |         len(t) AS n_tokens,
-      |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+      |         len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
       |  FROM toks
       |), ratios AS (
       |  SELECT *,

@@ -421,6 +421,32 @@ object Sinks {
       .select(keys.map(col) :+ col("change"): _*)
   }
 
+  /** Roll the table back to `version`: delete every marker ABOVE it,
+    * so readers resolve `version` again — the operation the marker
+    * pointer makes a pure metadata delete (no data moves; the rolled-
+    * back version directories survive for diffing/forensics until
+    * [[vacuumVersions]] reclaims below the new current). Fails fast if
+    * `version` was never published or its directory is gone (a
+    * rollback must land on a COMPLETE version, the invariant markers
+    * encode). Legacy tables (LATEST file, no markers) migrate: the
+    * target's marker is created, then the stale LATEST file is removed
+    * so marker resolution takes over. */
+  def rollbackTo(spark: SparkSession, tableDir: String, version: Int): Unit = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, s"v=$version")),
+      s"cannot roll back to v=$version under $root — no such version " +
+        "directory (vacuumed, or never published)")
+    fs.mkdirs(new Path(root, MarkerDir))
+    if (!fs.exists(new Path(root, s"$MarkerDir/$version")))
+      fs.create(new Path(root, s"$MarkerDir/$version"), false).close()
+    fs.listStatus(new Path(root, MarkerDir)).toSeq
+      .flatMap(st => st.getPath.getName.toIntOption.map(st.getPath -> _))
+      .filter(_._2 > version)
+      .foreach { case (p, _) => fs.delete(p, false) }
+    fs.delete(new Path(root, "LATEST"), false)
+  }
+
   /** Drop every version directory below the pointed-to one (how long a
     * time-travel window to keep is the caller's policy; the pointed
     * version and any NEWER unreferenced one — a publish may be in

@@ -382,6 +382,18 @@ class IngestSinksSpec extends SparkSpec {
     assert(Sinks.readLatest(spark, legacy).count() == 40)
     assert(Sinks.publishVersioned(spark.range(50).toDF(), legacy) == 2)
     assert(Sinks.readLatest(spark, legacy).count() == 50)
+    // Rollback = delete newer markers: readers resolve the older
+    // version again; data directories survive; republish moves PAST
+    // the rolled-back (still-on-disk) version; a vacuumed/absent
+    // target fails fast.
+    Sinks.rollbackTo(spark, legacy, 1)
+    assert(Sinks.readLatest(spark, legacy).count() == 40)
+    assert(Sinks.publishVersioned(spark.range(60).toDF(), legacy) == 3)
+    assert(Sinks.readLatest(spark, legacy).count() == 60)
+    val missing = intercept[IllegalArgumentException] {
+      Sinks.rollbackTo(spark, legacy, 9)
+    }
+    assert(missing.getMessage.contains("v=9"))
   }
 
   test("flat-layout tables adopt the batch_id layout; flat APIs refuse mixes") {
