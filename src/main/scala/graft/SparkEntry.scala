@@ -62,6 +62,8 @@ object SparkEntry {
       Similarity.queryIvfIndex(s, idx, queries)
     }),
     "q_embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
+    // ANN health check: per-query LSH recall vs the exact top-k.
+    "q_ann_recall" -> ((s, d) => Similarity.lshRecallReport(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // event-time aggregation (batch twins of the streaming queries)
@@ -1039,8 +1041,53 @@ object SparkEntry {
          |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          |WHERE rank <= ${Similarity.TopK}""".stripMargin,
 
-    // q_ann_ivf trains KmIterations Lloyd rounds from the stride seed
-    // (Similarity.trainedCentroidsOf); the twin unrolls them: aN =
+    // Per-query LSH recall vs exact: both chains rebuilt as CTEs (the
+    // lsh side renamed q0/qp/ascore to dodge the exact side's names),
+    // joined on (q_id, vec_id); recall = n_hits / k is an int/const
+    // IEEE quotient, bit-exact both engines.
+    "q_ann_recall" ->
+      s"""$EmbCte, q AS (
+         |  SELECT vec_id AS q_id, v AS qv, nv AS nq FROM n
+         |  WHERE vec_id < ${Similarity.NumQueries}
+         |), escore AS (
+         |  SELECT q.q_id, n.vec_id,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM n, q WHERE n.vec_id <> q.q_id
+         |), exact AS (
+         |  SELECT q_id, vec_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id ASC) AS rank FROM escore)
+         |  WHERE rank <= ${Similarity.TopK}
+         |), bn AS (
+         |  SELECT *, ${bucketSql("v")} AS bucket FROM n
+         |), q0 AS (
+         |  SELECT vec_id AS q_id, v AS qv, nv AS nq, bucket FROM bn
+         |  WHERE vec_id < ${Similarity.NumQueries}
+         |), qp AS (
+         |  SELECT q_id, qv, nq, CAST(xor(bucket, m) AS INT) AS bucket
+         |  FROM q0, unnest(${Similarity.ProbeMasks.mkString("[", ", ", "]")}) AS t(m)
+         |), ascore AS (
+         |  SELECT qp.q_id, bn.vec_id,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM bn JOIN qp USING (bucket) WHERE bn.vec_id <> qp.q_id
+         |), approx AS (
+         |  SELECT q_id, vec_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id ASC) AS rank FROM ascore)
+         |  WHERE rank <= ${Similarity.TopK}
+         |)
+         |SELECT a.q_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_returned,
+         |       CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits,
+         |       COUNT(e.vec_id) / CAST(${Similarity.TopK} AS DOUBLE) AS recall
+         |FROM approx a
+         |LEFT JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY 1""".stripMargin,
+
+    // q_ann_ivf trains KmIterations Lloyd rounds from the hash-sample
+    // seed (Similarity.trainedCentroidsOf); the twin unrolls them: aN =
     // assignment (argmax cosine, cell-asc tie-break), mN = 9-dp member
     // means per (cell, dim), kN = empty-cell guard (keep previous),
     // cN = rebuilt centroid vectors. Must track kmeansRefineOf exactly.

@@ -373,6 +373,35 @@ object Similarity {
       saltOn = col("nn_id"), k = k, saltBuckets = saltBuckets)
   }
 
+  /** ANN recall report — the standing-deployment health check "is the
+    * approximate index still finding what exact search finds?", run
+    * per query: n_returned (LSH may return < k when buckets are
+    * sparse), n_hits (approximate results confirmed by the exact
+    * top-k), recall = n_hits / k. Both inputs are deterministic, the
+    * join is on (q_id, vec_id), and recall is an int/const IEEE
+    * quotient — oracle-checkable bit-for-bit. The exact side is the
+    * broadcast-bounded [[topkCosine]] (the query set is fixed, so this
+    * diagnostic is CHEAP — it never scores more than the exact
+    * baseline does); production points it at a sampled query panel to
+    * monitor a 100 TB index after maintenance cycles. LSH is the
+    * reported method here; the IVF path's quality is pinned by
+    * SimilaritySpec (spherical-k-means objective + recall floor) — its
+    * in-query-training twin is expensive enough that re-running it
+    * inside a second oracle row buys no new information. */
+  def lshRecallReport(spark: SparkSession, dir: String,
+                      k: Int = TopK): DataFrame = {
+    val exact = topkCosine(spark, dir, k)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    topkCosineLsh(spark, dir, k)
+      .select(col("q_id"), col("vec_id"))
+      .join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("recall", col("n_hits") / lit(k.toDouble))
+  }
+
   /** Levels for [[quantizeEmbeddings]] (int8-style: codes 0..255). */
   val QuantLevels = 256
 

@@ -250,6 +250,37 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(s.exceptAll(again).isEmpty)
   }
 
+  test("temperatureSampleOf: thins per the mix, keeps small sources, deterministic") {
+    val docs = Tables.documents(spark, SparkSpec.Sf001)
+    val mix = Sampling.temperatureMixOf(docs)
+      .select(col("source"), col("n_docs"), col("temp_multiplier"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val kept = Sampling.temperatureSampleOf(docs)
+      .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mix.foreach { case (src, (nDocs, mult)) =>
+      val k = kept.getOrElse(src, 0L)
+      if (mult >= 1.0)
+        // Under-represented sources clamp to keep-everything — a
+        // Bernoulli thinning must never lose their rows.
+        assert(k == nDocs, s"$src (mult=$mult) lost rows: $k < $nDocs")
+      else {
+        assert(k <= nDocs)
+        // The md5 draw tracks the rate loosely (binomial, fixture-
+        // sized strata — allow a wide band; determinism is the real
+        // contract, pinned below and by the oracle hash).
+        val expected = nDocs * mult
+        assert(math.abs(k - expected) <= math.max(5.0, 0.5 * nDocs),
+          s"$src kept $k vs expected ~$expected of $nDocs")
+      }
+    }
+    // Deterministic under recomputation and repartitioning.
+    val a = Sampling.temperatureSampleOf(docs).select("doc_id")
+    val b = Sampling.temperatureSampleOf(docs.repartition(7)).select("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("packSequences partitions every stratum's tokens exactly once") {
     val packs = Sampling.packSequences(spark, sf0001)
     val fromPacks = packs.groupBy("lang")
