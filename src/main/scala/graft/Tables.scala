@@ -19,9 +19,9 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** Explicit read schema for events.parquet: `ts` is parquet
+  /** Fallback read schema for events.parquet fixtures whose `ts` is parquet
     * TIMESTAMP(NANOS), which Spark has no native type for. Supplying
-    * LongType here makes the vectorized reader hand back the raw
+    * LongType makes the vectorized reader hand back the raw
     * nanosecond longs without the session-wide
     * `spark.sql.legacy.parquet.nanosAsLong` flag (ADVICE r2: the flag
     * leaked into every later parquet read in the session). */
@@ -36,11 +36,59 @@ object Tables {
       StructField("props", StringType)))
   }
 
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** Fixture-affinity guard (VERDICT r7): a silent fixture-format change
+    * walked 12 queries into 1970 unnoticed in round 7. Run once per path
+    * per JVM; a scalar max(year(ts)) probe over the single pruned column.
+    */
+  private val eventsSpanChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def requireSaneEventSpan(df: DataFrame, path: String): Unit =
+    eventsSpanChecked.computeIfAbsent(path, _ => {
+      import org.apache.spark.sql.functions.{col, max, year}
+      val row = df.agg(max(year(col("ts")))).head()
+      if (!row.isNullAt(0)) {
+        val maxYear = row.getInt(0)
+        require(maxYear >= 2000 && maxYear <= 2100,
+          s"events fixture at $path decodes to an implausible time span " +
+            s"(max year = $maxYear); the fixture's on-disk ts encoding " +
+            "likely changed — update Tables.events to match.")
+      }
+      java.lang.Boolean.TRUE
+    })
+
+  /** Reads `events.parquet` with whatever `ts` encoding the fixture ships:
+    *   - native parquet TIMESTAMP(MICROS/MILLIS) → plain scan, no rewrite;
+    *   - legacy TIMESTAMP(NANOS) (Spark refuses to infer it) or raw int64
+    *     nanos → forced-LongType read + div-1000 shim to micros.
+    * Either way the decoded span is sanity-checked once per path so a
+    * future fixture change fails fast instead of silently wrong.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$d/events.parquet"
+    val inferred: Option[DataFrame] =
+      try Some(s.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val df = inferred.map(_.schema("ts").dataType) match {
+      case Some(TimestampType) => inferred.get
+      case Some(TimestampNTZType) =>
+        // timestamp[us] with no tz: wall-clock values; session tz is UTC so
+        // the cast is an identity mapping and downstream keeps TimestampType.
+        inferred.get.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case Some(LongType) | None =>
+        s.read.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events fixture at $path has unsupported ts type $other")
+    }
+    requireSaneEventSpan(df, path)
+    df
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }
