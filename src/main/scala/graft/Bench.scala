@@ -95,6 +95,45 @@ object Bench {
       }
     val mins = names.map(n => n -> byName(n).min)
     val means = names.map(n => n -> byName(n).sum / byName(n).size)
+    // Macro row (VERDICT r7 #4): the E1 standing pipeline end-to-end —
+    // generate → stage → sense → raw → master-once → 5 business consumers
+    // → DQ gate → curation → assembly. Timed min-of-Reps like the micro
+    // rows but reported under a SEPARATE "macro" key, NOT summed into
+    // "value": the cross-round total has been sum-of-per-query-mins since
+    // round 6 and folding a multi-layer write pipeline into it would
+    // break comparability. Each rep writes to a fresh temp dir (the
+    // pipeline is effectful; reusing a dir would time append-on-top).
+    // SPARK_GRAFT_MACRO=0 skips it for quick micro-only iterations.
+    val macroRows: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_MACRO").contains("0")) Seq.empty
+      else {
+        def tmpDir(): java.nio.file.Path =
+          java.nio.file.Files.createTempDirectory("graft_bench_e1_")
+        def rmRf(p: java.nio.file.Path): Unit =
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }
+        def oneRun(): Option[Double] = {
+          val out = tmpDir()
+          val t0 = System.nanoTime()
+          val r =
+            try { Pipeline.run(spark, sfDir, out.toString); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              if (!errors.contains("q_pipeline_e1"))
+                errors += "q_pipeline_e1" ->
+                  Option(e.getMessage).getOrElse(e.getClass.getName)
+              None
+            }
+          rmRf(out)
+          r
+        }
+        oneRun() // warmup, untimed like the micro warmup pass
+        val samples = (1 to Reps).flatMap(_ => oneRun())
+        if (samples.isEmpty) Seq.empty
+        else Seq("q_pipeline_e1" -> samples.min)
+      }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -111,7 +150,7 @@ object Bench {
     val nOkJson = names.map(n => s"${jstr(n)}:${nOk(n)}")
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":${jmap(mins)},"queries_mean":${jmap(means)},"queries_n_ok":$nOkJson,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":${jmap(mins)},"queries_mean":${jmap(means)},"queries_n_ok":$nOkJson,"macro":${jmap(macroRows)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
@@ -124,7 +163,7 @@ object Bench {
     // would regrow the line past the tail buffer in exactly the
     // mass-failure regime where reporting matters most.
     val errNames = errors.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"n_queries":${mins.size},"n_errors":${errors.size},"error_queries":$errNames,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"n_queries":${mins.size},"n_errors":${errors.size},"error_queries":$errNames,"macro":${jmap(macroRows)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

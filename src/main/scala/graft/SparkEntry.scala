@@ -87,6 +87,12 @@ object SparkEntry {
     "q_ingest_roundtrip_orc" -> ((s, d) => ingestRoundtrip(s, d, "orc")),
     // multimodal binary-payload accounting
     "q_multimodal_meta" -> ((s, d) => multimodal.Multimodal.mediaStats(s, d)),
+    // REAL audio decode (r8): mint WAV bytes from the closed-form PCM
+    // generator, decode them back executor-side, emit sample stats; the
+    // oracle regenerates the same samples from the formula in SQL, so a
+    // hash match proves decode∘encode identity on the stats surface.
+    "q_audio_stats" -> ((s, d) => multimodal.Multimodal.audioStats(
+      multimodal.Multimodal.withWavPayload(s, d))),
     // corpus assembly: PII scrub, repetition quality signals,
     // deterministic split/sampling/packing
     "q_pii_redact" -> ((s, d) => Privacy.piiRedact(s, d)),
@@ -1722,6 +1728,31 @@ object SparkEntry {
          |         AS n_sampled_frames
          |FROM documents""".stripMargin
     },
+
+    "q_audio_stats" ->
+      """WITH f AS (
+        |  SELECT d.doc_id AS doc_id, u.i AS i,
+        |         CAST(((d.doc_id * 7919 + u.i * 104729) % 65536) - 32768
+        |           AS BIGINT) AS v
+        |  FROM documents d,
+        |       unnest(range(0, 64 + CAST(d.doc_id % 129 AS INT))) AS u(i)
+        |), g AS (
+        |  SELECT doc_id, i, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM f
+        |)
+        |SELECT doc_id,
+        |       1 AS n_channels,
+        |       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |       16 AS bit_depth,
+        |       COUNT(*) AS n_frames,
+        |       CAST(MAX(abs(v)) AS INT) AS peak_abs,
+        |       CAST(SUM(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS zero_crossings,
+        |       sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms,
+        |       CAST(COUNT(*) AS DOUBLE) / (8000 + (doc_id % 3) * 4000)
+        |         AS duration_s
+        |FROM g GROUP BY doc_id""".stripMargin,
 
     "q_boilerplate" ->
       s"""$ToksCte, sh AS (

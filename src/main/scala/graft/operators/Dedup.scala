@@ -549,28 +549,69 @@ object Dedup {
     * [[graft.expressions.HammingDistance]] calls summed. */
   def simhash64Neighbors(spark: SparkSession, dir: String,
                          maxHamming: Int = 3): DataFrame = {
+    graft.expressions.HammingDistance.register(spark)
+    simhash64NeighborsOf(simhash64(spark, dir), maxHamming)._1
+  }
+
+  /** Banded near-dup candidate generation over a (doc_id, q0..q3)
+    * signature frame, with an optional per-band-bucket candidate cap
+    * (VERDICT r7 #5 — cheap insurance below the §8.8 multi-index
+    * widening trigger).
+    *
+    * With `bucketCap = Some(c)`: any (band, value) bucket holding more
+    * than c signatures is EXCLUDED from the self-join — a single
+    * degenerate bucket (e.g. a boilerplate-heavy corpus where one
+    * quarter value captures 10⁶ docs) would otherwise contribute O(n²)
+    * candidate pairs on one task. Spilled buckets are returned as the
+    * second frame (band_idx, band_val, bucket_n) — a quarantine REPORT,
+    * never a silent drop: a pair whose only matching quarter was capped
+    * is missed here, so the report is the work-list for an exact pass
+    * (or the §8.8 multi-index widening) over just those docs. The
+    * bucket count is one extra aggregation on the SAME key as the
+    * self-join, so its exchange is reused, not an extra full shuffle
+    * of the corpus.
+    *
+    * With `bucketCap = None` (default): no counting pass at all — the
+    * radius-3 completeness guarantee holds unconditionally. */
+  def simhash64NeighborsOf(sig: DataFrame, maxHamming: Int = 3,
+                           bucketCap: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
     require(maxHamming <= 3,
       s"4-band LSH over 4 quarters is only complete to distance 3; " +
         s"got maxHamming=$maxHamming")
-    graft.expressions.HammingDistance.register(spark)
-    val sig = simhash64(spark, dir)
+    graft.expressions.HammingDistance.register(sig.sparkSession)
     val quarters = sig.select(col("doc_id"), col("q0"), col("q1"),
       col("q2"), col("q3"),
       posexplode(array(col("q0"), col("q1"), col("q2"), col("q3")))
         .as(Seq("band_idx", "band_val")))
-    val a = quarters.select(col("doc_id").as("doc_a"),
+    val (kept, quarantine) = bucketCap match {
+      case None =>
+        (quarters, sig.sparkSession.emptyDataFrame
+          .select(lit(0).as("band_idx"), lit(0).as("band_val"),
+            lit(0L).as("bucket_n")).limit(0))
+      case Some(cap) =>
+        require(cap >= 2, s"bucketCap must allow at least one pair; got $cap")
+        val counts = quarters.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("bucket_n"))
+        val spilled = counts.where(col("bucket_n") > cap)
+        (quarters.join(broadcast(spilled.select("band_idx", "band_val")),
+          Seq("band_idx", "band_val"), "left_anti"),
+          spilled.select("band_idx", "band_val", "bucket_n"))
+    }
+    val a = kept.select(col("doc_id").as("doc_a"),
       col("q0").as("a0"), col("q1").as("a1"), col("q2").as("a2"),
       col("q3").as("a3"), col("band_idx"), col("band_val"))
-    val b = quarters.select(col("doc_id").as("doc_b"),
+    val b = kept.select(col("doc_id").as("doc_b"),
       col("q0").as("b0"), col("q1").as("b1"), col("q2").as("b2"),
       col("q3").as("b3"), col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
+    val pairs = a.join(b, Seq("band_idx", "band_val"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (expr("hamming(a0, b0)") + expr("hamming(a1, b1)") +
           expr("hamming(a2, b2)") + expr("hamming(a3, b3)")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    (pairs, quarantine)
   }
 
   /** 16-bit SimHash over the (multiplicity-weighted) token stream: bit k

@@ -389,18 +389,24 @@ object Similarity {
     * in-query-training twin is expensive enough that re-running it
     * inside a second oracle row buys no new information. */
   def lshRecallReport(spark: SparkSession, dir: String,
-                      k: Int = TopK): DataFrame = {
-    val exact = topkCosine(spark, dir, k)
-      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-    topkCosineLsh(spark, dir, k)
-      .select(col("q_id"), col("vec_id"))
-      .join(exact, Seq("q_id", "vec_id"), "left")
+                      k: Int = TopK): DataFrame =
+    recallReportOf(topkCosineLsh(spark, dir, k), topkCosine(spark, dir, k), k)
+
+  /** Generic per-query recall of an approximate top-k result against an
+    * exact one — the method-agnostic core of [[lshRecallReport]], also
+    * run against a maintained on-disk IVF index after N incremental
+    * appends (SimilaritySpec index-drift health check, VERDICT r7 #6).
+    * Both frames need (q_id, vec_id) columns; extra columns ignored. */
+  def recallReportOf(approx: DataFrame, exact: DataFrame,
+                     k: Int): DataFrame =
+    approx.select(col("q_id"), col("vec_id"))
+      .join(exact.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(
         count(lit(1)).as("n_returned"),
         sum(coalesce(col("hit"), lit(0))).as("n_hits"))
       .withColumn("recall", col("n_hits") / lit(k.toDouble))
-  }
 
   /** Levels for [[quantizeEmbeddings]] (int8-style: codes 0..255). */
   val QuantLevels = 256

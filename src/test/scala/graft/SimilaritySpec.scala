@@ -309,6 +309,45 @@ class SimilaritySpec extends SparkSpec {
     assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
   }
 
+  test("IVF recall holds after k incremental appends (index-drift check)") {
+    // The drift scenario the report exists to catch: centroids trained
+    // on a 25% bootstrap corpus, then THREE append cycles triple the
+    // index without ever retraining (the production append contract).
+    // Recall against the exact full-corpus top-k must stay above the
+    // floor — if appends degraded the cell geometry badly, it won't.
+    val idx = tmpDir("ivf_drift")
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndexOf(spark, emb.where(col("vec_id") % 4 === 0), idx)
+    (1 to 3).foreach { r =>
+      Similarity.appendToIvfIndex(spark,
+        emb.where(col("vec_id") % 4 === r), idx)
+    }
+    graft.expressions.DotProduct.register(spark)
+    val queries = emb.where(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .withColumn("nq", sqrt(call_function("dot_d", col("qv"), col("qv"))))
+    val exact = Similarity.topkCosine(spark, sf0001)
+    def meanRecall(indexPath: String): Double =
+      Similarity.recallReportOf(
+        Similarity.queryIvfIndex(spark, indexPath, queries), exact,
+        Similarity.TopK).agg(avg(col("recall"))).head().getDouble(0)
+    // The comparison that actually measures DRIFT: the same corpus
+    // served from a fresh full-corpus-trained index at identical
+    // k/nprobe settings. Absolute recall at nprobe=2 is a geometry
+    // constant, not a health signal; the maintained-vs-fresh gap is.
+    val fresh = tmpDir("ivf_fresh")
+    Similarity.buildIvfIndexOf(spark, emb, fresh)
+    val maintained = meanRecall(idx)
+    val freshRecall = meanRecall(fresh)
+    assert(maintained >= 0.7 * freshRecall,
+      f"maintained-index recall $maintained%.3f fell below 70%% of the " +
+        f"fresh-build recall $freshRecall%.3f after 3 unretrained appends")
+    assert(Similarity.recallReportOf(
+      Similarity.queryIvfIndex(spark, idx, queries), exact,
+      Similarity.TopK).count() == Similarity.NumQueries)
+  }
+
   test("persisted IVF index serves results identical to the in-memory plan") {
     val idx = tmpDir("ivf_idx")
     Similarity.buildIvfIndex(spark, sf0001, idx)

@@ -157,6 +157,63 @@ class SkewMultimodalSpec extends SparkSpec {
     assert(joined.where($"fa" =!= $"fb").isEmpty)
   }
 
+  test("decodeWav inverts mintWav exactly: header fields and every sample") {
+    val samples = Array.tabulate(300)(i =>
+      (Math.floorMod(i.toLong * 104729L, 65536L) - 32768L).toShort)
+    val wav = Multimodal.decodeWav(Multimodal.mintWav(samples, 8000)).get
+    assert(wav.nChannels == 1 && wav.sampleRate == 8000 &&
+      wav.bitDepth == 16 && wav.nFrames == 300)
+    assert(wav.channels(0).sameElements(samples.map(_.toInt)))
+    // stereo interleave: channel c frame f == samples(2f + c)
+    val st = Multimodal.decodeWav(
+      Multimodal.mintWav(samples, 16000, nChannels = 2)).get
+    assert(st.nChannels == 2 && st.nFrames == 150)
+    assert(st.channels(0).sameElements((0 until 150).map(f => samples(2 * f).toInt)) &&
+      st.channels(1).sameElements((0 until 150).map(f => samples(2 * f + 1).toInt)))
+  }
+
+  test("decodeWav is total: junk, truncated, and non-PCM bytes yield None") {
+    val good = Multimodal.mintWav(Array[Short](1, -1, 100), 8000)
+    assert(Multimodal.decodeWav(good).isDefined)
+    assert(Multimodal.decodeWav(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeWav("not a riff file at all....".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(good.take(30)).isEmpty) // truncated header
+    val badFmt = good.clone(); badFmt(20) = 3 // IEEE-float format tag
+    assert(Multimodal.decodeWav(badFmt).isEmpty)
+    // a data chunk whose declared size overruns the buffer
+    val overrun = good.clone(); overrun(43) = 0x7f
+    assert(Multimodal.decodeWav(overrun).isEmpty)
+  }
+
+  test("audioStats closed-form: constant and alternating signals") {
+    // constant 1000: rms = 1000 exactly, no crossings; alternating
+    // ±20000: rms = 20000, a crossing at every step.
+    val const = Array.fill[Short](80)(1000)
+    val alt = Array.tabulate[Short](80)(i => if (i % 2 == 0) 20000 else -20000)
+    val df = Seq(
+      (1L, Multimodal.mintWav(const, 8000)),
+      (2L, Multimodal.mintWav(alt, 12000))).toDF("doc_id", "payload")
+    val rows = Multimodal.audioStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val c = rows(1L)
+    assert(c.getAs[Long]("n_frames") == 80 && c.getAs[Int]("peak_abs") == 1000 &&
+      c.getAs[Long]("zero_crossings") == 0 && c.getAs[Double]("rms") == 1000.0)
+    val a = rows(2L)
+    assert(a.getAs[Int]("sample_rate") == 12000 &&
+      a.getAs[Long]("zero_crossings") == 79 && a.getAs[Double]("rms") == 20000.0)
+  }
+
+  test("featureExtract routes WAV payloads through the real PCM path") {
+    // First half silent, second half full-scale square wave: the
+    // 2-bucket RMS profile is exactly (0, 16384/32768 = 0.5) — a value
+    // the byte-fold stub cannot produce from these bytes.
+    val samples = Array.tabulate[Short](200)(i =>
+      if (i < 100) 0 else if (i % 2 == 0) 16384 else -16384)
+    val df = Seq((7L, Multimodal.mintWav(samples, 8000))).toDF("doc_id", "payload")
+    val f = Multimodal.featureExtract(df, dim = 2).head().getSeq[Float](1)
+    assert(f == Seq(0f, 0.5f))
+  }
+
   test("frame sampling: stride covers [0, n) with at most ~8 samples") {
     val df = Seq(1, 7, 8, 9, 240).toDF("n")
       .select($"n", Multimodal.frameSampleIndices($"n").as("idx"))

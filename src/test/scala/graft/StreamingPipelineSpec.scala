@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.sources.{Generator, Ingest}
 import graft.streaming.StreamingIngest
-import graft.operators.Events
+import graft.operators.{Events, Relational}
 
 /** E2 streaming ingest (file source + AvailableNow + archive) and the E1
   * end-to-end pipeline smoke (SURVEY §5.4). */
@@ -320,5 +320,24 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(split.count() == curated)
     assert(split.select("split").distinct().count() >= 2)
     assert(spark.read.parquet(s"$out/assembly_layer/a_packs").count() > 0)
+    // The one-fact-scan contract (VERDICT r7 #4): business consumers run
+    // over the MATERIALIZED master — their plans scan exactly one
+    // parquet source (the master layer), never re-joining the raw
+    // tables. The expensive join DAG runs once per pipeline, not once
+    // per consumer.
+    val master = spark.read.parquet(s"$out/master_layer/m_data_model")
+    Seq(Relational.performanceMetrics(master),
+        Relational.productPerformance(master),
+        Relational.profitabilityKpi(master)).foreach { consumer =>
+      consumer.collect()
+      // AQE prints "Final Plan" and "Initial Plan" sections — count
+      // scans in the final section only.
+      val cp = consumer.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val nScans = "Scan parquet".r.findAllIn(cp).length
+      assert(nScans == 1 && cp.contains("m_data_model"),
+        s"business consumer should scan only the materialized master " +
+          s"(found $nScans parquet scans):\n$cp")
+    }
   }
 }

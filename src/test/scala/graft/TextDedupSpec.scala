@@ -215,6 +215,41 @@ class TextDedupSpec extends SparkSpec {
     assert(banded.size <= demo)
   }
 
+  test("simhash64 bucket cap quarantines hot buckets on adversarial skew") {
+    // 50 IDENTICAL signatures — every band bucket they occupy is a hot
+    // bucket (the boilerplate-corpus degenerate case); plus one twin
+    // pair in cool buckets and one pair joinable ONLY via band 1 at
+    // exact Hamming distance 3 (the completeness boundary).
+    val hot = (1L to 50L).map(i => (i, 7, 1, 2, 3))
+    val twins = Seq((101L, 100, 200, 300, 400), (102L, 100, 200, 300, 400))
+    val band1Only = Seq((201L, 8, 555, 16, 32), (202L, 9, 555, 17, 33))
+    val sig = (hot ++ twins ++ band1Only).toDF("doc_id", "q0", "q1", "q2", "q3")
+    val cap = 10L
+    val (pairs, quarantine) =
+      Dedup.simhash64NeighborsOf(sig, 3, Some(cap))
+    val q = quarantine.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(q == Set((0, 7, 50L), (1, 1, 50L), (2, 2, 50L), (3, 3, 50L)),
+      s"quarantine report wrong: $q")
+    // Hot-clique pairs are spilled (reported, not silently joined);
+    // cool-bucket pairs survive untouched.
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p == Set((101L, 102L), (201L, 202L)))
+    // No surviving bucket exceeds the cap — recomputed independently.
+    val counts = sig
+      .selectExpr("posexplode(array(q0,q1,q2,q3)) as (band_idx, band_val)")
+      .groupBy("band_idx", "band_val").count()
+    val keptMax = counts
+      .join(quarantine.select("band_idx", "band_val"),
+        Seq("band_idx", "band_val"), "left_anti")
+      .agg(max("count")).head().getLong(0)
+    assert(keptMax <= cap, s"a kept bucket holds $keptMax > cap=$cap")
+    // The uncapped twin pays the full C(50,2) hot clique — the quadratic
+    // candidate volume the cap exists to stop — and quarantines nothing.
+    val (uncapped, emptyQ) = Dedup.simhash64NeighborsOf(sig, 3, None)
+    assert(uncapped.count() == 50L * 49 / 2 + 2 && emptyQ.count() == 0)
+  }
+
   test("containment flags near-supersets that symmetric Jaccard misses") {
     // A 10-shingle doc fully inside a 100-shingle doc: jaccard = 0.1
     // (would never pass a 0.5 dedup gate) but containment_a = 1.0 —
