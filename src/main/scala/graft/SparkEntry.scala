@@ -93,6 +93,13 @@ object SparkEntry {
     // hash match proves decode∘encode identity on the stats surface.
     "q_audio_stats" -> ((s, d) => multimodal.Multimodal.audioStats(
       multimodal.Multimodal.withWavPayload(s, d))),
+    // Mixed-modality corpus report (r8): doc_id%3 routes each row to a
+    // real solid-color PNG, a real WAV, or raw text bytes; one total
+    // decode pass reports modality + decoded stats. The oracle predicts
+    // every column from the closed-form generators, certifying both
+    // decoders AND the routing.
+    "q_mixed_modality" -> ((s, d) => multimodal.Multimodal.modalityStats(
+      multimodal.Multimodal.withTypedPayload(s, d))),
     // corpus assembly: PII scrub, repetition quality signals,
     // deterministic split/sampling/packing
     "q_pii_redact" -> ((s, d) => Privacy.piiRedact(s, d)),
@@ -1753,6 +1760,36 @@ object SparkEntry {
         |       CAST(COUNT(*) AS DOUBLE) / (8000 + (doc_id % 3) * 4000)
         |         AS duration_s
         |FROM g GROUP BY doc_id""".stripMargin,
+
+    "q_mixed_modality" ->
+      """WITH f AS (
+        |  SELECT d.doc_id AS doc_id,
+        |         CAST(((d.doc_id * 7919 + u.i * 104729) % 65536) - 32768
+        |           AS BIGINT) AS v
+        |  FROM documents d,
+        |       unnest(range(0, 64 + CAST(d.doc_id % 129 AS INT))) AS u(i)
+        |  WHERE d.doc_id % 3 = 1
+        |), a AS (
+        |  SELECT doc_id, COUNT(*) AS n_frames,
+        |         sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms
+        |  FROM f GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'binary' END AS modality,
+        |       CASE WHEN d.doc_id % 3 = 0
+        |            THEN CAST(8 + d.doc_id % 25 AS INT) END AS width,
+        |       CASE WHEN d.doc_id % 3 = 0
+        |            THEN CAST(8 + d.doc_id % 17 AS INT) END AS height,
+        |       CASE WHEN d.doc_id % 3 = 0
+        |            THEN CAST((d.doc_id * 13) % 256 AS DOUBLE) END AS mean_r,
+        |       CASE WHEN d.doc_id % 3 = 0
+        |            THEN CAST((d.doc_id * 29) % 256 AS DOUBLE) END AS mean_g,
+        |       CASE WHEN d.doc_id % 3 = 0
+        |            THEN CAST((d.doc_id * 53) % 256 AS DOUBLE) END AS mean_b,
+        |       a.n_frames AS n_frames,
+        |       a.rms AS rms
+        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
 
     "q_boilerplate" ->
       s"""$ToksCte, sh AS (

@@ -257,6 +257,105 @@ object Multimodal {
         "peak_abs", "zero_crossings", "rms", "duration_s")
   }
 
+  /** Closed-form image generator twin of [[wavSamplesFor]]: a solid
+    * RGB color and small dims derived from doc_id alone — simple enough
+    * that the oracle predicts the decoded stats exactly (a solid color
+    * survives PNG round-trip losslessly, so mean_r/g/b == the color). */
+  def pngDimsFor(docId: Long): (Int, Int) =
+    (8 + (docId % 25).toInt, 8 + (docId % 17).toInt)
+  def pngRgbFor(docId: Long): (Int, Int, Int) =
+    (Math.floorMod(docId * 13L, 256L).toInt,
+      Math.floorMod(docId * 29L, 256L).toInt,
+      Math.floorMod(docId * 53L, 256L).toInt)
+
+  /** Canonical solid-color PNG via the JDK encoder. */
+  def mintSolidPng(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val p = (rgb._1 << 16) | (rgb._2 << 8) | rgb._3
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, p); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A genuinely MIXED-modality corpus: doc_id mod 3 routes each row to
+    * a real PNG payload (0), a real WAV payload (1), or raw text bytes
+    * (2 — the video stand-in). All three mints are closed-form in
+    * doc_id, so the corpus is partitioning-independent and the oracle
+    * can predict every decoded statistic. */
+  def withTypedPayload(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (d, text) =>
+        val payload = (d % 3) match {
+          case 0 =>
+            val (w, h) = pngDimsFor(d)
+            mintSolidPng(w, h, pngRgbFor(d))
+          case 1 => mintWav(wavSamplesFor(d), wavRateFor(d))
+          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        (d, payload)
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** One total decode pass over a mixed-modality column: each payload is
+    * probed image-first, then WAV, and reported with its decoded stats
+    * in a uniform nullable schema — the "what is actually in this
+    * corpus" report a training-data pipeline runs before routing
+    * modalities to their extractors. Oracle-proven over
+    * [[withTypedPayload]] (q_mixed_modality): DuckDB predicts every
+    * column from the generator formulas, so a hash match certifies BOTH
+    * real decoders and the routing in one row. */
+  def modalityStats(payloads: DataFrame): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            var r = 0L; var g = 0L; var b = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            (id, "image", Some(w), Some(h),
+              Some(r / n), Some(g / n), Some(b / n),
+              None: Option[Long], None: Option[Double])
+          case None =>
+            decodeWav(bytes).filter(_.nFrames > 0) match {
+              case Some(wv) =>
+                val ch = wv.channels(0)
+                var sumSq = 0L
+                var i = 0
+                while (i < ch.length) { sumSq += ch(i).toLong * ch(i); i += 1 }
+                (id, "audio", None: Option[Int], None: Option[Int],
+                  None: Option[Double], None: Option[Double],
+                  None: Option[Double], Some(ch.length.toLong),
+                  Some(math.sqrt(sumSq.toDouble / ch.length)))
+              case None =>
+                (id, "binary", None: Option[Int], None: Option[Int],
+                  None: Option[Double], None: Option[Double],
+                  None: Option[Double], None: Option[Long],
+                  None: Option[Double])
+            }
+        }
+      })
+      .toDF("doc_id", "modality", "width", "height",
+        "mean_r", "mean_g", "mean_b", "n_frames", "rms")
+  }
+
   /** dim-bucket RMS profile over channel 0 in frame order — the audio
     * twin of [[imageFeature]]'s luminance profile, normalized to the
     * bit depth's full scale. */

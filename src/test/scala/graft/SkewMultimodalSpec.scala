@@ -214,6 +214,95 @@ class SkewMultimodalSpec extends SparkSpec {
     assert(f == Seq(0f, 0.5f))
   }
 
+  test("WAV round-trip property: arbitrary PCM survives mint→decode (20 cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nCh <- Gen.chooseNum(1, 3)
+      nFrames <- Gen.chooseNum(1, 400)
+      rate <- Gen.chooseNum(1, 192000)
+      samples <- Gen.listOfN(nCh * nFrames,
+        Gen.chooseNum(Short.MinValue, Short.MaxValue))
+    } yield (nCh, rate, samples.map(_.toShort).toArray)
+    (1L to 20L).foreach { seed =>
+      val (nCh, rate, samples) =
+        gen.pureApply(Gen.Parameters.default, Seed(seed))
+      val wav = Multimodal.decodeWav(
+        Multimodal.mintWav(samples, rate, nCh)).get
+      assert(wav.nChannels == nCh && wav.sampleRate == rate &&
+        wav.bitDepth == 16 && wav.nFrames == samples.length / nCh)
+      (0 until nCh).foreach { c =>
+        assert(wav.channels(c).sameElements(
+          (0 until wav.nFrames).map(f => samples(f * nCh + c).toInt)),
+          s"channel $c mismatch at seed $seed")
+      }
+    }
+  }
+
+  test("decodeWav totality fuzz: random junk and mutated WAVs never throw") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val junk = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))
+    (1L to 50L).foreach { seed =>
+      val bytes = junk.pureApply(Gen.Parameters.default, Seed(seed))
+        .map(_.toByte).toArray
+      Multimodal.decodeWav(bytes) // must not throw, result irrelevant
+    }
+    // Single-byte mutations of a VALID wav: every position, three values.
+    val good = Multimodal.mintWav(Array.tabulate[Short](40)(i =>
+      (i * 997 - 20000).toShort), 8000)
+    good.indices.foreach { i =>
+      Seq(0x00, 0x7f, 0xff).foreach { v =>
+        val m = good.clone(); m(i) = v.toByte
+        Multimodal.decodeWav(m) // totality, not correctness
+      }
+    }
+  }
+
+  test("decodeWav sign extension at 8 and 24 bit depths") {
+    def header(bits: Int, dataLen: Int): java.nio.ByteBuffer = {
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000)
+      bb.putInt(8000 * bits / 8); bb.putShort((bits / 8).toShort)
+      bb.putShort(bits.toShort)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      bb
+    }
+    // 8-bit WAV stores UNSIGNED bytes; decode centers to signed.
+    val w8 = header(8, 3)
+    Seq(0, 128, 255).foreach(v => w8.put(v.toByte))
+    assert(Multimodal.decodeWav(w8.array()).get.channels(0)
+      .sameElements(Array(-128, 0, 127)))
+    // 24-bit little-endian signed: 1, min (0x800000), -1 (0xFFFFFF).
+    val w24 = header(24, 9)
+    Seq(Seq(1, 0, 0), Seq(0, 0, 0x80), Seq(0xff, 0xff, 0xff))
+      .flatten.foreach(b => w24.put(b.toByte))
+    assert(Multimodal.decodeWav(w24.array()).get.channels(0)
+      .sameElements(Array(1, -8388608, -1)))
+  }
+
+  test("modalityStats routes a mixed corpus: PNG→image, WAV→audio, text→binary") {
+    val df = Seq(
+      (0L, Multimodal.mintSolidPng(10, 4, (200, 100, 50))),
+      (1L, Multimodal.mintWav(Array.fill[Short](60)(3000), 8000)),
+      (2L, "just some text bytes".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rows = Multimodal.modalityStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val img = rows(0L)
+    assert(img.getString(1) == "image" && img.getInt(2) == 10 &&
+      img.getInt(3) == 4 && img.getDouble(4) == 200.0 &&
+      img.getDouble(5) == 100.0 && img.getDouble(6) == 50.0)
+    val au = rows(1L)
+    assert(au.getString(1) == "audio" && au.getLong(7) == 60 &&
+      au.getDouble(8) == 3000.0)
+    val bin = rows(2L)
+    assert(bin.getString(1) == "binary" && bin.isNullAt(2) && bin.isNullAt(8))
+  }
+
   test("frame sampling: stride covers [0, n) with at most ~8 samples") {
     val df = Seq(1, 7, 8, 9, 240).toDF("n")
       .select($"n", Multimodal.frameSampleIndices($"n").as("idx"))
