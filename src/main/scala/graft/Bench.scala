@@ -26,6 +26,15 @@ import org.apache.spark.sql.SparkSession
   * session costs don't land on whichever query runs first), queries run in
   * stable sorted order, and failures are reported in an "errors" field
   * instead of masquerading as fast timings.
+  *
+  * Macro rows (VERDICT r7 #4): the two flagship pipeline shapes are timed
+  * end-to-end — q_pipeline_e1 (batch: generate → raw → master-once → 5
+  * consumers → DQ/curation/assembly) and q_pipeline_e2 (event-driven:
+  * 3-batch CSV arrival drain through the idempotent batch-keyed sink +
+  * exactly-once no-op re-drain) — min-of-Reps into fresh temp dirs,
+  * reported under a separate "macro" key on both output lines so the
+  * cross-round micro "value" total stays comparable (sum-of-mins since
+  * r6). SPARK_GRAFT_MACRO=0 skips them for quick micro iterations.
   */
 object Bench {
   /** On the correctness surface but NOT timed: queries whose candidate
@@ -129,10 +138,53 @@ object Bench {
           rmRf(out)
           r
         }
-        oneRun() // warmup, untimed like the micro warmup pass
-        val samples = (1 to Reps).flatMap(_ => oneRun())
-        if (samples.isEmpty) Seq.empty
-        else Seq("q_pipeline_e1" -> samples.min)
+        // E2 twin: the event-driven flagship — stage 3 CSV arrival
+        // batches, drain them with AvailableNow through the idempotent
+        // batch-keyed sink, then re-drain on the same checkpoint (the
+        // exactly-once no-op restart, part of the operational loop).
+        def e2Run(): Option[Double] = {
+          val out = tmpDir()
+          val t0 = System.nanoTime()
+          val r =
+            try {
+              (0 to 2).foreach { i =>
+                graft.sources.Generator.campaigns(spark, 50000)
+                  .where(org.apache.spark.sql.functions.pmod(
+                    org.apache.spark.sql.functions.col("campaign_id"),
+                    org.apache.spark.sql.functions.lit(3)) === i)
+                  .write.option("header", "true").csv(s"$out/watch/batch_$i")
+              }
+              val watched = s"$out/watch/*/"
+              graft.streaming.StreamingIngest.ingestCsvStream(spark, watched,
+                graft.sources.Ingest.campaignsSchema, s"$out/layer",
+                s"$out/ckpt")
+              graft.streaming.StreamingIngest.ingestCsvStream(spark, watched,
+                graft.sources.Ingest.campaignsSchema, s"$out/layer",
+                s"$out/ckpt")
+              val elapsed = (System.nanoTime() - t0) / 1e9
+              // Untimed self-check: the drain must have landed all rows
+              // exactly once — a silent no-op (bad glob, dead stream)
+              // must not masquerade as a fast macro time.
+              val landed = spark.read.parquet(s"$out/layer").count()
+              require(landed == 50000,
+                s"E2 macro drained $landed rows, expected 50000")
+              Some(elapsed)
+            } catch { case e: Throwable =>
+              if (!errors.contains("q_pipeline_e2"))
+                errors += "q_pipeline_e2" ->
+                  Option(e.getMessage).getOrElse(e.getClass.getName)
+              None
+            }
+          rmRf(out)
+          r
+        }
+        oneRun(); e2Run() // warmup, untimed like the micro warmup pass
+        val e1Samples = (1 to Reps).flatMap(_ => oneRun())
+        val e2Samples = (1 to Reps).flatMap(_ => e2Run())
+        (if (e1Samples.isEmpty) Seq.empty
+         else Seq("q_pipeline_e1" -> e1Samples.min)) ++
+          (if (e2Samples.isEmpty) Seq.empty
+           else Seq("q_pipeline_e2" -> e2Samples.min))
       }
     def jstr(s: String): String =
       "\"" + s.flatMap {
