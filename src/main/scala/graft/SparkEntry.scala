@@ -31,6 +31,8 @@ object SparkEntry {
     // LLM-data-pipeline tier (north star): text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    // intra-document dedup (r8): first-occurrence-order unit dedup
+    "q_intradoc_dedup" -> ((s, d) => TextOps.dedupWithinDoc(s, d)),
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
@@ -103,6 +105,9 @@ object SparkEntry {
     // corpus assembly: PII scrub, repetition quality signals,
     // deterministic split/sampling/packing
     "q_pii_redact" -> ((s, d) => Privacy.piiRedact(s, d)),
+    // Luhn-gated card redaction (r8): per-match validation, not shape
+    // matching — only checksum-valid candidates are scrubbed.
+    "q_pii_card" -> ((s, d) => Privacy.cardRedact(s, d)),
     "q_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "q_train_split" -> ((s, d) => Sampling.trainSplit(s, d)),
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -867,6 +872,27 @@ object SparkEntry {
          |FROM toks
          |GROUP BY 1, 2""".stripMargin,
 
+    "q_intradoc_dedup" ->
+      s"""$ToksCte, u AS (
+         |  SELECT doc_id, r.i AS i, t[r.i] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+         |), f AS (
+         |  SELECT doc_id, tok, MIN(i) AS fi FROM u GROUP BY doc_id, tok
+         |), d AS (
+         |  SELECT doc_id,
+         |         string_agg(tok, ' ' ORDER BY fi) AS dedup_text,
+         |         COUNT(*) AS n_unique
+         |  FROM f GROUP BY doc_id
+         |)
+         |SELECT toks.doc_id,
+         |       CAST(len(t) AS INT) AS n_units,
+         |       CAST(coalesce(d.n_unique, 0) AS INT) AS n_unique,
+         |       CASE WHEN len(t) > 0
+         |            THEN CAST(d.n_unique AS DOUBLE) / len(t) END
+         |         AS unique_ratio,
+         |       md5(coalesce(d.dedup_text, '')) AS dedup_md5
+         |FROM toks LEFT JOIN d ON toks.doc_id = d.doc_id""".stripMargin,
+
     "q_token_count" ->
       s"""$ToksCte
          |SELECT doc_id,
@@ -1516,6 +1542,47 @@ object SparkEntry {
         |FROM documents
         |ORDER BY n_chars DESC, doc_id ASC
         |LIMIT 100""".stripMargin,
+
+    "q_pii_card" -> {
+      // Oracle constructs the same varied card corpus from CardPrimes
+      // and computes the Luhn check digit INDEPENDENTLY, then predicts
+      // the validator's verdict closed-form: even doc_ids carry a valid
+      // card (redacted), odd ones a guaranteed-invalid twin (kept).
+      val ds = graft.operators.Privacy.CardPrimes
+        .map(p => s"((doc_id * $p) % 10)")
+      val part = ds.zipWithIndex.map { case (d, idx) =>
+        if (idx % 2 == 0) s"(CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END)"
+        else d
+      }.mkString(" + ")
+      def grp(s: Seq[String]): String =
+        s.map(d => s"CAST($d AS VARCHAR)").mkString(" || ")
+      val g = ds.grouped(4).toSeq
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |         (10 - ($part) % 10) % 10 AS cv
+         |  FROM documents
+         |), t AS (
+         |  SELECT doc_id, text,
+         |         ${grp(g(0))} || ' ' || ${grp(g(1))} || ' ' || ${grp(g(2))}
+         |           || ' ' || ${grp(g(3))} || CAST(
+         |             CASE WHEN doc_id % 2 = 0 THEN cv
+         |                  ELSE (cv + 5) % 10 END AS VARCHAR) AS card
+         |  FROM b
+         |), r AS (
+         |  SELECT doc_id,
+         |         text || ' Pay to card '
+         |           || CASE WHEN doc_id % 2 = 0 THEN '[CARD]' ELSE card END
+         |           || ' today.' AS redacted
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |       1 AS n_card_candidates,
+         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+         |         AS n_cards_valid,
+         |       md5(redacted) AS redacted_md5,
+         |       CAST(len(redacted) AS INT) AS n_chars_redacted
+         |FROM r""".stripMargin
+    },
 
     "q_pii_redact" -> {
       import graft.operators.Privacy.{EmailRe, IpRe, PhoneRe}

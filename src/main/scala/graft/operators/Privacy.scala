@@ -38,11 +38,91 @@ object Privacy {
       .withColumn("n_ips", regexp_count(col(textCol), lit(IpRe)))
       .withColumn("redacted", redact(col(textCol)))
 
+  /** 16-digit payment-card shape, 4-4-4-4 groups with optional space or
+    * dash separators — same RE2/Java-identical subset as the patterns
+    * above. Shape alone is NOT detection: see [[luhnValid]]. */
+  val CardRe = "\\b(?:[0-9]{4}[- ]?){3}[0-9]{4}\\b"
+
+  /** Luhn checksum over a digit string, as pure Catalyst HOFs (no UDF):
+    * i-th digit from the right is doubled at even i (1-indexed), minus 9
+    * when the double exceeds 9; valid iff the sum is ≡ 0 (mod 10).
+    * Validation-gating matters at corpus scale: a bare 16-digit regex
+    * fires on order numbers, serials and timestamps — only ~1 in 10
+    * random digit strings passes Luhn, so the gate cuts false-positive
+    * redactions ~10× while never missing a real card number. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val summed = aggregate(
+      transform(sequence(lit(1), n), i => {
+        val d = substring(digits, (n - i + lit(1)).cast("int"), lit(1))
+          .cast("int")
+        when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    pmod(summed, lit(10)) === 0
+  }
+
+  /** Card detection + PER-MATCH conditional redaction: extract all
+    * shape-matches, keep only those whose digits pass [[luhnValid]],
+    * and literal-replace exactly the validated matches (a fold over the
+    * validated list — `replace` is literal, so an invalid candidate two
+    * words away is untouched). regexp_replace could not express this:
+    * the predicate is per-match, not per-pattern. Still one shuffle-free
+    * codegen'd projection per row. */
+  def withCardsRedacted(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val candidates = regexp_extract_all(col(textCol), lit(CardRe), lit(0))
+    val valid = filter(candidates,
+      m => luhnValid(regexp_replace(m, "[- ]", "")))
+    df.withColumn("n_card_candidates", size(candidates))
+      .withColumn("n_cards_valid", size(valid))
+      .withColumn("redacted",
+        aggregate(valid, col(textCol), (acc, m) => replace(acc, m, lit("[CARD]"))))
+  }
+
   /** Demo query over `documents`: the fixture corpus contains no PII, so
     * each doc gets a deterministic synthetic contact line appended
     * (derived from doc_id — the DuckDB oracle constructs the identical
     * string) and the redaction pass must find and scrub exactly that.
     * Emits count columns and the md5 of the redacted text (small, exact). */
+  /** Digit-generator primes for the synthetic card corpus: card digit i
+    * (left to right, 15 of them) is (doc_id · P_i) mod 10; the 16th is
+    * the Luhn check digit — computed honestly for even doc_ids, shifted
+    * +5 (always wrong) for odd ones. Shared with the DuckDB oracle so
+    * both engines construct the identical corpus and the oracle can
+    * predict the validator's verdict independently. */
+  val CardPrimes: Seq[Int] =
+    Seq(3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+
+  /** Demo query: every doc gets a card number appended whose digits vary
+    * with doc_id — Luhn-VALID on even doc_ids, guaranteed-invalid on odd
+    * ones. The detector must redact exactly the valid half: per-match
+    * gating, not shape matching. */
+  def cardRedact(spark: SparkSession, dir: String): DataFrame = {
+    val ds: Seq[Column] = CardPrimes.map(p => pmod(col("doc_id") * p, lit(10)))
+    // Partial Luhn sum over d1..d15 in the 16-digit layout (check digit
+    // at position 16): from the right, d_i sits at r = 17-i, doubled at
+    // even r ⇔ odd i (1-indexed) ⇔ even Scala idx.
+    val part = ds.zipWithIndex.map { case (d, idx) =>
+      if (idx % 2 == 0) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+    }.reduce(_ + _)
+    val cv = pmod(lit(10) - pmod(part, lit(10)), lit(10))
+    val check = when(pmod(col("doc_id"), lit(2)) === 0, cv)
+      .otherwise(pmod(cv + 5, lit(10)))
+    val allDigits = ds :+ check
+    def grp(s: Seq[Column]): Column = concat(s.map(_.cast("string")): _*)
+    val card = concat_ws(" ",
+      grp(allDigits.slice(0, 4)), grp(allDigits.slice(4, 8)),
+      grp(allDigits.slice(8, 12)), grp(allDigits.slice(12, 16)))
+    val text2 = concat(col("text"), lit(" Pay to card "), card, lit(" today."))
+    withCardsRedacted(
+      Tables.documents(spark, dir).select(col("doc_id"), text2.as("text")))
+      .select(
+        col("doc_id"), col("n_card_candidates"), col("n_cards_valid"),
+        md5(col("redacted")).as("redacted_md5"),
+        length(col("redacted")).as("n_chars_redacted"))
+  }
+
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     val contact = concat(
       col("text"),

@@ -105,6 +105,29 @@ object TextOps {
 
   /** Per-document token accounting: whitespace tokens, BPE-ish pieces,
     * char length, exact average token length. */
+  /** Intra-document dedup (the C4-style "drop repeated units WITHIN a
+    * document" curation step, distinct from the cross-document tier in
+    * [[graft.operators.Dedup]]): keeps the FIRST occurrence of every
+    * token in document order (`array_distinct` preserves encounter
+    * order) and reassembles the deduplicated text. Map-only — one
+    * projection per row, no shuffle, embarrassingly parallel at any
+    * corpus size. Emitted as before/after unit counts, the repetition
+    * ratio (an exact int/int IEEE quotient), and the md5 of the
+    * reassembled text so the oracle pins the ORDER of survivors, not
+    * just their set. */
+  def dedupWithinDoc(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val kept = array_distinct(t)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(t).as("n_units"),
+        size(kept).as("n_unique"),
+        when(size(t) > 0, size(kept).cast("double") / size(t))
+          .as("unique_ratio"),
+        md5(array_join(kept, " ")).as("dedup_md5"))
+  }
+
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     Tables.documents(spark, dir)

@@ -145,6 +145,41 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(re.where(col("n_emails") + col("n_phones") + col("n_ips") =!= 0).isEmpty)
   }
 
+  test("luhnValid accepts real checksums, rejects off-by-one twins") {
+    import spark.implicits._
+    val cases = Seq(
+      ("4111111111111111", true),  // classic Visa test number
+      ("4111111111111112", false),
+      ("5500005555555559", true),
+      ("5500005555555550", false),
+      ("378282246310005", true),   // 15-digit Amex — length-agnostic
+      ("1234567812345670", true),  // textbook constructed example
+      ("0000000000000000", true))
+    val df = cases.toDF("digits", "expected")
+      .withColumn("got", Privacy.luhnValid(col("digits")))
+    assert(df.where(col("got") =!= col("expected")).isEmpty)
+  }
+
+  test("card redaction gates per match: valid scrubbed, invalid kept intact") {
+    import spark.implicits._
+    // One valid and one invalid card in the SAME document: regexp_replace
+    // would nuke both; the Luhn gate must scrub exactly the first.
+    val df = Seq((1L,
+      "pay 4111 1111 1111 1111 not 4111-1111-1111-1112 thanks"))
+      .toDF("doc_id", "text")
+    val r = Privacy.withCardsRedacted(df).head()
+    assert(r.getAs[Int]("n_card_candidates") == 2)
+    assert(r.getAs[Int]("n_cards_valid") == 1)
+    assert(r.getAs[String]("redacted") ==
+      "pay [CARD] not 4111-1111-1111-1112 thanks")
+    // Fixture demo: even doc_ids valid (scrubbed), odd invalid (kept).
+    val demo = Privacy.cardRedact(spark, sf0001)
+    assert(demo.where(col("n_card_candidates") =!= 1).isEmpty)
+    assert(demo.where(
+      col("n_cards_valid") =!= when(pmod(col("doc_id"), lit(2)) === 0, lit(1))
+        .otherwise(lit(0))).isEmpty)
+  }
+
   test("repetition: bigram accounting invariants hold corpus-wide") {
     val toks = Tables.documents(spark, sf0001)
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))

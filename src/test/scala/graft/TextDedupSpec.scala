@@ -215,6 +215,28 @@ class TextDedupSpec extends SparkSpec {
     assert(banded.size <= demo)
   }
 
+  test("intra-doc dedup keeps first-occurrence order; corpus invariants") {
+    // Crafted corpus: repeated tokens, empty doc, case/whitespace noise.
+    val dir = tmpDir("intradoc")
+    Seq((1L, "b a b c a b"), (2L, ""), (3L, "  X  x X "))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.dedupWithinDoc(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Int]("n_units") == 6 &&
+      rows(1L).getAs[Int]("n_unique") == 3 &&
+      rows(1L).getAs[String]("dedup_md5") ==
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("b a c".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    assert(rows(2L).getAs[Int]("n_units") == 0 && rows(2L).isNullAt(3))
+    assert(rows(3L).getAs[Int]("n_unique") == 1) // lowercased collapse
+    // Fixture-wide invariants: unique ≤ units, ratio ∈ (0, 1].
+    val corpus = TextOps.dedupWithinDoc(spark, sf0001)
+    assert(corpus.where(col("n_unique") > col("n_units")).isEmpty)
+    assert(corpus.where(col("unique_ratio") <= 0 ||
+      col("unique_ratio") > 1).isEmpty)
+  }
+
   test("simhash64 bucket cap quarantines hot buckets on adversarial skew") {
     // 50 IDENTICAL signatures — every band bucket they occupy is a hot
     // bucket (the boilerplate-corpus degenerate case); plus one twin
