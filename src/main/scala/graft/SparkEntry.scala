@@ -70,6 +70,8 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // event-time aggregation (batch twins of the streaming queries)
     "q_event_windows" -> ((s, d) => Events.hourlyWindows(s, d)),
+    // typed JSON property extraction (r8): single-parse from_json
+    "q_event_props" -> ((s, d) => Events.propsKpis(s, d)),
     "q_event_sessions" -> ((s, d) => Events.userSessions(s, d)),
     "q_event_sliding" -> ((s, d) => Events.slidingWindows(s, d)),
     // end-to-end corpus curation (quality gate + near-dup removal),
@@ -1176,6 +1178,19 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |       ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_props" ->
+      """SELECT event_type,
+        |       strftime(ts, '%Y-%m-%d') AS date,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+        |         AS sum_k,
+        |       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+        |       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE)
+        |         / COUNT(*) AS avg_k
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 

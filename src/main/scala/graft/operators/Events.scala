@@ -28,6 +28,35 @@ object Events {
         col("event_type"), col("n_events"), col("n_users"),
         col("total_value"))
 
+  /** Semi-structured property extraction (r8): `props` is a JSON string
+    * column; parse it ONCE per row with a typed `from_json` (codegen'd
+    * JsonToStructs — the single-parse plan; per-field get_json_object
+    * would re-parse the document for every field) and aggregate the
+    * extracted k per (event_type, day). All aggregates are exact
+    * integers plus one int/int IEEE quotient, so the oracle matches
+    * bit-for-bit. from_json is null-tolerant: a malformed props row
+    * contributes to n but not to the k aggregates (EventsSpec pins
+    * this), matching production schema-on-read semantics. */
+  def propsKpis(spark: SparkSession, dir: String): DataFrame =
+    propsKpisOf(Tables.events(spark, dir))
+
+  def propsKpisOf(events: DataFrame): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    events
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy(col("event_type"), col("date"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+  }
+
   /** Sliding windows: 2-hour windows advancing hourly — each event lands
     * in exactly two windows (Spark plans this as an Expand before the
     * aggregate, the same partial-agg shape as tumbling). */

@@ -12,6 +12,21 @@ import graft.operators.{Events, TextOps}
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("propsKpis: malformed JSON rows count toward n but not k aggregates") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val df = Seq(
+      (ts0, "click", """{"k": 10}"""),
+      (ts0, "click", """{"k": 4}"""),
+      (ts0, "click", "not json at all"),   // from_json → null k
+      (ts0, "click", """{"other": 1}"""))  // valid JSON, missing field
+      .toDF("ts", "event_type", "props")
+    val r = Events.propsKpisOf(df).head()
+    assert(r.getAs[Long]("n") == 4)           // every row counted
+    assert(r.getAs[Long]("sum_k") == 14)      // nulls excluded from sums
+    assert(r.getAs[Int]("min_k") == 4 && r.getAs[Int]("max_k") == 10)
+    assert(r.getAs[Double]("avg_k") == 14.0 / 4) // denominator = all rows
+  }
+
   test("leadlag: prev/next gaps mirror each other and nulls mark stream edges") {
     val ll = Events.leadLagAnalytics(spark, sf0001).cache()
     try {
