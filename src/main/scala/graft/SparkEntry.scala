@@ -180,6 +180,8 @@ object SparkEntry {
     "q_event_cumulative" -> ((s, d) => Events.cumulativeUserValue(s, d)),
     // outer-join semantics (semi + anti complements in one report)
     "q_customer_coverage" -> ((s, d) => Relational.customerCoverage(s, d)),
+    // TPC-H Q1 classic over lineitem, integer-cents exactness (r8)
+    "q_tpch_q1" -> ((s, d) => Relational.tpchQ1(s, d)),
     // BPE merge mining and the cross-source duplication matrix
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
     // Build/serve identity on the oracle surface for the minhash tier
@@ -2127,6 +2129,30 @@ object SparkEntry {
         |    ON c.c_custkey = o.o_custkey
         |) x JOIN nation ON x.c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q1" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS tc
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+        |)
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(pc) AS DOUBLE) / 100 AS sum_base_price,
+        |       CAST(SUM(pc * (100 - dc)) AS DOUBLE) / 10000
+        |         AS sum_disc_price,
+        |       CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000
+        |         AS sum_charge,
+        |       CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       CAST(SUM(pc) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+        |       CAST(SUM(dc) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM c
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_bpe_merges" ->
       s"""WITH pieces AS (

@@ -380,6 +380,40 @@ object Relational {
     * buyer set is pre-aggregated to distinct keys BEFORE the join (the
     * shuffle carries one row per buyer, not one per order), and the
     * 25-row nation dim keeps its legitimate broadcast hint. */
+  /** TPC-H Q1 (pricing summary report) over the fixture `lineitem` — the
+    * classic single-scan aggregation breadth test, re-expressed under
+    * the repo's exactness discipline: prices/discounts/taxes are 2-dp
+    * decimals, so they become exact integer CENTS (`round(x·100)` as
+    * long) and every product/sum stays exact integer arithmetic
+    * (magnitudes: price ≤ 10⁷ cents × 100 × 100 × 6·10⁵ rows ≈ 6·10¹⁶,
+    * inside long range); each final measure is then one or two IEEE
+    * divisions on identical operands — bit-identical in DuckDB, no
+    * float-summation order anywhere. Map-side partial agg into 6
+    * groups; the shipdate filter pushes to the parquet scan. */
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discC = round(col("l_discount") * 100).cast("long")
+    val taxC = round(col("l_tax") * 100).cast("long")
+    val n = count(lit(1))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("2001-08-06").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        priceC.as("pc"), discC.as("dc"), taxC.as("tc"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty")).as("sum_qty"),
+        (sum(col("pc")).cast("double") / 100).as("sum_base_price"),
+        (sum(col("pc") * (lit(100) - col("dc"))).cast("double") / 10000)
+          .as("sum_disc_price"),
+        (sum(col("pc") * (lit(100) - col("dc")) * (lit(100) + col("tc")))
+          .cast("double") / 1000000).as("sum_charge"),
+        (sum(col("qty")).cast("double") / n).as("avg_qty"),
+        (sum(col("pc")).cast("double") / 100 / n).as("avg_price"),
+        (sum(col("dc")).cast("double") / 100 / n).as("avg_disc"),
+        n.as("count_order"))
+  }
+
   def customerCoverage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
