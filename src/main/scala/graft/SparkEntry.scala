@@ -180,8 +180,9 @@ object SparkEntry {
     "q_event_cumulative" -> ((s, d) => Events.cumulativeUserValue(s, d)),
     // outer-join semantics (semi + anti complements in one report)
     "q_customer_coverage" -> ((s, d) => Relational.customerCoverage(s, d)),
-    // TPC-H Q1 classic over lineitem, integer-cents exactness (r8)
+    // TPC-H Q1/Q5 classics over the fixture tables, integer-cents (r8)
     "q_tpch_q1" -> ((s, d) => Relational.tpchQ1(s, d)),
+    "q_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d)),
     // BPE merge mining and the cross-source duplication matrix
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
     // Build/serve identity on the oracle surface for the minhash tier
@@ -2153,6 +2154,24 @@ object SparkEntry {
         |       COUNT(*) AS count_order
         |FROM c
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name AS nation,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS DOUBLE) / 10000 AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     "q_bpe_merges" ->
       s"""WITH pieces AS (

@@ -414,6 +414,44 @@ object Relational {
         n.as("count_order"))
   }
 
+  /** TPC-H Q5 (local-supplier volume) — the 6-table join-chain classic:
+    * lineitem ⨝ orders (orderkey, with the date range pre-filtered so
+    * the shuffle carries one year only) ⨝ customer (custkey) ⨝ supplier
+    * (suppkey AND the "local supplier" c_nationkey = s_nationkey
+    * equality) ⨝ nation ⨝ region ('ASIA' pre-filtered). The
+    * nation⨝region dim (≤ 25 rows) and supplier side get explicit
+    * broadcasts — bounded frames; the two big joins (orderkey, custkey)
+    * shuffle on their keys, which is the correct 100 TB shape. Revenue
+    * uses the same integer-cents discipline as [[tpchQ1]]. */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_suppkey"),
+      (round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long")))
+        .as("rev_c"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg((sum(col("rev_c")).cast("double") / 10000).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   def customerCoverage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
