@@ -33,6 +33,9 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
     // intra-document dedup (r8): first-occurrence-order unit dedup
     "q_intradoc_dedup" -> ((s, d) => TextOps.dedupWithinDoc(s, d)),
+    // Count-Min sketch heavy hitters (r8): deterministic overestimate,
+    // exact-twin oracle rebuilds the identical counter table
+    "q_cms_heavy_hitters" -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
@@ -2130,6 +2133,39 @@ object SparkEntry {
         |    ON c.c_custkey = o.o_custkey
         |) x JOIN nation ON x.c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+
+    "q_cms_heavy_hitters" -> {
+      val seeds = (0 until TextOps.CmsDepth)
+        .map(s => s"($s)").mkString("(VALUES ", ", ", ") s(seed)")
+      val bucket =
+        s"CAST('0x' || substr(md5('cms' || seed || ':' || tok), 1, 8) " +
+          s"AS BIGINT) % ${TextOps.CmsWidth}"
+      s"""$ToksCte, tk AS (
+         |  SELECT unnest(t) AS tok FROM toks
+         |), bkt AS (
+         |  SELECT tok, seed, $bucket AS bucket FROM tk, $seeds
+         |), counters AS (
+         |  SELECT seed, bucket, COUNT(*) AS cnt FROM bkt GROUP BY 1, 2
+         |), items AS (
+         |  SELECT tok, COUNT(*) AS n_exact FROM tk GROUP BY tok
+         |), ib AS (
+         |  SELECT i.tok AS tok, i.n_exact AS n_exact, seed,
+         |         $bucket AS bucket
+         |  FROM items i, $seeds
+         |), est AS (
+         |  SELECT ib.tok AS tok, ib.n_exact AS n_exact,
+         |         MIN(c.cnt) AS est
+         |  FROM ib JOIN counters c
+         |    ON ib.seed = c.seed AND ib.bucket = c.bucket
+         |  GROUP BY 1, 2
+         |)
+         |SELECT tok, CAST(est AS BIGINT) AS est,
+         |       CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(est >= n_exact AS INT) AS never_under
+         |FROM est
+         |ORDER BY est DESC, tok ASC
+         |LIMIT 20""".stripMargin
+    },
 
     "q_tpch_q1" ->
       """WITH c AS (

@@ -392,6 +392,52 @@ object TextOps {
     * cut itself — slack keeps boundary-tied items in the join (ties
     * denser than 5k-deep within 2·error remain theoretically able to
     * evict, which the verdict column would then surface, not hide). */
+  /** Count-Min sketch parameters: d seeded hash rows × w buckets. The
+    * counter table is d·w rows regardless of corpus size — at 100 TB it
+    * is still 2048 rows, broadcast back for estimation. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  private def cmsBucket(seed: Int, tok: Column): Column =
+    pmod(graft.operators.Hash.h8(s"cms$seed", tok), lit(CmsWidth))
+
+  /** Count-Min-sketch heavy hitters — the DETERMINISTIC sketch
+    * counterpoint to [[heavyHitters]]'s approx_top_k: the CMS estimate
+    * is min over d seeded counters, which can only OVER-estimate (every
+    * true occurrence lands in each of the item's buckets), so the
+    * verdict column `never_under` is a hard guarantee, not a tolerance
+    * — and the whole sketch is md5-deterministic, so the DuckDB oracle
+    * rebuilds the IDENTICAL counter table and hash-matches the
+    * estimates exactly. Shapes: counter build is one Expand(d) + hash
+    * aggregate with a d·w-bounded key space (corpus-size-independent
+    * shuffle); estimation joins the broadcast counter table against the
+    * vocab-bounded distinct-token frame; top-k is
+    * TakeOrderedAndProject. CMS is the mergeable/streamable option: two
+    * corpora's counter tables ADD, where approx_top_k states merge only
+    * through Spark's internal sketch format. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+                      k: Int = 20): DataFrame = {
+    val toks = Spread(Tables.documents(spark, dir))
+      .select(explode(tokens(col("text"))).as("tok"))
+    val counters = toks
+      .select(posexplode(array((0 until CmsDepth)
+        .map(s => cmsBucket(s, col("tok"))): _*)).as(Seq("seed", "bucket")))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val items = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    items
+      .select(col("tok"), col("n_exact"),
+        posexplode(array((0 until CmsDepth)
+          .map(s => cmsBucket(s, col("tok"))): _*)).as(Seq("seed", "bucket")))
+      .join(broadcast(counters), Seq("seed", "bucket"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("cnt")).as("est"))
+      .orderBy(col("est").desc, col("tok").asc)
+      .limit(k)
+      .select(col("tok"), col("est"), col("n_exact"),
+        (col("est") >= col("n_exact")).cast("int").as("never_under"))
+  }
+
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 20,
                    maxTracked: Int = HeavyHittersTracked): DataFrame = {
     val toks = Tables.documents(spark, dir)

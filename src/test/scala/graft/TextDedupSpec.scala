@@ -215,6 +215,18 @@ class TextDedupSpec extends SparkSpec {
     assert(banded.size <= demo)
   }
 
+  test("CMS heavy hitters: hard overestimate guarantee, deterministic top-k") {
+    val a = TextOps.cmsHeavyHitters(spark, sf0001).collect()
+    assert(a.length == 20)
+    // The CMS bound is one-sided and HARD: min-of-counters can never be
+    // below the true count (every occurrence increments all d buckets).
+    assert(a.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("n_exact")))
+    assert(a.forall(_.getAs[Int]("never_under") == 1))
+    // md5-seeded buckets ⇒ bit-identical across recomputation.
+    val b = TextOps.cmsHeavyHitters(spark, sf0001).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("intra-doc dedup keeps first-occurrence order; corpus invariants") {
     // Crafted corpus: repeated tokens, empty doc, case/whitespace noise.
     val dir = tmpDir("intradoc")
