@@ -418,11 +418,13 @@ object Relational {
     * lineitem ⨝ orders (orderkey, with the date range pre-filtered so
     * the shuffle carries one year only) ⨝ customer (custkey) ⨝ supplier
     * (suppkey AND the "local supplier" c_nationkey = s_nationkey
-    * equality) ⨝ nation ⨝ region ('ASIA' pre-filtered). The
-    * nation⨝region dim (≤ 25 rows) and supplier side get explicit
-    * broadcasts — bounded frames; the two big joins (orderkey, custkey)
-    * shuffle on their keys, which is the correct 100 TB shape. Revenue
-    * uses the same integer-cents discipline as [[tpchQ1]]. */
+    * equality) ⨝ nation ⨝ region ('ASIA' pre-filtered). Only the
+    * nation⨝region dim (≤ 25 rows, genuinely bounded) carries an
+    * explicit broadcast; supplier scales with SF (~10⁹ rows at 100 TB),
+    * so its join is left to AQE — broadcast at fixture size, shuffle at
+    * scale. The two big joins (orderkey, custkey) shuffle on their
+    * keys, which is the correct 100 TB shape. Revenue uses the same
+    * integer-cents discipline as [[tpchQ1]]. */
   def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
     val asiaNations = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir)
@@ -444,7 +446,7 @@ object Relational {
       .select(col("s_suppkey"), col("s_nationkey"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
