@@ -186,6 +186,7 @@ object SparkEntry {
     // TPC-H Q1/Q5 classics over the fixture tables, integer-cents (r8)
     "q_tpch_q1" -> ((s, d) => Relational.tpchQ1(s, d)),
     "q_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d)),
+    "q_tpch_q4" -> ((s, d) => Relational.tpchQ4(s, d)),
     // BPE merge mining and the cross-source duplication matrix
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
     // Build/serve identity on the oracle surface for the minhash tier
@@ -2190,6 +2191,17 @@ object SparkEntry {
         |       COUNT(*) AS count_order
         |FROM c
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name AS nation,

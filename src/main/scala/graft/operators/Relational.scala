@@ -454,6 +454,27 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q4 shape (order-priority checking) adapted to the fixture's
+    * columns: orders in a quarter having AT LEAST ONE returned lineitem
+    * (`l_returnflag = 'R'` stands in for the reference's
+    * commit<receipt lateness — the fixture ships no commit/receipt
+    * dates), counted by priority. The EXISTS becomes a LEFT SEMI join —
+    * the probe side carries only `l_orderkey` after the pushed
+    * returnflag filter, and a semi join never duplicates orders however
+    * many lines match, so no post-join distinct is needed (the
+    * correctness trap an inner-join formulation would hit). */
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val returned = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   def customerCoverage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))

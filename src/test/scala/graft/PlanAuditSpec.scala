@@ -49,12 +49,31 @@ class PlanAuditSpec extends SparkSpec {
 
   test("map-only pipelines stay shuffle-free") {
     Seq("q_chunk", "q_fingerprint", "q_token_count", "q_train_split",
-      "q_stratified_sample", "q_multimodal_meta", "q_pii_redact")
+      "q_stratified_sample", "q_multimodal_meta", "q_pii_redact",
+      // r8 additions: decode sweeps and per-row curation gates
+      "q_audio_stats", "q_mixed_modality", "q_pii_card",
+      "q_intradoc_dedup")
       .foreach { name =>
         val p = finalPlan(q(name))
         assert(count(p, "Exchange (hash|range)") == 0,
           s"$name grew a shuffle:\n$p")
       }
+  }
+
+  test("TPC-H classics keep their documented exchange budget (r8)") {
+    // Q1: partial agg → ONE exchange on 6 groups → final agg, filter
+    // pushed to the scan.
+    val p1 = finalPlan(q("q_tpch_q1"))
+    assert(count(p1, "Exchange (hash|range)") == 1, s"q_tpch_q1:\n$p1")
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q_tpch_q1 shipdate filter not pushed:\n$p1")
+    // CMS: the d·w counter key space is corpus-size independent; the
+    // only hash exchanges are the counter build and the vocab-grain
+    // estimate/exact aggregates (≤ 3), and the estimation join rides a
+    // broadcast, never a shuffle of the corpus.
+    val pc = finalPlan(q("q_cms_heavy_hitters"))
+    assert(count(pc, "Exchange hash") <= 3 &&
+      count(pc, "BroadcastHashJoin") >= 1, s"q_cms_heavy_hitters:\n$pc")
   }
 
   test("corpus-stat plans stay within their documented scan budget") {
