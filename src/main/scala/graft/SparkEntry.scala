@@ -187,6 +187,7 @@ object SparkEntry {
     "q_tpch_q1" -> ((s, d) => Relational.tpchQ1(s, d)),
     "q_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d)),
     "q_tpch_q4" -> ((s, d) => Relational.tpchQ4(s, d)),
+    "q_tpch_q13" -> ((s, d) => Relational.tpchQ13(s, d)),
     // BPE merge mining and the cross-source duplication matrix
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
     // Build/serve identity on the oracle surface for the minhash tier
@@ -2191,6 +2192,17 @@ object SparkEntry {
         |       COUNT(*) AS count_order
         |FROM c
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count""".stripMargin,
 
     "q_tpch_q4" ->
       """SELECT o_orderpriority,

@@ -475,6 +475,28 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** TPC-H Q13 (customer distribution) — the two-level aggregation
+    * classic: count non-urgent orders per customer through a LEFT OUTER
+    * join (customers with zero orders land in the c_count=0 bucket —
+    * the reason an inner join is wrong here), then histogram the
+    * counts. First aggregate shuffles on custkey; the second is nearly
+    * free (key space = max orders per customer). The priority filter is
+    * applied to the ORDERS SIDE before the join (equivalent to the
+    * reference's ON-clause predicate, and pushdown-friendly) — a
+    * post-join WHERE would silently turn the outer join inner and drop
+    * the zero-order customers. */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   def customerCoverage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
