@@ -74,6 +74,19 @@ class PlanAuditSpec extends SparkSpec {
     val pc = finalPlan(q("q_cms_heavy_hitters"))
     assert(count(pc, "Exchange hash") <= 3 &&
       count(pc, "BroadcastHashJoin") >= 1, s"q_cms_heavy_hitters:\n$pc")
+    // Q4: the EXISTS stays a SEMI join (never rewritten to inner +
+    // distinct — the duplicate trap the operator exists to avoid).
+    val p4 = finalPlan(q("q_tpch_q4"))
+    assert(p4.contains("LeftSemi"), s"q_tpch_q4 lost its semi join:\n$p4")
+    // Q13: the join stays LEFT OUTER (a post-join filter would flip it
+    // inner and silently drop zero-order customers) and the two-level
+    // aggregation adds at most 2 hash exchanges.
+    val p13 = finalPlan(q("q_tpch_q13"))
+    assert(p13.contains("LeftOuter"), s"q_tpch_q13 lost outer join:\n$p13")
+    assert(count(p13, "Exchange hash") <= 2, s"q_tpch_q13:\n$p13")
+    // event props: one exchange on the bounded (event_type, day) grain.
+    val pp = finalPlan(q("q_event_props"))
+    assert(count(pp, "Exchange (hash|range)") == 1, s"q_event_props:\n$pp")
   }
 
   test("corpus-stat plans stay within their documented scan budget") {
