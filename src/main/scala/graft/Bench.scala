@@ -65,7 +65,13 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     var errors = Map.empty[String, String]
+    // Inter-rep GC quiesce (r9 bench hygiene): a major collection between
+    // rounds keeps old-gen garbage from a previous rep's 97 queries from
+    // landing as a mid-query pause in the next one. Three calls per run —
+    // cost is bounded and untimed; per-query GC would be 300 timed stalls.
+    def quiesce(): Unit = { System.gc(); Thread.sleep(200) }
     val reps: Seq[Seq[(String, Double, Boolean)]] = (1 to Reps).map { _ =>
+      quiesce()
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -104,6 +110,13 @@ object Bench {
       }
     val mins = names.map(n => n -> byName(n).min)
     val means = names.map(n => n -> byName(n).sum / byName(n).size)
+    // Per-rep times in run order (r9 bench hygiene, q_top_products
+    // postmortem): when a min-of-3 looks anomalous cross-round, the
+    // artifact itself must show whether one rep spiked (GC/co-tenant
+    // burst) or all three did (sustained contention or real regression).
+    // Rides only in bench_full.json — the tail-safe line stays compact.
+    val repsByName: Map[String, Seq[Double]] =
+      reps.flatten.groupBy(_._1).map { case (n, ss) => n -> ss.map(_._2) }
     // Macro row (VERDICT r7 #4): the E1 standing pipeline end-to-end —
     // generate → stage → sense → raw → master-once → 5 business consumers
     // → DQ gate → curation → assembly. Timed min-of-Reps like the micro
@@ -124,13 +137,18 @@ object Bench {
             java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
               .foreach(java.nio.file.Files.deleteIfExists(_))
           } catch { case _: Throwable => () }
-        def oneRun(): Option[Double] = {
+        // `record=false` on the warmup invocations (ADVICE r8): a failure
+        // confined to the untimed warmup (e.g. transient temp-dir issue)
+        // must not put an errors entry next to a successful macro timing —
+        // downstream tooling reads that pairing as a failed query. Timed
+        // reps always record.
+        def oneRun(record: Boolean = true): Option[Double] = {
           val out = tmpDir()
           val t0 = System.nanoTime()
           val r =
             try { Pipeline.run(spark, sfDir, out.toString); Some((System.nanoTime() - t0) / 1e9) }
             catch { case e: Throwable =>
-              if (!errors.contains("q_pipeline_e1"))
+              if (record && !errors.contains("q_pipeline_e1"))
                 errors += "q_pipeline_e1" ->
                   Option(e.getMessage).getOrElse(e.getClass.getName)
               None
@@ -142,7 +160,7 @@ object Bench {
         // batches, drain them with AvailableNow through the idempotent
         // batch-keyed sink, then re-drain on the same checkpoint (the
         // exactly-once no-op restart, part of the operational loop).
-        def e2Run(): Option[Double] = {
+        def e2Run(record: Boolean = true): Option[Double] = {
           val out = tmpDir()
           val t0 = System.nanoTime()
           val r =
@@ -170,7 +188,7 @@ object Bench {
                 s"E2 macro drained $landed rows, expected 50000")
               Some(elapsed)
             } catch { case e: Throwable =>
-              if (!errors.contains("q_pipeline_e2"))
+              if (record && !errors.contains("q_pipeline_e2"))
                 errors += "q_pipeline_e2" ->
                   Option(e.getMessage).getOrElse(e.getClass.getName)
               None
@@ -178,7 +196,9 @@ object Bench {
           rmRf(out)
           r
         }
-        oneRun(); e2Run() // warmup, untimed like the micro warmup pass
+        // Warmup, untimed like the micro warmup pass; errors here are NOT
+        // recorded (ADVICE r8) — timed reps capture any real failure.
+        oneRun(record = false); e2Run(record = false)
         val e1Samples = (1 to Reps).flatMap(_ => oneRun())
         val e2Samples = (1 to Reps).flatMap(_ => e2Run())
         (if (e1Samples.isEmpty) Seq.empty
@@ -201,8 +221,11 @@ object Bench {
     val total = mins.map(_._2).sum
     val nOkJson = names.map(n => s"${jstr(n)}:${nOk(n)}")
       .mkString("{", ",", "}")
+    def jlist(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+    val repsJson = names.map(n => s"${jstr(n)}:${jlist(repsByName(n))}")
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":${jmap(mins)},"queries_mean":${jmap(means)},"queries_n_ok":$nOkJson,"macro":${jmap(macroRows)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":${jmap(mins)},"queries_mean":${jmap(means)},"queries_reps":$repsJson,"queries_n_ok":$nOkJson,"macro":${jmap(macroRows)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),

@@ -70,21 +70,46 @@ object Tables {
     val inferred: Option[DataFrame] =
       try Some(s.read.parquet(path))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val df = inferred.map(_.schema("ts").dataType) match {
-      case Some(TimestampType) => inferred.get
-      case Some(TimestampNTZType) =>
-        // timestamp[us] with no tz: wall-clock values; session tz is UTC so
-        // the cast is an identity mapping and downstream keeps TimestampType.
-        inferred.get.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
-      case Some(LongType) | None =>
-        s.read.schema(eventsRawSchema).parquet(path)
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
-      case Some(other) =>
-        throw new IllegalStateException(
-          s"events fixture at $path has unsupported ts type $other")
+    def rawNanosRead: DataFrame =
+      s.read.schema(eventsRawSchema).parquet(path)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = inferred match {
+      case None =>
+        // Spark refuses to infer the schema at all — the legacy parquet
+        // TIMESTAMP(NANOS) fixture; force LongType and shim to micros.
+        rawNanosRead
+      case Some(inf) =>
+        // find(), not schema("ts") (ADVICE r8): a fixture missing the
+        // column entirely must hit the descriptive error below, not a
+        // bare IllegalArgumentException from StructType.apply — and must
+        // NOT fall through to the forced-schema read, which would decode
+        // the absent column as all-NULL and sail past the span guard.
+        inf.schema.find(_.name == "ts").map(_.dataType) match {
+          case Some(TimestampType) => inf
+          case Some(TimestampNTZType) =>
+            // timestamp[us] with no tz: wall-clock values. The cast below
+            // is only an identity mapping when the session tz is UTC —
+            // enforce that HERE, where it is relied on (ADVICE r8): a new
+            // entrypoint that forgot to set UTC would shift every event by
+            // hours, below the year-granularity span guard's threshold.
+            val tz = s.conf.get("spark.sql.session.timeZone")
+            require(tz == "UTC",
+              s"Tables.events requires spark.sql.session.timeZone=UTC to " +
+                s"read TIMESTAMP_NTZ fixtures losslessly (session has " +
+                s"'$tz'); set it in the SparkSession builder.")
+            inf.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+          case Some(LongType) => rawNanosRead
+          case Some(other) =>
+            throw new IllegalStateException(
+              s"events fixture at $path has unsupported ts type $other")
+          case None =>
+            throw new IllegalStateException(
+              s"events fixture at $path has no ts column — the fixture " +
+                "schema changed; update Tables.events to match.")
+        }
     }
     requireSaneEventSpan(df, path)
     df

@@ -65,11 +65,18 @@ object Privacy {
 
   /** Card detection + PER-MATCH conditional redaction: extract all
     * shape-matches, keep only those whose digits pass [[luhnValid]],
-    * and literal-replace exactly the validated matches (a fold over the
-    * validated list — `replace` is literal, so an invalid candidate two
-    * words away is untouched). regexp_replace could not express this:
-    * the predicate is per-match, not per-pattern. Still one shuffle-free
-    * codegen'd projection per row. */
+    * and replace exactly the validated matches (a fold over the
+    * validated list). regexp_replace with the static pattern could not
+    * express this: the predicate is per-match, not per-pattern. Still
+    * one shuffle-free codegen'd projection per row.
+    *
+    * Each fold step replaces the candidate SPAN-ANCHORED (ADVICE r8): the
+    * pattern is the matched string re-wrapped in the same `\b` boundaries
+    * CardRe matched under, so an occurrence of the digits embedded inside
+    * a longer digit run — where the original regex did NOT match — is
+    * left untouched (a bare literal `replace` would eat it). Embedding
+    * the match literally in a regex is safe because CardRe's alphabet is
+    * exactly `[0-9 -]`: no regex metacharacters can occur in a match. */
   def withCardsRedacted(df: DataFrame, textCol: String = "text"): DataFrame = {
     val candidates = regexp_extract_all(col(textCol), lit(CardRe), lit(0))
     val valid = filter(candidates,
@@ -77,7 +84,8 @@ object Privacy {
     df.withColumn("n_card_candidates", size(candidates))
       .withColumn("n_cards_valid", size(valid))
       .withColumn("redacted",
-        aggregate(valid, col(textCol), (acc, m) => replace(acc, m, lit("[CARD]"))))
+        aggregate(valid, col(textCol), (acc, m) =>
+          regexp_replace(acc, concat(lit("\\b"), m, lit("\\b")), lit("[CARD]"))))
   }
 
   /** Demo query over `documents`: the fixture corpus contains no PII, so

@@ -172,6 +172,15 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(r.getAs[Int]("n_cards_valid") == 1)
     assert(r.getAs[String]("redacted") ==
       "pay [CARD] not 4111-1111-1111-1112 thanks")
+    // Span-anchored replacement (ADVICE r8): the same digit string
+    // embedded in a LONGER digit run is not a \b-delimited match, so the
+    // fold must leave it alone — a bare literal replace would corrupt it.
+    val embedded = Seq((2L,
+      "ok 4111 1111 1111 1111 but 94111 1111 1111 11115 stays"))
+      .toDF("doc_id", "text")
+    val e = Privacy.withCardsRedacted(embedded).head()
+    assert(e.getAs[String]("redacted") ==
+      "ok [CARD] but 94111 1111 1111 11115 stays")
     // Fixture demo: even doc_ids valid (scrubbed), odd invalid (kept).
     val demo = Privacy.cardRedact(spark, sf0001)
     assert(demo.where(col("n_card_candidates") =!= 1).isEmpty)
