@@ -203,6 +203,10 @@ object SparkEntry {
     // production-width 64-bit simhash (quarters ARE the radius-3 bands)
     "q_simhash64" -> ((s, d) => Dedup.simhash64(s, d)),
     "q_simhash64_neighbors" -> ((s, d) => Dedup.simhash64Neighbors(s, d)),
+    // §8.8 multi-index widening (r9): 20 bands of 3-of-6 blocks (~2³²
+    // domain) — the >10⁸-doc form; result-identical to the quarter
+    // banding (both radius-3 complete), candidate envelope 2¹⁶× wider.
+    "q_simhash64_wide" -> ((s, d) => Dedup.simhash64WideNeighbors(s, d)),
     // vocabulary table (tokenizer-prep artifact)
     "q_vocab" -> ((s, d) => TextOps.vocabulary(s, d)),
     // cohort retention matrix (first-seen cohorts x hour age)
@@ -650,6 +654,22 @@ object SparkEntry {
     (0 until 16).map(b =>
       s"(CASE WHEN v${16 * j + b} > 0 THEN ${1 << b} ELSE 0 END)")
       .mkString(" + ")
+
+  /** Wide-index block b of the 64-bit signature (DuckDB) — generated
+    * from the SAME [[Dedup.WideBlockSegments]] data the Spark side cuts
+    * blocks from, so both engines derive identical bands by
+    * construction (integer // and % only — exact in both engines). */
+  private def wideBlockSql(b: Int): String =
+    Dedup.WideBlockSegments(b).map { case (qi, inShift, w, outShift) =>
+      s"(((q$qi // ${1 << inShift}) % ${1 << w}) * ${1L << outShift})"
+    }.mkString(" + ")
+
+  /** Band key for wide-index table t (DuckDB) — twin of the Spark
+    * wideKeyCol: blocks concatenated as b·2²² + b'·2¹¹ + b'' in BIGINT. */
+  private def wideKeySql(t: Seq[Int]): String =
+    t.zipWithIndex.map { case (b, pos) =>
+      s"CAST(${wideBlockSql(b)} AS BIGINT) * ${1L << (11 * (2 - pos))}"
+    }.mkString(" + ")
 
   /** Bucket id expression (DuckDB) — twin of Similarity.bucketOf. */
   private def bucketSql(v: String): String =
@@ -2331,6 +2351,35 @@ object SparkEntry {
          |          + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) AS INT)
          |         AS hamming
          |FROM quarters a JOIN quarters b USING (band_idx, band_val)
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(CAST(xor(a.q0, b.q0) AS BIGINT))
+         |    + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))
+         |    + bit_count(CAST(xor(a.q2, b.q2) AS BIGINT))
+         |    + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) <= 3""".stripMargin,
+
+    "q_simhash64_wide" ->
+      s"""$ToksCte, votes AS (
+         |  SELECT doc_id,
+         |         ${simhash64VotesSql}
+         |  FROM toks WHERE len(t) > 0
+         |), sigs AS (
+         |  SELECT doc_id,
+         |         ${(0 until 4).map(j => s"${simhash64QuarterSql(j)} AS q$j")
+                     .mkString(",\n         ")}
+         |  FROM votes
+         |), banded AS (
+         |  SELECT doc_id, q0, q1, q2, q3, i AS band_idx,
+         |         [${Dedup.WideTables.map(wideKeySql).mkString(",\n          ")}
+         |         ][i + 1] AS band_val
+         |  FROM sigs, unnest(range(0, ${Dedup.WideTables.size})) AS t(i)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(CAST(xor(a.q0, b.q0) AS BIGINT))
+         |          + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))
+         |          + bit_count(CAST(xor(a.q2, b.q2) AS BIGINT))
+         |          + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) AS INT)
+         |         AS hamming
+         |FROM banded a JOIN banded b USING (band_idx, band_val)
          |WHERE a.doc_id < b.doc_id
          |  AND bit_count(CAST(xor(a.q0, b.q0) AS BIGINT))
          |    + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))

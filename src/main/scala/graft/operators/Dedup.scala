@@ -579,11 +579,111 @@ object Dedup {
     require(maxHamming <= 3,
       s"4-band LSH over 4 quarters is only complete to distance 3; " +
         s"got maxHamming=$maxHamming")
+    bandedHammingPairs(sig,
+      Seq(col("q0"), col("q1"), col("q2"), col("q3")),
+      maxHamming, bucketCap)
+  }
+
+  /** Multi-index widening of the 64-bit signature (§8.8 envelope fix,
+    * shipped r9): the signature's 64 bits are cut into
+    * [[WideBlockWidths]].size = 6 blocks (11/11/11/11/10/10 bits) and a
+    * band is a CONCATENATION OF 3 BLOCKS — one per 3-subset of blocks,
+    * C(6,3) = 20 bands of ~32 bits each (the Manku/Jain/Sarma
+    * construction from "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3, re-expressed as a Spark band-bucket join).
+    *
+    * Completeness (pigeonhole, radius 3): ≤ 3 flipped bits touch ≤ 3 of
+    * the 6 blocks, leaving ≥ 3 blocks clean — so SOME 3-subset of clean
+    * blocks exists, and that subset's band matches exactly. (Generally:
+    * key-on-t-blocks-of-q is complete to radius q − t; 6 − 3 = 3.)
+    *
+    * Why widen: the quarter scheme's band domain is FIXED at 2¹⁶ per
+    * band, so expected per-band bucket occupancy N/2¹⁶ crosses ~1.5 k
+    * at 10⁸ docs and the candidate join turns quadratic-ish (§8.8).
+    * Here the band domain is ~2³² — occupancy N/2³² stays below 1 until
+    * ~4×10⁹ docs, expected random candidates 20·N²/2³² (linear-ish
+    * through 10¹⁰ docs). Price: 20 exploded rows per doc instead of 4 —
+    * which is why the quarter scheme REMAINS the default below the
+    * ~10⁸-doc trigger (fewer, cheaper join passes; same exact result,
+    * spec-pinned). Keys combine blocks as b·2²² + b'·2¹¹ + b'' in BIGINT
+    * (max < 2³³; all arithmetic integer-exact in both engines). */
+  val WideBlockWidths: Seq[Int] = Seq(11, 11, 11, 11, 10, 10)
+
+  /** Per-block extraction plan over the quarter columns: block b is a
+    * run of bits [lo, lo+w) of the 64-bit signature, materialized as
+    * segments (quarter, inShift, segWidth, outShift) since a block may
+    * straddle a quarter boundary: blockVal = Σ ((q_qi div 2^inShift)
+    * mod 2^segWidth) · 2^outShift. Pure data, derived once — the DuckDB
+    * oracle twin generates its SQL from THIS list, so both engines cut
+    * the signature identically by construction. */
+  lazy val WideBlockSegments: Seq[Seq[(Int, Int, Int, Int)]] = {
+    val starts = WideBlockWidths.scanLeft(0)(_ + _)
+    WideBlockWidths.zip(starts).map { case (w, lo) =>
+      Iterator.unfold(lo) { bit =>
+        if (bit >= lo + w) None
+        else {
+          val take = math.min(16 - bit % 16, lo + w - bit)
+          Some(((bit / 16, bit % 16, take, bit - lo), bit + take))
+        }
+      }.toSeq
+    }
+  }
+
+  /** The 20 3-subsets of blocks, lexicographic — band t of the wide
+    * index keys on blocks WideTables(t). */
+  lazy val WideTables: Seq[Seq[Int]] =
+    (0 until WideBlockWidths.size).combinations(3).map(_.toSeq).toSeq
+
+  private def wideBlockCol(b: Int): Column =
+    WideBlockSegments(b).map { case (qi, inShift, w, outShift) =>
+      shiftright(col(s"q$qi"), inShift).bitwiseAND(lit((1 << w) - 1)) *
+        lit(1L << outShift)
+    }.reduce(_ + _)
+
+  private def wideKeyCol(t: Seq[Int]): Column =
+    t.zipWithIndex.map { case (b, pos) =>
+      wideBlockCol(b) * lit(1L << (11 * (2 - pos)))
+    }.reduce(_ + _)
+
+  /** Near-dup pairs via the wide multi-index — same (doc_a, doc_b,
+    * hamming) result as [[simhash64Neighbors]] (both constructions are
+    * radius-3 complete and share the exact-Hamming verify, so the pair
+    * SETS are identical — spec-pinned), different candidate-generation
+    * envelope: use this form above ~10⁸ docs. */
+  def simhash64WideNeighbors(spark: SparkSession, dir: String,
+                             maxHamming: Int = 3): DataFrame =
+    simhash64WideNeighborsOf(simhash64(spark, dir), maxHamming)._1
+
+  /** Wide-index candidate generation over a (doc_id, q0..q3) signature
+    * frame; same optional per-band-bucket quarantine cap as the quarter
+    * form (a degenerate boilerplate bucket spills to the report instead
+    * of an O(n²) task). */
+  def simhash64WideNeighborsOf(sig: DataFrame, maxHamming: Int = 3,
+                               bucketCap: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
+    val q = WideBlockWidths.size
+    require(maxHamming <= q - 3,
+      s"key-on-3-of-$q blocks is only complete to distance ${q - 3}; " +
+        s"got maxHamming=$maxHamming")
+    bandedHammingPairs(sig, WideTables.map(wideKeyCol), maxHamming, bucketCap)
+  }
+
+  /** Shared banded candidate-join + exact-Hamming verify for the 64-bit
+    * signature schemes: explode each signature into one (band_idx,
+    * band_val) row per band expression, optionally quarantine
+    * over-`cap` buckets (see [[simhash64NeighborsOf]] scaladoc for the
+    * report semantics), self-join on the band key, verify with the
+    * codegen'd [[graft.expressions.HammingDistance]] over the four
+    * quarters, dedup pairs. The quarantine count aggregation rides the
+    * SAME (band_idx, band_val) key as the self-join, so its exchange is
+    * reused rather than an extra corpus shuffle. */
+  private def bandedHammingPairs(sig: DataFrame, bands: Seq[Column],
+                                 maxHamming: Int, bucketCap: Option[Long])
+      : (DataFrame, DataFrame) = {
     graft.expressions.HammingDistance.register(sig.sparkSession)
     val quarters = sig.select(col("doc_id"), col("q0"), col("q1"),
       col("q2"), col("q3"),
-      posexplode(array(col("q0"), col("q1"), col("q2"), col("q3")))
-        .as(Seq("band_idx", "band_val")))
+      posexplode(array(bands: _*)).as(Seq("band_idx", "band_val")))
     val (kept, quarantine) = bucketCap match {
       case None =>
         (quarters, sig.sparkSession.emptyDataFrame

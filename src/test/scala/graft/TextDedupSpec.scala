@@ -215,6 +215,47 @@ class TextDedupSpec extends SparkSpec {
     assert(banded.size <= demo)
   }
 
+  test("simhash64 wide multi-index is result-identical to quarter banding") {
+    // Both constructions are radius-3 complete and share the exact
+    // Hamming verify, so the pair SETS must be identical — the widening
+    // changes only the candidate-generation envelope (20 bands of 3-of-6
+    // blocks, ~2³² domain vs 4 bands of 2¹⁶).
+    val narrow = Dedup.simhash64Neighbors(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wide = Dedup.simhash64WideNeighbors(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wide == narrow,
+      s"wide missed ${(narrow -- wide).size} / invented ${(wide -- narrow).size}")
+  }
+
+  test("wide multi-index pigeonhole: 3 flips in 3 DIFFERENT quarters still pair") {
+    // The adversarial case for any pair-of-quarters banding: flips
+    // touching 3 distinct quarters leave only ONE quarter clean, so no
+    // PAIR of clean quarters exists — but ≤3 flips touch ≤3 of the 6
+    // blocks, leaving ≥3 clean blocks, and the C(6,3) table on those
+    // matches (q − t = 6 − 3 = 3 completeness). Flip the TOP bit of
+    // q0, q1, q2 — signature bits 15/31/47, landing in blocks b1/b2/b4,
+    // of which b1 (bits 11–21) and b4 (44–53) straddle quarter
+    // boundaries, exercising the cross-quarter segment extraction.
+    val base = (0x1234, 0x5678, 0x4abc, 0x2de0)
+    val flipped = (base._1 ^ 0x8000, base._2 ^ 0x8000, base._3 ^ 0x8000, base._4)
+    val sig = Seq(
+      (1L, base._1, base._2, base._3, base._4),
+      (2L, flipped._1, flipped._2, flipped._3, flipped._4))
+      .toDF("doc_id", "q0", "q1", "q2", "q3")
+    val (pairs, _) = Dedup.simhash64WideNeighborsOf(sig)
+    val got = pairs.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 3)), s"wide index missed the radius-3 pair: $got")
+    // Distance 4 must NOT be emitted by the ≤3 filter even when banded
+    // together (flip q3's top bit too: all 4 quarters dirty).
+    val sig4 = Seq(
+      (1L, base._1, base._2, base._3, base._4),
+      (2L, flipped._1, flipped._2, flipped._3, flipped._4 ^ 0x8000))
+      .toDF("doc_id", "q0", "q1", "q2", "q3")
+    assert(Dedup.simhash64WideNeighborsOf(sig4)._1.isEmpty)
+  }
+
   test("CMS heavy hitters: hard overestimate guarantee, deterministic top-k") {
     val a = TextOps.cmsHeavyHitters(spark, sf0001).collect()
     assert(a.length == 20)
