@@ -16,22 +16,23 @@ import org.apache.hadoop.fs.Path
   */
 object Sinks {
 
-  /** K1/K2: append into a layer table (parquet directory). Writes with
-    * the incoming partitioning — no coalesce, every task writes its own
-    * file, exactly how a 1000-executor append must behave. */
+  /** K1/K2: append into a layer table. Routes through the
+    * [[graft.connect.Connectors]] sink seam (VERDICT r8 #3) — the
+    * locator's scheme picks the connector; the parquet-dir default
+    * writes with the incoming partitioning (no coalesce, every task
+    * writes its own file, exactly how a 1000-executor append must
+    * behave). */
   def appendLayer(df: DataFrame, layerPath: String): Unit =
-    df.write.mode("append").parquet(layerPath)
+    graft.connect.Connectors.sink(layerPath).append(df, layerPath)
 
   /** K3: CTAS — create-or-fail, the `CREATE TABLE ... AS SELECT` twin.
-    * Optional hive-style partitioning: at warehouse scale the master
-    * layer is partitioned on its dominant filter column so downstream
-    * scans prune directories (`PartitionFilters` in the plan). */
+    * Optional partitioning: at warehouse scale the master layer is
+    * partitioned on its dominant filter column so downstream scans
+    * prune directories (`PartitionFilters` in the plan). Connector-
+    * routed like [[appendLayer]]. */
   def createTableAs(df: DataFrame, tablePath: String,
-                    partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tablePath)
-  }
+                    partitionBy: Seq[String] = Nil): Unit =
+    graft.connect.Connectors.sink(tablePath).create(df, tablePath, partitionBy)
 
   /** K4: staged CSV object write (header row, like the generator upload
     * `create_campaigns/csv/main.py:33-43`). Whitespace-exact: Spark's
@@ -104,10 +105,8 @@ object Sinks {
     * touches the other 100 TB. */
   def overwritePartitions(df: DataFrame, tablePath: String,
                           partitionBy: Seq[String]): Unit =
-    df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionBy: _*)
-      .parquet(tablePath)
+    graft.connect.Connectors.sink(tablePath)
+      .overwritePartitions(df, tablePath, partitionBy)
 
   /** Keyed upsert (poor-man's MERGE) into a parquet layer: incoming
     * rows replace existing rows with the same key; everything else
