@@ -16,55 +16,96 @@ import graft.sinks.Sinks
   * `m_data_model`, business queries scan the table), and the at-scale fix
   * for computing the expensive join DAG once instead of once per
   * consumer (VERDICT r1 #7).
+  *
+  * Every stage runs as a named [[Steps.step]] under the DAG-level retry
+  * policy (reference `DEFAULT_ARGS`, `datapipeline_gcp.py:38-44`) and its
+  * wall time is recorded — [[runReport]] returns the per-stage breakdown
+  * the macro bench and PLANS.md read. Steps are cut at retry-idempotent
+  * grains: appends publish via Spark's commit protocol (a failed attempt
+  * commits nothing), archival renames stop matching the glob once moved.
   */
 object Pipeline {
 
   case class LayerCounts(raw: Map[String, Long], master: Long,
                          business: Map[String, Long])
 
+  case class StageTiming(stage: String, seconds: Double)
+
+  case class RunReport(counts: LayerCounts, stages: Seq[StageTiming])
+
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          genRows: Long = 1000): LayerCounts = {
+          genRows: Long = 1000): LayerCounts =
+    runReport(spark, sfDir, outDir, genRows).counts
+
+  def runReport(spark: SparkSession, sfDir: String, outDir: String,
+                genRows: Long = 1000,
+                policy: Steps.Policy = Steps.Policy()): RunReport = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageTiming]
+    def step[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = Steps.step(name, policy)(body)
+      stages += StageTiming(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+
     val ingested = s"$outDir/ingested/csv"
     val loaded = s"$outDir/loaded/csv"
 
     // 1. Generate (S9) + stage as CSV objects (K4), one dir per table.
-    Sinks.writeCsvObjects(Generator.campaigns(spark, genRows),
-      s"$ingested/campaigns")
-    Sinks.writeCsvObjects(Generator.transactions(spark, genRows),
-      s"$ingested/transactions")
+    step("generate_stage") {
+      Sinks.writeCsvObjects(Generator.campaigns(spark, genRows),
+        s"$ingested/campaigns")
+      Sinks.writeCsvObjects(Generator.transactions(spark, genRows),
+        s"$ingested/transactions")
+    }
 
     // 2. Sense (S7 batch analog): fail fast if staging is empty.
-    require(Ingest.filesExist(spark, s"$ingested/campaigns/*.csv"),
-      "no staged campaign files")
-    require(Ingest.filesExist(spark, s"$ingested/transactions/*.csv"),
-      "no staged transaction files")
+    step("sense") {
+      require(Ingest.filesExist(spark, s"$ingested/campaigns/*.csv"),
+        "no staged campaign files")
+      require(Ingest.filesExist(spark, s"$ingested/transactions/*.csv"),
+        "no staged transaction files")
+    }
 
-    // 3. Load raw (S1/S2 + K1): schema-on-read strings, append, archive (K5).
-    val rawCampaigns = Ingest.readCsv(spark, s"$ingested/campaigns/*.csv",
-      Ingest.campaignsSchema)
-    Sinks.appendLayer(rawCampaigns, s"$outDir/raw_layer/r_campaigns")
-    val rawTransactions = Ingest.readCsv(spark, s"$ingested/transactions/*.csv",
-      Ingest.transactionsSchema)
-    Sinks.appendLayer(rawTransactions, s"$outDir/raw_layer/r_transactions")
-    Sinks.archive(spark, s"$ingested/campaigns/*.csv", s"$loaded/campaigns")
-    Sinks.archive(spark, s"$ingested/transactions/*.csv", s"$loaded/transactions")
+    // 3. Load raw (S1/S2 + K1): schema-on-read strings, append; then
+    // archive (K5) as its OWN step — a retry of the move alone is
+    // idempotent, grouping it with the append would re-append on a
+    // move-only failure.
+    step("load_raw") {
+      val rawCampaigns = Ingest.readCsv(spark, s"$ingested/campaigns/*.csv",
+        Ingest.campaignsSchema)
+      Sinks.appendLayer(rawCampaigns, s"$outDir/raw_layer/r_campaigns")
+      val rawTransactions = Ingest.readCsv(spark,
+        s"$ingested/transactions/*.csv", Ingest.transactionsSchema)
+      Sinks.appendLayer(rawTransactions, s"$outDir/raw_layer/r_transactions")
+    }
+    step("archive") {
+      Sinks.archive(spark, s"$ingested/campaigns/*.csv", s"$loaded/campaigns")
+      Sinks.archive(spark, s"$ingested/transactions/*.csv",
+        s"$loaded/transactions")
+    }
 
     // 4. Master: materialize m_data_model ONCE (K3-style create),
     // partitioned by country so per-country consumers prune partitions.
     val masterPath = s"$outDir/master_layer/m_data_model"
-    Sinks.createTableAs(Relational.masterModel(spark, sfDir), masterPath,
-      partitionBy = Seq("transaction_country"))
-    val master = spark.read.parquet(masterPath)
+    val master = step("master") {
+      Sinks.createTableAs(Relational.masterModel(spark, sfDir), masterPath,
+        partitionBy = Seq("transaction_country"))
+      spark.read.parquet(masterPath)
+    }
 
     // 5. Business layer: five aggregates over the materialized master.
-    val business = Map(
-      "b_performance_metrics" -> Relational.performanceMetrics(master),
-      "b_product_performance" -> Relational.productPerformance(master),
-      "b_profitability_kpi" -> Relational.profitabilityKpi(master),
-      "b_sales_kpi" -> Relational.salesKpi(master),
-      "b_customer_retention" -> Relational.customerRetention(master))
-    business.foreach { case (name, df) =>
-      Sinks.appendLayer(df, s"$outDir/business_layer/$name")
+    val business = step("business") {
+      val b = Map(
+        "b_performance_metrics" -> Relational.performanceMetrics(master),
+        "b_product_performance" -> Relational.productPerformance(master),
+        "b_profitability_kpi" -> Relational.profitabilityKpi(master),
+        "b_sales_kpi" -> Relational.salesKpi(master),
+        "b_customer_retention" -> Relational.customerRetention(master))
+      b.foreach { case (name, df) =>
+        Sinks.appendLayer(df, s"$outDir/business_layer/$name")
+      }
+      b
     }
 
     // 6. Data-quality gate between ingest and the LLM tier: rows
@@ -74,45 +115,54 @@ object Pipeline {
     // runs on good rows only — filtering curation's output instead
     // would let a quarantined near-dup knock its DQ-passing twin out
     // of the corpus.
-    val (goodDocs, badDocs) = graft.operators.Curation.expectSplit(
-      Tables.documents(spark, sfDir), graft.operators.Curation.documentRules)
-    Sinks.appendLayer(badDocs, s"$outDir/dq_layer/quarantine_documents")
-    Sinks.appendLayer(graft.operators.Curation.dqReport(spark, sfDir),
-      s"$outDir/dq_layer/dq_report")
     val gatedDir = s"$outDir/dq_layer/gated"
-    goodDocs.write.mode("overwrite").parquet(s"$gatedDir/documents.parquet")
+    step("dq_gate") {
+      val (goodDocs, badDocs) = graft.operators.Curation.expectSplit(
+        Tables.documents(spark, sfDir), graft.operators.Curation.documentRules)
+      Sinks.appendLayer(badDocs, s"$outDir/dq_layer/quarantine_documents")
+      Sinks.appendLayer(graft.operators.Curation.dqReport(spark, sfDir),
+        s"$outDir/dq_layer/dq_report")
+      goodDocs.write.mode("overwrite").parquet(s"$gatedDir/documents.parquet")
+    }
 
     // 7. LLM-tier curation over the gated layer: quality-gated,
     // near-dup-free corpus beside the business layer (the
     // training-data consumer's table).
-    Sinks.appendLayer(
-      graft.operators.Curation.curatedDocs(spark, gatedDir),
-      s"$outDir/curated_layer/c_documents")
+    step("curation") {
+      Sinks.appendLayer(
+        graft.operators.Curation.curatedDocs(spark, gatedDir),
+        s"$outDir/curated_layer/c_documents")
+    }
 
     // 8. Corpus assembly over the curated survivors: hash-stable
     // train/val/test assignment (partitioned by split so a trainer reads
     // only its slice) and the token-budget pack manifest — the last two
     // steps between "curated corpus" and "training batches".
-    val survivors = spark.read.parquet(s"$outDir/curated_layer/c_documents")
-      .select("doc_id")
-    Sinks.createTableAs(
-      graft.operators.Sampling.trainSplit(spark, sfDir)
-        .join(survivors, "doc_id"),
-      s"$outDir/assembly_layer/a_split", partitionBy = Seq("split"))
-    Sinks.createTableAs(
-      graft.operators.Sampling.packSequencesOf(
-        Tables.documents(spark, sfDir).join(survivors, "doc_id")),
-      s"$outDir/assembly_layer/a_packs")
+    step("assembly") {
+      val survivors = spark.read.parquet(s"$outDir/curated_layer/c_documents")
+        .select("doc_id")
+      Sinks.createTableAs(
+        graft.operators.Sampling.trainSplit(spark, sfDir)
+          .join(survivors, "doc_id"),
+        s"$outDir/assembly_layer/a_split", partitionBy = Seq("split"))
+      Sinks.createTableAs(
+        graft.operators.Sampling.packSequencesOf(
+          Tables.documents(spark, sfDir).join(survivors, "doc_id")),
+        s"$outDir/assembly_layer/a_packs")
+    }
 
-    LayerCounts(
-      raw = Map(
-        "r_campaigns" ->
-          spark.read.parquet(s"$outDir/raw_layer/r_campaigns").count(),
-        "r_transactions" ->
-          spark.read.parquet(s"$outDir/raw_layer/r_transactions").count()),
-      master = master.count(),
-      business = business.keys.map { name =>
-        name -> spark.read.parquet(s"$outDir/business_layer/$name").count()
-      }.toMap)
+    val counts = step("layer_counts") {
+      LayerCounts(
+        raw = Map(
+          "r_campaigns" ->
+            spark.read.parquet(s"$outDir/raw_layer/r_campaigns").count(),
+          "r_transactions" ->
+            spark.read.parquet(s"$outDir/raw_layer/r_transactions").count()),
+        master = master.count(),
+        business = business.keys.map { name =>
+          name -> spark.read.parquet(s"$outDir/business_layer/$name").count()
+        }.toMap)
+    }
+    RunReport(counts, stages.toSeq)
   }
 }

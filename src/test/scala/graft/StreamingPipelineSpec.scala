@@ -291,7 +291,13 @@ class StreamingPipelineSpec extends SparkSpec {
 
   test("E1: pipeline smoke at sf0.001 — every layer lands with rows") {
     val out = tmpDir("pipeline")
-    val counts = Pipeline.run(spark, sf0001, out, genRows = 200)
+    val report = Pipeline.runReport(spark, sf0001, out, genRows = 200)
+    val counts = report.counts
+    // Per-stage breakdown: every DAG stage is timed, in DAG order.
+    assert(report.stages.map(_.stage) == Seq("generate_stage", "sense",
+      "load_raw", "archive", "master", "business", "dq_gate", "curation",
+      "assembly", "layer_counts"))
+    assert(report.stages.forall(_.seconds >= 0.0))
     assert(counts.raw.values.forall(_ == 200))
     assert(counts.master > 0)
     assert(counts.business.size == 5)
