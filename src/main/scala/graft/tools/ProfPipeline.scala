@@ -30,29 +30,33 @@ object ProfPipeline {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       } catch { case _: Throwable => () }
 
-    def oneRun(): Seq[Pipeline.StageTiming] = {
+    def oneRun(): (Seq[Pipeline.StageTiming], Double) = {
       val out = java.nio.file.Files.createTempDirectory("graft_prof_e1_")
+      val t0 = System.nanoTime()
       val r = Pipeline.runReport(spark, sfDir, out.toString)
+      val wall = (System.nanoTime() - t0) / 1e9
       rmRf(out)
-      r.stages
+      (r.stages, wall)
     }
 
     oneRun() // untimed warmup, like Bench
-    val runs: Seq[Seq[Pipeline.StageTiming]] =
+    val runs: Seq[(Seq[Pipeline.StageTiming], Double)] =
       (1 to reps).map { _ => System.gc(); Thread.sleep(200); oneRun() }
 
-    val stages = runs.head.map(_.stage)
-    println(f"${"stage"}%-16s ${"min_s"}%8s ${"mean_s"}%8s  reps")
+    val stages = runs.head._1.map(_.stage)
+    println(f"${"stage"}%-32s ${"min_s"}%8s ${"mean_s"}%8s  reps")
     var minTotal = 0.0
     stages.foreach { st =>
-      val ts = runs.map(_.find(_.stage == st).get.seconds)
+      val ts = runs.map(_._1.find(_.stage == st).get.seconds)
       minTotal += ts.min
-      println(f"$st%-16s ${ts.min}%8.2f ${ts.sum / ts.size}%8.2f  " +
+      println(f"$st%-32s ${ts.min}%8.2f ${ts.sum / ts.size}%8.2f  " +
         ts.map(t => f"$t%.2f").mkString(" "))
     }
-    val walls = runs.map(_.map(_.seconds).sum)
-    println(f"${"sum_of_stage_mins"}%-16s $minTotal%8.2f")
-    println(f"${"wall_min"}%-16s ${walls.min}%8.2f ${walls.sum / walls.size}%8.2f")
+    // Concurrent stages overlap, so the stage-min sum OVERCOUNTS the
+    // critical path — true wall clock is timed around each run.
+    val walls = runs.map(_._2)
+    println(f"${"sum_of_stage_mins"}%-32s $minTotal%8.2f (overlaps double-count)")
+    println(f"${"wall_min"}%-32s ${walls.min}%8.2f ${walls.sum / walls.size}%8.2f")
     spark.stop()
   }
 }

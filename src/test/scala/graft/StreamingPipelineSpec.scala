@@ -293,10 +293,24 @@ class StreamingPipelineSpec extends SparkSpec {
     val out = tmpDir("pipeline")
     val report = Pipeline.runReport(spark, sf0001, out, genRows = 200)
     val counts = report.counts
-    // Per-stage breakdown: every DAG stage is timed, in DAG order.
-    assert(report.stages.map(_.stage) == Seq("generate_stage", "sense",
-      "load_raw", "archive", "master", "business", "dq_gate", "curation",
-      "assembly", "layer_counts"))
+    // Per-stage breakdown: the ingest prefix and the closing counts are
+    // ordered; the two concurrent DAG arms interleave in completion
+    // order but each arm's own dependencies must hold.
+    val names = report.stages.map(_.stage)
+    assert(names.take(4) == Seq("generate_stage", "sense", "load_raw",
+      "archive"))
+    assert(names.last == "layer_counts")
+    val bizSteps = Set(
+      "business_b_performance_metrics", "business_b_product_performance",
+      "business_b_profitability_kpi", "business_b_sales_kpi",
+      "business_b_customer_retention")
+    assert(names.drop(4).dropRight(1).toSet ==
+      bizSteps ++ Set("master", "dq_gate", "curation", "assembly"))
+    // warehouse arm: master completes before any business consumer
+    assert(bizSteps.forall(b => names.indexOf("master") < names.indexOf(b)))
+    // corpus arm: dq_gate → curation → assembly
+    assert(names.indexOf("dq_gate") < names.indexOf("curation"))
+    assert(names.indexOf("curation") < names.indexOf("assembly"))
     assert(report.stages.forall(_.seconds >= 0.0))
     assert(counts.raw.values.forall(_ == 200))
     assert(counts.master > 0)
