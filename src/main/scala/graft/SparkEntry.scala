@@ -33,6 +33,10 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
     // intra-document dedup (r8): first-occurrence-order unit dedup
     "q_intradoc_dedup" -> ((s, d) => TextOps.dedupWithinDoc(s, d)),
+    // corpus-level exact-span dedup (r9): C4-style keep-one-occurrence
+    // removal of k-token blocks shared across documents, with the
+    // cleaned text REBUILT (not just flagged)
+    "q_span_dedup" -> ((s, d) => TextOps.dedupSpans(s, d)),
     // Count-Min sketch heavy hitters (r8): deterministic overestimate,
     // exact-twin oracle rebuilds the identical counter table
     "q_cms_heavy_hitters" -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
@@ -185,6 +189,7 @@ object SparkEntry {
     "q_customer_coverage" -> ((s, d) => Relational.customerCoverage(s, d)),
     // TPC-H Q1/Q5 classics over the fixture tables, integer-cents (r8)
     "q_tpch_q1" -> ((s, d) => Relational.tpchQ1(s, d)),
+    "q_tpch_q3" -> ((s, d) => Relational.tpchQ3(s, d)),
     "q_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d)),
     "q_tpch_q4" -> ((s, d) => Relational.tpchQ4(s, d)),
     "q_tpch_q13" -> ((s, d) => Relational.tpchQ13(s, d)),
@@ -922,6 +927,43 @@ object SparkEntry {
          |         AS unique_ratio,
          |       md5(coalesce(d.dedup_text, '')) AS dedup_md5
          |FROM toks LEFT JOIN d ON toks.doc_id = d.doc_id""".stripMargin,
+
+    // Twin of TextOps.dedupSpans (k=8, maxDf=1): both engines cut the
+    // SAME non-overlapping 8-token blocks, count distinct-doc frequency,
+    // keep duplicated blocks only inside their earliest document (packed
+    // (doc_id, block_no) key, min'd), and rebuild the text in block
+    // order — the clean_text hash pins the reconstruction, not just the
+    // counts.
+    "q_span_dedup" ->
+      s"""$ToksCte, nb AS (
+         |  SELECT doc_id, t,
+         |         CAST(floor((len(t) + 7) / 8.0) AS BIGINT) AS n_blocks
+         |  FROM toks
+         |), blocks AS (
+         |  SELECT doc_id, r.b AS block_no,
+         |         array_to_string(t[CAST(r.b * 8 + 1 AS BIGINT):
+         |                           CAST(r.b * 8 + 8 AS BIGINT)], ' ')
+         |           AS block
+         |  FROM nb, unnest(range(0, n_blocks)) AS r(b)
+         |), stats AS (
+         |  SELECT block, COUNT(DISTINCT doc_id) AS df,
+         |         MIN(doc_id * 2097152 + block_no) AS first_occ
+         |  FROM blocks GROUP BY block
+         |), kept AS (
+         |  SELECT b.doc_id, b.block_no, b.block
+         |  FROM blocks b JOIN stats USING (block)
+         |  WHERE df <= 1 OR b.doc_id = first_occ // 2097152
+         |), agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |         string_agg(block, ' ' ORDER BY block_no) AS clean_text
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT nb.doc_id, nb.n_blocks,
+         |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_blocks_kept,
+         |       nb.n_blocks - CAST(coalesce(a.n_kept, 0) AS BIGINT)
+         |         AS n_blocks_removed,
+         |       coalesce(a.clean_text, '') AS clean_text
+         |FROM nb LEFT JOIN agg a ON nb.doc_id = a.doc_id""".stripMargin,
 
     "q_token_count" ->
       s"""$ToksCte
@@ -2212,6 +2254,27 @@ object SparkEntry {
         |       COUNT(*) AS count_order
         |FROM c
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q3" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |)
+        |SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(rev4) AS DOUBLE) / 10000 AS revenue
+        |FROM li
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q_tpch_q13" ->
       """SELECT c_count, COUNT(*) AS custdist

@@ -497,6 +497,46 @@ object Relational {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** TPC-H Q3 (shipping priority): the unshipped-revenue top-10 over the
+    * customer⨝orders⨝lineitem chain. Fixture deviation: the schema has
+    * no `o_shippriority`, so `o_orderpriority` stands in (same role — a
+    * low-cardinality orders attribute carried through the aggregate).
+    * Shape for scale: both date filters and the segment filter push to
+    * their parquet scans BEFORE any join; lineitem⨝orders shuffles on
+    * orderkey (both sides big at any SF), the customer side joins on
+    * custkey (1/5 kept by the segment filter — scales with SF, so no
+    * forced broadcast; AQE decides). Revenue uses [[tpchQ1]]'s exact
+    * integer-cents discipline (sum of exact longs, ONE trailing IEEE
+    * division), and the top-10 plans as TakeOrderedAndProject — per
+    * partition heaps, no global sort materialization. `o_orderdate`
+    * crosses the oracle boundary as a yyyy-MM-dd string (§7.4 date
+    * discipline); ties break on (o_orderdate, l_orderkey) so the cut at
+    * 10 is deterministic. */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev4"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(col("rev4")).cast("double") / 10000).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+  }
+
   def customerCoverage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))

@@ -128,6 +128,65 @@ object TextOps {
         md5(array_join(kept, " ")).as("dedup_md5"))
   }
 
+  /** Corpus-level exact-span dedup (the C4/"Deduplicating Training Data
+    * Makes Language Models Better" rule, at the scalable block grain):
+    * cut each document's token stream into NON-overlapping k-token
+    * blocks, count every distinct block's document frequency across the
+    * corpus, and rebuild each document without its occurrences of any
+    * block present in more than `maxDf` documents — except inside the
+    * block's single canonical EARLIEST document (lowest doc_id), which
+    * keeps all its occurrences, so the corpus retains exactly one
+    * document's copy of every duplicated span ("keep one occurrence").
+    * Cross-DOC spans only: within-doc repetition is [[dedupWithinDoc]]'s
+    * business and survives here untouched.
+    *
+    * Scale shape: the explode is corpus_tokens/k block rows (k× smaller
+    * than a token explode); the stats pass is ONE hash aggregate whose
+    * both measures (distinct-doc df via expand, min occurrence key) are
+    * partial-aggregatable — a block duplicated into 10⁶ documents never
+    * concentrates on one task; the join back is a shuffle join AQE can
+    * skew-split; the reassembly groupBy carries only each doc's own kept
+    * blocks. No all-pairs anything. The canonical-occurrence key packs
+    * (doc_id, block_no) into one long (block_no < 2²¹ ⇒ docs up to ~16M
+    * tokens at k=8; raise the shift for longer docs) so min() stays a
+    * primitive aggregate in both engines.
+    */
+  def dedupSpans(spark: SparkSession, dir: String, k: Int = 8,
+                 maxDf: Int = 1): DataFrame = {
+    require(k > 0 && maxDf >= 1, s"need k>0, maxDf>=1; got k=$k maxDf=$maxDf")
+    val t = tokens(col("text"))
+    val nBlocks = floor((size(t) + (k - 1)) / k).cast("long")
+    val docs = Tables.documents(spark, dir)
+    val blocks = Spread(docs)
+      .select(col("doc_id"),
+        posexplode(
+          when(size(t) > 0,
+            transform(sequence(lit(0L), nBlocks - 1),
+              i => concat_ws(" ",
+                slice(t, (i * k + 1).cast("int"), lit(k)))))
+            .otherwise(array().cast("array<string>")))
+          .as(Seq("block_no", "block")))
+    val occKey = col("doc_id") * lit(1L << 21) + col("block_no")
+    val stats = blocks.groupBy(col("block")).agg(
+      countDistinct(col("doc_id")).as("df"),
+      min(occKey).as("first_occ"))
+    val kept = blocks.join(stats, "block")
+      .where(col("df") <= maxDf ||
+        col("doc_id") === shiftright(col("first_occ"), 21))
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_blocks_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("block_no"), col("block")))),
+        x => x.getField("block"))).as("clean_text"))
+    docs.select(col("doc_id"), nBlocks.as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_blocks_kept"), lit(0L)).as("n_blocks_kept"),
+        (col("n_blocks") - coalesce(col("n_blocks_kept"), lit(0L)))
+          .as("n_blocks_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     Tables.documents(spark, dir)

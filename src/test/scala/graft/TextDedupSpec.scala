@@ -351,4 +351,45 @@ class TextDedupSpec extends SparkSpec {
       $"containment_a" < $"jaccard" || $"containment_b" < $"jaccard")
       .isEmpty)
   }
+
+  test("span dedup: shared 8-token blocks survive only in the earliest doc") {
+    val X = "a b c d e f g h" // one exact 8-token block
+    val docs = Seq(
+      // earliest doc containing X — and containing it TWICE (blocks 0
+      // and 2): within-canonical-doc repetition must survive untouched
+      (1L, s"$X one two three four five six seven eight $X", "en", "s", 0L),
+      // 7 tokens → a single short block, unique → untouched
+      (3L, "totally fresh words nobody else ever uses", "en", "s", 0L),
+      // later doc sharing X → loses it, keeps its unique tail block
+      (5L, s"$X unique tail words", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("spandedup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.dedupSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_blocks_kept"),
+          r.getAs[Long]("n_blocks_removed"), r.getAs[String]("clean_text")))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 0L,
+      s"$X one two three four five six seven eight $X")))
+    assert(out(3L) == ((1L, 1L, 0L, "totally fresh words nobody else ever uses")))
+    assert(out(5L) == ((2L, 1L, 1L, "unique tail words")))
+  }
+
+  test("span dedup fixture invariants: conservation, reconstruction, effect") {
+    val out = TextOps.dedupSpans(spark, SparkSpec.Sf001)
+    // Block accounting conserves; the op does real work on the fixture.
+    assert(out.where($"n_blocks_kept" + $"n_blocks_removed" =!= $"n_blocks")
+      .isEmpty)
+    assert(out.agg(sum($"n_blocks_removed")).head().getLong(0) > 0)
+    // Untouched docs reconstruct EXACTLY their space-joined token stream.
+    val docs = spark.read.parquet(s"${SparkSpec.Sf001}/documents.parquet")
+      .select($"doc_id", array_join(TextOps.tokens($"text"), " ").as("orig"))
+    val joined = out.join(docs, "doc_id")
+    assert(joined.where($"n_blocks_removed" === 0 && $"clean_text" =!= $"orig")
+      .isEmpty)
+    // Touched docs' clean text is always a (proper) reduction.
+    assert(joined.where($"n_blocks_removed" > 0 &&
+      length($"clean_text") >= length($"orig")).isEmpty)
+  }
 }
