@@ -62,12 +62,34 @@ object ParquetDirSink extends Sink {
   def append(df: DataFrame, table: String): Unit =
     df.write.mode("append").parquet(table)
 
+  /** create-or-fail — but RETRY-IDEMPOTENT (r9, with `Steps`): a failed
+    * create attempt leaves the target directory existing with only
+    * commit-protocol debris (`_temporary`, no committed data files), so
+    * a naive errorifexists retry would convert a transient fault into a
+    * permanent "path already exists". Debris-only targets are cleared
+    * and re-created; targets holding ANY committed data still fail —
+    * that is the contract protecting a pre-existing table. */
   def create(df: DataFrame, table: String,
              partitionBy: Seq[String] = Nil): Unit = {
+    val path = new org.apache.hadoop.fs.Path(table)
+    val fs = path.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && isCommitDebrisOnly(fs, path)) fs.delete(path, true)
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(table)
   }
+
+  /** True when `path` holds no committed data: only `_`-prefixed
+    * metadata/scratch entries (`_temporary`, `_SUCCESS`) and empty
+    * directories, recursively. */
+  private def isCommitDebrisOnly(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(path).forall { st =>
+      if (st.getPath.getName.startsWith("_")) true
+      else if (st.isDirectory) isCommitDebrisOnly(fs, st.getPath)
+      else false
+    }
 
   def overwritePartitions(df: DataFrame, table: String,
                           partitionBy: Seq[String]): Unit =

@@ -94,6 +94,23 @@ class ConnectorSpec extends SparkSpec {
     assert(e2.getMessage.contains("registerSink"))
   }
 
+  test("create is retry-idempotent over commit debris, still protects data") {
+    val dir = tmpDir("ctas")
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    // Simulate a failed first attempt: target exists holding only
+    // commit-protocol debris (_temporary scratch), no committed files.
+    val target = new java.io.File(s"$dir/t.parquet")
+    val scratch = new java.io.File(target, "_temporary/0/task_000")
+    assert(scratch.mkdirs())
+    java.nio.file.Files.write(new java.io.File(scratch, "part-0").toPath,
+      "partial".getBytes)
+    Sinks.createTableAs(df, target.toString) // retry: must succeed
+    assert(Tables.read(spark, dir, "t").count() == 2)
+    // A target holding COMMITTED data still fails — that's the contract.
+    intercept[Exception] { Sinks.createTableAs(df, target.toString) }
+    assert(Tables.read(spark, dir, "t").count() == 2) // untouched
+  }
+
   test("parquet default round-trips through the seam end to end") {
     val dir = tmpDir("seam")
     val df = Seq((1, "x"), (2, "y")).toDF("id", "v")

@@ -87,6 +87,29 @@ class PlanAuditSpec extends SparkSpec {
     // event props: one exchange on the bounded (event_type, day) grain.
     val pp = finalPlan(q("q_event_props"))
     assert(count(pp, "Exchange (hash|range)") == 1, s"q_event_props:\n$pp")
+    // Q3 (r9): every filter reaches its scan BEFORE the joins, and the
+    // top-10 takes the per-partition-heap path — no range-exchange
+    // global sort may materialize for LIMIT n.
+    val p3 = finalPlan(q("q_tpch_q3"))
+    assert(count(p3, "PushedFilters: \\[[^\\]]") >= 3,
+      s"q_tpch_q3 filters not pushed:\n$p3")
+    assert(p3.contains("TakeOrderedAndProject"), s"q_tpch_q3:\n$p3")
+    assert(count(p3, "Exchange rangepartitioning") == 0, s"q_tpch_q3:\n$p3")
+  }
+
+  test("span dedup: block-grain explodes, partial-agg stats, no global sort") {
+    val p = finalPlan(q("q_span_dedup"))
+    // The block stream is consumed twice (stats aggregate + join-back),
+    // same documented shape as boilerplate's occurrence stream — so
+    // exactly TWO block-grain generators, never more, and never a
+    // token-grain explode (which would multiply the stream k-fold).
+    assert(count(p, "Generate posexplode") == 2, s"q_span_dedup:\n$p")
+    // The df/first-occurrence stats pass partial-aggregates (map-side
+    // combine before its exchange) so a hot block never concentrates.
+    assert(p.contains("partial_count"), s"q_span_dedup:\n$p")
+    // Reassembly sorts inside each doc's collected array, never the
+    // corpus: no range exchange anywhere.
+    assert(count(p, "Exchange rangepartitioning") == 0, s"q_span_dedup:\n$p")
   }
 
   test("corpus-stat plans stay within their documented scan budget") {
