@@ -649,6 +649,73 @@ object TextOps {
       saltOn = Hash.h8("bpe", col("pair")), k = k, saltBuckets = 16)
   }
 
+  /** BPE ENCODE — the application step completing [[bpeMergeCandidates]]
+    * (mine merges → tokenize with them): each document's piece stream is
+    * iteratively rewritten by the highest-priority applicable merge
+    * (min rank, ranks = the mined top-k's (count DESC, pair ASC) order)
+    * until none applies — the classic BPE encode loop at the piece
+    * grain. The rewrite step is literal single-pass left-to-right
+    * replace-all over the space-delimited state (Java `String.replace`),
+    * whose semantics DuckDB's `replace` matches exactly, so the oracle
+    * twin replays the identical loop as a recursive CTE and the
+    * `encoded_md5` column pins the full encoding, not just counts.
+    *
+    * Scale shape: the merge table is k rows BY CONSTRUCTION (k is a
+    * constructor constant, not data) — collecting it for broadcast is
+    * the bounded-frame exception, same class as the JDBC bounds probe;
+    * the encode itself is MAP-ONLY over documents (mapPartitions — the
+    * same sanctioned imperative spot as the pair miner: a data-dependent
+    * fixpoint loop has no declarative form). Per-doc cost is O(k·L) per
+    * iteration with ≤ L iterations (L = piece count) — fine at web-doc
+    * lengths; book-length docs should chunk first ([[chunk]]), or swap
+    * the loop body for the classic heap-over-positions tokenizer, which
+    * preserves these exact semantics at O(L log L). */
+  def bpeEncode(spark: SparkSession, dir: String,
+                k: Int = BpeTopK): DataFrame = {
+    import spark.implicits._
+    val merges: Array[(String, String)] =
+      bpeMergeCandidates(spark, dir, k)
+        .orderBy(col("rank"))
+        .collect()
+        .map { r =>
+          val p = r.getAs[String]("pair").split("\t", 2)
+          (p(0), p(1))
+        }
+    val bc = spark.sparkContext.broadcast(merges)
+    val encoded = Spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val re = java.util.regex.Pattern.compile(BpePiecePattern)
+        val ms = bc.value
+        rows.map { case (docId, text) =>
+          // Locale.ROOT mirrors Spark lower()'s locale-independent
+          // lowercase (see bpeMergeCandidates).
+          val m = re.matcher(
+            if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+          val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find()) pieces += m.group()
+          var st =
+            if (pieces.isEmpty) " " else pieces.mkString(" ", " ", " ")
+          var done = false
+          while (!done) {
+            ms.find { case (a, b) => st.contains(s" $a $b ") } match {
+              case Some((a, b)) => st = st.replace(s" $a $b ", s" $a$b ")
+              case None => done = true
+            }
+          }
+          val enc = st.trim
+          val nTok = if (enc.isEmpty) 0L else (enc.count(_ == ' ') + 1).toLong
+          (docId, pieces.length.toLong, nTok, enc)
+        }
+      }.toDF("doc_id", "n_pieces", "n_tokens", "enc")
+    encoded.select(
+      col("doc_id"), col("n_pieces"), col("n_tokens"),
+      when(col("n_pieces") > 0,
+        col("n_tokens").cast("double") / col("n_pieces"))
+        .as("compression"),
+      md5(col("enc")).as("encoded_md5"))
+  }
+
   /** Corpus vocabulary table (the tokenizer-prep artifact): per token,
     * total occurrences (tf), containing-document count (df), and the
     * exact share of all token occurrences. One explode collapses to the

@@ -376,6 +376,43 @@ class TextDedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 1L, 1L, "unique tail words")))
   }
 
+  test("bpe encode: crafted corpus merges by rank to a hand-computed fixpoint") {
+    // Pair counts force the rank order: (x,y)=3 → rank 1; (y,z)=(z,x)=2
+    // → ranks 2,3 by pair-asc; (p,q)=(q,r)=1 → ranks 4,5.
+    val docs = Seq(
+      (1L, "x y z x y z x y", "en", "s", 0L),
+      (2L, "p q r", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("bpeenc")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = TextOps.bpeEncode(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pieces"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("encoded_md5"))).toMap
+    // doc 1: rank-1 (x,y) rewrites every occurrence → "xy z xy z xy";
+    // no further pair applies (y and x are no longer standalone pieces).
+    assert(out(1L) == ((8L, 5L, md5hex("xy z xy z xy"))))
+    // doc 2: rank-4 (p,q) applies once; (q,r) can no longer match.
+    assert(out(2L) == ((3L, 2L, md5hex("pq r"))))
+  }
+
+  test("bpe encode fixture invariants: contraction, bounds, determinism") {
+    val out = TextOps.bpeEncode(spark, SparkSpec.Sf001)
+    assert(out.where($"n_tokens" > $"n_pieces" || $"n_tokens" < 0).isEmpty)
+    assert(out.where($"compression" > 1.0 || $"compression" <= 0.0).isEmpty)
+    // The mined merges genuinely contract the fixture corpus.
+    val (p, t) = out.agg(sum($"n_pieces"), sum($"n_tokens")).head() match {
+      case org.apache.spark.sql.Row(a: Long, b: Long) => (a, b)
+    }
+    assert(t < p, s"no merges applied: $p -> $t")
+    // Deterministic under repartitioning (broadcast table, map-only).
+    val again = TextOps.bpeEncode(spark, SparkSpec.Sf001)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("span dedup fixture invariants: conservation, reconstruction, effect") {
     val out = TextOps.dedupSpans(spark, SparkSpec.Sf001)
     // Block accounting conserves; the op does real work on the fixture.
