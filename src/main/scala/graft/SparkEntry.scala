@@ -190,6 +190,8 @@ object SparkEntry {
     // TPC-H Q1/Q5 classics over the fixture tables, integer-cents (r8)
     "q_tpch_q1" -> ((s, d) => Relational.tpchQ1(s, d)),
     "q_tpch_q3" -> ((s, d) => Relational.tpchQ3(s, d)),
+    "q_tpch_q6" -> ((s, d) => Relational.tpchQ6(s, d)),
+    "q_tpch_q18" -> ((s, d) => Relational.tpchQ18(s, d)),
     "q_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d)),
     "q_tpch_q4" -> ((s, d) => Relational.tpchQ4(s, d)),
     "q_tpch_q13" -> ((s, d) => Relational.tpchQ13(s, d)),
@@ -2278,6 +2280,31 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round(l_discount * 100) AS BIGINT))
+        |       AS DOUBLE) / 10000 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.045 AND l_discount <= 0.075
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 300
+        |)
+        |SELECT c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_tpch_q13" ->
       """SELECT c_count, COUNT(*) AS custdist

@@ -537,6 +537,49 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q6 (forecasting revenue change): the purest predicate-pushdown
+    * benchmark — one scan, three pushed filters, one exact-cents sum,
+    * zero joins. The discount band is expressed as open float bounds
+    * (0.045/0.075) rather than a derived-cents predicate so it still
+    * PUSHES to the parquet scan — equivalent for 2-dp data, and both
+    * engines evaluate the identical comparison. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.045 && col("l_discount") <= 0.075 &&
+        col("l_quantity") < 24)
+      .select((round(col("l_extendedprice") * 100).cast("long") *
+        round(col("l_discount") * 100).cast("long")).as("rev4"))
+      .agg((sum(col("rev4")).cast("double") / 10000).as("revenue"))
+
+  /** TPC-H Q18 (large-volume customers): the classic HAVING-filtered
+    * semi-reduction — aggregate lineitem per order FIRST (map-side
+    * partial agg shrinks 4 lines/order before its shuffle), keep the
+    * >300-quantity tail (~0.1% of orders), and only THEN join orders
+    * and customer — both joins see the tiny filtered side, which AQE
+    * broadcasts at any SF (the aggregate output scales with orders, but
+    * the HAVING tail is selectivity-bounded). Quantities are whole →
+    * exact long sums; top-100 plans as TakeOrderedAndProject with full
+    * deterministic tie-break. */
+  def tpchQ18(spark: SparkSession, dir: String,
+              minQty: Long = 300L): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .where(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
   def customerCoverage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))

@@ -95,6 +95,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q_tpch_q3 filters not pushed:\n$p3")
     assert(p3.contains("TakeOrderedAndProject"), s"q_tpch_q3:\n$p3")
     assert(count(p3, "Exchange rangepartitioning") == 0, s"q_tpch_q3:\n$p3")
+    // Q6 (r9): the purest pushdown benchmark — ONE scan with the
+    // date/discount/quantity predicates all pushed, a single-group
+    // aggregate, zero joins, zero hash exchanges beyond the one-row
+    // final agg (which Spark plans exchange-free via partial+final).
+    val p6 = finalPlan(q("q_tpch_q6"))
+    assert(count(p6, "Scan parquet") == 1 &&
+      p6.contains("PushedFilters: [IsNotNull"), s"q_tpch_q6:\n$p6")
+    assert(count(p6, "Exchange hash") == 0, s"q_tpch_q6:\n$p6")
+    // Q18 (r9): the HAVING tail is aggregated BEFORE the joins (partial
+    // agg on lineitem, then the selectivity-bounded survivors drive the
+    // joins) and the top-100 takes the heap path.
+    val p18 = finalPlan(q("q_tpch_q18"))
+    assert(p18.contains("TakeOrderedAndProject"), s"q_tpch_q18:\n$p18")
+    assert(count(p18, "Exchange rangepartitioning") == 0, s"q_tpch_q18:\n$p18")
   }
 
   test("span dedup: block-grain explodes, partial-agg stats, no global sort") {
