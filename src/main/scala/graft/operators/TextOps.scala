@@ -694,16 +694,7 @@ object TextOps {
             if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
           val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
           while (m.find()) pieces += m.group()
-          var st =
-            if (pieces.isEmpty) " " else pieces.mkString(" ", " ", " ")
-          var done = false
-          while (!done) {
-            ms.find { case (a, b) => st.contains(s" $a $b ") } match {
-              case Some((a, b)) => st = st.replace(s" $a $b ", s" $a$b ")
-              case None => done = true
-            }
-          }
-          val enc = st.trim
+          val enc = encodePiecesFast(pieces, ms)
           val nTok = if (enc.isEmpty) 0L else (enc.count(_ == ' ') + 1).toLong
           (docId, pieces.length.toLong, nTok, enc)
         }
@@ -714,6 +705,134 @@ object TextOps {
         col("n_tokens").cast("double") / col("n_pieces"))
         .as("compression"),
       md5(col("enc")).as("encoded_md5"))
+  }
+
+  /** REFERENCE encoder — the literal replace-loop the DuckDB oracle twin
+    * replays: find the min-rank pair present as adjacent pieces, apply
+    * ONE single-pass left-to-right replace-all over the space-delimited
+    * state, repeat to the fixpoint. O(k·L) per iteration, ≤ L
+    * iterations. [[encodePiecesFast]] computes the identical result
+    * (ScalaCheck-pinned) in O(L log L) independent of k — this form
+    * exists as the executable spec both engines share. */
+  private[graft] def encodePiecesRef(
+      pieces: scala.collection.Seq[String], merges: Array[(String, String)]): String = {
+    var st = if (pieces.isEmpty) " " else pieces.mkString(" ", " ", " ")
+    var done = false
+    while (!done) {
+      merges.find { case (a, b) => st.contains(s" $a $b ") } match {
+        case Some((a, b)) => st = st.replace(s" $a $b ", s" $a$b ")
+        case None => done = true
+      }
+    }
+    st.trim
+  }
+
+  /** Pass-faithful heap encoder: identical output to [[encodePiecesRef]]
+    * at O(L log L), independent of the merge-table size — the form that
+    * survives a real 30k-merge vocabulary where the reference loop's
+    * O(k·L) scan per iteration is hopeless.
+    *
+    * Faithfulness is subtle and spec-pinned: one reference iteration is
+    * a single-pass replace-all, which merges every occurrence of the
+    * chosen pair EXCEPT an occurrence immediately following a merge made
+    * in the same pass (the shared delimiter was consumed by the
+    * preceding replacement). Plain one-occurrence-at-a-time heap merging
+    * diverges — a merge can create a HIGHER-priority pair that preempts
+    * the remaining occurrences mid-pass, which the reference's
+    * whole-pass replace cannot do (TextDedupSpec pins a crafted case).
+    * So: pop the min (rank, position) candidate, drain every same-rank
+    * candidate (rank identifies the pair uniquely), and replay the pass
+    * left-to-right with the adjacent-occurrence skip; only then do the
+    * pass's newly created adjacencies enter the heap. */
+  private[graft] def encodePiecesFast(
+      pieces: scala.collection.Seq[String], merges: Array[(String, String)]): String = {
+    val n = pieces.length
+    if (n == 0) return ""
+    val rank = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.indices.foreach { i =>
+      rank.putIfAbsent(merges(i)._1 + " " + merges(i)._2, i)
+    }
+    // Doubly-linked piece list in flat arrays; each merge allocates one
+    // node and kills two, so ≤ 2n slots total. Merged nodes inherit the
+    // LEFT operand's position, keeping the list strictly position-sorted.
+    val cap = 2 * n
+    val tok = new Array[String](cap)
+    val nxt = new Array[Int](cap)
+    val prv = new Array[Int](cap)
+    val alive = new Array[Boolean](cap)
+    val pos = new Array[Int](cap)
+    var i = 0
+    while (i < n) {
+      tok(i) = pieces(i); pos(i) = i; alive(i) = true
+      nxt(i) = if (i == n - 1) -1 else i + 1
+      prv(i) = i - 1
+      i += 1
+    }
+    var free = n
+    var head = 0
+    final case class Cand(r: Int, p: Int, left: Int)
+    val heap = scala.collection.mutable.PriorityQueue.empty[Cand](
+      Ordering.by[Cand, (Int, Int)](c => (c.r, c.p)).reverse)
+    def pushIfRanked(left: Int): Unit =
+      if (left != -1 && alive(left) && nxt(left) != -1) {
+        val r = rank.get(tok(left) + " " + tok(nxt(left)))
+        if (r != null) heap.enqueue(Cand(r, pos(left), left))
+      }
+    i = 0
+    while (i < n - 1) { pushIfRanked(i); i += 1 }
+    def valid(c: Cand): Boolean =
+      alive(c.left) && nxt(c.left) != -1 && alive(nxt(c.left)) && {
+        val p = merges(c.r)
+        tok(c.left) == p._1 && tok(nxt(c.left)) == p._2
+      }
+    val batch = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    val bornThisPass = new java.util.HashSet[Integer]()
+    while (heap.nonEmpty) {
+      var first: Cand = null
+      while (first == null && heap.nonEmpty) {
+        val c = heap.dequeue(); if (valid(c)) first = c
+      }
+      if (first != null) {
+        batch.clear()
+        batch += first
+        // Same rank ⇒ same pair (ranks are merge-table indices); pops
+        // arrive position-ascending, giving the pass its l-to-r order.
+        while (heap.nonEmpty && heap.head.r == first.r) {
+          val c = heap.dequeue(); if (valid(c)) batch += c
+        }
+        bornThisPass.clear()
+        val skipped = scala.collection.mutable.ArrayBuffer.empty[Int]
+        batch.foreach { c =>
+          if (valid(c)) {
+            if (prv(c.left) != -1 && bornThisPass.contains(prv(c.left))) {
+              // Adjacent to a merge made this pass: the reference's
+              // replace consumed the shared delimiter — skip now,
+              // re-candidate for the next iteration.
+              skipped += c.left
+            } else {
+              val l = c.left; val r0 = nxt(l)
+              val m = free; free += 1
+              tok(m) = tok(l) + tok(r0); pos(m) = pos(l)
+              prv(m) = prv(l); nxt(m) = nxt(r0)
+              alive(m) = true; alive(l) = false; alive(r0) = false
+              if (prv(m) != -1) nxt(prv(m)) = m else head = m
+              if (nxt(m) != -1) prv(nxt(m)) = m
+              bornThisPass.add(m)
+              pushIfRanked(prv(m))
+              pushIfRanked(m)
+            }
+          }
+        }
+        skipped.foreach(pushIfRanked)
+      }
+    }
+    val sb = new StringBuilder
+    var node = head
+    while (node != -1) {
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(tok(node)); node = nxt(node)
+    }
+    sb.toString
   }
 
   /** Corpus vocabulary table (the tokenizer-prep artifact): per token,

@@ -399,6 +399,51 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == ((3L, 2L, md5hex("pq r"))))
   }
 
+  test("bpe fast encoder == reference replace-loop (800 generated cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Tight alphabet on purpose: overlapping occurrences ([a,a,a]),
+    // adjacent same-pair runs, and merge-created tokens re-entering the
+    // table must actually occur.
+    val base = Seq("a", "b", "c", "x")
+    val pool = base ++ (for (p <- base; q <- base) yield p + q) ++
+      Seq("abc", "abx", "aab", "bba")
+    val piecesGen = Gen.chooseNum(0, 24)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(base)))
+    val mergesGen = Gen.chooseNum(1, 12).flatMap(m =>
+      Gen.listOfN(m, Gen.zip(Gen.oneOf(pool), Gen.oneOf(pool))))
+    (1L to 800L).foreach { seed =>
+      val pieces = piecesGen
+        .pureApply(Gen.Parameters.default, Seed(seed)).toVector
+      val merges = mergesGen
+        .pureApply(Gen.Parameters.default, Seed(seed + 10000))
+        .distinct.toArray
+      val ref = TextOps.encodePiecesRef(pieces, merges)
+      val fast = TextOps.encodePiecesFast(pieces, merges)
+      assert(fast == ref,
+        s"seed $seed pieces=$pieces merges=${merges.toSeq}\n" +
+          s"ref =$ref\nfast=$fast")
+    }
+  }
+
+  test("bpe fast encoder implements PASS semantics, not one-at-a-time") {
+    // Crafted divergence: merging the first (a,b) then greedily chasing
+    // the best new pair would give "abxa b" (one-occurrence-at-a-time
+    // preemption); the reference's whole-pass replace-all merges BOTH
+    // (a,b) occurrences before (ab,x) ever applies, then (abx,a) finds
+    // its 'a' already consumed → "abx ab".
+    val pieces = Vector("a", "b", "x", "a", "b")
+    val merges = Array(("abx", "a"), ("ab", "x"), ("a", "b"))
+    assert(TextOps.encodePiecesRef(pieces, merges) == "abx ab")
+    assert(TextOps.encodePiecesFast(pieces, merges) == "abx ab")
+    // And the adjacent-occurrence skip: one pass merges occurrences 1
+    // and 3 of (a,b); the sandwiched occurrence 2 lost its delimiter
+    // and only merges on the NEXT iteration.
+    val run = Vector("a", "b", "a", "b", "a", "b")
+    assert(TextOps.encodePiecesRef(run, Array(("a", "b"))) == "ab ab ab")
+    assert(TextOps.encodePiecesFast(run, Array(("a", "b"))) == "ab ab ab")
+  }
+
   test("bpe encode fixture invariants: contraction, bounds, determinism") {
     val out = TextOps.bpeEncode(spark, SparkSpec.Sf001)
     assert(out.where($"n_tokens" > $"n_pieces" || $"n_tokens" < 0).isEmpty)
