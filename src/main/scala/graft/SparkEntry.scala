@@ -75,6 +75,9 @@ object SparkEntry {
     "q_ann_recall" -> ((s, d) => Similarity.lshRecallReport(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    // SemDeDup (r9): cluster-scoped semantic dedup — within-IVF-cell
+    // pairs at cosine >= eps drop their more-cluster-typical member
+    "q_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     // event-time aggregation (batch twins of the streaming queries)
     "q_event_windows" -> ((s, d) => Events.hourlyWindows(s, d)),
     // typed JSON property extraction (r8): single-parse from_json
@@ -536,7 +539,12 @@ object SparkEntry {
     * centroid vectors. Must track kmeansRefineOf exactly. Shared by
     * q_ann_ivf (in-query training) and q_ann_ivf_served (persisted
     * index) — identical results by construction. */
-  private lazy val annIvfSql: String =
+  /** Shared IVF prefix: deterministic hash-sample seed → KmIterations
+    * Lloyd rounds → final `cents` → every vector's `cells` assignment.
+    * annIvfSql's probe/score tail and semDedupSql's within-cell pair
+    * tail both sit on this one derivation, so the two operators cannot
+    * drift in how cells are trained or assigned. */
+  private lazy val ivfCellsCtes: String =
       s"""$EmbCte, kp AS (
          |  SELECT GREATEST(${Similarity.MinCentroids},
          |           CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
@@ -583,7 +591,10 @@ object SparkEntry {
          |  FROM n, cents
          |), cells AS (
          |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
-         |), probes AS (
+         |)""".stripMargin
+
+  private lazy val annIvfSql: String =
+      s"""$ivfCellsCtes, probes AS (
          |  SELECT vec_id AS q_id, cent_id AS cell FROM ranked
          |  WHERE crank <= ${Similarity.NumProbes} AND vec_id < ${Similarity.NumQueries}
          |), q AS (
@@ -603,6 +614,36 @@ object SparkEntry {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          |WHERE rank <= ${Similarity.TopK}""".stripMargin
+
+  /** Twin of Similarity.semDedup: the shared IVF cells prefix, then the
+    * within-cell pair sweep. cent_cos recomputes the argmax centroid's
+    * cosine through the SAME fold expression over the same operands the
+    * assignment ranked by, so the emitted double is bit-identical. */
+  private lazy val semDedupSql: String =
+      s"""$ivfCellsCtes, memb AS (
+         |  SELECT n.vec_id, cells.cell,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> cv[i] * v[i])) / (cnv * nv) AS cent_cos,
+         |         n.v, n.nv
+         |  FROM n
+         |  JOIN cells ON n.vec_id = cells.vec_id
+         |  JOIN cents ON cells.cell = cents.cent_id
+         |), spairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         a.cent_cos AS cc_a, b.cent_cos AS cc_b,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> a.v[i] * b.v[i])) / (a.nv * b.nv) AS cosine
+         |  FROM memb a JOIN memb b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |), losers AS (
+         |  SELECT DISTINCT CASE WHEN cc_a > cc_b
+         |           OR (cc_a = cc_b AND id_a > id_b) THEN id_a
+         |         ELSE id_b END AS vec_id
+         |  FROM spairs WHERE cosine >= ${Similarity.SemDedupEps}
+         |)
+         |SELECT m.vec_id, m.cell, m.cent_cos,
+         |       (l.vec_id IS NOT NULL) AS is_dropped
+         |FROM memb m LEFT JOIN losers l ON m.vec_id = l.vec_id""".stripMargin
 
   /** DuckDB literal for one LSH hyperplane (exact round-trip doubles). */
   private def planeSql(h: Int): String =
@@ -1208,6 +1249,7 @@ object SparkEntry {
     // means per (cell, dim), kN = empty-cell guard (keep previous),
     // cN = rebuilt centroid vectors. Must track kmeansRefineOf exactly.
     "q_ann_ivf" -> annIvfSql,
+    "q_semdedup" -> semDedupSql,
     // The served path answers from the SAME trained centroids with the
     // same tie-breaks, so it shares the twin verbatim.
     "q_ann_ivf_served" -> annIvfSql,

@@ -341,6 +341,69 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** SemDeDup near-identical threshold (ε): within-cell pairs at or
+    * above this cosine are duplicates; tuned so the fixture corpus has
+    * real drops at every SF (global near-dup pairs at 0.5 are rare —
+    * within-cell correlation makes 0.3 the working band). */
+  val SemDedupEps = 0.3
+
+  /** SemDeDup (Abbas et al., 2023): cluster-scoped SEMANTIC dedup — the
+    * k-means cells bound who is compared with whom, so pair volume is
+    * Θ(N²/k) spread over embarrassingly-parallel cells instead of the
+    * global N². Each vector is assigned to its trained IVF cell (the
+    * same deterministic build/assignment as [[topkCosineIvf]] — one
+    * shared derivation, oracle-identical); within a cell, every pair at
+    * cosine ≥ ε is a duplicate, and the member MORE typical of its
+    * cluster (higher centroid-cosine; tie → higher vec_id) drops while
+    * the atypical one survives — the paper's keep-lowest-centroid-
+    * similarity rule, which preserves cluster diversity where keep-any
+    * would collapse it. Emits every member with its cell, centroid
+    * cosine and the drop verdict (the corpus slimming is one
+    * `where(!is_dropped)` downstream).
+    *
+    * 100 TB note: with the ANN tier's k = √N the within-cell pair
+    * volume is N^1.5 — fine to ~10⁸ vectors, past that train MORE
+    * centroids (k = N/c* for a target cell size c*, making total work
+    * N·c*, linear); the rule and this plan shape are unchanged, only
+    * the k derivation moves. The banded-LSH [[embeddingNearDup]]
+    * remains the high-ε exact-near-dup path; SemDeDup is the semantic
+    * tier below it. */
+  def semDedup(spark: SparkSession, dir: String,
+               threshold: Double = SemDedupEps): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = trainedCentroidsOf(c)
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("cv"), col("v")) / (col("cnv") * col("nv"))).as("ccos"))
+      .withColumn("crank", row_number().over(byVec))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        col("ccos").as("cent_cos"))
+    val members = c.join(cells, "vec_id")
+      .select(col("vec_id"), col("cell"), col("cent_cos"), col("v"),
+        col("nv"))
+    val a = members.select(col("cell"), col("vec_id").as("id_a"),
+      col("cent_cos").as("cc_a"), col("v").as("va"), col("nv").as("na"))
+    val b = members.select(col("cell"), col("vec_id").as("id_b"),
+      col("cent_cos").as("cc_b"), col("v").as("vb"), col("nv").as("nb"))
+    val losers = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where((dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        >= threshold)
+      .select(
+        when(col("cc_a") > col("cc_b") ||
+            (col("cc_a") === col("cc_b") && col("id_a") > col("id_b")),
+          col("id_a"))
+          .otherwise(col("id_b")).as("vec_id"))
+      .distinct()
+    members.select(col("vec_id"), col("cell"), col("cent_cos"))
+      .join(losers.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_cos"),
+        coalesce(col("dropped"), lit(false)).as("is_dropped"))
+  }
+
   /** Neighbors kept per vector by [[knnJoin]]. */
   val KnnK = 3
 

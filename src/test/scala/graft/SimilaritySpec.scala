@@ -379,6 +379,32 @@ class SimilaritySpec extends SparkSpec {
       s"postings scan shows no partition pruning:\n$plan")
   }
 
+  test("semDedup: partition of the corpus, drop rule honored, real drops") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.semDedup(spark, SparkSpec.Sf001)
+    val n = spark.read.parquet(s"${SparkSpec.Sf001}/embeddings.parquet").count()
+    // Every vector verdict-ed exactly once.
+    assert(out.count() == n &&
+      out.select("vec_id").distinct().count() == n)
+    // The threshold does real work on the fixture, but never nukes the
+    // corpus (cluster-scoped dedup keeps a survivor per dup group).
+    val dropped = out.where(col("is_dropped")).count()
+    assert(dropped > 0 && dropped < n / 2,
+      s"semDedup dropped $dropped of $n at eps=${Similarity.SemDedupEps}")
+    // Survivor-per-cell: no cell with members loses ALL of them —
+    // within a cell the pairwise keep rule always leaves the member
+    // with the minimum (cent_cos, -vec_id) standing (it cannot lose
+    // any pairwise comparison).
+    val cellsWithAllDropped = out.groupBy(col("cell"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("d"))
+      .where(col("m") === col("d"))
+    assert(cellsWithAllDropped.isEmpty)
+    // Deterministic across recomputation (hash-sample seed + exact math).
+    val again = Similarity.semDedup(spark, SparkSpec.Sf001)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("hyperplanes are reproducible constants") {
     val w = Similarity.hyperplanes
     assert(w.length == Similarity.NumTables * Similarity.MaxTablePlanes &&
