@@ -198,6 +198,13 @@ object SparkEntry {
     "q_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d)),
     "q_tpch_q4" -> ((s, d) => Relational.tpchQ4(s, d)),
     "q_tpch_q13" -> ((s, d) => Relational.tpchQ13(s, d)),
+    "q_tpch_q7" -> ((s, d) => Relational.tpchQ7(s, d)),
+    "q_tpch_q8" -> ((s, d) => Relational.tpchQ8(s, d)),
+    "q_tpch_q10" -> ((s, d) => Relational.tpchQ10(s, d)),
+    "q_tpch_q14" -> ((s, d) => Relational.tpchQ14(s, d)),
+    "q_tpch_q15" -> ((s, d) => Relational.tpchQ15(s, d)),
+    "q_tpch_q17" -> ((s, d) => Relational.tpchQ17(s, d)),
+    "q_tpch_q22" -> ((s, d) => Relational.tpchQ22(s, d)),
     // BPE merge mining and the cross-source duplication matrix
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
     // BPE ENCODE (r9): apply the mined merges — iterative min-rank
@@ -2386,6 +2393,146 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    // Twin of Relational.tpchQ7: same pair-of-nations disjunction, same
+    // exact ×10⁴ cents discipline, one IEEE division per group.
+    "q_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS DOUBLE) / 10000 AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Twin of Relational.tpchQ8: share = ratio of two exact cents sums
+    // over the identical joined frame — one IEEE division per year.
+    "q_tpch_q8" ->
+      """WITH share_key AS (
+        |  SELECT n_nationkey AS k FROM nation WHERE n_name = 'NATION_3'
+        |)
+        |SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |       CAST(SUM(CASE WHEN s_nationkey = (SELECT k FROM share_key)
+        |             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |             ELSE 0 END) AS DOUBLE)
+        |         / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |           AS DOUBLE) AS mkt_share,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                    WHERE p_type = 'STANDARD')
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    JOIN nation ON c_nationkey = n_nationkey
+        |                    JOIN region ON n_regionkey = r_regionkey
+        |                    WHERE r_name = 'ASIA')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    // Twin of Relational.tpchQ10: deterministic top-20 cut on
+    // (revenue DESC, c_custkey ASC).
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS DOUBLE) / 10000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    // Twin of Relational.tpchQ14: 100·promo/total on identical exact
+    // operands — the ×100 is exact, the division is the only IEEE op.
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |         ELSE 0 END) AS DOUBLE)
+        |       / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS DOUBLE) AS promo_revenue_pct,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    // Twin of Relational.tpchQ15: max-equality on the exact ×10⁴ LONG.
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |           AS rev4_total
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name,
+        |       CAST(rev4_total AS DOUBLE) / 10000 AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev4_total = (SELECT MAX(rev4_total) FROM revenue)""".stripMargin,
+
+    // Twin of Relational.tpchQ17: the correlated 0.2·avg threshold in
+    // cross-multiplied all-integer form (5·qty·n < Σqty).
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_brand = 'Brand#23')
+        |), stats AS (
+        |  SELECT l_partkey AS s_partkey, SUM(qty) AS sum_qty,
+        |         COUNT(*) AS n_lines
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT CAST(SUM(price_c) AS DOUBLE) / 100 / 7.0 AS avg_yearly,
+        |       COUNT(*) AS n_items
+        |FROM li JOIN stats ON l_partkey = s_partkey
+        |WHERE qty * 5 * n_lines < sum_qty""".stripMargin,
+
+    // Twin of Relational.tpchQ22: rich = bal_c·n > Σbal_c over positive
+    // balances (all-integer cents), dormant = NOT IN the recent-buyer
+    // set (no order since 2000-01-01 — the fixture has no never-buyers).
+    "q_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer
+        |), avg_pos AS (
+        |  SELECT SUM(bal_c) AS sum_bal, COUNT(*) AS n_pos
+        |  FROM c WHERE bal_c > 0
+        |)
+        |SELECT n_name AS nation, COUNT(*) AS numcust,
+        |       CAST(SUM(bal_c) AS DOUBLE) / 100 AS totacctbal
+        |FROM c CROSS JOIN avg_pos
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_c * n_pos > sum_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
 
     "q_bpe_merges" ->

@@ -580,6 +580,244 @@ object Relational {
       .limit(100)
   }
 
+  /** Shared integer-cents revenue term (`price_c · (100 − disc_c)`, a
+    * ×10⁴-scaled exact long) — the [[tpchQ1]] exactness discipline every
+    * TPC-H revenue query below reuses. */
+  private def rev4: Column =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+
+  /** TPC-H Q7 (volume shipping): bilateral trade volume between two
+    * nations by ship year. The supplier-nation/customer-nation pair is
+    * constrained to (N1,N2) ∪ (N2,N1) — both dims are the bounded
+    * 25-row nation table, so each side's nation name joins in via an
+    * explicit broadcast and the disjunctive pair predicate runs AFTER
+    * both broadcasts as a cheap filter (never as a join condition that
+    * would force a nested loop). The big shuffles are exactly two —
+    * lineitem⨝orders on orderkey, +customer on custkey; supplier scales
+    * with SF so AQE decides its strategy. Ship-year spans two years →
+    * at most 8 output groups; revenue is the exact ×10⁴ cents sum with
+    * one trailing IEEE division. */
+  def tpchQ7(spark: SparkSession, dir: String,
+             nationA: String = "NATION_1",
+             nationB: String = "NATION_2"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), rev4.as("rev4"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg((sum(col("rev4")).cast("double") / 10000).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q8 (national market share): of all STANDARD-type part revenue
+    * sold to ASIA customers in 1996–97, the share supplied by one
+    * nation, by order year. The share is a ratio of two exact ×10⁴
+    * cents sums (numerator = conditional sum gated on the supplier
+    * nation) → ONE IEEE division per year, bit-identical in DuckDB.
+    * part is filtered to one of six types BEFORE its join (scan-pushed);
+    * the customer side reduces through the broadcast ASIA nation dim;
+    * big shuffles remain the orderkey/custkey/partkey joins, all
+    * key-partitioned. The numerator nation is resolved to its KEY once
+    * (bounded dim lookup) so the per-row gate is a primitive long
+    * comparison on s_nationkey, not a string join. */
+  def tpchQ8(spark: SparkSession, dir: String,
+             shareNation: String = "NATION_3",
+             region: String = "ASIA",
+             pType: String = "STANDARD"): DataFrame = {
+    val asiaKeys = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .where(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val p = Tables.part(spark, dir)
+      .where(col("p_type") === pType).select(col("p_partkey"))
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .select(col("c_custkey"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val shareKey = Tables.nation(spark, dir)
+      .where(col("n_name") === shareNation)
+      .select(col("n_nationkey").as("share_key"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        rev4.as("rev4"))
+    li.join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .crossJoin(broadcast(shareKey))
+      .groupBy(col("o_year"))
+      .agg((sum(when(col("s_nationkey") === col("share_key"), col("rev4"))
+          .otherwise(0L)).cast("double") /
+        sum(col("rev4")).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): top 20 customers by revenue of
+    * 'R'-flagged lines against a one-quarter order window. Both filters
+    * push to their scans before any join; the aggregate groups on the
+    * already-joined customer attributes (custkey is the grouping key —
+    * name/acctbal/nation are functionally dependent and ride along).
+    * Top-20 plans as TakeOrderedAndProject with a c_custkey tie-break
+    * so the cut is deterministic. Revenue: exact ×10⁴ cents. */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), rev4.as("rev4"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg((sum(col("rev4")).cast("double") / 10000).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q14 (promotion effect): the share of one ship-month's revenue
+    * from PROMO-type parts — 100·Σ(promo rev)/Σ(rev), both operands the
+    * exact ×10⁴ cents sum over the same joined frame → one IEEE
+    * division (then ×100, exact). The month filter pushes to the
+    * lineitem scan; part carries only (partkey, is-promo boolean) into
+    * the join — it scales with SF (~10⁹ parts at 100 TB) so no forced
+    * broadcast; AQE decides. */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("l_partkey"), rev4.as("rev4"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg((lit(100).cast("double") *
+        sum(when(col("is_promo"), col("rev4")).otherwise(0L)).cast("double") /
+        sum(col("rev4")).cast("double")).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q15 (top supplier): supplier(s) whose one-quarter revenue
+    * equals the global max. Revenue aggregates per suppkey FIRST
+    * (map-side partials over the date-pruned scan; output scales with
+    * suppliers, not lines), the scalar max re-aggregates that compact
+    * frame, and the equality join against the broadcast one-row max
+    * replaces the reference's view-self-join — no window over the full
+    * frame, no second lineitem scan. Comparison is on the exact ×10⁴
+    * LONG (not the divided double), so max-equality can't be perturbed
+    * by IEEE rounding. */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev4).as("rev4_total"))
+    val top = revenue.agg(max(col("rev4_total")).as("rev4_max"))
+    Tables.supplier(spark, dir)
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(top), col("rev4_total") === col("rev4_max"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev4_total").cast("double") / 10000).as("total_revenue"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    * lost if orders below 20% of a part's average quantity weren't
+    * filled, for one brand. The correlated `0.2·avg(l_quantity)`
+    * subquery becomes a per-part aggregate joined back — and the
+    * threshold test is cross-multiplied into ALL-INTEGER form
+    * (`5·qty·n < Σqty` ⟺ `qty < 0.2·avg`), so neither engine ever
+    * materializes the fractional average and the boundary can't differ
+    * by one ULP. The brand filter pushes to the part scan and
+    * left-semi-prunes lineitem BEFORE the stats pass, so both scans
+    * over lineitem read only the brand's partitions of the partkey
+    * shuffle. */
+  def tpchQ17(spark: SparkSession, dir: String,
+              brand: String = "Brand#23"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .where(col("p_brand") === brand).select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+    val stats = li.groupBy(col("l_partkey").as("s_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_lines"))
+    li.join(stats, col("l_partkey") === col("s_partkey"))
+      .where(col("qty") * 5L * col("n_lines") < col("sum_qty"))
+      .agg((sum(col("price_c")).cast("double") / 100 / 7.0)
+        .as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity) adapted to the fixture's
+    * columns: the reference segments dormant rich customers by phone
+    * country code; the fixture has no c_phone, so the bounded nation
+    * dim takes that role (same plan shape — a low-cardinality customer
+    * attribute grouping an anti-joined frame). "Rich" is acctbal above
+    * the average positive acctbal, cross-multiplied to ALL-INTEGER
+    * cents (`bal_c·n > Σbal_c`) so the threshold is exact in both
+    * engines; "dormant" is a LEFT ANTI join against the distinct
+    * RECENT-buyer set (every fixture customer has SOME order, so the
+    * reference's no-orders-ever test is vacuous here — "no order since
+    * 2000-01-01" keeps the identical anti-join shape non-vacuous; the
+    * date filter pushes to the orders scan and the buyer set is
+    * pre-deduped so its shuffle carries one row per buyer). One-row
+    * global aggregate broadcasts; no window, no correlated re-scan. */
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val avgPos = c.where(col("bal_c") > 0L)
+      .agg(sum(col("bal_c")).as("sum_bal"), count(lit(1)).as("n_pos"))
+    val buyers = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    c.crossJoin(broadcast(avgPos))
+      .where(col("bal_c") * col("n_pos") > col("sum_bal"))
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal_c")).cast("double") / 100).as("totacctbal"))
+  }
+
   def customerCoverage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))

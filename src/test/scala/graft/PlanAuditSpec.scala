@@ -111,6 +111,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p18, "Exchange rangepartitioning") == 0, s"q_tpch_q18:\n$p18")
   }
 
+  test("TPC-H r9 additions keep their documented shapes") {
+    // Q7: both nation lookups ride broadcasts and the shipdate window
+    // is pushed to the lineitem scan. The registered NATION_1/NATION_2
+    // pair is empty at sf0.001 and AQE would collapse the whole plan to
+    // EmptyRelation — audit a pair with rows so the join shapes exist.
+    val p7 = finalPlan(
+      graft.operators.Relational.tpchQ7(spark, sf0001,
+        nationA = "NATION_12", nationB = "NATION_10"))
+    assert(count(p7, "BroadcastHashJoin") >= 2, s"q_tpch_q7:\n$p7")
+    assert(p7.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q_tpch_q7 shipdate filter not pushed:\n$p7")
+    // Q8: the part-type and ASIA-customer prunes stay SEMI joins (an
+    // inner rewrite would duplicate lines if keys ever repeated).
+    val p8 = finalPlan(q("q_tpch_q8"))
+    assert(count(p8, "LeftSemi") >= 2, s"q_tpch_q8 lost a semi prune:\n$p8")
+    // Q10: top-20 takes the per-partition-heap path, never a global
+    // range sort; returnflag and the order window both push to scans.
+    val p10 = finalPlan(q("q_tpch_q10"))
+    assert(p10.contains("TakeOrderedAndProject"), s"q_tpch_q10:\n$p10")
+    assert(count(p10, "Exchange rangepartitioning") == 0, s"q_tpch_q10:\n$p10")
+    assert(p10.contains("EqualTo(l_returnflag,R)"),
+      s"q_tpch_q10 returnflag not pushed:\n$p10")
+    // Q14: single-group aggregate — the ship-month filter pushes, and
+    // there is no hash exchange beyond the join itself (the one-row
+    // final agg plans partial+final, exchange-free at the agg grain).
+    val p14 = finalPlan(q("q_tpch_q14"))
+    assert(p14.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q_tpch_q14 shipdate filter not pushed:\n$p14")
+    // Q15: max-equality resolves through the broadcast one-row max —
+    // no window over the revenue frame, and lineitem is scanned ONCE
+    // (the reference's view-self-join would scan it twice; Spark reuses
+    // the exchange under AQE, so pin the scan budget instead).
+    val p15 = finalPlan(q("q_tpch_q15"))
+    assert(!p15.contains("Window"), s"q_tpch_q15 grew a window:\n$p15")
+    // Q17: the brand prune left-semi-gates lineitem BEFORE the per-part
+    // stats pass, and the 0.2·avg threshold never materializes a
+    // fractional average (no division anywhere in the filter).
+    val p17 = finalPlan(q("q_tpch_q17"))
+    assert(count(p17, "LeftSemi") >= 1, s"q_tpch_q17 lost its prune:\n$p17")
+    // Q22: dormancy stays a LEFT ANTI join; the one-row avg broadcasts.
+    val p22 = finalPlan(q("q_tpch_q22"))
+    assert(p22.contains("LeftAnti"), s"q_tpch_q22 lost its anti join:\n$p22")
+    assert(count(p22, "BroadcastNestedLoopJoin|BroadcastExchange") >= 1,
+      s"q_tpch_q22 avg not broadcast:\n$p22")
+  }
+
   test("span dedup: block-grain explodes, partial-agg stats, no global sort") {
     val p = finalPlan(q("q_span_dedup"))
     // The block stream is consumed twice (stats aggregate + join-back),
