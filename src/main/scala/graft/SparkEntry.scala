@@ -186,6 +186,10 @@ object SparkEntry {
     "q_dq_report" -> ((s, d) => Curation.dqReport(s, d)),
     // unigram-LM fluency, one-pass multi-grain rollup, running totals
     "q_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    // Ranked retrieval (r9): BM25 lexical top-k and reciprocal-rank-
+    // fusion hybrid search (BM25 arm + embedding-cosine arm).
+    "q_bm25" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    "q_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "q_corpus_rollup" -> ((s, d) => TextOps.corpusRollup(s, d)),
     "q_event_cumulative" -> ((s, d) => Events.cumulativeUserValue(s, d)),
     // outer-join semantics (semi + anti complements in one report)
@@ -2208,6 +2212,134 @@ object SparkEntry {
          |            THEN CAST(lm_mass AS DOUBLE) / n_tokens / total_tokens
          |            ELSE CAST(0.0 AS DOUBLE) END AS mean_token_prob
          |FROM tot""".stripMargin,
+
+    // Twin of Retrieval.bm25TopK: every constant is CAST(... AS DOUBLE)
+    // (bare DuckDB decimal literals would pull the arithmetic into
+    // DECIMAL, off the IEEE path Spark computes on); the per-(doc,term)
+    // contribution is micro-unit fixed-point rounded BEFORE the per-doc
+    // sum so the aggregate is an order-insensitive exact-long sum.
+    "q_bm25" ->
+      s"""$ToksCte, stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(t)) AS BIGINT) AS sum_dl
+         |  FROM toks
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+         |), occ AS (
+         |  SELECT doc_id, unnest(t) AS tok FROM toks
+         |), tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM occ WHERE tok IN ${inList(Retrieval.DefaultQuery)}
+         |  GROUP BY 1, 2
+         |), dfq AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), contrib AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round((
+         |             ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |               / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |           * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |               / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |                  * (CAST(0.25 AS DOUBLE)
+         |                     + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+         |                       / (CAST(sum_dl AS DOUBLE)
+         |                          / CAST(n_docs AS DOUBLE)))))
+         |           ) * ${Retrieval.ScoreScale}) AS BIGINT) AS contrib_fp
+         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfq ON tf.tok = dfq.tok
+         |  CROSS JOIN stats
+         |), scored AS (
+         |  SELECT doc_id, SUM(contrib_fp) AS score_fp,
+         |         CAST(COUNT(*) AS BIGINT) AS n_terms
+         |  FROM contrib GROUP BY 1
+         |)
+         |SELECT doc_id, n_terms,
+         |       CAST(score_fp AS DOUBLE) / ${Retrieval.ScoreScale} AS bm25,
+         |       CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |        ORDER BY score_fp DESC, doc_id ASC) AS rank FROM scored)
+         |WHERE rank <= ${Retrieval.FinalK}""".stripMargin,
+
+    // Twin of Retrieval.hybridRrf: both arms cut to their top-CandidateK
+    // lists, rank within the compact lists, FULL OUTER fuse on
+    // doc_id ≡ vec_id, rrf = Σ CAST(1.0 AS DOUBLE)/(60+rank) over
+    // present arms (absent rank crosses as 0).
+    "q_hybrid_rrf" ->
+      s"""$EmbCte, toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+         |  FROM documents
+         |), stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(t)) AS BIGINT) AS sum_dl
+         |  FROM toks
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+         |), occ AS (
+         |  SELECT doc_id, unnest(t) AS tok FROM toks
+         |), tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM occ WHERE tok IN ${inList(Retrieval.DefaultQuery)}
+         |  GROUP BY 1, 2
+         |), dfq AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), contrib AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round((
+         |             ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |               / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |           * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |               / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |                  * (CAST(0.25 AS DOUBLE)
+         |                     + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+         |                       / (CAST(sum_dl AS DOUBLE)
+         |                          / CAST(n_docs AS DOUBLE)))))
+         |           ) * ${Retrieval.ScoreScale}) AS BIGINT) AS contrib_fp
+         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfq ON tf.tok = dfq.tok
+         |  CROSS JOIN stats
+         |), lex_scored AS (
+         |  SELECT doc_id, SUM(contrib_fp) AS score_fp
+         |  FROM contrib GROUP BY 1
+         |), lexr AS (
+         |  SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (
+         |      ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
+         |    FROM lex_scored)
+         |  WHERE lex_rank <= ${Retrieval.CandidateK}
+         |), q AS (
+         |  SELECT v AS qv, nv AS nq FROM n WHERE vec_id = 0
+         |), vec_scored AS (
+         |  SELECT n.vec_id,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM n, q WHERE n.vec_id <> 0
+         |), vecr AS (
+         |  SELECT vec_id, vec_rank FROM (
+         |    SELECT vec_id, ROW_NUMBER() OVER (
+         |      ORDER BY cosine DESC, vec_id ASC) AS vec_rank
+         |    FROM vec_scored)
+         |  WHERE vec_rank <= ${Retrieval.CandidateK}
+         |), fused AS (
+         |  SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+         |         coalesce(l.lex_rank, 0) AS lex_rank,
+         |         coalesce(v.vec_rank, 0) AS vec_rank
+         |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id
+         |), rr AS (
+         |  SELECT doc_id, lex_rank, vec_rank,
+         |         (CASE WHEN lex_rank > 0
+         |               THEN CAST(1.0 AS DOUBLE) / (${Retrieval.RrfK} + lex_rank)
+         |               ELSE CAST(0.0 AS DOUBLE) END)
+         |       + (CASE WHEN vec_rank > 0
+         |               THEN CAST(1.0 AS DOUBLE) / (${Retrieval.RrfK} + vec_rank)
+         |               ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+         |  FROM fused
+         |)
+         |SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+         |       CAST(vec_rank AS INT) AS vec_rank, rrf,
+         |       CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |        ORDER BY rrf DESC, doc_id ASC) AS rank FROM rr)
+         |WHERE rank <= ${Retrieval.FinalK}""".stripMargin,
 
     "q_corpus_rollup" ->
       s"""$ToksCte

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Ranked retrieval over the document corpus: BM25 lexical scoring and
+  * reciprocal-rank-fusion (RRF) hybrid search combining the lexical
+  * ranking with embedding-cosine ranking — the serving-side counterpart
+  * of the corpus-preparation tier (dedup/curation build the corpus;
+  * these operators query it).
+  *
+  * North-star scope (BASELINE.json "similarity search" + "text
+  * analysis"); the reference itself has no retrieval surface
+  * (`cloud_composer/datapipeline_gcp.py` declares only SQL rollups), so
+  * the design is Spark-first throughout.
+  *
+  * Determinism discipline: BM25's per-(doc,term) contribution is a
+  * chain of IEEE ops on bit-identical operands in both engines (exact
+  * long tf/dl/df/N, literal constants, identical association), then
+  * FIXED-POINT rounded to a micro-unit long BEFORE the per-doc sum —
+  * sums of exact longs are order-insensitive, so the aggregate crosses
+  * the oracle boundary hash-exact (the same trick as the TPC-H
+  * integer-cents revenue). The classic ln() idf is replaced by its
+  * rational core (N−df+0.5)/(df+0.5) — ln is not guaranteed correctly
+  * rounded across libm implementations (same deviation as tf-idf's
+  * N/df, TextOps.scala §tfidf) and the rational form is monotone in it,
+  * so rankings for a fixed query are preserved while every value stays
+  * engine-portable. Side effect (documented, accepted): unlike ln-idf
+  * this variant never goes negative for df > N/2 terms.
+  */
+object Retrieval {
+
+  /** BM25 constants — literal doubles written identically in the SQL
+    * twins so both engines parse the same IEEE values. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Default query: mid-df corpus terms (the fixture vocabulary is
+    * synthetic Spark-ese). */
+  val DefaultQuery: Seq[String] = Seq("spark", "hash", "join")
+
+  /** Fixed-point scale for score micro-units. */
+  val ScoreScale = 1000000L
+
+  /** Per-list candidate depth for fusion and the final cut. RRF fuses
+    * bounded CANDIDATE LISTS, not full rankings — the 100 TB shape:
+    * each arm reduces to its own top-R via heap-path TakeOrdered /
+    * salted top-k, and only the ≤2R-row fused frame ever sees a
+    * window. */
+  val CandidateK = 100
+  val FinalK = 25
+
+  /** RRF smoothing constant (the standard k=60 from Cormack et al.'s
+    * original formulation). */
+  val RrfK = 60
+
+  /** Per-(doc, term) BM25 contributions for `terms`, joined against the
+    * per-doc length and the broadcast one-row corpus stats. The token
+    * stream is filtered to the bounded query vocabulary BEFORE its
+    * (doc, term) aggregate, so the tf shuffle carries only matching
+    * occurrences (at 100 TB: |terms| postings lists, never the corpus);
+    * df re-aggregates the compact tf frame and broadcasts (≤ |terms|
+    * rows). dl/avgdl come from one map-only stats pass over documents
+    * (no second explode — `size(tokens)` avoids materializing the
+    * array per row twice). */
+  private def bm25Contribs(spark: SparkSession, dir: String,
+                           terms: Seq[String]): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val occ = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_dl"))
+    val tf = occ.where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok").as("df_tok"))
+      .agg(count(lit(1)).as("df"))
+    // Identical association to the SQL twin, term by term:
+    //   idf  = (n_docs - df + 0.5) / (df + 0.5)
+    //   tfn  = (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+    //   avgdl = CAST(sum_dl AS DOUBLE) / n_docs
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), col("tok") === col("df_tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        round((idf * tfn) * ScoreScale).cast("long").as("contrib_fp"))
+  }
+
+  /** BM25 top-k: exact-long micro-unit scores summed per doc, global
+    * top-[[FinalK]] cut on (score desc, doc_id asc). The limit plans as
+    * TakeOrderedAndProject (per-partition heaps over the ≤|matching
+    * docs| scored frame); the rank window runs AFTER the cut, over ≤ k
+    * rows. */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = DefaultQuery,
+               k: Int = FinalK): DataFrame = {
+    val scored = bm25Contribs(spark, dir, terms)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_fp")).as("score_fp"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_fp").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("n_terms"),
+        (col("score_fp").cast("double") / ScoreScale).as("bm25"),
+        col("rank"))
+  }
+
+  /** One arm's top-R candidate ranking: heap-path cut first, then a
+    * row_number over the resulting ≤R-row frame (the window never sees
+    * the full scored corpus). */
+  private def rankedTopR(scored: DataFrame, scoreCol: Column,
+                         idCol: Column, r: Int): DataFrame =
+    scored.orderBy(scoreCol.desc, idCol.asc).limit(r)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(scoreCol.desc, idCol.asc)))
+
+  /** Reciprocal-rank-fusion hybrid search: the BM25 arm for `terms`
+    * fused with the embedding-cosine arm for query vector `queryVecId`
+    * (fixture correspondence: vec_id ≡ doc_id, FIXTURES.md). Each arm
+    * reduces to its own top-[[CandidateK]] list, ranks within the
+    * compact list, and the full-outer fused frame scores
+    * Σ 1/(60+rank) over the arms a doc appears in — absent-arm rank
+    * crosses the boundary as 0. The rrf quotients are divisions of
+    * exact small ints → bit-identical doubles, and the two-term sum has
+    * fixed expression order, so the fused score is engine-exact without
+    * fixed-point help. Scale: the vector arm is one broadcast-query
+    * pass over the corpus (the bounded-query-side shape of
+    * [[Similarity.topkCosine]]); swap in the IVF/LSH arm for >10⁸
+    * vectors — the fusion tail is rank-only and doesn't change. */
+  def hybridRrf(spark: SparkSession, dir: String,
+                terms: Seq[String] = DefaultQuery,
+                queryVecId: Long = 0L,
+                k: Int = FinalK): DataFrame = {
+    val lex = rankedTopR(
+      bm25Contribs(spark, dir, terms)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib_fp")).as("score_fp")),
+      col("score_fp"), col("doc_id"), CandidateK)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val c = Similarity.normalizedCorpus(spark, dir)
+    val q = c.where(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("nv").as("nq"))
+    val scoredVec = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        (call_function("dot_d", col("qv"), col("v")) /
+          (col("nq") * col("nv"))).as("cosine"))
+    val vec = rankedTopR(scoredVec, col("cosine"), col("vec_id"), CandidateK)
+      .select(col("vec_id"), col("rank").as("vec_rank"))
+    val fused = lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"))
+      .withColumn("rrf",
+        when(col("lex_rank") > 0, lit(1.0) / (lit(RrfK) + col("lex_rank")))
+          .otherwise(lit(0.0)) +
+        when(col("vec_rank") > 0, lit(1.0) / (lit(RrfK) + col("vec_rank")))
+          .otherwise(lit(0.0)))
+    rankedTopR(fused, col("rrf"), col("doc_id"), k)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        col("rrf"), col("rank"))
+  }
+}
