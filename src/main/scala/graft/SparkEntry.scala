@@ -209,6 +209,9 @@ object SparkEntry {
     "q_tpch_q15" -> ((s, d) => Relational.tpchQ15(s, d)),
     "q_tpch_q17" -> ((s, d) => Relational.tpchQ17(s, d)),
     "q_tpch_q22" -> ((s, d) => Relational.tpchQ22(s, d)),
+    // Bloom-pruned join (r9): explicit runtime-filter semi-reduction;
+    // result identical to the plain join at any fpp by construction.
+    "q_bloom_join" -> ((s, d) => Joins.bloomJoinRevenue(s, d)),
     // BPE merge mining and the cross-source duplication matrix
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMergeCandidates(s, d)),
     // BPE ENCODE (r9): apply the mined merges — iterative min-rank
@@ -2525,6 +2528,23 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    // Twin of Joins.bloomJoinRevenue — deliberately the PLAIN join: the
+    // bloom prune is a semi-reduction that cannot change the result
+    // (false positives are dropped by the exact join), so the oracle
+    // proves fpp-independence rather than mirroring the sketch.
+    "q_bloom_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS DOUBLE) / 10000 AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
 
     // Twin of Relational.tpchQ7: same pair-of-nations disjunction, same

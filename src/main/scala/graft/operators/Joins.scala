@@ -105,6 +105,76 @@ object Joins {
       .drop("bucket_")
   }
 
+  /** Bloom-pruned join: build a bounded-size Bloom filter over the
+    * SMALL side's join key, pre-filter the BIG side with Spark's own
+    * codegen'd `BloomFilterMightContain` probe, then join normally.
+    *
+    * The 100 TB shape this encodes: when the small side is too large to
+    * broadcast but far smaller than the fact (10⁷ filtered orders vs
+    * 10¹¹ lineitems), a plain shuffle join moves the ENTIRE fact; the
+    * bloom probe drops non-matching fact rows AT THE SCAN (map-side,
+    * inside whole-stage codegen) so the shuffle carries only candidate
+    * rows + the fpp tail. Spark's optimizer injects exactly this filter
+    * at runtime when its heuristics fire
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`); this operator makes
+    * it explicit and deterministic for standing pipelines — and the
+    * sketch (`-expectedItems·ln(fpp)/ln²2` bits — ~1.1 MB at 10⁶ keys /
+    * 3%) is bounded by its parameters, never by data volume, the same
+    * driver-bounded-probe class as the JDBC partition bounds.
+    *
+    * Correctness is fpp-independent: a false positive only ships a row
+    * INTO the join, which the exact equi-join then drops — so the
+    * result (and its oracle) is identical to the plain join, at any
+    * fpp. Keys are xxhash64-normalized on BOTH sides (one codegen'd
+    * hash), which generalizes to composite keys; a hash collision is
+    * just another false positive.
+    *
+    * @param expectedItems sizing hint for the sketch (small-side
+    *        distinct keys; over-sizing costs bits, under-sizing costs
+    *        fpp, never correctness) */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame,
+                      bigKeys: Seq[String], smallKeys: Seq[String],
+                      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val spark = big.sparkSession
+    graft.expressions.BloomProbe.register(spark)
+    val bf = small
+      .select(xxhash64(smallKeys.map(col): _*).as("kh"))
+      .stat.bloomFilter("kh", expectedItems, fpp)
+    val bytes = graft.expressions.BloomProbe.serialize(bf)
+    val pruned = big.where(call_function("bloom_might_contain",
+      lit(bytes), xxhash64(bigKeys.map(col): _*)))
+    pruned.join(small,
+      bigKeys.zip(smallKeys).map { case (a, b) => col(a) === col(b) }
+        .reduce(_ && _))
+  }
+
+  /** The fixture instance: one ship-month's lineitems against the
+    * (SF-scaling, so not broadcast-safe by contract) urgent-priority
+    * order set — revenue by priority. The bloom on o_orderkey prunes
+    * the lineitem scan before the orderkey shuffle; the oracle is the
+    * PLAIN join (bloom is invisible in the result by construction). */
+  def bloomJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev4"))
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    // Sizing: footer-metadata count of the filtered small side would
+    // need a pass; the orders row count scales the urgent fifth, so a
+    // generous static hint keeps the sketch one-shot (over-sizing only
+    // costs bits: 2^21 items @ 3% ≈ 1.9 MB).
+    bloomPrunedJoin(li, o, Seq("l_orderkey"), Seq("o_orderkey"),
+      expectedItems = 1L << 21)
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(col("rev4")).cast("double") / 10000).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** The fixture instance: same-user event pairs within 5 minutes,
     * rolled up by (a.event_type, b.event_type). */
   def rangePairs(spark: SparkSession, dir: String): DataFrame = {

@@ -66,4 +66,27 @@ class JoinsPropertySpec extends SparkSpec {
         s"seed $seed")
     }
   }
+
+  test("bloom-pruned join: result identical to the plain join, probe in plan") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, sf0001)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // A deliberately UNDERSIZED sketch (worst realistic case: fpp way
+    // above nominal) must still give the identical result — correctness
+    // is fpp-independent by construction.
+    for (items <- Seq(1L << 16, 64L)) {
+      val pruned = graft.operators.Joins.bloomPrunedJoin(
+        li, o, Seq("l_orderkey"), Seq("o_orderkey"), expectedItems = items)
+      assert(pruned.exceptAll(plain).isEmpty &&
+        plain.exceptAll(pruned).isEmpty, s"items=$items")
+    }
+    val p = graft.operators.Joins.bloomPrunedJoin(
+      li, o, Seq("l_orderkey"), Seq("o_orderkey"), 1L << 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$p")
+  }
 }
