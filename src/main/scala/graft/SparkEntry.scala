@@ -190,6 +190,10 @@ object SparkEntry {
     // fusion hybrid search (BM25 arm + embedding-cosine arm).
     "q_bm25" -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "q_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    // SymSpell fuzzy vocab matching (r9): deletion-neighborhood
+    // blocking + exact levenshtein verify; the oracle is brute-force
+    // all-pairs, so equality proves the blocking lost nothing.
+    "q_fuzzy_vocab" -> ((s, d) => TextOps.fuzzyVocabPairs(s, d)),
     "q_corpus_rollup" -> ((s, d) => TextOps.corpusRollup(s, d)),
     "q_event_cumulative" -> ((s, d) => Events.cumulativeUserValue(s, d)),
     // outer-join semantics (semi + anti complements in one report)
@@ -2215,6 +2219,22 @@ object SparkEntry {
          |            THEN CAST(lm_mass AS DOUBLE) / n_tokens / total_tokens
          |            ELSE CAST(0.0 AS DOUBLE) END AS mean_token_prob
          |FROM tot""".stripMargin,
+
+    // Twin of TextOps.fuzzyVocabPairs — deliberately BRUTE FORCE
+    // all-pairs over the vocab: matching it proves the deletion-
+    // neighborhood blocking found every pair (the SymSpell
+    // completeness theorem, validated not assumed). levenshtein is
+    // built-in classic Wagner-Fischer in both engines.
+    "q_fuzzy_vocab" ->
+      s"""$ToksCte, v AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+         |)
+         |SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |       CAST(levenshtein(a.tok, b.tok) AS INT) AS lev,
+         |       a.n AS n_a, b.n AS n_b
+         |FROM v a, v b
+         |WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2""".stripMargin,
 
     // Twin of Retrieval.bm25TopK: every constant is CAST(... AS DOUBLE)
     // (bare DuckDB decimal literals would pull the arithmetic into

@@ -844,6 +844,73 @@ object TextOps {
     * vocabulary needs a single-task global sort — the consumer sorts
     * its own (small) slice, or [[bpeMergeCandidates]]-style salted
     * top-k takes the head. */
+  /** SymSpell-style fuzzy vocabulary matching: all DISTINCT token pairs
+    * within Levenshtein distance ≤ `maxDist` (default 2), found by
+    * deletion-neighborhood blocking + exact verify — the spelling-
+    * variant / typo-normalization primitive of corpus cleanup.
+    *
+    * Blocking: each vocab token emits its ≤-`maxDist`-deletion
+    * neighborhood (itself, every 1-char deletion, every 2-char
+    * deletion — ≤ 1+L+C(L,2) keys, all declarative HOFs); two tokens
+    * within edit distance d ALWAYS share a neighborhood key (the
+    * SymSpell theorem), so the equi-self-join on key sees every true
+    * pair and `levenshtein` (built-in in BOTH engines — classic
+    * Wagner-Fischer, integer, engine-identical) removes the false
+    * candidates exactly. The ORACLE is the brute-force all-pairs
+    * quadratic — equality with it IS the proof that blocking lost
+    * nothing (the same find-then-verify discipline as minhash LSH vs
+    * `q_ngram_jaccard`).
+    *
+    * Scale shape: work is VOCAB-grain, not corpus-grain — the token
+    * stream collapses to distinct terms (sublinear in corpus) before
+    * any neighborhood expands, candidates meet in an equi-join keyed by
+    * deletion string (never all-pairs). Envelope: short deletion keys
+    * of very short tokens make hot buckets (a 1-char key can match the
+    * whole ≤3-char vocab slice); at web-scale vocabularies apply the
+    * simhash64 cap+quarantine pattern (§8.8) to keys below ~3 chars or
+    * raise the min token length — the fixture's 31-term vocab doesn't
+    * need it, and the cap would change results, so it ships OFF. */
+  def fuzzyVocabPairs(spark: SparkSession, dir: String,
+                      maxDist: Int = 2): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      "deletion neighborhoods implemented for maxDist 1 and 2")
+    val docs = Tables.documents(spark, dir)
+    val vocab = Spread(docs)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // two consumers (keys + both count join-backs)
+    // Guard: sequence(1, 0) runs DESCENDING in Spark, so the pair
+    // generator must be gated on length >= 2, not left to an empty
+    // range.
+    val del2 = if (maxDist >= 2)
+      """CASE WHEN length(tok) >= 2 THEN
+        |  flatten(transform(sequence(1, length(tok) - 1), i ->
+        |    transform(sequence(i + 1, length(tok)), j ->
+        |      concat(substring(tok, 1, i - 1),
+        |             substring(tok, i + 1, j - i - 1),
+        |             substring(tok, j + 1, length(tok))))))
+        |ELSE array() END""".stripMargin
+    else "CAST(array() AS ARRAY<STRING>)"
+    val keys = vocab.select(col("tok"),
+      explode(array_distinct(concat(
+        array(col("tok")),
+        expr("""transform(sequence(1, length(tok)), i ->
+               |  concat(substring(tok, 1, i - 1),
+               |         substring(tok, i + 1, length(tok))))""".stripMargin),
+        expr(del2)))).as("key"))
+    val a = keys.select(col("tok").as("tok_a"), col("key"))
+    val b = keys.select(col("tok").as("tok_b"), col("key"))
+    a.join(b, Seq("key"))
+      .where(col("tok_a") < col("tok_b"))
+      .select(col("tok_a"), col("tok_b")).distinct()
+      .withColumn("lev", levenshtein(col("tok_a"), col("tok_b")))
+      .where(col("lev") <= maxDist)
+      .join(vocab.select(col("tok").as("tok_a"), col("n").as("n_a")), "tok_a")
+      .join(vocab.select(col("tok").as("tok_b"), col("n").as("n_b")), "tok_b")
+      .select(col("tok_a"), col("tok_b"), col("lev"),
+        col("n_a"), col("n_b"))
+  }
+
   def vocabulary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val postings = Spread(docs)

@@ -62,4 +62,39 @@ class RetrievalSpec extends SparkSpec {
     val scores = rows.map(_.getAs[Double]("rrf"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("fuzzy vocab: blocking == brute force on a crafted typo corpus") {
+    import spark.implicits._
+    // Engineered edit-distance structure: deletions, substitutions,
+    // transpositions (lev 2), a 1-char token, and an unrelated word.
+    val dir = tmpDir("fuzzy_corpus")
+    Seq(
+      (0L, "spark sprk spork park sparkle", "en", "web", 29L),
+      (1L, "ab ba a zzzz spark", "en", "web", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.fuzzyVocabPairs(spark, dir)
+      .select("tok_a", "tok_b", "lev").as[(String, String, Int)]
+      .collect().toSet
+    // Brute force over the same vocab — the SymSpell completeness
+    // theorem, validated in-engine (the oracle row validates it
+    // cross-engine on the fixture).
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+    val brute = vocab.as("x").crossJoin(vocab.as("y"))
+      .where(col("x.tok") < col("y.tok"))
+      .select(col("x.tok"), col("y.tok"),
+        levenshtein(col("x.tok"), col("y.tok")).as("lev"))
+      .where(col("lev") <= 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == brute)
+    // Spot-pin the engineered cases, including the lev-2 transposition
+    // pair that needs the INTERSECTING-deletions key (not containment).
+    assert(got.contains(("spark", "sprk", 1)))
+    assert(got.contains(("spark", "spork", 1)))
+    assert(got.contains(("ab", "ba", 2)))
+    assert(got.contains(("a", "ab", 1)))
+    assert(!got.exists(p => p._1 == "zzzz" || p._2 == "zzzz"))
+  }
 }
