@@ -190,6 +190,13 @@ object SparkEntry {
     // fusion hybrid search (BM25 arm + embedding-cosine arm).
     "q_bm25" -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "q_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    // Same answer from the PERSISTED term-partitioned lexical index
+    // (built once per JVM): the retrieval build/serve split — postings
+    // partition-pruned to the query terms, no corpus explode at serve
+    // time; hash-identical to q_bm25 (shared score tail + shared
+    // oracle SQL).
+    "q_bm25_served" -> ((s, d) =>
+      Retrieval.bm25TopKServed(s, stagedLexIndex(s, d))),
     // SymSpell fuzzy vocab matching (r9): deletion-neighborhood
     // blocking + exact levenshtein verify; the oracle is brute-force
     // all-pairs, so equality proves the blocking lost nothing.
@@ -387,6 +394,76 @@ object SparkEntry {
     * this staged index (identical results — same trained centroids,
     * same tie-breaks — so the TWO paths share one DuckDB twin) at
     * serve-path cost, with cell-partition pruning doing the work. */
+  /** One DuckDB twin for BOTH q_bm25 and q_bm25_served — the shared SQL
+    * is itself the build/serve identity statement. Every constant is
+    * CAST(... AS DOUBLE) (bare DuckDB decimal literals would pull the
+    * arithmetic into DECIMAL, off the IEEE path Spark computes on); the
+    * per-(doc,term) contribution is micro-unit fixed-point rounded
+    * BEFORE the per-doc sum so the aggregate is an order-insensitive
+    * exact-long sum. */
+  private lazy val bm25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(len(t)) AS BIGINT) AS sum_dl
+       |  FROM toks
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+       |), occ AS (
+       |  SELECT doc_id, unnest(t) AS tok FROM toks
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM occ WHERE tok IN ${inList(operators.Retrieval.DefaultQuery)}
+       |  GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         CAST(round((
+       |             ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |               / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |           * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |               / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |                  * (CAST(0.25 AS DOUBLE)
+       |                     + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+       |                       / (CAST(sum_dl AS DOUBLE)
+       |                          / CAST(n_docs AS DOUBLE)))))
+       |           ) * ${operators.Retrieval.ScoreScale}) AS BIGINT)
+       |           AS contrib_fp
+       |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN dfq ON tf.tok = dfq.tok
+       |  CROSS JOIN stats
+       |), scored AS (
+       |  SELECT doc_id, SUM(contrib_fp) AS score_fp,
+       |         CAST(COUNT(*) AS BIGINT) AS n_terms
+       |  FROM contrib GROUP BY 1
+       |)
+       |SELECT doc_id, n_terms,
+       |       CAST(score_fp AS DOUBLE) / ${operators.Retrieval.ScoreScale}
+       |         AS bm25,
+       |       CAST(rank AS INT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (
+       |        ORDER BY score_fp DESC, doc_id ASC) AS rank FROM scored)
+       |WHERE rank <= ${operators.Retrieval.FinalK}""".stripMargin
+
+  /** Lexical (BM25) index staged once per (sfDir) per JVM — the
+    * retrieval twin of [[stagedIvfIndex]]: `q_bm25` carries the corpus
+    * explode in-query so the whole pipeline is oracle-checked;
+    * `q_bm25_served` answers the identical query from this index at
+    * serve cost (partition-pruned postings), sharing q_bm25's DuckDB
+    * twin because the two paths share one score tail. */
+  private val stagedLexIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedLexIndex(s: SparkSession, d: String): String =
+    stagedLexIndexes.computeIfAbsent(d, { _ =>
+      val dir = tempDirWithCleanup("graft_lex")
+      operators.Retrieval.buildLexIndex(s, d, s"$dir/lex")
+      s"$dir/lex"
+    })
+
   private val stagedIvfIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2241,47 +2318,11 @@ object SparkEntry {
     // DECIMAL, off the IEEE path Spark computes on); the per-(doc,term)
     // contribution is micro-unit fixed-point rounded BEFORE the per-doc
     // sum so the aggregate is an order-insensitive exact-long sum.
-    "q_bm25" ->
-      s"""$ToksCte, stats AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |         CAST(SUM(len(t)) AS BIGINT) AS sum_dl
-         |  FROM toks
-         |), dl AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
-         |), occ AS (
-         |  SELECT doc_id, unnest(t) AS tok FROM toks
-         |), tf AS (
-         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM occ WHERE tok IN ${inList(Retrieval.DefaultQuery)}
-         |  GROUP BY 1, 2
-         |), dfq AS (
-         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
-         |), contrib AS (
-         |  SELECT tf.doc_id,
-         |         CAST(round((
-         |             ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-         |               / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-         |           * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-         |               / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
-         |                  * (CAST(0.25 AS DOUBLE)
-         |                     + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
-         |                       / (CAST(sum_dl AS DOUBLE)
-         |                          / CAST(n_docs AS DOUBLE)))))
-         |           ) * ${Retrieval.ScoreScale}) AS BIGINT) AS contrib_fp
-         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
-         |  JOIN dfq ON tf.tok = dfq.tok
-         |  CROSS JOIN stats
-         |), scored AS (
-         |  SELECT doc_id, SUM(contrib_fp) AS score_fp,
-         |         CAST(COUNT(*) AS BIGINT) AS n_terms
-         |  FROM contrib GROUP BY 1
-         |)
-         |SELECT doc_id, n_terms,
-         |       CAST(score_fp AS DOUBLE) / ${Retrieval.ScoreScale} AS bm25,
-         |       CAST(rank AS INT) AS rank
-         |FROM (SELECT *, ROW_NUMBER() OVER (
-         |        ORDER BY score_fp DESC, doc_id ASC) AS rank FROM scored)
-         |WHERE rank <= ${Retrieval.FinalK}""".stripMargin,
+    "q_bm25" -> bm25Sql,
+    // The served path answers the IDENTICAL query from the persisted
+    // term-partitioned index — one shared twin proves build/serve
+    // hash-identity (the q_ann_ivf / q_ann_ivf_served pattern).
+    "q_bm25_served" -> bm25Sql,
 
     // Twin of Retrieval.hybridRrf: both arms cut to their top-CandidateK
     // lists, rank within the compact lists, FULL OUTER fuse on

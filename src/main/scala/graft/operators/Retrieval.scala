@@ -78,6 +78,17 @@ object Retrieval {
     val tf = occ.where(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+    bm25ScoreTail(tf, dl, stats)
+  }
+
+  /** The shared scoring tail — (doc, term, tf) postings slice + doc
+    * lengths + one-row corpus stats → fixed-point contributions. ONE
+    * home for the arithmetic so the inline and served paths cannot
+    * drift (the build/serve identity proof leans on this). df is
+    * re-aggregated from the query-term slice in BOTH paths — identical
+    * derivation, identical values. */
+  private def bm25ScoreTail(tf: DataFrame, dl: DataFrame,
+                            stats: DataFrame): DataFrame = {
     val df = tf.groupBy(col("tok").as("df_tok"))
       .agg(count(lit(1)).as("df"))
     // Identical association to the SQL twin, term by term:
@@ -95,6 +106,49 @@ object Retrieval {
         round((idf * tfn) * ScoreScale).cast("long").as("contrib_fp"))
   }
 
+  /** Build the persisted lexical index: term-partitioned postings
+    * (`tok=<term>/` dirs → a query touches only its terms' partitions),
+    * doc lengths, and the one-row corpus stats. The corpus-grain
+    * explode is paid ONCE here at build time; every serve after that
+    * reads postings slices. At 10⁹-term scale partition-per-term
+    * becomes bucket-by-term-hash — the layout idea (queries prune to
+    * their terms' files) is unchanged. */
+  def buildLexIndex(spark: SparkSession, dir: String,
+                    indexPath: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .write.partitionBy("tok").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$indexPath/doclens")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
+  /** BM25 served from the persisted index: partition-pruned postings
+    * reads (only the query terms' directories), the SAME score tail,
+    * the SAME cut — hash-identical to [[bm25TopK]] by construction, at
+    * serve cost (no corpus explode, no token-grain shuffle). */
+  def bm25TopKServed(spark: SparkSession, indexPath: String,
+                     terms: Seq[String] = DefaultQuery,
+                     k: Int = FinalK): DataFrame = {
+    // Explicit schema: partition-value TYPE INFERENCE would silently
+    // turn an all-digit token directory into an int partition column;
+    // pinning tok STRING keeps the index schema stable for any vocab.
+    val tf = spark.read
+      .schema("doc_id BIGINT, tf BIGINT, tok STRING")
+      .parquet(s"$indexPath/postings")
+      .where(col("tok").isin(terms: _*))
+      .select(col("doc_id"), col("tok"), col("tf"))
+    val dl = spark.read.parquet(s"$indexPath/doclens")
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    bm25Cut(bm25ScoreTail(tf, dl, stats), k)
+  }
+
   /** BM25 top-k: exact-long micro-unit scores summed per doc, global
     * top-[[FinalK]] cut on (score desc, doc_id asc). The limit plans as
     * TakeOrderedAndProject (per-partition heaps over the ≤|matching
@@ -102,8 +156,12 @@ object Retrieval {
     * rows. */
   def bm25TopK(spark: SparkSession, dir: String,
                terms: Seq[String] = DefaultQuery,
-               k: Int = FinalK): DataFrame = {
-    val scored = bm25Contribs(spark, dir, terms)
+               k: Int = FinalK): DataFrame =
+    bm25Cut(bm25Contribs(spark, dir, terms), k)
+
+  /** Shared per-doc sum + top-k cut over a contributions frame. */
+  private def bm25Cut(contribs: DataFrame, k: Int): DataFrame = {
+    val scored = contribs
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib_fp")).as("score_fp"),
         count(lit(1)).as("n_terms"))

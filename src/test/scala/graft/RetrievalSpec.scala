@@ -63,6 +63,21 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("bm25 served == inline; postings scan is partition-pruned") {
+    val dir = tmpDir("lex_idx")
+    graft.operators.Retrieval.buildLexIndex(spark, sf0001, s"$dir/lex")
+    val served = graft.operators.Retrieval.bm25TopKServed(spark, s"$dir/lex")
+    val inline = graft.operators.Retrieval.bm25TopK(spark, sf0001)
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty)
+    // The serve path must touch only the query terms' partitions —
+    // the whole point of the term-partitioned layout.
+    served.collect()
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("tok"),
+      s"postings read not partition-pruned:\n$p")
+  }
+
   test("fuzzy vocab: blocking == brute force on a crafted typo corpus") {
     import spark.implicits._
     // Engineered edit-distance structure: deletions, substitutions,
