@@ -129,23 +129,59 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
+  /** Incremental index maintenance, batch_id-keyed exactly-once (the
+    * [[Similarity.buildIvfIndexBatch]] / pair-table pattern): each
+    * arrival slice of documents lands its postings, doc lengths, and
+    * PARTIAL corpus stats under its own `batch_id=N` partition with
+    * mode=overwrite — a replayed batch overwrites itself, never
+    * double-counts. Contract: batches carry disjoint doc_id slices
+    * (re-ingesting a doc means replaying ITS batch). The serve path
+    * is layout-agnostic: partition discovery surfaces `batch_id` as
+    * just another column the reader ignores, and stats MERGE by exact
+    * long addition — so served scores over N batches are bit-identical
+    * to a from-scratch build over the union (RetrievalSpec proves it,
+    * replay included). */
+  def buildLexIndexBatch(spark: SparkSession, docs: DataFrame,
+                         indexPath: String, batchId: Long): Unit = {
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .write.partitionBy("tok").mode("overwrite")
+      .parquet(s"$indexPath/postings/batch_id=$batchId")
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$indexPath/doclens/batch_id=$batchId")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats/batch_id=$batchId")
+  }
+
   /** BM25 served from the persisted index: partition-pruned postings
     * reads (only the query terms' directories), the SAME score tail,
     * the SAME cut — hash-identical to [[bm25TopK]] by construction, at
-    * serve cost (no corpus explode, no token-grain shuffle). */
+    * serve cost (no corpus explode, no token-grain shuffle). Handles
+    * both the one-shot [[buildLexIndex]] layout and the
+    * [[buildLexIndexBatch]]-maintained layout: stats re-aggregate by
+    * exact long SUM (identity over the one-shot single row). */
   def bm25TopKServed(spark: SparkSession, indexPath: String,
                      terms: Seq[String] = DefaultQuery,
                      k: Int = FinalK): DataFrame = {
-    // Explicit schema: partition-value TYPE INFERENCE would silently
+    // Explicit schemas: partition-value TYPE INFERENCE would silently
     // turn an all-digit token directory into an int partition column;
-    // pinning tok STRING keeps the index schema stable for any vocab.
+    // pinning tok STRING keeps the index schema stable for any vocab
+    // (a discovered batch_id partition column is appended after the
+    // pinned fields and simply not selected).
     val tf = spark.read
       .schema("doc_id BIGINT, tf BIGINT, tok STRING")
       .parquet(s"$indexPath/postings")
       .where(col("tok").isin(terms: _*))
       .select(col("doc_id"), col("tok"), col("tf"))
-    val dl = spark.read.parquet(s"$indexPath/doclens")
-    val stats = spark.read.parquet(s"$indexPath/stats")
+    val dl = spark.read.schema("doc_id BIGINT, dl BIGINT")
+      .parquet(s"$indexPath/doclens")
+      .select(col("doc_id"), col("dl"))
+    val stats = spark.read.schema("n_docs BIGINT, sum_dl BIGINT")
+      .parquet(s"$indexPath/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     bm25Cut(bm25ScoreTail(tf, dl, stats), k)
   }
 

@@ -260,6 +260,33 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming lexical (BM25) index maintenance — the retrieval twin of
+    * [[ivfIndexMaintenanceStream]], structurally simpler because the
+    * lexical index has no trained state to bootstrap: EVERY trigger
+    * lands its slice's postings, doc lengths, and partial corpus stats
+    * under its own `batch_id=N` partition with overwrite
+    * ([[graft.operators.Retrieval.buildLexIndexBatch]]), so a replay
+    * converges instead of double-counting, and the served scores merge
+    * the partial stats by exact long addition — bit-identical to a
+    * from-scratch build over the union at every point in the stream's
+    * life. Per-trigger cost is O(|batch| tokens), never O(corpus). */
+  def lexIndexMaintenanceStream(stream: DataFrame, indexPath: String,
+                                checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Three writes consume the slice (postings/doclens/stats) —
+        // pin it so the stream source isn't re-read per write.
+        batch.persist()
+        try graft.operators.Retrieval.buildLexIndexBatch(
+          batch.sparkSession, batch, indexPath, batchId)
+        finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
     * keeps each key's fingerprint only until the watermark passes it,
     * so state is O(keys inside the watermark horizon) — the shape that

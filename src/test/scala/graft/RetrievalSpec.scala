@@ -78,6 +78,50 @@ class RetrievalSpec extends SparkSpec {
       s"postings read not partition-pruned:\n$p")
   }
 
+  test("bm25 batch-maintained index == one-shot build, replay is a no-op") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf0001)
+    val oneShot = tmpDir("lex_full")
+    Retrieval.buildLexIndex(spark, sf0001, s"$oneShot/lex")
+    val expect = Retrieval.bm25TopKServed(spark, s"$oneShot/lex")
+    // Two disjoint doc_id slices arriving as separate batches...
+    val inc = tmpDir("lex_inc")
+    Retrieval.buildLexIndexBatch(spark,
+      docs.where(col("doc_id") % 2 === 0), s"$inc/lex", batchId = 0L)
+    Retrieval.buildLexIndexBatch(spark,
+      docs.where(col("doc_id") % 2 === 1), s"$inc/lex", batchId = 1L)
+    val inc2 = Retrieval.bm25TopKServed(spark, s"$inc/lex")
+    assert(inc2.exceptAll(expect).isEmpty && expect.exceptAll(inc2).isEmpty)
+    // ...and a crash-replay of batch 0 overwrites itself: still
+    // identical, never double-counted (the exactly-once contract).
+    Retrieval.buildLexIndexBatch(spark,
+      docs.where(col("doc_id") % 2 === 0), s"$inc/lex", batchId = 0L)
+    val replayed = Retrieval.bm25TopKServed(spark, s"$inc/lex")
+    assert(replayed.exceptAll(expect).isEmpty &&
+      expect.exceptAll(replayed).isEmpty)
+  }
+
+  test("bm25 stream-maintained index == one-shot build") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf0001)
+    val oneShot = tmpDir("lex_full2")
+    Retrieval.buildLexIndex(spark, sf0001, s"$oneShot/lex")
+    val expect = Retrieval.bm25TopKServed(spark, s"$oneShot/lex")
+    val dir = tmpDir("lex_stream")
+    (0 to 2).foreach { m =>
+      docs.where(pmod(col("doc_id"), lit(3)) === m)
+        .coalesce(1).write.parquet(s"$dir/in/slice$m")
+    }
+    val schema = spark.read.parquet(s"$dir/in/slice0").schema
+    graft.streaming.StreamingIngest.lexIndexMaintenanceStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+      s"$dir/idx", s"$dir/ckpt")
+    val served = Retrieval.bm25TopKServed(spark, s"$dir/idx")
+    assert(served.exceptAll(expect).isEmpty &&
+      expect.exceptAll(served).isEmpty)
+  }
+
   test("fuzzy vocab: blocking == brute force on a crafted typo corpus") {
     import spark.implicits._
     // Engineered edit-distance structure: deletions, substitutions,
