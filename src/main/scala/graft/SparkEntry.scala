@@ -220,6 +220,17 @@ object SparkEntry {
     "q_tpch_q15" -> ((s, d) => Relational.tpchQ15(s, d)),
     "q_tpch_q17" -> ((s, d) => Relational.tpchQ17(s, d)),
     "q_tpch_q22" -> ((s, d) => Relational.tpchQ22(s, d)),
+    // r9: the remaining eight TPC-H shapes — full 22-query suite
+    // (fixture-adapted per Tpch.scala's header; partsupp derived from
+    // lineitem, late ≙ returnflag='R', supplier cuts by region).
+    "q_tpch_q2" -> ((s, d) => Tpch.tpchQ2(s, d)),
+    "q_tpch_q9" -> ((s, d) => Tpch.tpchQ9(s, d)),
+    "q_tpch_q11" -> ((s, d) => Tpch.tpchQ11(s, d)),
+    "q_tpch_q12" -> ((s, d) => Tpch.tpchQ12(s, d)),
+    "q_tpch_q16" -> ((s, d) => Tpch.tpchQ16(s, d)),
+    "q_tpch_q19" -> ((s, d) => Tpch.tpchQ19(s, d)),
+    "q_tpch_q20" -> ((s, d) => Tpch.tpchQ20(s, d)),
+    "q_tpch_q21" -> ((s, d) => Tpch.tpchQ21(s, d)),
     // Bloom-pruned join (r9): explicit runtime-filter semi-reduction;
     // result identical to the plain join at any fpp by construction.
     "q_bloom_join" -> ((s, d) => Joins.bloomJoinRevenue(s, d)),
@@ -2747,6 +2758,161 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+
+    // Twin of Tpch.tpchQ2: the correlated MIN decorrelated identically —
+    // pair mins and the per-part min both on exact cents LONGs; the
+    // 100-cut over the total (s_acctbal desc, n_name, s_name, p_partkey)
+    // order is deterministic in both engines.
+    "q_tpch_q2" ->
+      """WITH rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_size <= 25 AND p_type = 'STANDARD')
+        |    AND l_suppkey IN (SELECT s_suppkey FROM rs)
+        |  GROUP BY 1, 2
+        |), mn AS (
+        |  SELECT l_partkey AS m_partkey, MIN(cost_c) AS min_cost_c
+        |  FROM pairs GROUP BY 1
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       CAST(cost_c AS DOUBLE) / 100 AS supply_cost
+        |FROM pairs
+        |JOIN mn ON l_partkey = m_partkey AND cost_c = min_cost_c
+        |JOIN rs ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+
+    // Twin of Tpch.tpchQ9: profit4 = rev4 − retail_c·qty·100, exact
+    // ×10⁴ longs, one trailing division.
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |       CAST(SUM(
+        |         CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |         - CAST(round(p_retailprice * 100) AS BIGINT)
+        |           * CAST(l_quantity AS BIGINT) * 100
+        |       ) AS DOUBLE) / 10000 AS sum_profit,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Twin of Tpch.tpchQ11: scale-free threshold (> 2× the average part
+    // value) in cross-multiplied all-integer form (value_c·n > 2·total_c).
+    "q_tpch_q11" ->
+      """WITH vals AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS value_c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |  GROUP BY 1
+        |), total AS (
+        |  SELECT SUM(value_c) AS total_c, COUNT(*) AS n_parts FROM vals
+        |)
+        |SELECT p_partkey, CAST(value_c AS DOUBLE) / 100 AS value
+        |FROM vals CROSS JOIN total
+        |WHERE value_c * n_parts > total_c * 2""".stripMargin,
+
+    // Twin of Tpch.tpchQ12 (l_linestatus ≙ shipmode, returnflag='R' ≙
+    // late — Q4's ratified mapping).
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    // Twin of Tpch.tpchQ16: supply pairs derived from lineitem;
+    // blacklist = negative-balance suppliers (NOT IN ≙ anti join).
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Twin of Tpch.tpchQ19: identical OR-of-ANDs disjunction (the
+    // relaxed pushdown bounds are implied, so listing only the
+    // disjunction is equivalent).
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS DOUBLE) / 10000 AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Twin of Tpch.tpchQ20: the 2·qty97 > total threshold all-integer.
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'small%')
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING 2 * SUM(CASE WHEN year(l_shipdate) = 1997
+        |             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+        |           > SUM(CAST(l_quantity AS BIGINT)))""".stripMargin,
+
+    // Twin of Tpch.tpchQ21: the exists/not-exists pair decorrelated into
+    // the same per-order (n_supps, n_late_supps) aggregate.
+    "q_tpch_q21" ->
+      """WITH f AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |), per_order AS (
+        |  SELECT l_orderkey AS a_orderkey
+        |  FROM lineitem JOIN f ON l_orderkey = o_orderkey
+        |  GROUP BY 1
+        |  HAVING COUNT(DISTINCT l_suppkey) > 1
+        |     AND COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+        |           THEN l_suppkey END) = 1
+        |)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem
+        |JOIN per_order ON l_orderkey = a_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE l_returnflag = 'R' AND r_name = 'EUROPE'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin,
 
     "q_bpe_merges" ->
       s"""WITH pieces AS (

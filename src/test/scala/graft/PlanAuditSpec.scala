@@ -157,6 +157,60 @@ class PlanAuditSpec extends SparkSpec {
       s"q_tpch_q22 avg not broadcast:\n$p22")
   }
 
+  test("TPC-H suite completion (r9: Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21)") {
+    // Q2: part and region-supplier prunes left-semi-gate the pair
+    // aggregate; the top-100 takes the per-partition-heap path.
+    val p2 = finalPlan(q("q_tpch_q2"))
+    assert(count(p2, "LeftSemi") >= 2, s"q_tpch_q2 lost a prune:\n$p2")
+    assert(p2.contains("TakeOrderedAndProject"), s"q_tpch_q2:\n$p2")
+    assert(count(p2, "Exchange rangepartitioning") == 0, s"q_tpch_q2:\n$p2")
+    // Q9: the name LIKE pushes to the part scan as StringContains-family
+    // predicates; only the 25-row nation dim broadcasts unconditionally.
+    val p9 = finalPlan(q("q_tpch_q9"))
+    assert(p9.contains("StringEndsWith(p_name,widget)") ||
+      p9.contains("StringContains(p_name,widget)"),
+      s"q_tpch_q9 name filter not pushed:\n$p9")
+    // Q11: the global (total, n) scalar broadcasts as one row; no
+    // window, no second lineitem scan (the per-part frame re-aggregates).
+    val p11 = finalPlan(q("q_tpch_q11"))
+    assert(!p11.contains("Window"), s"q_tpch_q11 grew a window:\n$p11")
+    assert(count(p11, "Scan parquet [^\\n]*lineitem") == 1,
+      s"q_tpch_q11 scans lineitem twice:\n$p11")
+    // Q12: both lineitem predicates (returnflag + ship-year) push.
+    val p12 = finalPlan(q("q_tpch_q12"))
+    assert(p12.contains("EqualTo(l_returnflag,R)") &&
+      p12.contains("IsNotNull(l_shipdate)"),
+      s"q_tpch_q12 filters not pushed:\n$p12")
+    // Q16: the blacklist stays a LEFT ANTI join (a NOT IN rewrite to a
+    // nested-loop null-aware join would be the scale trap here — the
+    // blacklist side is provably non-null so the anti join is safe).
+    // Pinned on the OPTIMIZED LOGICAL plan: the sf0.001 blacklist is
+    // empty, and AQE correctly eliminates an anti join against an empty
+    // build side from the physical plan — the logical shape is the
+    // invariant that survives at scale.
+    val df16 = q("q_tpch_q16")
+    val l16 = df16.queryExecution.optimizedPlan.toString
+    assert(l16.contains("LeftAnti"), s"q_tpch_q16 lost its anti join:\n$l16")
+    // Q19: THE pin this query exists for — the disjunctive predicate
+    // must NOT demote the equi-join to a nested-loop/cartesian plan.
+    val p19 = finalPlan(q("q_tpch_q19"))
+    assert(!p19.contains("BroadcastNestedLoopJoin") &&
+      !p19.contains("CartesianProduct"),
+      s"q_tpch_q19 fell off the hash join:\n$p19")
+    assert(count(p19, "Join") >= 1, s"q_tpch_q19:\n$p19")
+    // Q20: the qualifying-pair set left-semi-prunes the suppliers, and
+    // the part prune left-semi-gates lineitem before the pair aggregate.
+    val p20 = finalPlan(q("q_tpch_q20"))
+    assert(count(p20, "LeftSemi") >= 2, s"q_tpch_q20 lost a prune:\n$p20")
+    // Q21: the exists/not-exists pair resolves through ONE per-order
+    // aggregate (no lineitem self-join chain) and the top-100 heaps.
+    val p21 = finalPlan(q("q_tpch_q21"))
+    assert(p21.contains("TakeOrderedAndProject"), s"q_tpch_q21:\n$p21")
+    assert(count(p21, "Exchange rangepartitioning") == 0, s"q_tpch_q21:\n$p21")
+    assert(count(p21, "Scan parquet [^\\n]*lineitem") <= 2,
+      s"q_tpch_q21 scans lineitem more than its two passes:\n$p21")
+  }
+
   test("span dedup: block-grain explodes, partial-agg stats, no global sort") {
     val p = finalPlan(q("q_span_dedup"))
     // The block stream is consumed twice (stats aggregate + join-back),
