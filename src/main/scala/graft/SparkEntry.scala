@@ -231,6 +231,10 @@ object SparkEntry {
     "q_tpch_q19" -> ((s, d) => Tpch.tpchQ19(s, d)),
     "q_tpch_q20" -> ((s, d) => Tpch.tpchQ20(s, d)),
     "q_tpch_q21" -> ((s, d) => Tpch.tpchQ21(s, d)),
+    // Mergeable-sketch audience overlap (r9): per-segment HLL sketches
+    // + inclusion–exclusion intersections, tolerance-verdict columns
+    // beside the hash-compared exact counts (q_approx_distinct pattern).
+    "q_sketch_overlap" -> ((s, d) => Sketches.audienceOverlap(s, d)),
     // Bloom-pruned join (r9): explicit runtime-filter semi-reduction;
     // result identical to the plain join at any fpp by construction.
     "q_bloom_join" -> ((s, d) => Joins.bloomJoinRevenue(s, d)),
@@ -2758,6 +2762,29 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+
+    // Twin of Sketches.audienceOverlap: exact counts recomputed in SQL;
+    // the sketch estimates can't cross engines (DuckDB's HLL is a
+    // different implementation), so they surface as tolerance verdicts
+    // the oracle asserts are 1 — same contract as q_approx_distinct.
+    "q_sketch_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, COUNT(*) AS n_users FROM tu GROUP BY 1),
+        |inter AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         COUNT(*) AS n_inter_exact
+        |  FROM tu x JOIN tu y ON x.user_id = y.user_id
+        |   AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       a.n_users AS n_users_a, b.n_users AS n_users_b,
+        |       COALESCE(i.n_inter_exact, 0) AS n_inter_exact,
+        |       1 AS union_ok, 1 AS inter_ok
+        |FROM n a
+        |JOIN n b ON a.event_type < b.event_type
+        |LEFT JOIN inter i ON i.type_a = a.event_type
+        |  AND i.type_b = b.event_type""".stripMargin,
 
     // Twin of Tpch.tpchQ2: the correlated MIN decorrelated identically —
     // pair mins and the per-part min both on exact cents LONGs; the
