@@ -231,6 +231,10 @@ object SparkEntry {
     "q_tpch_q19" -> ((s, d) => Tpch.tpchQ19(s, d)),
     "q_tpch_q20" -> ((s, d) => Tpch.tpchQ20(s, d)),
     "q_tpch_q21" -> ((s, d) => Tpch.tpchQ21(s, d)),
+    // Z-order layout (r9): Morton interleave of normalized
+    // (l_partkey, l_suppkey) — the clustering key zorderWrite sorts by;
+    // closed-form integer arithmetic, exact twin in DuckDB.
+    "q_zorder" -> ((s, d) => Layout.zorderFrame(s, d)),
     // Mergeable-sketch audience overlap (r9): per-segment HLL sketches
     // + inclusion–exclusion intersections, tolerance-verdict columns
     // beside the hash-compared exact counts (q_approx_distinct pattern).
@@ -2762,6 +2766,29 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+
+    // Twin of Layout.zorderFrame: identical normalize-then-interleave in
+    // DuckDB lambdas — `//` integer division matches Spark's proven-exact
+    // floor division; shifts/masks are plain bigint ops.
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+        |         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+        |  FROM lineitem
+        |), n AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ((l_partkey - pmin) * 65535)
+        |           // GREATEST(1, pmax - pmin) AS x16,
+        |         ((l_suppkey - smin) * 65535)
+        |           // GREATEST(1, smax - smin) AS y16
+        |  FROM lineitem CROSS JOIN b
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |       CAST(list_sum(list_transform(range(0, 16), i ->
+        |         (x16 & (1::BIGINT << i)) * (1::BIGINT << i) +
+        |         (y16 & (1::BIGINT << i)) * (2::BIGINT << i)))
+        |         AS BIGINT) AS zval
+        |FROM n""".stripMargin,
 
     // Twin of Sketches.audienceOverlap: exact counts recomputed in SQL;
     // the sketch estimates can't cross engines (DuckDB's HLL is a
