@@ -231,6 +231,9 @@ object SparkEntry {
     "q_tpch_q19" -> ((s, d) => Tpch.tpchQ19(s, d)),
     "q_tpch_q20" -> ((s, d) => Tpch.tpchQ20(s, d)),
     "q_tpch_q21" -> ((s, d) => Tpch.tpchQ21(s, d)),
+    // SCD Type 2 (r9): change stream → versioned dimension with
+    // half-open validity windows; one key-partitioned exchange.
+    "q_scd2" -> ((s, d) => Scd.scd2(s, d)),
     // Z-order layout (r9): Morton interleave of normalized
     // (l_partkey, l_suppkey) — the clustering key zorderWrite sorts by;
     // closed-form integer arithmetic, exact twin in DuckDB.
@@ -2766,6 +2769,30 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+
+    // Twin of Scd.scd2: identical change-suppression + validity windows
+    // (ties broken by the unique event_id in both engines).
+    "q_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type AS status,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_id, status, ts_us
+        |  FROM (SELECT *, LAG(status, 1) OVER w AS prev_status
+        |        FROM ev WINDOW w AS (PARTITION BY user_id
+        |                             ORDER BY ts_us, event_id))
+        |  WHERE prev_status IS NULL OR prev_status <> status
+        |)
+        |SELECT user_id, version_no, status, valid_from_us, valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM (
+        |  SELECT user_id, status, ts_us AS valid_from_us,
+        |         LEAD(ts_us, 1) OVER w AS valid_to_us,
+        |         CAST(ROW_NUMBER() OVER w AS INT) AS version_no
+        |  FROM changes WINDOW w AS (PARTITION BY user_id
+        |                            ORDER BY ts_us, event_id)
+        |)""".stripMargin,
 
     // Twin of Layout.zorderFrame: identical normalize-then-interleave in
     // DuckDB lambdas — `//` integer division matches Spark's proven-exact

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension Type 2 building: turn a change stream into
+  * a versioned dimension with half-open validity windows — the
+  * warehouse-modeling op a medallion pipeline grows into the moment a
+  * dimension's history matters (the reference's master/business layers
+  * overwrite attributes in place; SCD2 is the standard upgrade path).
+  *
+  * Semantics (the classic contract):
+  *   - consecutive duplicates are SUPPRESSED — a version begins only
+  *     when the tracked attribute actually changes;
+  *   - version n is valid over [its change ts, next change ts) — the
+  *     half-open windows of one key tile its timeline exactly, no gaps,
+  *     no overlaps (ScdSpec pins both, plus point-in-time reconstruction
+  *     against a brute-force scan);
+  *   - the open current version carries NULL `valid_to_us` and
+  *     `is_current = true`.
+  *
+  * Scale shape: everything is per-key windows over the KEY-partitioned
+  * stream — one hash exchange on user_id; the change filter, the
+  * validity lead() and the version row_number() all share that one
+  * partitioning (same key, same ordering → Spark plans a single
+  * exchange + sort). No global window, no self-join: history build over
+  * 100 TB of changes is one shuffle of the change columns. Ordering is
+  * total — ties on ts break by the unique event_id — so the build is
+  * deterministic and the DuckDB twin reproduces it bit-for-bit. */
+object Scd {
+
+  /** The fixture change stream: each user's event_type plays the
+    * tracked dimension attribute ("status"). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("status"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_status", lag(col("status"), 1).over(byTs))
+      .where(col("prev_status").isNull ||
+        col("prev_status") =!= col("status"))
+      .drop("prev_status")
+    // Same partition key AND ordering as the change filter's window →
+    // the second/third window functions reuse the one exchange+sort.
+    changes
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byTs))
+      .withColumn("version_no", row_number().over(byTs))
+      .select(col("user_id"), col("version_no"), col("status"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** Point-in-time lookup against the SCD2 dim: the status of every key
+    * as of `atUs` — a banded validity probe (`valid_from ≤ t < valid_to`
+    * with the open version's NULL upper bound), the query pattern the
+    * windows exist to serve. */
+  def statusAsOf(dim: DataFrame, atUs: Long): DataFrame =
+    dim.where(col("valid_from_us") <= atUs &&
+        (col("valid_to_us").isNull || col("valid_to_us") > atUs))
+      .select(col("user_id"), col("status"), col("version_no"))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Scd
+
+/** SCD Type 2: the contract invariants, independently of the oracle. */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dim = Scd.scd2(spark, sf0001).cache()
+
+  test("validity windows tile each key's timeline: no gaps, no overlaps") {
+    val w = Window.partitionBy($"user_id").orderBy($"version_no")
+    val bad = dim
+      .withColumn("next_from", lead($"valid_from_us", 1).over(w))
+      .where(
+        // every non-final version must close exactly where the next opens
+        ($"next_from".isNotNull &&
+          (($"valid_to_us".isNull) || $"valid_to_us" =!= $"next_from")) ||
+        // the final version must be the open current one
+        ($"next_from".isNull &&
+          (!$"is_current" || $"valid_to_us".isNotNull)))
+      .count()
+    assert(bad == 0L, s"$bad versions break the tiling contract")
+    // exactly one current version per key
+    val multi = dim.where($"is_current")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .where($"n" =!= 1L).count()
+    assert(multi == 0L)
+  }
+
+  test("consecutive duplicate suppression: adjacent versions always differ") {
+    val w = Window.partitionBy($"user_id").orderBy($"version_no")
+    val dups = dim.withColumn("prev_status", lag($"status", 1).over(w))
+      .where($"prev_status" === $"status").count()
+    assert(dups == 0L)
+  }
+
+  test("point-in-time lookup reconstructs the brute-force as-of scan") {
+    // Probe at the stream's median timestamp: statusAsOf against the dim
+    // must equal, per user, the latest raw event at-or-before the probe.
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"))
+    val tMid = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val expected = ev.where($"ts_us" <= tMid)
+      .withColumn("rn", row_number().over(Window.partitionBy($"user_id")
+        .orderBy($"ts_us".desc, $"event_id".desc)))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_type".as("status"))
+    val got = Scd.statusAsOf(dim, tMid).select($"user_id", $"status")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // and exactly one status per live key
+    assert(got.groupBy($"user_id").count().where($"count" =!= 1L).count() == 0)
+  }
+
+  test("one exchange: the three windows share the key partitioning") {
+    // sf0.01, NOT sf0.001: the cached `dim` above has the sf0.001
+    // logical plan, and the cache manager would substitute an
+    // InMemoryTableScan here, hiding the exchanges being counted.
+    val df = Scd.scd2(spark, SparkSpec.Sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    val n = "Exchange (hash|range)".r.findAllIn(plan).size
+    assert(n == 1, s"SCD2 build grew to $n exchanges:\n$plan")
+  }
+}
