@@ -31,14 +31,15 @@ import org.apache.spark.sql.functions._
   * deterministic and the DuckDB twin reproduces it bit-for-bit. */
 object Scd {
 
-  /** The fixture change stream: each user's event_type plays the
-    * tracked dimension attribute ("status"). */
-  def scd2(spark: SparkSession, dir: String): DataFrame = {
+  /** Core builder over a change stream of
+    * `(user_id, event_id, status, ts_us)`. The returned dim KEEPS the
+    * `event_id` of the event that opened each version — the tie-break
+    * [[scd2Apply]] needs to merge deterministically; the public
+    * [[scd2]] contract drops it. */
+  private[graft] def scd2FromChanges(stream: DataFrame): DataFrame = {
     val byTs = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val changes = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        col("event_type").as("status"), unix_micros(col("ts")).as("ts_us"))
+    val changes = stream
       .withColumn("prev_status", lag(col("status"), 1).over(byTs))
       .where(col("prev_status").isNull ||
         col("prev_status") =!= col("status"))
@@ -49,8 +50,50 @@ object Scd {
       .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byTs))
       .withColumn("version_no", row_number().over(byTs))
       .select(col("user_id"), col("version_no"), col("status"),
+        col("event_id"),
         col("ts_us").as("valid_from_us"), col("valid_to_us"),
         col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** The fixture change stream: each user's event_type plays the
+    * tracked dimension attribute ("status"). */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2FromChanges(changeStream(spark, dir)).drop("event_id")
+
+  /** Raw fixture events as the canonical change-stream shape. */
+  def changeStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("status"), unix_micros(col("ts")).as("ts_us"))
+
+  /** Incremental maintenance: merge an APPEND-ONLY slice of new changes
+    * into an existing dim (built with [[scd2FromChanges]], i.e. still
+    * carrying `event_id`) WITHOUT the raw history — the versions of the
+    * touched keys ARE a lossless compression of their suppressed change
+    * stream, so converting them back to change points and rebuilding
+    * only those keys reproduces the from-scratch build bit-for-bit
+    * (ScdSpec pins the identity). Cost is O(affected keys' versions +
+    * slice), not O(history): the anti/semi joins key-partition on
+    * user_id and the untouched (usually overwhelming) majority of the
+    * dim is never rewritten.
+    *
+    * Envelope (documented, enforced nowhere cheaper than the caller):
+    * the slice must be append-only PER KEY (every new ts at-or-after
+    * the key's open version). LATE data can resurrect a suppressed
+    * duplicate that compression dropped (… A(t1) [A(t5) suppressed] …
+    * + late B(t3) ⇒ A(t5) becomes a change again) — that case needs
+    * the raw-history rebuild path, which [[scd2]] is. */
+  def scd2Apply(dim: DataFrame, newChanges: DataFrame): DataFrame = {
+    val affected = newChanges.select(col("user_id")).distinct()
+    val untouched = dim.join(affected, Seq("user_id"), "left_anti")
+    val touchedAsChanges = dim.join(affected, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id"), col("status"),
+        col("valid_from_us").as("ts_us"))
+    val rebuilt = scd2FromChanges(
+      touchedAsChanges.unionByName(
+        newChanges.select(col("user_id"), col("event_id"), col("status"),
+          col("ts_us"))))
+    untouched.unionByName(rebuilt)
   }
 
   /** Point-in-time lookup against the SCD2 dim: the status of every key

@@ -55,6 +55,18 @@ class ScdSpec extends SparkSpec {
     assert(got.groupBy($"user_id").count().where($"count" =!= 1L).count() == 0)
   }
 
+  test("incremental apply == full rebuild, bit-for-bit (append-only slice)") {
+    val ev = Scd.changeStream(spark, sf0001)
+    val t0 = ev.stat.approxQuantile("ts_us", Array(0.8), 0.0).head.toLong
+    val (old, recent) =
+      (ev.where($"ts_us" <= t0), ev.where($"ts_us" > t0))
+    assert(recent.count() > 0, "empty increment slice — probe ts too late")
+    val full = Scd.scd2FromChanges(ev)
+    val inc = Scd.scd2Apply(Scd.scd2FromChanges(old), recent)
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty,
+      "incrementally maintained dim diverged from the from-scratch build")
+  }
+
   test("one exchange: the three windows share the key partitioning") {
     // sf0.01, NOT sf0.001: the cached `dim` above has the sf0.001
     // logical plan, and the cache manager would substitute an
