@@ -234,6 +234,9 @@ object SparkEntry {
     // SCD Type 2 (r9): change stream → versioned dimension with
     // half-open validity windows; one key-partitioned exchange.
     "q_scd2" -> ((s, d) => Scd.scd2(s, d)),
+    // Point-in-time fact⨝dim join over the SCD2 windows, with two
+    // self-certifying audit columns (tiling ⇒ one match per fact row).
+    "q_scd2_join" -> ((s, d) => Scd.factAsOfDim(s, d)),
     // Z-order layout (r9): Morton interleave of normalized
     // (l_partkey, l_suppkey) — the clustering key zorderWrite sorts by;
     // closed-form integer arithmetic, exact twin in DuckDB.
@@ -2793,6 +2796,39 @@ object SparkEntry {
         |  FROM changes WINDOW w AS (PARTITION BY user_id
         |                            ORDER BY ts_us, event_id)
         |)""".stripMargin,
+
+    // Twin of Scd.factAsOfDim: dim rebuilt by the q_scd2 SQL, then the
+    // same equi-join + validity band + audit aggregates.
+    "q_scd2_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type AS status,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_id, status, ts_us
+        |  FROM (SELECT *, LAG(status, 1) OVER w AS prev_status
+        |        FROM ev WINDOW w AS (PARTITION BY user_id
+        |                             ORDER BY ts_us, event_id))
+        |  WHERE prev_status IS NULL OR prev_status <> status
+        |), dim AS (
+        |  SELECT user_id, status, ts_us AS valid_from_us,
+        |         LEAD(ts_us, 1) OVER w AS valid_to_us,
+        |         CAST(ROW_NUMBER() OVER w AS INT) AS version_no
+        |  FROM changes WINDOW w AS (PARTITION BY user_id
+        |                            ORDER BY ts_us, event_id)
+        |)
+        |SELECT d.user_id,
+        |       COUNT(*) AS n_joined,
+        |       CAST(COUNT(DISTINCT d.version_no) AS BIGINT)
+        |         AS n_versions_hit,
+        |       MAX(d.version_no) AS max_version,
+        |       CAST(SUM(CASE WHEN f.status <> d.status THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_status_mismatch
+        |FROM ev f
+        |JOIN dim d ON f.user_id = d.user_id
+        |  AND d.valid_from_us <= f.ts_us
+        |  AND (d.valid_to_us IS NULL OR d.valid_to_us > f.ts_us)
+        |GROUP BY 1""".stripMargin,
 
     // Twin of Layout.zorderFrame: identical normalize-then-interleave in
     // DuckDB lambdas — `//` integer division matches Spark's proven-exact

@@ -104,4 +104,34 @@ object Scd {
     dim.where(col("valid_from_us") <= atUs &&
         (col("valid_to_us").isNull || col("valid_to_us") > atUs))
       .select(col("user_id"), col("status"), col("version_no"))
+
+  /** The canonical SCD2 consumer: each fact row joined to the dimension
+    * version valid AT ITS OWN timestamp. Plan shape for scale: an
+    * EQUI-join on the dimension key does the heavy lifting (hash join,
+    * key-partitioned — never a pure range/theta join over the fact) and
+    * the validity band is the residual filter; per key the dim carries
+    * only its handful of versions, so the fanout before filtering is
+    * bounded by versions-per-key, not fact size.
+    *
+    * The output is per-key audit aggregates, two of them
+    * self-certifying: the half-open windows TILE each timeline, so
+    * every fact row matches exactly one version (`n_joined` ≡ the key's
+    * fact count) and a fact's event always lands in the version its own
+    * change opened (`n_status_mismatch` ≡ 0). The DuckDB twin
+    * recomputes both from scratch. */
+  def factAsOfDim(spark: SparkSession, dir: String): DataFrame = {
+    val ev = changeStream(spark, dir)
+      .select(col("user_id").as("f_user_id"), col("status").as("f_status"),
+        col("ts_us").as("f_ts_us"))
+    val dim = scd2(spark, dir)
+    ev.join(dim, col("f_user_id") === col("user_id") &&
+        col("valid_from_us") <= col("f_ts_us") &&
+        (col("valid_to_us").isNull || col("valid_to_us") > col("f_ts_us")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_joined"),
+        countDistinct(col("version_no")).as("n_versions_hit"),
+        max(col("version_no")).as("max_version"),
+        sum(when(col("f_status") =!= col("status"), 1L).otherwise(0L))
+          .as("n_status_mismatch"))
+  }
 }
