@@ -64,10 +64,21 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => notBenched(name) }
       .sortBy(_._1)
+    // Evaluation (r9-final bench honesty): force through the NOOP SINK,
+    // not count(). count() lets ColumnPruning delete every computed
+    // column with no downstream consumer — a map-only projection query
+    // (z-values, PII regexes, chunking) would be timed as a bare scan
+    // count, i.e. the benched number would omit the operator's actual
+    // work. The noop write evaluates EVERY output column and discards
+    // the rows (no IO, no driver collect). NOTE for cross-round totals:
+    // projection-heavy rows get honestly SLOWER to time from this round
+    // on — that is measurement fixed, not a regression (PLANS.md r9).
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // Warmup: run everything once, untimed; ignore failures here (they are
     // captured in the timed pass).
     ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     var errors = Map.empty[String, String]
     // Inter-rep GC quiesce (r9 bench hygiene): a major collection between
@@ -80,7 +91,7 @@ object Bench {
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { force(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             if (!errors.contains(name))
               errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -4,7 +4,8 @@ object Profile {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false")
+      .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("TQ_SF", "/root/testdata/sf0.1")
     def time(name: String)(f: => Long): Unit = {

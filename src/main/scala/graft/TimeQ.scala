@@ -2,12 +2,17 @@ package graft
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false")
+      .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- args) {
+      val df = SparkEntry.queries(q)(spark, sys.env.getOrElse("TQ_SF", "/root/testdata/sf0.01"))
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, sys.env.getOrElse("TQ_SF", "/root/testdata/sf0.01")).count()
-      println(f"$q: ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
+      // Noop-sink write, matching Bench's honest evaluation: count()
+      // would let ColumnPruning delete the computed columns being timed.
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$q: $secs%.2f s, ${df.count()} rows")
     }
     spark.stop()
   }

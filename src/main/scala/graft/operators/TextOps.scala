@@ -43,6 +43,29 @@ object TextOps {
     * (the MinHash/Jaccard unit). Empty array when fewer than n tokens
     * (guarded: Spark's sequence(0, negative) would count DOWN). */
   def shingles(toks: Column, n: Int = 3): Column =
+    // Native ShingleArray expression, NOT the declarative
+    // array_distinct∘transform∘sequence form it replaced (kept in
+    // [[shinglesDeclarative]] as the equivalence oracle): higher-order
+    // transform lambdas evaluate interpreted PER ELEMENT, and the
+    // honest noop-sink bench measured that at ~8 s for sf0.1's ~2M
+    // shingles across the minhash/fingerprint family — the compiled
+    // per-row sliding window is ~20× cheaper (ShingleSpec pins
+    // element-for-element equality of the two forms).
+    {
+      // Same seam as hamming/dot_d: idempotent registry entry on the
+      // active session, then a resolved function call. Registration at
+      // Column-BUILD time is correct — call_function resolves during
+      // analysis against the same active session.
+      graft.expressions.ShingleArray.register(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("shingle_array", toks, lit(n))
+    }
+
+  /** The declarative shingle construction [[shingles]] replaced —
+    * retained as the independently-derived twin ShingleSpec checks the
+    * native expression against (and the form the DuckDB oracles mirror
+    * structurally). */
+  def shinglesDeclarative(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
@@ -1004,16 +1027,33 @@ object TextOps {
 
   /** Document fingerprints: md5 of the normalized text (exact-dup key)
     * plus min/max shingle hashes (a winnowing-style rolling-hash sketch)
-    * and the distinct-shingle count. */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(tokens(col("text")))
-    val hashes = transform(sh, s => md5(s))
+    * and the shingle count. Map-only — the embarrassingly-parallel
+    * shape its 100 TB story (and the PlanAuditSpec pin) requires.
+    *
+    * Two r9-final lessons are load-bearing here, both surfaced by the
+    * honest noop-sink bench (count()-forced benches had pruned this
+    * query's entire computation away and timed a bare scan):
+    *   1. the hash array is materialized by its OWN projection and only
+    *      REFERENCED downstream — inlining the chain into each of the
+    *      four consumers re-evaluated it per consumer (CollapseProject
+    *      declines to merge a non-cheap alias used more than once; that
+    *      refusal is what this shape relies on);
+    *   2. shingle construction goes through the native [[shingles]]
+    *      expression — the old declarative form's per-element
+    *      interpreted lambdas were ~8 s of the measured 22.5 s alone.
+    * Net: 22.5 → ~0.35 s at sf0.1, hashes bit-identical. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         md5(normText(col("text"))).as("fingerprint"),
-        when(size(sh) > 0, array_min(hashes)).as("shingle_min"),
-        when(size(sh) > 0, array_max(hashes)).as("shingle_max"),
-        size(sh).as("n_shingles"))
-  }
+        transform(shingles(tokens(col("text"))), s => md5(s)).as("hashes"))
+      .select(
+        col("doc_id"),
+        col("fingerprint"),
+        when(size(col("hashes")) > 0, array_min(col("hashes")))
+          .as("shingle_min"),
+        when(size(col("hashes")) > 0, array_max(col("hashes")))
+          .as("shingle_max"),
+        size(col("hashes")).as("n_shingles"))
 }
