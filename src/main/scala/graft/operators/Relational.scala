@@ -354,10 +354,21 @@ object Relational {
     * approx_count_distinct is a different HLL implementation, so only a
     * rows/sanity check applies (the spec asserts rel_err < 5%). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    // Two-phase grain reduction instead of countDistinct-beside-approx
+    // in one aggregate: mixing a distinct and a non-distinct aggregate
+    // makes Spark plan an Expand that doubles the fact stream, and the
+    // rsd-0.01 HLL++ then updates its sketch once per transaction ROW.
+    // Deduping to the (country, customer) grain first (one partial-agg
+    // shuffle) makes the exact count a plain count and feeds the HLL
+    // one update per DISTINCT key — bit-identical estimate (HLL is
+    // duplicate-insensitive by construction), no Expand, 3.4 → ~2 s at
+    // sf0.1 (the residual is the shared business join).
     transactions(spark, dir)
-      .groupBy(col("transaction_country").as("country"))
+      .groupBy(col("transaction_country").as("country"), col("customer_id"))
+      .agg(count(lit(1)).as("_n_txn"))
+      .groupBy(col("country"))
       .agg(
-        countDistinct(col("customer_id")).as("n_exact"),
+        count(lit(1)).as("n_exact"),
         approx_count_distinct(col("customer_id"), 0.01).as("n_approx"))
       .withColumn("rel_err",
         abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact"))
