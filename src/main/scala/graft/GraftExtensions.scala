@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.expressions.{BoundedCollectLong, DotProduct, HammingDistance}
+import graft.expressions.{BoundedCollectLong, DotProduct, HammingDistance, ShingleArray}
 import graft.plans.RewriteDotProduct
 
 /** Engine plug-in for Spark's extension points. Two ways in:
@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BoundedCollectLong].getCanonicalName,
         "bounded_collect_long"),
       BoundedCollectLong.builder))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_array"),
+      new ExpressionInfo(classOf[ShingleArray].getCanonicalName,
+        "shingle_array"),
+      ShingleArray.builder))
   }
 }
 
@@ -46,6 +51,7 @@ object GraftExtensions {
     DotProduct.register(spark)
     HammingDistance.register(spark)
     BoundedCollectLong.register(spark)
+    ShingleArray.register(spark)
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
