@@ -10,9 +10,14 @@ object TimeQ {
       val t0 = System.nanoTime()
       // Noop-sink write, matching Bench's honest evaluation: count()
       // would let ColumnPruning delete the computed columns being timed.
-      df.write.mode("overwrite").format("noop").save()
+      // The row count piggybacks on the SAME forced evaluation via an
+      // Observation — no second execution of the pipeline.
+      val obs = new org.apache.spark.sql.Observation(s"rows_$q")
+      df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.mode("overwrite").format("noop").save()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"$q: $secs%.2f s, ${df.count()} rows")
+      println(f"$q: $secs%.2f s, ${obs.get("n")} rows")
     }
     spark.stop()
   }

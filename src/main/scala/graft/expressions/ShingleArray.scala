@@ -42,6 +42,17 @@ case class ShingleArray(child: Expression, n: Int)
 
   private val space = UTF8String.fromString(" ")
 
+  // Total on null input: a null token array yields [], matching the
+  // declarative twin (whose when-on-null falls through to
+  // otherwise(array())) and the DuckDB oracles that mirror it — NOT
+  // UnaryExpression's default null propagation.
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val len = toks.numElements()

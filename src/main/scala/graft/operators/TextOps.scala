@@ -52,13 +52,14 @@ object TextOps {
     // per-row sliding window is ~20× cheaper (ShingleSpec pins
     // element-for-element equality of the two forms).
     {
-      // Same seam as hamming/dot_d: idempotent registry entry on the
-      // active session, then a resolved function call. Registration at
-      // Column-BUILD time is correct — call_function resolves during
-      // analysis against the same active session.
-      graft.expressions.ShingleArray.register(
-        org.apache.spark.sql.SparkSession.active)
-      call_function("shingle_array", toks, lit(n))
+      // Constructed directly (ColumnSeam bridge) rather than via
+      // call_function + a registry side effect on SparkSession.active:
+      // building a Column must not depend on WHICH session is active,
+      // and must not throw when none is. SQL/`expr` users still get the
+      // name through GraftExtensions' injectFunction registration.
+      import org.apache.spark.sql.graftseam.ColumnSeam
+      ColumnSeam.column(
+        graft.expressions.ShingleArray(ColumnSeam.expression(toks), n))
     }
 
   /** The declarative shingle construction [[shingles]] replaced —

@@ -153,8 +153,24 @@ object Tpch {
       .agg(sum(col("vc")).as("value_c"))
     val total = vals.agg(sum(col("value_c")).as("total_c"),
       count(lit(1)).as("n_parts"))
+    // Overflow discipline: the cross-multiplied boundary is the first
+    // place the exact-integer contract can exceed Long range at large
+    // SF (value_c ~ 10¹¹·SF, n_parts ~ 2·10⁵·SF ⇒ products approach
+    // 2⁶³ around SF ~ 50–100). Spark (non-ANSI) would WRAP silently
+    // while DuckDB's SUM promotes to HUGEINT — a silent divergence, not
+    // an error. assert_true makes the bound loud: past it, fail the job
+    // with instructions, never emit wrapped comparisons. (Both operands
+    // are non-negative, so the division bounds are exact.)
+    val inRange =
+      col("value_c") <= lit(Long.MaxValue) / col("n_parts") &&
+      col("total_c") <= lit(Long.MaxValue) / lit(mult)
+    val guard = assert_true(inRange, lit(
+      "tpch_q11: cross-multiplied threshold exceeds Long range at this SF; " +
+      "switch to comparing value_c against mult * (total_c / n_parts) " +
+      "with an explicit rounding argument"))
     vals.crossJoin(broadcast(total))
-      .where(col("value_c") * col("n_parts") > col("total_c") * mult)
+      .where(coalesce(guard.cast("boolean"), lit(true)) &&
+        col("value_c") * col("n_parts") > col("total_c") * mult)
       .select(col("p_partkey"),
         (col("value_c").cast("double") / 100).as("value"))
   }

@@ -38,6 +38,26 @@ class ShingleSpec extends SparkSpec {
     assert(both.where(not(col("fast") <=> col("slow"))).count() == 0)
   }
 
+  test("null token array yields [] on both forms (total equivalence)") {
+    // A null-text document must not flip n_shingles/shingle_min
+    // semantics versus the declarative twin the oracles mirror.
+    val rows = Seq(Some("a b c d"), None).toDF("text")
+    val toks = TextOps.tokens(col("text"))
+    val both = rows.select(
+      TextOps.shingles(toks).as("fast"),
+      TextOps.shinglesDeclarative(toks).as("slow"))
+    assert(both.where(not(col("fast") <=> col("slow"))).count() == 0)
+    // And directly on a null ARRAY (not just null text): both empty,
+    // neither null.
+    val nullArr = Seq(1).toDF("i")
+      .select(lit(null).cast("array<string>").as("toks"))
+      .select(TextOps.shingles(col("toks")).as("fast"),
+        TextOps.shinglesDeclarative(col("toks")).as("slow"))
+      .collect()(0)
+    assert(nullArr.getSeq[String](0) == Seq.empty)
+    assert(nullArr.getSeq[String](1) == Seq.empty)
+  }
+
   test("width parameter respected (n = 2 and n = 5)") {
     val rows = Seq("a b c d e f").toDF("text")
     val toks = TextOps.tokens(col("text"))
