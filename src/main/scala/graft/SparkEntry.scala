@@ -270,6 +270,11 @@ object SparkEntry {
     // domain) — the >10⁸-doc form; result-identical to the quarter
     // banding (both radius-3 complete), candidate envelope 2¹⁶× wider.
     "q_simhash64_wide" -> ((s, d) => Dedup.simhash64WideNeighbors(s, d)),
+    // ScaleEnvelope dispatch (r10): quarter vs wide derived from the
+    // corpus COUNT(*) — the production entry point; at fixture scale it
+    // resolves to the quarter form, and both forms share one oracle
+    // (identical pair sets — radius-3 complete either way).
+    "q_simhash64_auto" -> ((s, d) => Dedup.simhash64NeighborsAuto(s, d)),
     // vocabulary table (tokenizer-prep artifact)
     "q_vocab" -> ((s, d) => TextOps.vocabulary(s, d)),
     // cohort retention matrix (first-seen cohorts x hour age)
@@ -666,8 +671,11 @@ object SparkEntry {
     * drift in how cells are trained or assigned. */
   private lazy val ivfCellsCtes: String =
       s"""$EmbCte, kp AS (
-         |  SELECT GREATEST(${Similarity.MinCentroids},
-         |           CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
+         |  SELECT CASE WHEN COUNT(*) <= ${ScaleEnvelope.CentroidSqrtCrossover}
+         |           THEN GREATEST(${Similarity.MinCentroids},
+         |                  CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
+         |           ELSE (COUNT(*) + ${ScaleEnvelope.TargetCellCap - 1})
+         |                  // ${ScaleEnvelope.TargetCellCap} END AS k
          |  FROM n
          |), c0 AS (
          |  SELECT vec_id AS cell, v AS cv, nv AS cnv
@@ -781,20 +789,33 @@ object SparkEntry {
     * dot is the same LTR list_sum fold as every other vector twin). */
   private def bandedLshCtes: String = {
     val S = Similarity
-    val whens = (S.MinTablePlanes until S.MaxTablePlanes)
-      .map(hh => s"WHEN cnt <= ${S.TargetBucket.toLong << hh} THEN $hh")
+    // Width whens now run UNCAPPED to AbsMaxPlanes (the ScaleEnvelope
+    // policy — the 24-plane cap was the §8.8 manual envelope). Bounds
+    // beyond h=57 exceed Long, so they are emitted from the same
+    // BigInt arithmetic lshPlanesFor compares with (DuckDB parses the
+    // wide literals as HUGEINT; cnt <= HUGEINT is exact).
+    val whens = (S.MinTablePlanes until ScaleEnvelope.AbsMaxPlanes)
+      .map(hh => s"WHEN cnt <= ${BigInt(S.TargetBucket.toLong) << hh} THEN $hh")
       .mkString("\n       |              ")
-    val pow2 = (0 until S.MaxTablePlanes).map(1L << _)
+    val pow2 = (0 until ScaleEnvelope.AbsMaxPlanes).map(1L << _)
       .mkString("[", ", ", "]")
+    // Twin of Similarity.planeIndexFor: base layout t*24+j for j<24
+    // (bit-identical to the pre-envelope oracle), extension region
+    // beyond — pure integer arithmetic in both engines.
+    val ext = S.NumTables * S.MaxTablePlanes
+    val stride = ScaleEnvelope.AbsMaxPlanes - S.MaxTablePlanes
+    val planeIdx =
+      s"CASE WHEN j < ${S.MaxTablePlanes} THEN tbl * ${S.MaxTablePlanes} + j" +
+      s" ELSE $ext + tbl * $stride + (j - ${S.MaxTablePlanes}) END"
     s""", params AS (
        |  SELECT CASE $whens
-       |              ELSE ${S.MaxTablePlanes} END AS h
+       |              ELSE ${ScaleEnvelope.AbsMaxPlanes} END AS h
        |  FROM (SELECT COUNT(*) AS cnt FROM n)
        |), planes AS (
        |  SELECT p, list_transform(range(0, ${S.Dim}), i ->
        |    (CAST('0x' || substr(md5('w:' || CAST(p AS VARCHAR) || ':' ||
        |       CAST(i AS VARCHAR)), 1, 4) AS INT) - 32768) / 32768.0) AS pw
-       |  FROM range(0, ${S.NumTables * S.MaxTablePlanes}) AS tp(p)
+       |  FROM range(0, ${S.NumTables * ScaleEnvelope.AbsMaxPlanes}) AS tp(p)
        |), sigs AS (
        |  SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS sig FROM (
        |    SELECT n.vec_id, tbl, j,
@@ -802,8 +823,8 @@ object SparkEntry {
        |                  i -> pw[i] * v[i])) > 0
        |                THEN ($pow2)[j + 1] ELSE 0 END AS bit
        |    FROM n, params, range(0, ${S.NumTables}) AS tt(tbl),
-       |         range(0, ${S.MaxTablePlanes}) AS tj(j), planes
-       |    WHERE j < h AND planes.p = tbl * ${S.MaxTablePlanes} + j
+       |         range(0, ${ScaleEnvelope.AbsMaxPlanes}) AS tj(j), planes
+       |    WHERE j < h AND planes.p = $planeIdx
        |  ) GROUP BY vec_id, tbl
        |)""".stripMargin
   }
@@ -825,6 +846,39 @@ object SparkEntry {
     (0 until 16).map(b =>
       s"(CASE WHEN v${16 * j + b} > 0 THEN ${1 << b} ELSE 0 END)")
       .mkString(" + ")
+
+  /** Twin of Dedup.simhash64Neighbors — and, verbatim, of
+    * q_simhash64_auto (the ScaleEnvelope dispatcher resolves to the
+    * quarter form at every fixture SF, and the two banding forms are
+    * pair-set-identical anyway): quarter bands, band-bucket self-join,
+    * exact 64-bit Hamming verify at radius 3. */
+  private lazy val simhash64NeighborsOracle: String =
+      s"""$ToksCte, votes AS (
+         |  SELECT doc_id,
+         |         ${simhash64VotesSql}
+         |  FROM toks WHERE len(t) > 0
+         |), sigs AS (
+         |  SELECT doc_id,
+         |         ${(0 until 4).map(j => s"${simhash64QuarterSql(j)} AS q$j")
+                     .mkString(",\n         ")}
+         |  FROM votes
+         |), quarters AS (
+         |  SELECT doc_id, q0, q1, q2, q3, i AS band_idx,
+         |         [q0, q1, q2, q3][i + 1] AS band_val
+         |  FROM sigs, unnest([0, 1, 2, 3]) AS t(i)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(CAST(xor(a.q0, b.q0) AS BIGINT))
+         |          + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))
+         |          + bit_count(CAST(xor(a.q2, b.q2) AS BIGINT))
+         |          + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) AS INT)
+         |         AS hamming
+         |FROM quarters a JOIN quarters b USING (band_idx, band_val)
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(CAST(xor(a.q0, b.q0) AS BIGINT))
+         |    + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))
+         |    + bit_count(CAST(xor(a.q2, b.q2) AS BIGINT))
+         |    + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) <= 3""".stripMargin
 
   /** Wide-index block b of the 64-bit signature (DuckDB) — generated
     * from the SAME [[Dedup.WideBlockSegments]] data the Spark side cuts
@@ -3164,34 +3218,11 @@ object SparkEntry {
                    .mkString(",\n       ")}
          |FROM votes""".stripMargin,
 
-    "q_simhash64_neighbors" ->
-      s"""$ToksCte, votes AS (
-         |  SELECT doc_id,
-         |         ${simhash64VotesSql}
-         |  FROM toks WHERE len(t) > 0
-         |), sigs AS (
-         |  SELECT doc_id,
-         |         ${(0 until 4).map(j => s"${simhash64QuarterSql(j)} AS q$j")
-                     .mkString(",\n         ")}
-         |  FROM votes
-         |), quarters AS (
-         |  SELECT doc_id, q0, q1, q2, q3, i AS band_idx,
-         |         [q0, q1, q2, q3][i + 1] AS band_val
-         |  FROM sigs, unnest([0, 1, 2, 3]) AS t(i)
-         |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(CAST(xor(a.q0, b.q0) AS BIGINT))
-         |          + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))
-         |          + bit_count(CAST(xor(a.q2, b.q2) AS BIGINT))
-         |          + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) AS INT)
-         |         AS hamming
-         |FROM quarters a JOIN quarters b USING (band_idx, band_val)
-         |WHERE a.doc_id < b.doc_id
-         |  AND bit_count(CAST(xor(a.q0, b.q0) AS BIGINT))
-         |    + bit_count(CAST(xor(a.q1, b.q1) AS BIGINT))
-         |    + bit_count(CAST(xor(a.q2, b.q2) AS BIGINT))
-         |    + bit_count(CAST(xor(a.q3, b.q3) AS BIGINT)) <= 3""".stripMargin,
-
+    // Shared verbatim with q_simhash64_auto (the ScaleEnvelope
+    // dispatcher): both banding forms are radius-3 complete, so the
+    // pair set — and therefore the twin — is form-independent.
+    "q_simhash64_auto" -> simhash64NeighborsOracle,
+    "q_simhash64_neighbors" -> simhash64NeighborsOracle,
     "q_simhash64_wide" ->
       s"""$ToksCte, votes AS (
          |  SELECT doc_id,

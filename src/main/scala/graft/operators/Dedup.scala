@@ -668,6 +668,33 @@ object Dedup {
     bandedHammingPairs(sig, WideTables.map(wideKeyCol), maxHamming, bucketCap)
   }
 
+  /** Corpus-size-derived banding form (VERDICT r9 #1 — the §8.8
+    * envelope as CODE, not prose): quarter bands at or below
+    * [[ScaleEnvelope.SimhashWideTrigger]] docs (4 exploded rows/doc,
+    * 2¹⁶ band domain), the Manku wide multi-index above it (20
+    * rows/doc, ~2³² domain — 5× the band shuffle, which is why it is
+    * NOT the default small-corpus form). Both forms are radius-3
+    * complete, so the switch changes COST only: the pair set is
+    * identical on both sides of the trigger (spec-pinned at the exact
+    * boundary in ScaleEnvelopeSpec, corpus-wide in TextDedupSpec). */
+  def simhash64NeighborsAutoOf(sig: DataFrame, nDocs: Long,
+                               maxHamming: Int = 3,
+                               bucketCap: Option[Long] = None)
+      : (DataFrame, DataFrame) =
+    if (ScaleEnvelope.simhashUseWide(nDocs))
+      simhash64WideNeighborsOf(sig, maxHamming, bucketCap)
+    else simhash64NeighborsOf(sig, maxHamming, bucketCap)
+
+  /** [[simhash64NeighborsAutoOf]] over the documents table, sizing the
+    * form from the corpus COUNT(*) — a parquet-footer-only driver
+    * scalar, pinned at index-build time in a standing deployment (the
+    * same build-parameter discipline as the banded-LSH width). */
+  def simhash64NeighborsAuto(spark: SparkSession, dir: String,
+                             maxHamming: Int = 3): DataFrame = {
+    val n = Tables.documents(spark, dir).count()
+    simhash64NeighborsAutoOf(simhash64(spark, dir), n, maxHamming)._1
+  }
+
   /** Shared banded candidate-join + exact-Hamming verify for the 64-bit
     * signature schemes: explode each signature into one (band_idx,
     * band_val) row per band expression, optionally quarantine

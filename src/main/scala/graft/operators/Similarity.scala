@@ -43,37 +43,56 @@ object Similarity {
     * another — the classic LSH amplification), replacing radius-1
     * multi-probe for the self-join shape. */
   val NumTables = 4
-  /** Widest per-table signature: 2^24 buckets/table. Caps the plane
-    * set; past N ≈ TargetBucket·2^24 ≈ 5×10⁸ vectors occupancy grows
-    * linearly again (documented envelope, SURVEY §8.8) — raise this
-    * constant, not the architecture. */
+  /** Base per-table plane stride of the hyperplane LAYOUT: table t
+    * owns base planes [t·24, (t+1)·24). No longer a cap on h (the r6–r9
+    * "raise this constant past ~5×10⁸ vectors" manual envelope —
+    * VERDICT r9 #1): widths beyond 24 draw from the extension region
+    * via [[planeIndexFor]], and the width derivation runs uncapped to
+    * [[ScaleEnvelope.AbsMaxPlanes]]. Kept at 24 so plane indices 0–95 —
+    * and therefore every signature at every fixture SF and its DuckDB
+    * twin — are bit-identical to the pre-envelope layout. */
   val MaxTablePlanes = 24
   val MinTablePlanes = 4
   /** Expected vectors per (table, signature) bucket the widths aim for. */
   val TargetBucket = 32
 
-  /** Per-table signature width at corpus size n: the smallest h ∈
-    * [MinTablePlanes, MaxTablePlanes] with n ≤ TargetBucket·2^h, so
-    * expected occupancy n/2^h stays ≤ TargetBucket as the corpus
-    * grows. INTEGER comparisons only — the DuckDB twin derives the
+  /** Per-table signature width at corpus size n: the smallest h with
+    * n ≤ TargetBucket·2^h, so expected occupancy n/2^h stays ≤
+    * TargetBucket as the corpus grows — delegated to the shared
+    * [[ScaleEnvelope.lshPlanesFor]] policy (uncapped: N = 2⁶³−1
+    * derives h = 58; the old 24-plane cap was the §8.8 manual
+    * envelope). INTEGER comparisons only — the DuckDB twin derives the
     * identical h from COUNT(*) with the same inequalities (a float
     * log2 could round differently across engines at exact
     * power-of-two boundaries). */
   def tablePlanesFor(n: Long): Int =
-    (MinTablePlanes to MaxTablePlanes)
-      .find(h => n <= (TargetBucket.toLong << h))
-      .getOrElse(MaxTablePlanes)
+    ScaleEnvelope.lshPlanesFor(n, MinTablePlanes, TargetBucket.toLong)
+
+  /** Absolute hyperplane index of table t's plane j. Base widths
+    * (j < MaxTablePlanes) keep the historical layout t·24 + j —
+    * signatures at any corpus the old cap could serve are UNCHANGED —
+    * and wider signatures draw planes from a disjoint extension
+    * region, one stride of (AbsMaxPlanes − 24) per table. Injective
+    * over (t, j) by construction: the two regions are disjoint and
+    * each is a distinct-stride grid. */
+  def planeIndexFor(t: Int, j: Int): Int =
+    if (j < MaxTablePlanes) t * MaxTablePlanes + j
+    else NumTables * MaxTablePlanes +
+      t * (ScaleEnvelope.AbsMaxPlanes - MaxTablePlanes) + (j - MaxTablePlanes)
 
   /** Deterministic pseudo-random hyperplanes derived from md5 — the same
     * bytes DuckDB's md5 produces, so the oracle can recompute the
     * identical values in SQL. Component p,i = (hex4(md5("w:p:i")) -
     * 32768) / 32768 ∈ (-1, 1), exactly representable (16-bit numerator
     * over a power-of-two denominator). Table t of the banded scheme
-    * owns planes [t·MaxTablePlanes, (t+1)·MaxTablePlanes); the bounded
-    * 6-plane [[bucketOf]] uses planes 0-5. */
+    * owns base planes [t·MaxTablePlanes, (t+1)·MaxTablePlanes) plus an
+    * extension stride mapped by [[planeIndexFor]]; the bounded
+    * 6-plane [[bucketOf]] uses planes 0-5. Tabulated through the full
+    * NumTables·AbsMaxPlanes layout (248 planes — a build-time
+    * constant, ~16k md5 calls once per JVM). */
   lazy val hyperplanes: Array[Array[Double]] = {
     val mdt = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumTables * MaxTablePlanes, Dim) { (h, i) =>
+    Array.tabulate(NumTables * ScaleEnvelope.AbsMaxPlanes, Dim) { (h, i) =>
       val hex = mdt.digest(s"w:$h:$i".getBytes("UTF-8"))
         .take(2).map(b => f"$b%02x").mkString
       (Integer.parseInt(hex, 16) - 32768).toDouble / 32768.0
@@ -106,10 +125,13 @@ object Similarity {
       .reduce(_ + _)
 
   /** Signature bits of banded table `tbl` (width h): bit j is the sign
-    * of the projection onto plane tbl·MaxTablePlanes + j. */
+    * of the projection onto plane [[planeIndexFor]](tbl, j) — the
+    * historical tbl·24 + j for j < 24, the extension region beyond,
+    * so signatures at any width ≤ 24 are unchanged and bits 0–23 of a
+    * WIDER signature still match the 24-bit one (spec-pinned). */
   private def tableSig(v: Column, tbl: Int, h: Int): Column =
     (0 until h)
-      .map(j => when(dot(planeLit(tbl * MaxTablePlanes + j), v) > 0,
+      .map(j => when(dot(planeLit(planeIndexFor(tbl, j)), v) > 0,
         lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
@@ -210,11 +232,15 @@ object Similarity {
   /** Lloyd refinement rounds for every IVF build (see [[kmeansRefine]]). */
   val KmIterations = 2
 
-  /** Centroid count at corpus size n. √ and ⌈·⌉ of an exact-integer
-    * double are correctly rounded IEEE ops — DuckDB's
-    * GREATEST(16, CEIL(SQRT(COUNT(*)))) lands on the identical k. */
+  /** Centroid count at corpus size n — the shared
+    * [[ScaleEnvelope.centroidCountFor]] piecewise policy: ⌈√n⌉ up to
+    * the 10⁸-vector crossover (the r9 prose envelope, now code), then
+    * ⌈n/c*⌉ so cells cap at c* = 10⁴ members and SemDeDup's
+    * within-cell pair volume stays LINEAR in n. Continuous at the
+    * boundary (both forms derive the same k — spec-pinned), and the
+    * DuckDB twin is the same CASE over COUNT(*). */
   def centroidCountFor(n: Long): Int =
-    math.max(MinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    ScaleEnvelope.centroidCountFor(n, MinCentroids)
 
   /** Deterministic hash-sample k-means seed: the k corpus vectors
     * ranking first by (md5(vec_id), vec_id), as normalized (cent_id,

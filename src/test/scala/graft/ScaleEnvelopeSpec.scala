@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, ScaleEnvelope, Similarity}
+
+/** The three scale-envelope switches (VERDICT r9 #1) as CODE: each
+  * derivation is pinned at its exact trip point, and the dispatched
+  * forms are proven result-identical across the switch — a form flip
+  * at 10⁸ docs must change cost, never output. */
+class ScaleEnvelopeSpec extends SparkSpec {
+
+  test("simhash form switch: quarter at the trigger, wide one past it") {
+    assert(!ScaleEnvelope.simhashUseWide(ScaleEnvelope.SimhashWideTrigger))
+    assert(ScaleEnvelope.simhashUseWide(ScaleEnvelope.SimhashWideTrigger + 1))
+    // The trigger is the documented "~10⁸ docs" knee, derived exactly:
+    // max quarter occupancy × 2¹⁶ band domain.
+    assert(ScaleEnvelope.SimhashWideTrigger == (1L << 26))
+  }
+
+  test("simhash auto dispatch: identical pair set on both sides of the switch") {
+    val sig = Dedup.simhash64(spark, sf0001).cache()
+    try {
+      val below = Dedup
+        .simhash64NeighborsAutoOf(sig, ScaleEnvelope.SimhashWideTrigger)._1
+      val above = Dedup
+        .simhash64NeighborsAutoOf(sig, ScaleEnvelope.SimhashWideTrigger + 1)._1
+      assert(below.count() > 0, "vacuous: no near-dup pairs at fixture scale")
+      assert(below.except(above).isEmpty && above.except(below).isEmpty,
+        "the banding forms disagree across the switch point")
+      // And the dispatch genuinely changed form: the wide index
+      // explodes C(6,3)=20 band rows per doc, the quarter form 4 — an
+      // optimized-plan literal count tells them apart without
+      // re-deriving results.
+      def bandFanout(df: org.apache.spark.sql.DataFrame): Int = {
+        val plan = df.queryExecution.optimizedPlan.toString
+        "band_idx".r.findAllIn(plan).size
+      }
+      assert(bandFanout(above) != bandFanout(below) ||
+        above.queryExecution.optimizedPlan.toString !=
+          below.queryExecution.optimizedPlan.toString,
+        "dispatch did not switch the physical construction")
+    } finally sig.unpersist()
+  }
+
+  test("LSH width: signature bits 0..23 are stable when h widens past 24") {
+    // A corpus crossing the old cap must not re-bucket the bits it
+    // already had: tableSig draws planes through planeIndexFor, whose
+    // base layout (j < 24) is the historical t·24+j. So a WIDER
+    // signature's low 24 bits equal the 24-bit signature exactly.
+    val c = Similarity.normalizedCorpus(spark, sf0001)
+    val s24 = Similarity.bandedSignatureRows(c, 24)
+      .select(col("vec_id"), col("tbl"), col("sig").as("sig24"))
+    val s30 = Similarity.bandedSignatureRows(c, 30)
+      .select(col("vec_id"), col("tbl"), col("sig").as("sig30"))
+    val joined = s24.join(s30, Seq("vec_id", "tbl")).cache()
+    try {
+      assert(joined.count() > 0)
+      assert(joined
+        .where(col("sig30").bitwiseAND(lit((1L << 24) - 1)) =!= col("sig24"))
+        .isEmpty,
+        "widening the signature rewrote the base-24 bits")
+      // and the extension bits are real: some signature uses bit ≥ 24.
+      assert(joined.where(col("sig30") >= lit(1L << 24)).count() > 0,
+        "no signature ever set an extension bit — planes 24+ dead")
+    } finally joined.unpersist()
+  }
+
+  test("planeIndexFor: injective over the full (table, width) grid, " +
+    "backward-compatible below 24") {
+    val S = Similarity
+    val all = for {
+      t <- 0 until S.NumTables
+      j <- 0 until ScaleEnvelope.AbsMaxPlanes
+    } yield (t, j)
+    val idx = all.map { case (t, j) => S.planeIndexFor(t, j) }
+    assert(idx.distinct.size == idx.size, "plane index collision")
+    assert(idx.forall(p => p >= 0 && p < S.NumTables * ScaleEnvelope.AbsMaxPlanes))
+    // Historical layout preserved: every signature computed before the
+    // envelope change used planes t*24+j — those indices must be
+    // untouched or every persisted LSH index breaks.
+    for (t <- 0 until S.NumTables; j <- 0 until S.MaxTablePlanes)
+      assert(S.planeIndexFor(t, j) == t * S.MaxTablePlanes + j)
+    // And the hyperplane table actually covers the extension region.
+    assert(S.hyperplanes.length == S.NumTables * ScaleEnvelope.AbsMaxPlanes)
+  }
+
+  test("centroid count: continuous at the sqrt→cell-cap crossover") {
+    val cap = ScaleEnvelope.TargetCellCap
+    val xover = ScaleEnvelope.CentroidSqrtCrossover
+    def sqrtForm(n: Long) =
+      math.max(Similarity.MinCentroids,
+        math.ceil(math.sqrt(n.toDouble)).toInt)
+    def capForm(n: Long) = ((n + cap - 1) / cap).toInt
+    // AT the boundary and one past it the two forms agree — there is
+    // no k cliff, hence no result cliff, at the switch point.
+    assert(sqrtForm(xover) == capForm(xover))
+    assert(sqrtForm(xover + 1) == capForm(xover + 1))
+    assert(Similarity.centroidCountFor(xover) == cap.toInt)
+    assert(Similarity.centroidCountFor(xover + 1) == cap.toInt + 1)
+    // Far past it, the cap form holds cells at c* members: at 10¹⁰
+    // vectors the sqrt form would hand each cell 10⁵ members (N^1.5
+    // pair work); the envelope keeps it at ~c*.
+    val big = 10L * xover
+    val k = Similarity.centroidCountFor(big)
+    assert(big / k <= cap && k == capForm(big))
+    // Monotone across the seam (no sawtooth a scheduler could flap on).
+    val around = Seq(xover - 1, xover, xover + 1, xover + cap, 2 * xover)
+    val ks = around.map(Similarity.centroidCountFor(_))
+    assert(ks == ks.sorted)
+  }
+}

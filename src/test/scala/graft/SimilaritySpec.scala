@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{ScaleEnvelope, Similarity}
 
 /** Unit coverage for similarity search: exact baseline sanity, LSH
   * bucketing determinism, and approximate-vs-exact recall. */
@@ -114,7 +114,7 @@ class SimilaritySpec extends SparkSpec {
     } finally c.unpersist()
   }
 
-  test("centroid count: k = max(16, ceil(sqrt(N))) — sublinear in N") {
+  test("centroid count: sqrt regime below the cell-cap crossover") {
     import Similarity._
     assert(centroidCountFor(1) == MinCentroids)
     assert(centroidCountFor(256) == MinCentroids)       // sqrt = 16 exactly
@@ -122,10 +122,16 @@ class SimilaritySpec extends SparkSpec {
     assert(centroidCountFor(500) == 23)
     assert(centroidCountFor(5000) == 71)
     assert(centroidCountFor(1000000) == 1000)
-    assert(centroidCountFor(1000000000L) == 31623)
-    // The property the N/50 stride rule lacked: k/N → 0 as N grows,
-    // so the centroid broadcast and the N·k assignment stay sublinear.
-    assert(centroidCountFor(1000000000L).toDouble / 1000000000L < 1e-4)
+    // Past the ScaleEnvelope crossover (N = c*² = 10⁸) the derivation
+    // is ⌈N/c*⌉ — cells capped at c* members, within-cell pair work
+    // LINEAR in N (the r9 prose envelope, now code; the sqrt form
+    // would hand 10⁹-vector cells 31623 members each, N^1.5 pairs).
+    assert(centroidCountFor(1000000000L) == 100000) // exact: 10⁹/c*
+    // k/N → 1/c* as N grows: the centroid table stays a vanishing
+    // fraction of the corpus (broadcastable through ~10¹⁰ vectors;
+    // past that the assignment moves to a shuffle join — documented
+    // at trainedCentroidsOf).
+    assert(centroidCountFor(1000000000L).toDouble / 1000000000L <= 1.1e-4)
     // And the trained set really carries k centroids at fixture scale.
     val c = Similarity.normalizedCorpus(spark, sf0001)
     val n = c.count()
@@ -231,8 +237,16 @@ class SimilaritySpec extends SparkSpec {
     // Boundary exactness: one vector past the cutoff widens by one bit.
     assert(tablePlanesFor((TargetBucket.toLong << 10)) == 10)
     assert(tablePlanesFor((TargetBucket.toLong << 10) + 1) == 11)
-    // Monotone non-decreasing in n; capped at MaxTablePlanes.
-    assert(tablePlanesFor(Long.MaxValue) == MaxTablePlanes)
+    // UNCAPPED past the old 24-plane ceiling (the §8.8 manual envelope,
+    // now ScaleEnvelope code): one vector past TargetBucket·2²⁴ derives
+    // 25 planes, and even Long.MaxValue derives h = 58 < AbsMaxPlanes —
+    // occupancy stays bounded at every reachable corpus size.
+    assert(tablePlanesFor(TargetBucket.toLong << MaxTablePlanes)
+      == MaxTablePlanes)
+    assert(tablePlanesFor((TargetBucket.toLong << MaxTablePlanes) + 1)
+      == MaxTablePlanes + 1)
+    assert(tablePlanesFor(Long.MaxValue) == 58)
+    assert(tablePlanesFor(Long.MaxValue) <= ScaleEnvelope.AbsMaxPlanes)
   }
 
   test("banded near-dup recall ≥ the old fixed-64-bucket single table") {
@@ -407,7 +421,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("hyperplanes are reproducible constants") {
     val w = Similarity.hyperplanes
-    assert(w.length == Similarity.NumTables * Similarity.MaxTablePlanes &&
+    assert(w.length == Similarity.NumTables * ScaleEnvelope.AbsMaxPlanes &&
       w.head.length == Similarity.Dim)
     assert(w.flatten.forall(x => x >= -1.0 && x < 1.0))
     // spot value pinned: md5("w:0:0") first 4 hex digits
