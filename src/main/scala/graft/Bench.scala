@@ -37,11 +37,22 @@ import org.apache.spark.sql.SparkSession
   * r6). SPARK_GRAFT_MACRO=0 skips them for quick micro iterations.
   */
 object Bench {
-  /** On the correctness surface but NOT timed: queries whose candidate
-    * volume is quadratic by construction. Empty since round 6 — the
-    * 16-bit `q_simhash_neighbors` demo left the oracle surface entirely
-    * (spec-only now; `q_simhash64_neighbors` is the production shape). */
-  val notBenched: Set[String] = Set.empty
+  /** On the correctness surface but NOT timed.
+    *
+    *  - `q_ann_ivf` (VERDICT r9 #4, the §8.5 build-artifact policy):
+    *    the row carries IN-QUERY Lloyd training so the driver oracle
+    *    can pin the whole train→assign→probe pipeline deterministically
+    *    — but training is a BUILD artifact, run once per index, not per
+    *    query. It was the bench's single biggest line (5.2 s mean at
+    *    sf0.1) and timing it per-round graded index construction as if
+    *    it were serving cost. The headline ANN timing is
+    *    `q_ann_ivf_served` — the partition-pruned persisted-index path
+    *    a standing deployment actually pays, which shares this row's
+    *    oracle twin (build/serve identity stays hash-proven).
+    *  - `q_simhash64_auto` (r10): the ScaleEnvelope dispatcher resolves
+    *    to the same quarter-banding plan `q_simhash64_neighbors`
+    *    already times; timing it would double-count one operator. */
+  val notBenched: Set[String] = Set("q_ann_ivf", "q_simhash64_auto")
 
   /** Timed rounds per query; per-query MIN is the reported time.
     * SPARK_GRAFT_REPS overrides (the one-off sf1 observation run uses 1 —
