@@ -253,6 +253,11 @@ object SparkEntry {
     // BPE ENCODE (r9): apply the mined merges — iterative min-rank
     // piece-pair rewriting to a fixpoint, md5-pinned full encoding
     "q_bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
+    // chunk-first encode, segments forced tiny (64 pieces) so fixture
+    // docs genuinely split — shares q_bpe_encode's twin: the
+    // boundary-safe cut must leave the token stream bit-identical.
+    "q_bpe_encode_chunked" ->
+      ((s, d) => TextOps.bpeEncodeChunked(s, d, maxPieces = 64)),
     // Build/serve identity on the oracle surface for the minhash tier
     // (VERDICT r6 #4, mirroring q_ann_ivf_served): the SERVED form
     // reads the once-per-JVM staged pair table, the INLINE form
@@ -989,6 +994,62 @@ object SparkEntry {
       |  JOIN lineitem l ON t.transaction_id = l.l_orderkey
       |  JOIN part p ON l.l_partkey = p.p_partkey
       |)""".stripMargin
+
+  /** Twin of TextOps.bpeEncode — and, verbatim, of
+    * q_bpe_encode_chunked: boundary-safe chunk-first encoding is
+    * result-IDENTICAL to the whole-document encode (a merge can
+    * never cross a cut placed after a non-component piece), so the
+    * chunked row hash-matching this same recursive-CTE replay IS
+    * the driver-verified equivalence proof. */
+  private lazy val bpeEncodeOracle: String =
+      s"""WITH RECURSIVE pieces AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text),
+         |           '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS p
+         |  FROM documents
+         |), bpairs AS (
+         |  SELECT unnest(CASE WHEN len(p) >= 2
+         |           THEN list_transform(range(1, len(p)),
+         |                  i -> p[i] || chr(9) || p[i+1])
+         |           ELSE [] END) AS pair
+         |  FROM pieces
+         |), counted AS (
+         |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM bpairs GROUP BY 1
+         |), mr AS (
+         |  SELECT string_split(pair, chr(9))[1] AS a,
+         |         string_split(pair, chr(9))[2] AS b, rnk FROM (
+         |    SELECT pair, ROW_NUMBER() OVER (
+         |      ORDER BY n DESC, pair ASC) AS rnk FROM counted
+         |  ) WHERE rnk <= ${TextOps.BpeTopK}
+         |), init AS (
+         |  SELECT doc_id, ' ' || array_to_string(p, ' ') || ' ' AS st
+         |  FROM pieces WHERE len(p) >= 1
+         |), enc AS (
+         |  SELECT doc_id, st FROM init
+         |  UNION ALL
+         |  SELECT e.doc_id,
+         |         replace(e.st, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ')
+         |  FROM enc e JOIN LATERAL (
+         |    SELECT a, b FROM mr
+         |    WHERE contains(e.st, ' '||a||' '||b||' ')
+         |    ORDER BY rnk LIMIT 1) m ON true
+         |), fin AS (
+         |  SELECT doc_id, trim(st) AS enc_text FROM enc e
+         |  WHERE NOT EXISTS (SELECT 1 FROM mr
+         |                    WHERE contains(e.st, ' '||mr.a||' '||mr.b||' '))
+         |)
+         |SELECT p.doc_id AS doc_id,
+         |       CAST(len(p.p) AS BIGINT) AS n_pieces,
+         |       CAST(CASE WHEN f.enc_text IS NULL OR f.enc_text = '' THEN 0
+         |            ELSE len(string_split(f.enc_text, ' ')) END AS BIGINT)
+         |         AS n_tokens,
+         |       CASE WHEN len(p.p) > 0 THEN
+         |         CAST(CASE WHEN f.enc_text IS NULL OR f.enc_text = ''
+         |              THEN 0 ELSE len(string_split(f.enc_text, ' ')) END
+         |           AS DOUBLE) / len(p.p) END AS compression,
+         |       md5(coalesce(f.enc_text, '')) AS encoded_md5
+         |FROM pieces p
+         |LEFT JOIN fin f ON p.doc_id = f.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_master_model" ->
@@ -3112,55 +3173,10 @@ object SparkEntry {
     // left-to-right replace-all semantics match Java String.replace
     // exactly; terminal states are the rows where no merge applies.
     // encoded_md5 pins the full encoding byte-for-byte.
-    "q_bpe_encode" ->
-      s"""WITH RECURSIVE pieces AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text),
-         |           '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS p
-         |  FROM documents
-         |), bpairs AS (
-         |  SELECT unnest(CASE WHEN len(p) >= 2
-         |           THEN list_transform(range(1, len(p)),
-         |                  i -> p[i] || chr(9) || p[i+1])
-         |           ELSE [] END) AS pair
-         |  FROM pieces
-         |), counted AS (
-         |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM bpairs GROUP BY 1
-         |), mr AS (
-         |  SELECT string_split(pair, chr(9))[1] AS a,
-         |         string_split(pair, chr(9))[2] AS b, rnk FROM (
-         |    SELECT pair, ROW_NUMBER() OVER (
-         |      ORDER BY n DESC, pair ASC) AS rnk FROM counted
-         |  ) WHERE rnk <= ${TextOps.BpeTopK}
-         |), init AS (
-         |  SELECT doc_id, ' ' || array_to_string(p, ' ') || ' ' AS st
-         |  FROM pieces WHERE len(p) >= 1
-         |), enc AS (
-         |  SELECT doc_id, st FROM init
-         |  UNION ALL
-         |  SELECT e.doc_id,
-         |         replace(e.st, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ')
-         |  FROM enc e JOIN LATERAL (
-         |    SELECT a, b FROM mr
-         |    WHERE contains(e.st, ' '||a||' '||b||' ')
-         |    ORDER BY rnk LIMIT 1) m ON true
-         |), fin AS (
-         |  SELECT doc_id, trim(st) AS enc_text FROM enc e
-         |  WHERE NOT EXISTS (SELECT 1 FROM mr
-         |                    WHERE contains(e.st, ' '||mr.a||' '||mr.b||' '))
-         |)
-         |SELECT p.doc_id AS doc_id,
-         |       CAST(len(p.p) AS BIGINT) AS n_pieces,
-         |       CAST(CASE WHEN f.enc_text IS NULL OR f.enc_text = '' THEN 0
-         |            ELSE len(string_split(f.enc_text, ' ')) END AS BIGINT)
-         |         AS n_tokens,
-         |       CASE WHEN len(p.p) > 0 THEN
-         |         CAST(CASE WHEN f.enc_text IS NULL OR f.enc_text = ''
-         |              THEN 0 ELSE len(string_split(f.enc_text, ' ')) END
-         |           AS DOUBLE) / len(p.p) END AS compression,
-         |       md5(coalesce(f.enc_text, '')) AS encoded_md5
-         |FROM pieces p
-         |LEFT JOIN fin f ON p.doc_id = f.doc_id""".stripMargin,
+    "q_bpe_encode" -> bpeEncodeOracle,
+    // Forced-small segments at fixture scale (maxPieces=64), same
+    // twin: chunk-first must be invisible in the result.
+    "q_bpe_encode_chunked" -> bpeEncodeOracle,
 
     // Served (from the staged pair table) and inline (recomputing the
     // minhash→LSH→verify chain in-query) forms SHARE one twin — the

@@ -458,6 +458,38 @@ class TextDedupSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("bpe chunk-first encode == whole-document encode (forced tiny segments)") {
+    // The boundary-safe cut theorem, exercised: every fixture doc is
+    // far longer than 8 pieces, so EVERY doc splits into many segments
+    // — and the concatenated per-segment token streams must equal the
+    // whole-doc encode byte for byte (encoded_md5 carries the proof).
+    val whole = TextOps.bpeEncode(spark, SparkSpec.Sf001)
+    val chunked = TextOps.bpeEncodeChunked(spark, SparkSpec.Sf001, maxPieces = 8)
+    assert(whole.exceptAll(chunked).isEmpty && chunked.exceptAll(whole).isEmpty,
+      "chunk-first encoding changed the token stream")
+  }
+
+  test("bpe chunk-first: cut defers past all-component runs, never splits unsafely") {
+    // Merge table from this corpus ranks (a,b) first; doc 1 is a long
+    // run where EVERY piece is a rule component (a or b) — a naive cut
+    // at maxPieces would fall mid-run and break an (a,b) occurrence.
+    // The safe splitter must defer to the 'z' (z is in no rule) and
+    // still produce the whole-doc fixpoint.
+    val run = (1 to 40).map(_ => "a b").mkString(" ") + " z " +
+      (1 to 40).map(_ => "a b").mkString(" ")
+    val docs = Seq(
+      (1L, run, "en", "s", 0L),
+      (2L, "a b a b a b", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("bpechunk")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val whole = TextOps.bpeEncode(spark, dir)
+    // maxPieces=7 (odd, < the 80-piece component runs): every candidate
+    // cut inside a run lands after a COMPONENT piece and must defer.
+    val chunked = TextOps.bpeEncodeChunked(spark, dir, maxPieces = 7)
+    assert(whole.exceptAll(chunked).isEmpty && chunked.exceptAll(whole).isEmpty)
+  }
+
   test("span dedup fixture invariants: conservation, reconstruction, effect") {
     val out = TextOps.dedupSpans(spark, SparkSpec.Sf001)
     // Block accounting conserves; the op does real work on the fixture.
