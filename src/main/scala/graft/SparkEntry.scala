@@ -28,6 +28,11 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.rollup(s, d)),
     "q_top_products" -> ((s, d) => Relational.topProductsPerCountry(master(s, d))),
     "q_select_star" -> ((s, d) => Relational.selectStar(s, d, "supplier")),
+    // transactional keyed MERGE over the versioned publish (r10): reads
+    // the staged table's LATEST through the monotone marker pointer —
+    // the driver hash certifies the merge semantics end to end.
+    "q_merge_publish" -> ((s, d) =>
+      graft.sinks.Sinks.readLatest(s, stagedMergeTable(s, d))),
     // LLM-data-pipeline tier (north star): text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -96,6 +101,14 @@ object SparkEntry {
     // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
     "q_generator" -> ((s, _) => sources.Generator.campaigns(s, 1000)),
     "q_ingest_roundtrip_csv" -> ((s, d) => ingestRoundtrip(s, d, "csv")),
+    // S3 (r10): the headerless schema-typed CSV reader on the driver
+    // hash surface — was spec-only through r9.
+    "q_ingest_roundtrip_csv_noheader" ->
+      ((s, d) => ingestRoundtrip(s, d, "csv_nohdr")),
+    // K4+K5 (r10): staged CSV object write, then the archival move,
+    // read back FROM THE ARCHIVE — one row certifies both sinks.
+    "q_sink_archive_roundtrip" ->
+      ((s, d) => ingestRoundtrip(s, d, "archive")),
     "q_ingest_roundtrip_tsv" -> ((s, d) => ingestRoundtrip(s, d, "tsv")),
     "q_ingest_roundtrip_jsonl" -> ((s, d) => ingestRoundtrip(s, d, "jsonl")),
     "q_ingest_roundtrip_orc" -> ((s, d) => ingestRoundtrip(s, d, "orc")),
@@ -397,6 +410,17 @@ object SparkEntry {
             .text(s"$dir/stage")
         case "orc" =>
           shaped.write.mode("overwrite").orc(s"$dir/stage")
+        case "csv_nohdr" => // S3: the Cloud-SQL-export flow skips no rows
+          shaped.write.mode("overwrite").csv(s"$dir/stage")
+        case "archive" =>
+          // K4 staged CSV object write → K5 archival move: the files
+          // are STAGED by the whitespace-exact writer, then RELOCATED
+          // file-by-file; the round-trip row reads the archive, so a
+          // hash match certifies both sink operators on real bytes.
+          graft.sinks.Sinks.writeCsvObjects(shaped, s"$dir/out")
+          val moved = graft.sinks.Sinks.archive(s,
+            s"$dir/out/part-*.csv", s"$dir/stage")
+          require(moved > 0, s"K5 archive moved no files under $dir/out")
         case _ =>
           shaped.write.mode("overwrite").option("header", "true")
             .csv(s"$dir/stage")
@@ -412,6 +436,33 @@ object SparkEntry {
     * build + three compact scans). Deleted on JVM exit. */
   private val stagedPairTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Versioned MERGE table staged once per (sfDir, JVM) — the
+    * q_merge_publish fixture: v1 = a deterministic orders slice
+    * published through the full [[graft.sinks.Sinks.mergePublish]]
+    * path, v2 = a keyed MERGE of an update+insert batch (every %3
+    * orderkey re-stated with status 'M' and price+1.0 — updates where
+    * the key exists in v1, inserts where it does not). The oracle
+    * computes the same merged state straight from the orders parquet,
+    * so a hash match certifies the whole MERGE-then-publish machinery
+    * (latest-wins, anti-join carry, marker-pointer read) end to end. */
+  private val stagedMergeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedMergeTable(s: SparkSession, d: String): String =
+    stagedMergeTables.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions._
+      val dir = tempDirWithCleanup("graft_merge")
+      val orders = graft.Tables.orders(s, d)
+      val base = orders.where(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sinks.Sinks.mergePublish(s, base, s"$dir/t", Seq("o_orderkey"))
+      val inc = orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      graft.sinks.Sinks.mergePublish(s, inc, s"$dir/t", Seq("o_orderkey"))
+      s"$dir/t"
+    })
 
   private def stagedPairTable(s: SparkSession, d: String): DataFrame = {
     val path = stagedPairTables.computeIfAbsent(d, { _ =>
@@ -572,6 +623,10 @@ object SparkEntry {
           sources.Ingest.transactionsSchema)
       case "orc" =>
         sources.Ingest.readOrc(s, s"${stagedDir(s, d, fmt)}/stage/*.orc",
+          sources.Ingest.transactionsSchema)
+      case "csv_nohdr" =>
+        sources.Ingest.readCsvNoHeader(s,
+          s"${stagedDir(s, d, fmt)}/stage/*.csv",
           sources.Ingest.transactionsSchema)
       case _ =>
         sources.Ingest.readCsv(s, s"${stagedDir(s, d, fmt)}/stage/*.csv",
@@ -1175,6 +1230,24 @@ object SparkEntry {
 
     "q_select_star" -> "SELECT * FROM supplier",
 
+    // Twin of the staged MERGE-then-publish table: the merged state
+    // recomputed straight from orders — matched keys take the incoming
+    // row (status 'M', price+1.0: IEEE add of identical parquet
+    // operands, bit-stable), unmatched base rows carry, unmatched
+    // incoming keys insert.
+    "q_merge_publish" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 <> 0
+        |), inc AS (
+        |  SELECT o_orderkey, 'M' AS o_orderstatus,
+        |         o_totalprice + 1.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT * FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+        |UNION ALL SELECT * FROM inc""".stripMargin,
+
     "q_text_stats" ->
       s"""$ToksCte
          |SELECT lang, source,
@@ -1703,6 +1776,8 @@ object SparkEntry {
     },
 
     "q_ingest_roundtrip_csv" -> IngestRoundtripOracle,
+    "q_ingest_roundtrip_csv_noheader" -> IngestRoundtripOracle,
+    "q_sink_archive_roundtrip" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_tsv" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_jsonl" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_orc" -> IngestRoundtripOracle,

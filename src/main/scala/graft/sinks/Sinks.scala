@@ -131,23 +131,8 @@ object Sinks {
     * landing conflicting rows for one key. */
   def upsert(spark: SparkSession, incoming: DataFrame, layerPath: String,
              keys: Seq[String], latestBy: Seq[String] = Nil): Unit = {
-    import org.apache.spark.sql.functions.{col, count, lit, row_number}
-    val deduped =
-      if (latestBy.nonEmpty) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*)
-          .orderBy(latestBy.map(c => col(c).desc): _*)
-        incoming.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
-      } else {
-        val dups = incoming.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
-        if (!dups.isEmpty)
-          throw new IllegalArgumentException(
-            s"upsert into $layerPath: incoming batch has duplicate keys " +
-              s"and no latestBy ordering — 'latest wins' would be undefined")
-        incoming
-      }
+    import org.apache.spark.sql.functions.col
+    val deduped = latestWins(incoming, layerPath, keys, latestBy)
     val conf = spark.sparkContext.hadoopConfiguration
     val layer = new Path(layerPath)
     val fs = layer.getFileSystem(conf)
@@ -179,6 +164,82 @@ object Sinks {
       }
       fs.delete(old, true)
     }
+  }
+
+  /** Latest-wins key dedup shared by [[upsert]] and [[mergePublish]]:
+    * with `latestBy` named, the greatest (latestBy…) row per key wins
+    * deterministically; without it, a multi-row key fails fast (the
+    * merge would be undefined). */
+  private def latestWins(incoming: DataFrame, target: String,
+                         keys: Seq[String], latestBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, row_number}
+    if (latestBy.nonEmpty) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(latestBy.map(c => col(c).desc): _*)
+      incoming.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    } else {
+      val dups = incoming.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+      if (!dups.isEmpty)
+        throw new IllegalArgumentException(
+          s"merge into $target: incoming batch has duplicate keys " +
+            s"and no latestBy ordering — 'latest wins' would be undefined")
+      incoming
+    }
+  }
+
+  /** Transactional keyed MERGE over the versioned-publish layout
+    * (VERDICT r9 #6 — [[upsert]]'s merge semantics composed with
+    * [[publishVersioned]]'s monotone marker pointer): read the current
+    * latest version, replace matched keys with the incoming batch
+    * (latest-wins within the batch via `latestBy`), insert unmatched
+    * keys, and publish the result as a NEW version. Returns the
+    * published version number.
+    *
+    * This is the Delta-style MERGE-then-commit, minus log compaction:
+    * unlike [[upsert]]'s rename dance (whose tiny two-rename window
+    * needed crash recovery), every intermediate state here is one of
+    * the format's invariant states —
+    *  - crash during the stage write: unreferenced `.stage-*` dir,
+    *    readers untouched;
+    *  - crash between the `v=n` rename and the marker create: readers
+    *    still resolve the OLD max marker (the reader invariant the
+    *    marker design guarantees), and the orphaned `v=n` is inert
+    *    (next publish claims n+1; vacuum reclaims the orphan);
+    *  - replay after any crash: re-reads the still-current version and
+    *    re-merges — CONVERGES to the same table content (spec-pinned),
+    *    because the merge is a pure function of (current, incoming).
+    * Old versions stay readable ([[readVersion]]) and the change set is
+    * one [[diffVersions]] call — MERGE, time travel, and diff compose
+    * because they share the version layout.
+    *
+    * Scale shape: one left_anti shuffle on the keys over the current
+    * version + a full write of the merged table — the same cost
+    * envelope as [[upsert]] (no row-wise write amplification), plus
+    * version isolation. A 100 TB table pays full-rewrite only because
+    * this layout shares nothing between versions; the partition-grain
+    * refinement ([[overwritePartitions]]) applies unchanged when keys
+    * map to partitions. */
+  def mergePublish(spark: SparkSession, incoming: DataFrame,
+                   tableDir: String, keys: Seq[String],
+                   latestBy: Seq[String] = Nil): Int = {
+    val deduped = latestWins(incoming, tableDir, keys, latestBy)
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCurrent = fs.exists(root) && listVersions(fs, root).nonEmpty &&
+      (fs.exists(new Path(root, MarkerDir)) ||
+        fs.exists(new Path(root, "LATEST")))
+    val merged =
+      if (!hasCurrent) deduped
+      else {
+        import org.apache.spark.sql.functions.col
+        readLatest(spark, tableDir)
+          .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(deduped)
+      }
+    publishVersioned(merged, tableDir)
   }
 
   /** Range-clustered layout: repartitionByRange + sortWithinPartitions

@@ -320,6 +320,60 @@ class IngestSinksSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/t/v=1").exists())
   }
 
+  test("mergePublish: keyed MERGE-then-publish; crash between data and " +
+    "marker keeps readers on the old version; replay converges") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("mergepub")
+    val t = s"$dir/t"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "s", "x")
+    assert(Sinks.mergePublish(spark, base, t, Seq("id")) == 1)
+    // MERGE: update id=2, insert id=4 — matched keys replaced,
+    // unmatched inserted, untouched keys carried.
+    val inc = Seq((2L, "B", 21.0), (4L, "d", 40.0)).toDF("id", "s", "x")
+    assert(Sinks.mergePublish(spark, inc, t, Seq("id")) == 2)
+    def latestSet = Sinks.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val afterMerge = Set((1L, "a", 10.0), (2L, "B", 21.0),
+      (3L, "c", 30.0), (4L, "d", 40.0))
+    assert(latestSet == afterMerge)
+    // The composition pays off: the change set is one diffVersions call
+    // and the pre-merge table is still readable (time travel).
+    val diff = Sinks.diffVersions(spark, t, 1, 2, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((2L, "changed"), (4L, "added")))
+    assert(Sinks.readVersion(spark, t, 1).count() == 3)
+    // CRASH between the v=3 data rename and the marker create: the data
+    // directory exists, the marker does not. Readers must still resolve
+    // v=2 — the monotone-marker invariant.
+    val crashInc = Seq((1L, "A", 11.0)).toDF("id", "s", "x")
+    Sinks.readLatest(spark, t)
+      .join(crashInc.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(crashInc)
+      .write.parquet(s"$t/v=3")
+    assert(latestSet == afterMerge, "crashed publish became visible")
+    // REPLAY the merge: claims the next free number past the orphan and
+    // converges — same content the crashed attempt intended, because
+    // the merge is a pure function of (still-current v=2, incoming).
+    assert(Sinks.mergePublish(spark, crashInc, t, Seq("id")) == 4)
+    val afterReplay = Set((1L, "A", 11.0), (2L, "B", 21.0),
+      (3L, "c", 30.0), (4L, "d", 40.0))
+    assert(latestSet == afterReplay)
+    val v3 = spark.read.parquet(s"$t/v=3")
+    val v4 = Sinks.readVersion(spark, t, 4)
+    assert(v3.exceptAll(v4).isEmpty && v4.exceptAll(v3).isEmpty,
+      "replay diverged from the crashed attempt's intended content")
+    // In-batch conflicts: latestBy picks the greatest, deterministic.
+    val multi = Seq((5L, "old", 1.0), (5L, "new", 2.0)).toDF("id", "s", "x")
+    assert(Sinks.mergePublish(spark, multi, t, Seq("id"),
+      latestBy = Seq("x")) == 5)
+    assert(latestSet.contains((5L, "new", 2.0)))
+    // ...and without latestBy a conflicting batch fails fast.
+    intercept[IllegalArgumentException] {
+      Sinks.mergePublish(spark, multi, t, Seq("id"))
+    }
+  }
+
   test("diffVersions classifies added / removed / changed keys only") {
     val dir = tmpDir("vdiff")
     val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
