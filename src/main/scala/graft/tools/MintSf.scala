@@ -36,6 +36,15 @@ object MintSf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    mint(spark, base, out, mult)
+    spark.stop()
+  }
+
+  /** The mint body on a CALLER-OWNED session (PlanAuditSf1Spec mints
+    * through the shared test session — main()'s create/stop would kill
+    * it). */
+  def mint(spark: SparkSession, base: String, out: String,
+           mult: Int): Unit = {
 
     def copies(name: String)(shift: (DataFrame, Long) => DataFrame): Unit = {
       val src = graft.Tables.read(spark, base, name)
@@ -75,6 +84,5 @@ object MintSf {
             .otherwise(v)))
     }
     println(s"minted $out at ${mult}x of $base")
-    spark.stop()
   }
 }

@@ -21,6 +21,7 @@ object SparkSpec {
   }
   val Sf0001 = "/root/testdata/sf0.001"
   val Sf001 = "/root/testdata/sf0.01"
+  val Sf01 = "/root/testdata/sf0.1"
 }
 
 abstract class SparkSpec extends AnyFunSuite {
