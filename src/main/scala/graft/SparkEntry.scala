@@ -83,6 +83,12 @@ object SparkEntry {
     // SemDeDup (r9): cluster-scoped semantic dedup — within-IVF-cell
     // pairs at cosine >= eps drop their more-cluster-typical member
     "q_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    // build/serve split (r10, mirroring q_ann_ivf_served): semantic
+    // dedup answered from the persisted cell-partitioned IVF index —
+    // zero training AND zero assignment at serve; shares q_semdedup's
+    // twin (bit-identical by shared sweep + exact parquet round-trip).
+    "q_semdedup_served" -> ((s, d) =>
+      Similarity.semDedupServed(s, stagedIvfIndex(s, d))),
     // event-time aggregation (batch twins of the streaming queries)
     "q_event_windows" -> ((s, d) => Events.hourlyWindows(s, d)),
     // typed JSON property extraction (r8): single-parse from_json
@@ -1558,6 +1564,7 @@ object SparkEntry {
     // cN = rebuilt centroid vectors. Must track kmeansRefineOf exactly.
     "q_ann_ivf" -> annIvfSql,
     "q_semdedup" -> semDedupSql,
+    "q_semdedup_served" -> semDedupSql,
     // The served path answers from the SAME trained centroids with the
     // same tie-breaks, so it shares the twin verbatim.
     "q_ann_ivf_served" -> annIvfSql,

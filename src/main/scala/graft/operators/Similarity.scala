@@ -410,6 +410,44 @@ object Similarity {
     val members = c.join(cells, "vec_id")
       .select(col("vec_id"), col("cell"), col("cent_cos"), col("v"),
         col("nv"))
+    semDedupSweep(members, threshold)
+  }
+
+  /** SemDeDup from a persisted [[buildIvfIndex]] index — the
+    * build/serve split the ANN tier already has, applied to semantic
+    * dedup: members and their cells come straight from the
+    * cell-partitioned postings (assignment cost: ZERO at serve — the
+    * in-query form pays the N×k crossJoin every run), and cent_cos is
+    * recomputed against the persisted centroids with the SAME IEEE
+    * expression over parquet-exact operands, so the output is
+    * bit-identical to in-query [[semDedup]] over the same corpus —
+    * the two paths share q_semdedup's DuckDB twin, which makes the
+    * build/serve identity a driver-hash-verified fact rather than an
+    * argument. Production shape at 100 TB: dedup runs on a standing
+    * index maintained by the append path; training rides the index
+    * build, never the dedup query. */
+  def semDedupServed(spark: SparkSession, indexPath: String,
+                     threshold: Double = SemDedupEps): DataFrame = {
+    graft.expressions.DotProduct.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val members = spark.read.parquet(s"$indexPath/postings")
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+        col("v"), col("nv"))
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("cv"), col("v")) / (col("cnv") * col("nv")))
+          .as("cent_cos"),
+        col("v"), col("nv"))
+    semDedupSweep(members, threshold)
+  }
+
+  /** The within-cell pair sweep + keep-rule shared by [[semDedup]] and
+    * [[semDedupServed]] — ONE definition so the drop semantics (and
+    * the (cent_cos, vec_id) tie-break) cannot drift between the
+    * in-query and served forms. `members`: (vec_id, cell, cent_cos,
+    * v, nv). */
+  private def semDedupSweep(members: DataFrame,
+                            threshold: Double): DataFrame = {
     val a = members.select(col("cell"), col("vec_id").as("id_a"),
       col("cent_cos").as("cc_a"), col("v").as("va"), col("nv").as("na"))
     val b = members.select(col("cell"), col("vec_id").as("id_b"),

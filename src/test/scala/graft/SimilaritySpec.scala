@@ -393,6 +393,23 @@ class SimilaritySpec extends SparkSpec {
       s"postings scan shows no partition pruning:\n$plan")
   }
 
+  test("semDedup served from the persisted index == in-query semDedup") {
+    // The r10 build/serve split: zero training and zero assignment at
+    // serve, yet bit-identical output — cells come from the postings
+    // the shared assignCells wrote, cent_cos from the same IEEE
+    // expression over parquet-exact operands.
+    val idx = tmpDir("semdedup_idx")
+    Similarity.buildIvfIndex(spark, sf0001, idx)
+    val inQuery = Similarity.semDedup(spark, sf0001)
+    val served = Similarity.semDedupServed(spark, idx)
+    assert(served.count() == inQuery.count() && served.count() > 0)
+    assert(served.exceptAll(inQuery).isEmpty &&
+      inQuery.exceptAll(served).isEmpty,
+      "served semDedup diverged from the in-query form")
+    // And it genuinely dropped something (not a vacuous identity).
+    assert(served.where(col("is_dropped")).count() > 0)
+  }
+
   test("semDedup: partition of the corpus, drop rule honored, real drops") {
     import org.apache.spark.sql.functions._
     val out = Similarity.semDedup(spark, SparkSpec.Sf001)
