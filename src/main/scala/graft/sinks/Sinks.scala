@@ -224,22 +224,79 @@ object Sinks {
     * map to partitions. */
   def mergePublish(spark: SparkSession, incoming: DataFrame,
                    tableDir: String, keys: Seq[String],
-                   latestBy: Seq[String] = Nil): Int = {
+                   latestBy: Seq[String] = Nil): Int =
+    mergePublishWith(spark, incoming, tableDir, keys, latestBy)
+
+  /** [[mergePublish]] with the OCC knobs exposed (test seam +
+    * orphan-fence age; the public overload pins production defaults).
+    *
+    * SERIALIZABILITY (r10, second pass): read-merge-publish is a lost
+    * update under concurrent publishers — A and B both merge from v=2,
+    * both publish, and whichever marker lands last silently discards
+    * the other's rows. The atomic no-overwrite version-number CLAIM is
+    * the filesystem's compare-and-swap, so the commit rule is
+    * CLAIM-ADJACENCY: commit the marker only when the claimed number
+    * is exactly mergeBase+1 (our merge provably saw everything below
+    * it). A publisher whose claim lands higher retracts its claim —
+    * which no reader ever saw, because [[stageAndClaim]] doesn't write
+    * the marker — re-reads the new current version, re-merges, and
+    * retries. `beforeClaim` runs between the base read and the claim
+    * (the race window), letting the spec inject a deterministic
+    * interleaving.
+    *
+    * Orphan fencing: a publisher that crashed between claim and marker
+    * leaves a claimed-but-unmarked gap version that would make every
+    * later claim non-adjacent forever. A gap version older than
+    * `orphanFenceMs` (by directory mtime) is deleted on retry; younger
+    * gaps are presumed in-flight competitors — we just retry, and
+    * either their marker lands (new base) or they age into fencing.
+    * The crashed caller's batch replays idempotently (latest-wins
+    * merge of the same rows converges — the crash-replay spec). */
+  def mergePublishWith(spark: SparkSession, incoming: DataFrame,
+                       tableDir: String, keys: Seq[String],
+                       latestBy: Seq[String] = Nil,
+                       orphanFenceMs: Long = 60000L,
+                       beforeClaim: () => Unit = () => ()): Int = {
+    import org.apache.spark.sql.functions.col
     val deduped = latestWins(incoming, tableDir, keys, latestBy)
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCurrent = fs.exists(root) && listVersions(fs, root).nonEmpty &&
-      (fs.exists(new Path(root, MarkerDir)) ||
-        fs.exists(new Path(root, "LATEST")))
-    val merged =
-      if (!hasCurrent) deduped
-      else {
-        import org.apache.spark.sql.functions.col
-        readLatest(spark, tableDir)
+    var attempts = 0
+    var result = -1
+    while (result < 0) {
+      attempts += 1
+      require(attempts <= 16,
+        s"mergePublish: lost the commit race $attempts times on $tableDir " +
+          "— pathological contention, back off at the caller")
+      val hasCurrent = fs.exists(root) &&
+        (fs.exists(new Path(root, MarkerDir)) ||
+          fs.exists(new Path(root, "LATEST")))
+      val base = if (hasCurrent) currentVersion(fs, root) else 0
+      val merged =
+        if (base == 0) deduped
+        else readVersion(spark, tableDir, base)
           .join(deduped.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(deduped)
+      beforeClaim()
+      val n = stageAndClaim(merged, tableDir)
+      if (n == base + 1) { commitMarker(spark, tableDir, n); result = n }
+      else {
+        // Non-adjacent claim: someone claimed (base, n) after our read.
+        // Retract ours (invisible — no marker was written) and fence
+        // aged orphans in the gap so a crashed publisher can't wedge
+        // the table.
+        fs.delete(new Path(root, s"v=$n"), true)
+        val now = System.currentTimeMillis()
+        ((base + 1) until n).foreach { g =>
+          val p = new Path(root, s"v=$g")
+          val marked = fs.exists(new Path(root, s"$MarkerDir/$g"))
+          if (!marked && fs.exists(p) &&
+              now - fs.getFileStatus(p).getModificationTime > orphanFenceMs)
+            fs.delete(p, true)
+        }
       }
-    publishVersioned(merged, tableDir)
+    }
+    result
   }
 
   /** Range-clustered layout: repartitionByRange + sortWithinPartitions
@@ -377,6 +434,19 @@ object Sinks {
     * read); their next publish writes a marker and the table is
     * migrated. */
   def publishVersioned(df: DataFrame, tableDir: String): Int = {
+    val next = stageAndClaim(df, tableDir)
+    commitMarker(df.sparkSession, tableDir, next)
+    next
+  }
+
+  /** The first half of [[publishVersioned]]: stage the data and claim a
+    * version NUMBER (no-overwrite rename — the filesystem grants each
+    * number to exactly one publisher), WITHOUT the marker. The claimed
+    * version is INVISIBLE to readers until [[commitMarker]] — which is
+    * what lets [[mergePublish]] validate its merge base between claim
+    * and commit, and retract a stale claim without any reader ever
+    * having observed it. */
+  private[graft] def stageAndClaim(df: DataFrame, tableDir: String): Int = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(tableDir)
@@ -409,12 +479,19 @@ object Sinks {
           else throw e
       }
     }
-    // The version is complete — record its marker. Creating a fresh
-    // file per publisher commutes with every concurrent publish, so
-    // the resolved pointer (max over markers) never moves backward.
-    fs.mkdirs(new Path(root, MarkerDir))
-    fs.create(new Path(root, s"$MarkerDir/$next"), false).close()
     next
+  }
+
+  /** The second half of [[publishVersioned]]: record the version's
+    * marker — the commit point readers resolve. Creating a fresh file
+    * per publisher commutes with every concurrent publish, so the
+    * resolved pointer (max over markers) never moves backward. */
+  private[graft] def commitMarker(spark: SparkSession, tableDir: String,
+                                  version: Int): Unit = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root, MarkerDir))
+    fs.create(new Path(root, s"$MarkerDir/$version"), false).close()
   }
 
   /** Directory of per-version publish markers; `_`-prefixed so Spark's

@@ -352,26 +352,75 @@ class IngestSinksSpec extends SparkSpec {
       .unionByName(crashInc)
       .write.parquet(s"$t/v=3")
     assert(latestSet == afterMerge, "crashed publish became visible")
-    // REPLAY the merge: claims the next free number past the orphan and
-    // converges — same content the crashed attempt intended, because
-    // the merge is a pure function of (still-current v=2, incoming).
-    assert(Sinks.mergePublish(spark, crashInc, t, Seq("id")) == 4)
+    // REPLAY the merge (past the fence age — orphanFenceMs=0 models
+    // it): the aged orphan is fenced away, the retry claims ITS number
+    // adjacent to the still-current v=2, and converges — the merge is a
+    // pure function of (current, incoming).
+    assert(Sinks.mergePublishWith(spark, crashInc, t, Seq("id"),
+      orphanFenceMs = 0L) == 3)
     val afterReplay = Set((1L, "A", 11.0), (2L, "B", 21.0),
       (3L, "c", 30.0), (4L, "d", 40.0))
     assert(latestSet == afterReplay)
-    val v3 = spark.read.parquet(s"$t/v=3")
-    val v4 = Sinks.readVersion(spark, t, 4)
-    assert(v3.exceptAll(v4).isEmpty && v4.exceptAll(v3).isEmpty,
-      "replay diverged from the crashed attempt's intended content")
     // In-batch conflicts: latestBy picks the greatest, deterministic.
     val multi = Seq((5L, "old", 1.0), (5L, "new", 2.0)).toDF("id", "s", "x")
     assert(Sinks.mergePublish(spark, multi, t, Seq("id"),
-      latestBy = Seq("x")) == 5)
+      latestBy = Seq("x")) == 4)
     assert(latestSet.contains((5L, "new", 2.0)))
     // ...and without latestBy a conflicting batch fails fast.
     intercept[IllegalArgumentException] {
       Sinks.mergePublish(spark, multi, t, Seq("id"))
     }
+  }
+
+  test("mergePublish OCC: a publisher racing past our read is never lost") {
+    // Deterministic interleaving through the beforeClaim seam: B reads
+    // its merge base (v1), then A's whole merge commits INSIDE B's race
+    // window. B's claim lands non-adjacent, is retracted unseen, and
+    // the retry re-merges from A's result — both batches survive. The
+    // naive read-merge-publish would have B silently discard A's row.
+    val dir = tmpDir("mergeocc")
+    val t = s"$dir/t"
+    assert(Sinks.mergePublish(spark,
+      Seq((1L, "a", 1.0)).toDF("id", "s", "x"), t, Seq("id")) == 1)
+    val aBatch = Seq((2L, "from_a", 2.0)).toDF("id", "s", "x")
+    val bBatch = Seq((3L, "from_b", 3.0)).toDF("id", "s", "x")
+    var interfered = false
+    val v = Sinks.mergePublishWith(spark, bBatch, t, Seq("id"),
+      beforeClaim = () => if (!interfered) {
+        interfered = true
+        assert(Sinks.mergePublish(spark, aBatch, t, Seq("id")) == 2)
+      })
+    assert(v == 3, s"B should commit at v=3 after one retry, got $v")
+    val rows = Sinks.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "from_a"), (3L, "from_b")),
+      s"lost update: $rows")
+    // And no stray unmarked version dirs left behind (the retracted
+    // claim was cleaned up).
+    val vdirs = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(vdirs == Set("v=1", "v=2", "v=3"), s"stray claims: $vdirs")
+  }
+
+  test("mergePublish OCC: concurrent threads, disjoint keys, both survive") {
+    val dir = tmpDir("mergethr")
+    val t = s"$dir/t"
+    assert(Sinks.mergePublish(spark,
+      Seq((0L, "seed", 0.0)).toDF("id", "s", "x"), t, Seq("id")) == 1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map { i =>
+      Future {
+        Sinks.mergePublish(spark,
+          Seq((i.toLong, s"w$i", i.toDouble)).toDF("id", "s", "x"),
+          t, Seq("id"))
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val ids = Sinks.readLatest(spark, t).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L, 3L, 4L),
+      s"a concurrent merge was lost: $ids")
   }
 
   test("diffVersions classifies added / removed / changed keys only") {
