@@ -57,9 +57,15 @@ object Bench {
     *    chunk-first encode whose equivalence it exists to hash-prove;
     *    timing it would double-count mining. The chunked path's own
     *    win is a long-document property — measured in the PLANS.md
-    *    long-doc row, not at fixture lengths where it is ~neutral. */
+    *    long-doc row, not at fixture lengths where it is ~neutral.
+    *  - `q_semdedup` (r10, same policy as q_ann_ivf): in-query centroid
+    *    TRAINING + full corpus assignment ride the row for oracle
+    *    determinism; production semantic dedup serves from the standing
+    *    index — `q_semdedup_served` (4× cheaper, shares this row's
+    *    twin) is the headline. */
   val notBenched: Set[String] =
-    Set("q_ann_ivf", "q_simhash64_auto", "q_bpe_encode_chunked")
+    Set("q_ann_ivf", "q_semdedup", "q_simhash64_auto",
+      "q_bpe_encode_chunked")
 
   /** Timed rounds per query; per-query MIN is the reported time.
     * SPARK_GRAFT_REPS overrides (the one-off sf1 observation run uses 1 —

@@ -20,9 +20,15 @@ object Dedup {
 
   /** MinHash parameters: H signatures in bands of R rows ⇒ B = H/R
     * bands. Documents agreeing on any full band become candidates
-    * (probability ≈ 1-(1-j^R)^B for Jaccard j). */
+    * (probability ≈ 1-(1-j^R)^B for Jaccard j). (R, B) derive from the
+    * target Jaccard knee through [[ScaleEnvelope.minhashBandPlan]] —
+    * the S-curve inflection (1/B)^(1/R) lands nearest the target —
+    * rather than living as naked constants; for (H=12, t=0.6) the plan
+    * is (3, 4), the exact values every oracle was built against. */
   val NumHashes = 12
-  val BandRows = 3
+  val TargetJaccard = 0.6
+  val BandRows: Int =
+    ScaleEnvelope.minhashBandPlan(NumHashes, TargetJaccard)._1
   val NumBands: Int = NumHashes / BandRows
 
   /** Universal-hash family over ONE md5 per shingle: h_i(x) = (a_i·x +

@@ -109,4 +109,31 @@ object ScaleEnvelope {
     if (n <= CentroidSqrtCrossover)
       math.max(minCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
     else ((n + TargetCellCap - 1) / TargetCellCap).toInt
+
+  // ---- 4. MinHash band plan --------------------------------------
+
+  /** (rowsPerBand, numBands) for a hash budget H and target Jaccard
+    * threshold t — the classic S-curve parameterization: a pair with
+    * Jaccard j collides in some band with probability 1−(1−j^R)^B,
+    * whose inflection sits at ≈ (1/B)^(1/R). Chooses the divisor
+    * R of H whose implied threshold is closest to t (ties → smaller R,
+    * i.e. higher recall). A pure driver-side BUILD parameter like the
+    * LSH width — the choice is discrete, so the float comparison can
+    * only flip at exact ties, which the deterministic tie-break owns.
+    *
+    * Why a policy and not two naked constants: the dedup tier's
+    * precision/recall knee is t; hard-coding (R, B) hides the knee the
+    * deployment actually tunes. The repo default (H=12, t=0.6) derives
+    * (3, 4) — exactly the constants every oracle was built against, so
+    * wiring the policy through [[Dedup]] changed no results. */
+  def minhashBandPlan(numHashes: Int, targetJaccard: Double): (Int, Int) = {
+    require(numHashes >= 1 && targetJaccard > 0 && targetJaccard < 1,
+      s"bad minhash plan inputs: H=$numHashes t=$targetJaccard")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+    val best = candidates.minBy { r =>
+      val b = numHashes / r
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard), r)
+    }
+    (best, numHashes / best)
+  }
 }

@@ -84,6 +84,35 @@ class ScaleEnvelopeSpec extends SparkSpec {
     assert(S.hyperplanes.length == S.NumTables * ScaleEnvelope.AbsMaxPlanes)
   }
 
+  test("minhash band plan: S-curve inflection nearest the target, " +
+    "defaults reproduce the oracle constants") {
+    import graft.operators.Dedup
+    // The repo defaults MUST derive the exact constants every minhash
+    // oracle was built against — the policy re-derives, never changes.
+    assert(ScaleEnvelope.minhashBandPlan(12, 0.6) == ((3, 4)))
+    assert(Dedup.BandRows == 3 && Dedup.NumBands == 4)
+    // The knee moves the right way: higher threshold ⇒ more rows per
+    // band (stricter collisions), lower ⇒ fewer (higher recall).
+    assert(ScaleEnvelope.minhashBandPlan(12, 0.1)._1 == 1)
+    assert(ScaleEnvelope.minhashBandPlan(12, 0.95)._1 >= 6)
+    val rs = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      .map(t => ScaleEnvelope.minhashBandPlan(12, t)._1)
+    assert(rs == rs.sorted, s"rows-per-band not monotone in t: $rs")
+    // A plan is always a full partition of the hash budget.
+    for (h <- Seq(12, 16, 20, 128); t <- Seq(0.2, 0.5, 0.8)) {
+      val (r, b) = ScaleEnvelope.minhashBandPlan(h, t)
+      assert(r * b == h)
+    }
+    // And the implied inflection brackets the target reasonably: the
+    // chosen plan's threshold is the closest among divisors.
+    val (r, b) = ScaleEnvelope.minhashBandPlan(16, 0.5)
+    val chosen = math.pow(1.0 / b, 1.0 / r)
+    (1 to 16).filter(16 % _ == 0).foreach { rr =>
+      val alt = math.pow(1.0 / (16 / rr), 1.0 / rr)
+      assert(math.abs(chosen - 0.5) <= math.abs(alt - 0.5) + 1e-12)
+    }
+  }
+
   test("centroid count: continuous at the sqrt→cell-cap crossover") {
     val cap = ScaleEnvelope.TargetCellCap
     val xover = ScaleEnvelope.CentroidSqrtCrossover
