@@ -47,6 +47,11 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    // LEARNED quality gate (r10): distributed full-batch GD, 3 epochs,
+    // micro-unit exact gradients + rational sigmoid — the whole
+    // training loop is engine-exact, so the driver hash pins training,
+    // not just scoring.
+    "q_quality_lr" -> ((s, d) => Learn.qualityLr(s, d)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     // dedup
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -670,6 +675,65 @@ object SparkEntry {
 
   private def hitsExpr(words: Seq[String]): String =
     s"len(list_filter(t, x -> x IN ${inList(words)}))"
+
+  /** Twin of Learn.qualityLr: the feature CTE shares q_quality_score's
+    * exact derivations, then [[graft.operators.Learn.Iterations]] GD
+    * epochs unroll as chained CTEs — micro-unit exact-long gradient
+    * sums, the rational sigmoid (no exp — not cross-engine
+    * bit-stable), weight update w + (g/1e6)/n with the same
+    * association Spark's driver loop computes. Weights, scores, and
+    * verdicts land bit-identical by construction. */
+  private lazy val qualityLrOracle: String = {
+    val sigOf = (z: String) => s"0.5 * (1.0 + ($z) / (1.0 + abs($z)))"
+    val zOf = (wt: String) =>
+      s"$wt.w0 * 1.0 + $wt.w1 * x1 + $wt.w2 * x2 + $wt.w3 * x3"
+    val xcols = Seq("1.0", "x1", "x2", "x3")
+    val epochs = (1 to Learn.Iterations).map { i =>
+      val prev = s"wt${i - 1}"
+      val err = s"(y - ${sigOf(zOf(prev))})"
+      val gs = xcols.zipWithIndex.map { case (x, j) =>
+        s"SUM(CAST(round($err * $x * ${Learn.Micro}) AS BIGINT)) AS g$j"
+      }.mkString(",\n         ")
+      val ws = (0 to 3).map(j =>
+        s"$prev.w$j + (CAST(g$j AS DOUBLE) / 1000000.0) / n AS w$j")
+        .mkString(",\n         ")
+      s""", grad$i AS (
+         |  SELECT $gs,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM feats, $prev
+         |), wt$i AS (
+         |  SELECT $ws
+         |  FROM grad$i, $prev
+         |)"""
+    }.mkString
+    val wFin = s"wt${Learn.Iterations}"
+    s"""$ToksCte, base AS (
+       |  SELECT doc_id, lang,
+       |         len(text) AS n_chars,
+       |         len(t) AS n_tokens,
+       |         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+       |         ${hitsExpr(TextOps.StopWords.head._2)} AS n_stop
+       |  FROM toks
+       |), feats AS (
+       |  SELECT doc_id,
+       |         CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |         least(CAST(1.0 AS DOUBLE),
+       |               CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS x1,
+       |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+       |              ELSE CAST(0.0 AS DOUBLE) END AS x2,
+       |         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+       |              ELSE CAST(0.0 AS DOUBLE) END AS x3
+       |  FROM base
+       |), wt0 AS (
+       |  SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+       |         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3
+       |)$epochs
+       |SELECT doc_id, y = 1.0 AS is_en,
+       |       ${sigOf(zOf(wFin))} AS score,
+       |       ${sigOf(zOf(wFin))} >= 0.5 AS predicted
+       |FROM feats, $wFin""".stripMargin
+  }
 
   /** MinHash banded-signature CTEs (DuckDB) — twin of
     * Dedup.bandedSignatures + minhashPairs (one md5 per shingle, then
@@ -1358,6 +1422,8 @@ object SparkEntry {
          |       ($pred = lang) AS correct
          |FROM withg""".stripMargin
     },
+
+    "q_quality_lr" -> qualityLrOracle,
 
     "q_quality_score" ->
       s"""$ToksCte, base AS (
