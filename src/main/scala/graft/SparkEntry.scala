@@ -207,6 +207,11 @@ object SparkEntry {
     // all-rows kNN join, scalar quantization, DQ expectation report
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "q_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
+    // Product quantization (r10): train 8×32 codebooks, encode the
+    // corpus to 8 codes/vector, serve cosine top-k from the broadcast
+    // ADC lookup table — the whole train→encode→serve pipeline is
+    // engine-exact (micro-rounded LUT, exact-long ranking key).
+    "q_pq_topk" -> ((s, d) => Pq.adcTopk(s, d)),
     "q_dq_report" -> ((s, d) => Curation.dqReport(s, d)),
     // unigram-LM fluency, one-pass multi-grain rollup, running totals
     "q_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
@@ -851,6 +856,84 @@ object SparkEntry {
          |  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
          |)""".stripMargin
 
+  /** Twin of Pq.adcTopk: unit-normalize, hash-sample seed slices per
+    * subspace, Pq.Iterations Lloyd rounds (9-dp means, keep-seed on
+    * empty code), nearest-code encode, micro-rounded ADC LUT, exact
+    * long sum, per-query rank. Every dot is the ascending-range LTR
+    * list_sum fold, every distance the same ((xx − 2·xc) + cc)
+    * association the Spark side computes. */
+  private lazy val pqTopkSql: String = {
+    val P = graft.operators.Pq
+    val sd = P.SubDim
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${sd + 1}), i -> $a[i] * $b[i]))"
+    def dist2Sql(x: String, c: String): String =
+      s"${dotSql(x, x)} - 2.0 * ${dotSql(x, c)} + ${dotSql(c, c)}"
+    val lloyd = (1 to P.Iterations).map { it =>
+      val prev = s"books${it - 1}"
+      s""", asg$it AS (
+         |  SELECT sl.vec_id, sl.m, b.code, sl.x,
+         |         ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.m
+         |           ORDER BY ${dist2Sql("x", "cv")} ASC, b.code ASC) AS r
+         |  FROM sl JOIN $prev b ON sl.m = b.m
+         |), mm$it AS (
+         |  SELECT m, code, i - 1 AS dim, round(avg(x[i]), 9) AS cx
+         |  FROM asg$it, range(1, ${sd + 1}) AS t(i)
+         |  WHERE r = 1 GROUP BY m, code, i
+         |), kk$it AS (
+         |  SELECT b.m, b.code, i - 1 AS dim, cv[i] AS cx
+         |  FROM $prev b, range(1, ${sd + 1}) AS t(i)
+         |  WHERE NOT EXISTS (SELECT 1 FROM mm$it
+         |                    WHERE mm$it.m = b.m AND mm$it.code = b.code)
+         |), ll$it AS (
+         |  SELECT * FROM mm$it UNION ALL SELECT * FROM kk$it
+         |), books$it AS (
+         |  SELECT m, code, list(cx ORDER BY dim) AS cv
+         |  FROM ll$it GROUP BY m, code
+         |)"""
+    }.mkString
+    val fin = s"books${P.Iterations}"
+    s"""$EmbCte, u AS (
+       |  SELECT vec_id, list_transform(v, x -> x / nv) AS v FROM n
+       |), seeds AS (
+       |  SELECT vec_id AS cent_id, v AS cv,
+       |         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY
+       |          md5(CAST(vec_id AS VARCHAR)), vec_id) AS rs FROM u)
+       |  WHERE rs <= ${P.Codes}
+       |), books0 AS (
+       |  SELECT m, code,
+       |         list_transform(range(1, ${sd + 1}), i -> cv[m * $sd + i]) AS cv
+       |  FROM seeds, range(0, ${P.Subspaces}) AS tm(m)
+       |), sl AS (
+       |  SELECT vec_id, m,
+       |         list_transform(range(1, ${sd + 1}), i -> v[m * $sd + i]) AS x
+       |  FROM u, range(0, ${P.Subspaces}) AS tm(m)
+       |)$lloyd, enc AS (
+       |  SELECT sl.vec_id, sl.m, b.code,
+       |         ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.m
+       |           ORDER BY ${dist2Sql("x", "cv")} ASC, b.code ASC) AS r
+       |  FROM sl JOIN $fin b ON sl.m = b.m
+       |), lutq AS (
+       |  SELECT q.vec_id AS q_id, b.m, b.code,
+       |         CAST(round(${dotSql("qx", "cv")} * ${P.Micro}) AS BIGINT)
+       |           AS lut_c
+       |  FROM (SELECT vec_id, m, x AS qx FROM sl
+       |        WHERE vec_id < ${Similarity.NumQueries}) q
+       |  JOIN $fin b ON q.m = b.m
+       |), sc AS (
+       |  SELECT l.q_id, e.vec_id, CAST(SUM(lut_c) AS BIGINT) AS adc
+       |  FROM (SELECT vec_id, m, code FROM enc WHERE r = 1) e
+       |  JOIN lutq l ON e.m = l.m AND e.code = l.code
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, vec_id, adc, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY adc DESC, vec_id ASC) AS rank FROM sc)
+       |WHERE rank <= ${Similarity.TopK}""".stripMargin
+  }
+
   private lazy val annIvfSql: String =
       s"""$ivfCellsCtes, probes AS (
          |  SELECT vec_id AS q_id, cent_id AS cell FROM ranked
@@ -1424,6 +1507,7 @@ object SparkEntry {
     },
 
     "q_quality_lr" -> qualityLrOracle,
+    "q_pq_topk" -> pqTopkSql,
 
     "q_quality_score" ->
       s"""$ToksCte, base AS (

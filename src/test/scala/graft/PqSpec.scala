@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+
+/** Product quantization: structure, determinism, and the property PQ
+  * exists for — ADC ranking over 4-byte codes still finds real
+  * neighbors found by exact search over full vectors. */
+class PqSpec extends SparkSpec {
+
+  test("codebooks: M×K entries, SubDim-wide, deterministic") {
+    val c = Similarity.normalizedCorpus(spark, sf0001)
+    val books = Pq.codebooksOf(c).cache()
+    try {
+      assert(books.count() == Pq.Subspaces * Pq.Codes)
+      assert(books.where(size(col("cv")) =!= Pq.SubDim).isEmpty)
+      assert(books.select(col("m")).distinct().count() == Pq.Subspaces)
+      val again = Pq.codebooksOf(c)
+      assert(books.exceptAll(again).isEmpty && again.exceptAll(books).isEmpty,
+        "codebook training is not deterministic")
+    } finally books.unpersist()
+  }
+
+  test("codes: every vector gets exactly M codes in [0, K)") {
+    val c = Similarity.normalizedCorpus(spark, sf0001)
+    val codes = Pq.encodeOf(c, Pq.codebooksOf(c)).cache()
+    try {
+      val n = c.count()
+      assert(codes.count() == n * Pq.Subspaces)
+      assert(codes.groupBy(col("vec_id")).count()
+        .where(col("count") =!= Pq.Subspaces).isEmpty)
+      assert(codes.where(col("code") < 0 ||
+        col("code") >= Pq.Codes).isEmpty)
+      // The codebooks are actually used non-trivially: more than one
+      // code per subspace appears.
+      assert(codes.select(col("m"), col("code")).distinct().count()
+        > Pq.Subspaces)
+    } finally codes.unpersist()
+  }
+
+  test("ADC top-k finds exact-search neighbors (compression keeps recall)") {
+    val adc = Pq.adcTopk(spark, sf0001, k = 10)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.topkCosine(spark, sf0001, k = 10)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adc.nonEmpty)
+    val recall = (adc intersect exact).size.toDouble / exact.size
+    // 4 bytes against 256 float bytes: a weak bar on purpose, but a
+    // broken LUT/encode degenerates to ~random (recall ≈ k/N ≈ 0.02)
+    // and fails this hard.
+    assert(recall >= 0.199, s"ADC recall collapsed: $recall")
+  }
+
+  test("ADC ranking is deterministic under repartitioning") {
+    val a = Pq.adcTopk(spark, sf0001)
+    val b = Pq.adcTopk(spark, sf0001)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
