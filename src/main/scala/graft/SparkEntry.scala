@@ -212,6 +212,10 @@ object SparkEntry {
     // ADC lookup table — the whole train→encode→serve pipeline is
     // engine-exact (micro-rounded LUT, exact-long ranking key).
     "q_pq_topk" -> ((s, d) => Pq.adcTopk(s, d)),
+    // the serve half of the split: same answer from the persisted
+    // books+codes, candidates scored WITHOUT touching raw vectors.
+    "q_pq_topk_served" -> ((s, d) =>
+      Pq.adcTopkServed(s, d, stagedPqIndex(s, d))),
     "q_dq_report" -> ((s, d) => Curation.dqReport(s, d)),
     // unigram-LM fluency, one-pass multi-grain rollup, running totals
     "q_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
@@ -574,6 +578,22 @@ object SparkEntry {
       val dir = tempDirWithCleanup("graft_ivf")
       operators.Similarity.buildIvfIndex(s, d, s"$dir/ivf")
       s"$dir/ivf"
+    })
+
+  /** Persisted PQ index (books + codes), built once per (sfDir, JVM) —
+    * the build/serve split for the ADC tier, mirroring
+    * [[stagedIvfIndex]]: `q_pq_topk` trains in-query so the whole
+    * train→encode→serve pipeline is oracle-checked; `q_pq_topk_served`
+    * answers the identical query from this index at serve cost
+    * (codes-only candidate scan) and shares the same twin. */
+  private val stagedPqIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedPqIndex(s: SparkSession, d: String): String =
+    stagedPqIndexes.computeIfAbsent(d, { _ =>
+      val dir = tempDirWithCleanup("graft_pq")
+      operators.Pq.buildPqIndex(s, d, s"$dir/pq")
+      s"$dir/pq"
     })
 
   /** In-process Derby holding the transactions fixture — the hermetic
@@ -1508,6 +1528,7 @@ object SparkEntry {
 
     "q_quality_lr" -> qualityLrOracle,
     "q_pq_topk" -> pqTopkSql,
+    "q_pq_topk_served" -> pqTopkSql,
 
     "q_quality_score" ->
       s"""$ToksCte, base AS (

@@ -6,8 +6,11 @@ object TimeQ {
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- args) {
-      val df = SparkEntry.queries(q)(spark, sys.env.getOrElse("TQ_SF", "/root/testdata/sf0.01"))
       val t0 = System.nanoTime()
+      // Construction INSIDE the window (matching Bench): queries that
+      // train driver-side during plan build (GD epochs, codebooks)
+      // must not have that cost timed away.
+      val df = SparkEntry.queries(q)(spark, sys.env.getOrElse("TQ_SF", "/root/testdata/sf0.01"))
       // Noop-sink write, matching Bench's honest evaluation: count()
       // would let ColumnPruning delete the computed columns being timed.
       // The row count piggybacks on the SAME forced evaluation via an

@@ -133,19 +133,58 @@ object Pq {
     * dot is the EXACT-LONG sum of its M table entries (micro-unit
     * rounding before the sum — order-insensitive), ranked desc with
     * vec_id tie-break. Emits (q_id, vec_id, adc, rank). */
-  def adcTopk(spark: SparkSession, dir: String,
-              k: Int = Similarity.TopK): DataFrame = {
-    // UNIT vectors (v/‖v‖) before any quantization: ADC then
-    // approximates COSINE — the criterion the exact tier ranks by —
-    // instead of a norm-polluted raw dot (which quietly costs recall
-    // against the cosine ground truth). Element-wise division is
-    // IEEE-exact and mirrored by the twin's list_transform.
-    val c = Similarity.normalizedCorpus(spark, dir)
+  /** UNIT vectors (v/‖v‖) before any quantization: ADC then
+    * approximates COSINE — the criterion the exact tier ranks by —
+    * instead of a norm-polluted raw dot (which quietly costs recall
+    * against the cosine ground truth). Element-wise division is
+    * IEEE-exact and mirrored by the twin's list_transform. */
+  private def unitCorpus(spark: SparkSession, dir: String): DataFrame =
+    Similarity.normalizedCorpus(spark, dir)
       .select(col("vec_id"),
         transform(col("v"), x => x / col("nv")).as("v"),
         lit(1.0).as("nv"))
+
+  def adcTopk(spark: SparkSession, dir: String,
+              k: Int = Similarity.TopK): DataFrame = {
+    val c = unitCorpus(spark, dir)
     val books = codebooksOf(c)
-    val codes = encodeOf(c, books)
+    adcServe(c, codes = encodeOf(c, books), books = books, k = k)
+  }
+
+  /** Persist the PQ index: `books` (M·K centroid rows) + `codes` (M
+    * longs per vector — the compressed corpus, THE thing a 100 TB
+    * serving scan reads). Train once, serve many — the same
+    * build-artifact policy as the IVF index. */
+  def buildPqIndex(spark: SparkSession, dir: String,
+                   indexPath: String): Unit = {
+    val c = unitCorpus(spark, dir)
+    val books = codebooksOf(c)
+    require(!books.isEmpty,
+      s"refusing to build PQ index at $indexPath with zero codebooks")
+    books.write.mode("overwrite").parquet(s"$indexPath/books")
+    encodeOf(c, books)
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+  }
+
+  /** Serve ADC top-k from a persisted [[buildPqIndex]] index —
+    * result-identical to the in-query [[adcTopk]] (parquet round-trips
+    * the 9-dp codebook doubles and the code longs exactly, and the LUT
+    * is recomputed from the same operands), so the two paths share one
+    * DuckDB twin: build/serve identity is driver-hash-verified. Only
+    * the QUERY vectors touch the raw corpus; candidates are scored
+    * entirely from codes. */
+  def adcTopkServed(spark: SparkSession, dir: String, indexPath: String,
+                    k: Int = Similarity.TopK): DataFrame =
+    adcServe(unitCorpus(spark, dir),
+      codes = spark.read.parquet(s"$indexPath/codes"),
+      books = spark.read.parquet(s"$indexPath/books"), k = k)
+
+  /** The shared ADC serve tail: per-query LUT (m, code → micro-rounded
+    * ⟨q_m, c⟩) broadcast against the codes table, candidate score =
+    * exact-long sum of M entries, per-query rank (adc desc, vec_id
+    * asc). ONE definition so in-query and served forms cannot drift. */
+  private def adcServe(c: DataFrame, codes: DataFrame, books: DataFrame,
+                       k: Int): DataFrame = {
     val q = c.where(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val lut = q

@@ -58,4 +58,18 @@ class PqSpec extends SparkSpec {
     val b = Pq.adcTopk(spark, sf0001)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("serving from the persisted PQ index == in-query train+serve") {
+    val idx = tmpDir("pq_idx")
+    Pq.buildPqIndex(spark, sf0001, idx)
+    // The index is real: books and codes landed as parquet.
+    assert(spark.read.parquet(s"$idx/books").count()
+      == Pq.Subspaces * Pq.Codes)
+    val inQuery = Pq.adcTopk(spark, sf0001)
+    val served = Pq.adcTopkServed(spark, sf0001, idx)
+    assert(served.count() == inQuery.count() && served.count() > 0)
+    assert(served.exceptAll(inQuery).isEmpty &&
+      inQuery.exceptAll(served).isEmpty,
+      "served ADC diverged from the in-query pipeline")
+  }
 }
