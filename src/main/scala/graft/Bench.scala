@@ -63,12 +63,12 @@ object Bench {
     *    determinism; production semantic dedup serves from the standing
     *    index — `q_semdedup_served` (4× cheaper, shares this row's
     *    twin) is the headline.
-    *  - `q_pq_topk` (r10, same policy): in-query codebook training +
-    *    corpus encode; `q_pq_topk_served` (codes-only ADC scan from
-    *    the persisted index, same twin) is the PQ headline. */
+    *  - `q_pq_topk` / `q_ann_ivfpq` (r10, same policy): in-query
+    *    codebook/centroid training + corpus encode; the `_served`
+    *    twins (index-backed, same oracles) are the headlines. */
   val notBenched: Set[String] =
     Set("q_ann_ivf", "q_semdedup", "q_simhash64_auto",
-      "q_bpe_encode_chunked", "q_pq_topk")
+      "q_bpe_encode_chunked", "q_pq_topk", "q_ann_ivfpq")
 
   /** Timed rounds per query; per-query MIN is the reported time.
     * SPARK_GRAFT_REPS overrides (the one-off sf1 observation run uses 1 —

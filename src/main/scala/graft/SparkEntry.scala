@@ -216,6 +216,14 @@ object SparkEntry {
     // books+codes, candidates scored WITHOUT touching raw vectors.
     "q_pq_topk_served" -> ((s, d) =>
       Pq.adcTopkServed(s, d, stagedPqIndex(s, d))),
+    // IVF-PQ composition (r10): probe coarse cells, ADC-score only
+    // their members from codes — partition pruning × 32× compression,
+    // the billion-vector serving shape. In-query row trains both
+    // tiers (oracle-checked end to end); served row answers from the
+    // two persisted indexes, same twin.
+    "q_ann_ivfpq" -> ((s, d) => Pq.ivfPqTopk(s, d)),
+    "q_ann_ivfpq_served" -> ((s, d) =>
+      Pq.ivfPqTopkServed(s, d, stagedIvfIndex(s, d), stagedPqIndex(s, d))),
     "q_dq_report" -> ((s, d) => Curation.dqReport(s, d)),
     // unigram-LM fluency, one-pass multi-grain rollup, running totals
     "q_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
@@ -882,7 +890,7 @@ object SparkEntry {
     * long sum, per-query rank. Every dot is the ascending-range LTR
     * list_sum fold, every distance the same ((xx − 2·xc) + cc)
     * association the Spark side computes. */
-  private lazy val pqTopkSql: String = {
+  private lazy val pqCtes: String = {
     val P = graft.operators.Pq
     val sd = P.SubDim
     def dotSql(a: String, b: String): String =
@@ -913,7 +921,7 @@ object SparkEntry {
          |)"""
     }.mkString
     val fin = s"books${P.Iterations}"
-    s"""$EmbCte, u AS (
+    s""", u AS (
        |  SELECT vec_id, list_transform(v, x -> x / nv) AS v FROM n
        |), seeds AS (
        |  SELECT vec_id AS cent_id, v AS cv,
@@ -941,7 +949,11 @@ object SparkEntry {
        |  FROM (SELECT vec_id, m, x AS qx FROM sl
        |        WHERE vec_id < ${Similarity.NumQueries}) q
        |  JOIN $fin b ON q.m = b.m
-       |), sc AS (
+       |)""".stripMargin
+  }
+
+  private lazy val pqTopkSql: String =
+    s"""$EmbCte$pqCtes, sc AS (
        |  SELECT l.q_id, e.vec_id, CAST(SUM(lut_c) AS BIGINT) AS adc
        |  FROM (SELECT vec_id, m, code FROM enc WHERE r = 1) e
        |  JOIN lutq l ON e.m = l.m AND e.code = l.code
@@ -952,7 +964,33 @@ object SparkEntry {
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |        ORDER BY adc DESC, vec_id ASC) AS rank FROM sc)
        |WHERE rank <= ${Similarity.TopK}""".stripMargin
-  }
+
+  /** Twin of Pq.ivfPqTopk AND its served form (one SQL — the
+    * build/serve identity statement): the shared IVF cells prefix
+    * (ivfCellsCtes) supplies cells + probe ranking, the shared PQ
+    * prefix (pqCtes) supplies codes + the query LUT, and candidates
+    * are ADC-scored ONLY within probed cells. */
+  private lazy val ivfPqTopkSql: String =
+    s"""$ivfCellsCtes$pqCtes, probes AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell FROM ranked
+       |  WHERE crank <= ${Similarity.NumProbes}
+       |    AND vec_id < ${Similarity.NumQueries}
+       |), cand AS (
+       |  SELECT p.q_id, e.vec_id, e.m, e.code
+       |  FROM (SELECT vec_id, m, code FROM enc WHERE r = 1) e
+       |  JOIN cells ON e.vec_id = cells.vec_id
+       |  JOIN probes p ON cells.cell = p.cell
+       |  WHERE e.vec_id <> p.q_id
+       |), sc AS (
+       |  SELECT cd.q_id, cd.vec_id, CAST(SUM(l.lut_c) AS BIGINT) AS adc
+       |  FROM cand cd JOIN lutq l
+       |    ON cd.q_id = l.q_id AND cd.m = l.m AND cd.code = l.code
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, vec_id, adc, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY adc DESC, vec_id ASC) AS rank FROM sc)
+       |WHERE rank <= ${Similarity.TopK}""".stripMargin
 
   private lazy val annIvfSql: String =
       s"""$ivfCellsCtes, probes AS (
@@ -1529,6 +1567,8 @@ object SparkEntry {
     "q_quality_lr" -> qualityLrOracle,
     "q_pq_topk" -> pqTopkSql,
     "q_pq_topk_served" -> pqTopkSql,
+    "q_ann_ivfpq" -> ivfPqTopkSql,
+    "q_ann_ivfpq_served" -> ivfPqTopkSql,
 
     "q_quality_score" ->
       s"""$ToksCte, base AS (

@@ -185,9 +185,19 @@ object Pq {
     * asc). ONE definition so in-query and served forms cannot drift. */
   private def adcServe(c: DataFrame, codes: DataFrame, books: DataFrame,
                        k: Int): DataFrame = {
-    val q = c.where(col("vec_id") < Similarity.NumQueries)
+    val lut = lutOf(c, books)
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lut_c")).as("adc"))
+    rankTopk(scored, k)
+  }
+
+  /** The query ADC table: (q_id, m, code, lut_c) — micro-rounded
+    * ⟨q_m, centroid⟩ for every codebook entry, M·K rows per query. */
+  private def lutOf(c: DataFrame, books: DataFrame): DataFrame =
+    c.where(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val lut = q
       .select(col("q_id"),
         explode(array((0 until Subspaces).map(m =>
           struct(lit(m).as("m"), sub(col("qv"), m).as("qx"))): _*)).as("sq"))
@@ -196,15 +206,86 @@ object Pq {
       .select(col("q_id"), col("m"), col("code"),
         round(dot(col("qx"), col("cv")) * lit(Micro))
           .cast("long").as("lut_c"))
-    val scored = codes.join(broadcast(lut), Seq("m", "code"))
-      .where(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("lut_c")).as("adc"))
+
+  private def rankTopk(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("adc"),
         col("rank").cast("int").as("rank"))
+  }
+
+  /** IVF-PQ (the FAISS IVFPQ composition, Jégou et al. §V): coarse IVF
+    * cells bound WHO is scored, PQ codes bound WHAT scoring reads — a
+    * query probes its [[Similarity.NumProbes]] nearest cells and
+    * ADC-scores only their members, entirely from codes. At 100 TB
+    * this composes the two scale levers: partition pruning cuts the
+    * candidate set to NumProbes/k of the corpus, code compression cuts
+    * the bytes per candidate 32× — neither alone carries
+    * billion-vector serving. Cell ranking reuses the IVF tier's exact
+    * derivation (same trained centroids, same (ccos desc, cent_id)
+    * tie-break), so the twin shares ivfCellsCtes verbatim. */
+  def ivfPqTopk(spark: SparkSession, dir: String,
+                k: Int = Similarity.TopK): DataFrame = {
+    val raw = Similarity.normalizedCorpus(spark, dir)
+    val cents = Similarity.trainedCentroidsOf(raw)
+    val ranked = rankedCells(raw, cents)
+    val cells = ranked.where(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val u = unitCorpus(spark, dir)
+    val books = codebooksOf(u)
+    ivfPqServeWith(u, ranked, cells, encodeOf(u, books), books, k)
+  }
+
+  /** IVF-PQ from the two persisted indexes: probes rank the QUERY
+    * vectors against the IVF index's centroids (bounded), cell
+    * membership comes from the index's cell-partitioned postings, and
+    * candidates are ADC-scored from the PQ index's codes —
+    * result-identical to [[ivfPqTopk]] (both indexes persist the same
+    * trained artifacts the in-query path derives), sharing its twin. */
+  def ivfPqTopkServed(spark: SparkSession, dir: String,
+                      ivfIndexPath: String, pqIndexPath: String,
+                      k: Int = Similarity.TopK): DataFrame = {
+    graft.expressions.DotProduct.register(spark)
+    val raw = Similarity.normalizedCorpus(spark, dir)
+    val cents = spark.read.parquet(s"$ivfIndexPath/centroids")
+    // Probe ranking only needs the QUERY vectors — the corpus-wide
+    // assignment is already persisted in the postings layout.
+    val ranked = rankedCells(
+      raw.where(col("vec_id") < Similarity.NumQueries), cents)
+    val cells = spark.read.parquet(s"$ivfIndexPath/postings")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    ivfPqServeWith(unitCorpus(spark, dir), ranked, cells,
+      codes = spark.read.parquet(s"$pqIndexPath/codes"),
+      books = spark.read.parquet(s"$pqIndexPath/books"), k = k)
+  }
+
+  /** Per-vector centroid ranking — the IVF tier's exact expression and
+    * tie-break ((ccos desc, cent_id asc), cosine over raw vectors). */
+  private def rankedCells(raw: DataFrame, cents: DataFrame): DataFrame =
+    raw.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("cv"), col("v")) / (col("cnv") * col("nv"))).as("ccos"))
+      .withColumn("crank", row_number().over(Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id").asc)))
+
+  private def ivfPqServeWith(u: DataFrame, ranked: DataFrame,
+                             cells: DataFrame, codes: DataFrame,
+                             books: DataFrame, k: Int): DataFrame = {
+    val probes = ranked
+      .where(col("crank") <= Similarity.NumProbes &&
+        col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    val lut = lutOf(u, books)
+    val cand = codes.join(cells, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+    val scored = cand
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lut_c")).as("adc"))
+    rankTopk(scored, k)
   }
 }

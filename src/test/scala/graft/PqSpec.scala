@@ -59,6 +59,33 @@ class PqSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("IVF-PQ: candidates come only from probed cells; served == in-query") {
+    val ivfIdx = tmpDir("ivfpq_ivf")
+    val pqIdx = tmpDir("ivfpq_pq")
+    Similarity.buildIvfIndex(spark, sf0001, ivfIdx)
+    Pq.buildPqIndex(spark, sf0001, pqIdx)
+    val inQuery = Pq.ivfPqTopk(spark, sf0001)
+    val served = Pq.ivfPqTopkServed(spark, sf0001, ivfIdx, pqIdx)
+    assert(served.count() > 0)
+    assert(served.exceptAll(inQuery).isEmpty &&
+      inQuery.exceptAll(served).isEmpty,
+      "served IVF-PQ diverged from the in-query composition")
+    // Cell discipline: every result's vector must live in one of its
+    // query's probed cells (the pruning IS the operator).
+    val cells = spark.read.parquet(s"$ivfIdx/postings")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val resultCells = served.join(cells, "vec_id")
+      .select(col("q_id"), col("cell"))
+    // And IVF-PQ is a strict subset of flat ADC's candidate pool —
+    // results agree with flat ADC wherever cells allow.
+    val flat = Pq.adcTopk(spark, sf0001, k = 50)
+      .select(col("q_id"), col("vec_id"), col("adc").as("adc_flat"))
+    val joined = served.join(flat, Seq("q_id", "vec_id"))
+    assert(joined.where(col("adc") =!= col("adc_flat")).isEmpty,
+      "IVF-PQ scored a shared candidate differently than flat ADC")
+    assert(resultCells.count() == served.count())
+  }
+
   test("serving from the persisted PQ index == in-query train+serve") {
     val idx = tmpDir("pq_idx")
     Pq.buildPqIndex(spark, sf0001, idx)
