@@ -222,6 +222,12 @@ object SparkEntry {
     // tiers (oracle-checked end to end); served row answers from the
     // two persisted indexes, same twin.
     "q_ann_ivfpq" -> ((s, d) => Pq.ivfPqTopk(s, d)),
+    // PQ health check (r10, mirroring q_ann_recall): per-query recall
+    // of the SERVED ADC index against exact cosine top-k — the
+    // standing is-the-compressed-index-still-good diagnostic.
+    "q_pq_recall" -> ((s, d) => Similarity.recallReportOf(
+      Pq.adcTopkServed(s, d, stagedPqIndex(s, d)),
+      Similarity.topkCosine(s, d), Similarity.TopK)),
     "q_ann_ivfpq_served" -> ((s, d) =>
       Pq.ivfPqTopkServed(s, d, stagedIvfIndex(s, d), stagedPqIndex(s, d))),
     "q_dq_report" -> ((s, d) => Curation.dqReport(s, d)),
@@ -1569,6 +1575,43 @@ object SparkEntry {
     "q_pq_topk_served" -> pqTopkSql,
     "q_ann_ivfpq" -> ivfPqTopkSql,
     "q_ann_ivfpq_served" -> ivfPqTopkSql,
+
+    // Twin of q_pq_recall: the PQ serve pipeline (shared pqCtes) ranked
+    // to approx top-k, the exact cosine top-k, and the per-query
+    // left-join recall report — same report tail as q_ann_recall.
+    "q_pq_recall" ->
+      s"""$EmbCte$pqCtes, sc AS (
+         |  SELECT l.q_id, e.vec_id, CAST(SUM(lut_c) AS BIGINT) AS adc
+         |  FROM (SELECT vec_id, m, code FROM enc WHERE r = 1) e
+         |  JOIN lutq l ON e.m = l.m AND e.code = l.code
+         |  WHERE e.vec_id <> l.q_id
+         |  GROUP BY 1, 2
+         |), approx AS (
+         |  SELECT q_id, vec_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |          ORDER BY adc DESC, vec_id ASC) AS rank FROM sc)
+         |  WHERE rank <= ${Similarity.TopK}
+         |), qe AS (
+         |  SELECT vec_id AS q_id, v AS qv, nv AS nq FROM n
+         |  WHERE vec_id < ${Similarity.NumQueries}
+         |), escore AS (
+         |  SELECT qe.q_id, n.vec_id,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM n, qe WHERE n.vec_id <> qe.q_id
+         |), exact AS (
+         |  SELECT q_id, vec_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id ASC) AS rank FROM escore)
+         |  WHERE rank <= ${Similarity.TopK}
+         |)
+         |SELECT a.q_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_returned,
+         |       CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits,
+         |       COUNT(e.vec_id) / CAST(${Similarity.TopK} AS DOUBLE) AS recall
+         |FROM approx a
+         |LEFT JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "q_quality_score" ->
       s"""$ToksCte, base AS (
