@@ -120,6 +120,11 @@ object SparkEntry {
     // read back FROM THE ARCHIVE — one row certifies both sinks.
     "q_sink_archive_roundtrip" ->
       ((s, d) => ingestRoundtrip(s, d, "archive")),
+    // additive schema migration (r10): two parquet generations, the
+    // older missing a column — ONE mergeSchema read serves the union
+    // schema, old rows null-filled, then the shared normalization.
+    "q_ingest_schema_evolution" ->
+      ((s, d) => ingestRoundtrip(s, d, "evolve")),
     "q_ingest_roundtrip_tsv" -> ((s, d) => ingestRoundtrip(s, d, "tsv")),
     "q_ingest_roundtrip_jsonl" -> ((s, d) => ingestRoundtrip(s, d, "jsonl")),
     "q_ingest_roundtrip_orc" -> ((s, d) => ingestRoundtrip(s, d, "orc")),
@@ -446,6 +451,16 @@ object SparkEntry {
           shaped.write.mode("overwrite").orc(s"$dir/stage")
         case "csv_nohdr" => // S3: the Cloud-SQL-export flow skips no rows
           shaped.write.mode("overwrite").csv(s"$dir/stage")
+        case "evolve" =>
+          // Schema evolution: generation 1 landed BEFORE the datetime
+          // column existed; generation 2 added it. A mergeSchema read
+          // over both generations yields the union schema with nulls
+          // for the old files — the lake-standard additive migration.
+          shaped.where(col("transaction_id").cast("long") % 2 === 0)
+            .drop("date_time")
+            .write.mode("overwrite").parquet(s"$dir/stage/gen=1")
+          shaped.where(col("transaction_id").cast("long") % 2 === 1)
+            .write.mode("overwrite").parquet(s"$dir/stage/gen=2")
         case "archive" =>
           // K4 staged CSV object write → K5 archival move: the files
           // are STAGED by the whitespace-exact writer, then RELOCATED
@@ -678,6 +693,17 @@ object SparkEntry {
         sources.Ingest.readCsvNoHeader(s,
           s"${stagedDir(s, d, fmt)}/stage/*.csv",
           sources.Ingest.transactionsSchema)
+      case "evolve" =>
+        // Additive schema migration: ONE mergeSchema read over both
+        // parquet generations serves the union schema — gen=1 files
+        // (written before the date_time column existed) are null-filled
+        // by the reader, never rewritten. At 100 TB this is the only
+        // viable migration: footers carry per-file schemas, the union
+        // is computed from footers alone, and no historical bytes move.
+        s.read.option("mergeSchema", "true")
+          .parquet(s"${stagedDir(s, d, fmt)}/stage")
+          .select(col("transaction_id"), col("income"), col("country"),
+            col("date_time"))
       case _ =>
         sources.Ingest.readCsv(s, s"${stagedDir(s, d, fmt)}/stage/*.csv",
           sources.Ingest.transactionsSchema)
@@ -2039,6 +2065,20 @@ object SparkEntry {
     "q_ingest_roundtrip_csv" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_csv_noheader" -> IngestRoundtripOracle,
     "q_sink_archive_roundtrip" -> IngestRoundtripOracle,
+    // The evolved read: odd keys carry the new column, even keys are
+    // pre-migration rows whose datetime (and its derivations) is NULL.
+    "q_ingest_schema_evolution" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+        |       o_totalprice AS income,
+        |       n_name AS country,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN o_orderdate END AS date_time,
+        |       CASE WHEN o_orderkey % 2 = 1
+        |            THEN strftime(o_orderdate, '%Y-%m-%d') END AS date,
+        |       CASE WHEN o_orderkey % 2 = 1
+        |            THEN strftime(o_orderdate, '%H:%M:%S') END AS time
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "q_ingest_roundtrip_tsv" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_jsonl" -> IngestRoundtripOracle,
     "q_ingest_roundtrip_orc" -> IngestRoundtripOracle,
