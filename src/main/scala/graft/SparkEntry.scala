@@ -33,6 +33,17 @@ object SparkEntry {
     // the driver hash certifies the merge semantics end to end.
     "q_merge_publish" -> ((s, d) =>
       graft.sinks.Sinks.readLatest(s, stagedMergeTable(s, d))),
+    // time travel (r10): the same table read AT v=1 — the pre-MERGE
+    // state must still be served verbatim after v=2 published (version
+    // dirs are immutable; the pointer, not the data, advanced).
+    "q_time_travel" -> ((s, d) =>
+      graft.sinks.Sinks.readVersion(s, stagedMergeTable(s, d), 1)),
+    // keyed version diff (r10): the review artifact between v1 and v2 —
+    // one full-outer exchange, output proportional to the CHANGE (the
+    // MERGE batch), never the corpus.
+    "q_version_diff" -> ((s, d) =>
+      graft.sinks.Sinks.diffVersions(s, stagedMergeTable(s, d), 1, 2,
+        Seq("o_orderkey"))),
     // LLM-data-pipeline tier (north star): text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -1490,6 +1501,25 @@ object SparkEntry {
         |SELECT * FROM base
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
         |UNION ALL SELECT * FROM inc""".stripMargin,
+
+    // v=1 of the staged merge table is the pre-MERGE base slice — a
+    // hash match proves the published version directory is immutable
+    // under the later v=2 publish (time travel serves history, not a
+    // reconstruction).
+    "q_time_travel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 4 <> 0""".stripMargin,
+
+    // The keyed v1→v2 diff recomputed from raw orders: the MERGE batch
+    // is every %3 key; those also in the base (%4 <> 0) CHANGED (price
+    // +1.0 always differs), the rest were ADDED; a MERGE removes
+    // nothing.
+    "q_version_diff" ->
+      """SELECT o_orderkey, 'added' AS change FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' AS change FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 <> 0""".stripMargin,
 
     "q_text_stats" ->
       s"""$ToksCte
