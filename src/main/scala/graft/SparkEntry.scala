@@ -329,6 +329,11 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlapFrom(s, d, stagedPairTable(s, d))),
     "q_source_overlap_inline" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // source-authority PageRank (r10): fixed-point integer power
+    // iteration over the cross-source syndication graph served from
+    // the standing pair table — the domain-quality weighting signal.
+    "q_source_authority" -> ((s, d) =>
+      graft.operators.Graph.sourceAuthority(s, d, stagedPairTable(s, d))),
     // ordered funnel (sequential event pattern, chained windows)
     "q_funnel" -> ((s, d) => Events.funnel(s, d)),
     // production-width 64-bit simhash (quarters ARE the radius-3 bands)
@@ -1222,7 +1227,11 @@ object SparkEntry {
     * the two Spark paths are result-identical by construction
     * (parquet round-trips longs/doubles exactly), so one SQL covers
     * both, exactly like annIvfSql for the IVF build/serve split. */
-  private lazy val sourceOverlapSql: String =
+  /** The verified cross-source overlap graph as a CTE block ending in
+    * `ov` — shared verbatim by the overlap report and the PageRank
+    * twin (the edge weights must be ONE definition or the authority
+    * oracle could drift from the overlap oracle). */
+  private lazy val sourceOverlapCtes: String =
       s"""$ToksCte, $minhashCtes, verified AS (
          |  SELECT p.doc_a, p.doc_b
          |  FROM pairs p
@@ -1231,14 +1240,71 @@ object SparkEntry {
          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
          |    >= CAST(0.5 AS DOUBLE)
-         |)
-         |SELECT least(da.source, db.source) AS source_a,
-         |       greatest(da.source, db.source) AS source_b,
-         |       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
-         |FROM verified v
-         |JOIN documents da ON v.doc_a = da.doc_id
-         |JOIN documents db ON v.doc_b = db.doc_id
-         |GROUP BY 1, 2""".stripMargin
+         |), ov AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+         |  FROM verified v
+         |  JOIN documents da ON v.doc_a = da.doc_id
+         |  JOIN documents db ON v.doc_b = db.doc_id
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+
+  private lazy val sourceOverlapSql: String =
+    s"$sourceOverlapCtes\nSELECT * FROM ov"
+
+  /** Twin of [[graft.operators.Graph.authorityFrom]]: the same
+    * fixed-point integer PageRank unrolled as CTEs — all-BIGINT
+    * recurrence (DuckDB `//` == Spark `DIV` on non-negative operands),
+    * so the iterations land on bit-identical ranks; the driver hash
+    * pins the ITERATION, not just a final score. */
+  private lazy val sourceAuthorityOracle: String = {
+    import graft.operators.Graph
+    val damp = (c: String) => s"(($c * ${Graph.DampNum}) // ${Graph.DampDen})"
+    val iters = (1 to Graph.Iterations).map { i =>
+      val prev = s"r${i - 1}"
+      s""", d$i AS (
+         |  SELECT CAST(COALESCE(SUM(${damp("r")}), 0) AS BIGINT) AS dm
+         |  FROM $prev WHERE dangling
+         |), c$i AS (
+         |  SELECT dst,
+         |         CAST(SUM((${damp("r")} * share) // ${Graph.ShareScale})
+         |              AS BIGINT) AS m
+         |  FROM sh JOIN $prev ON sh.src = $prev.source
+         |  GROUP BY dst
+         |), r$i AS (
+         |  SELECT nodes.source, nodes.dangling,
+         |         ((${Graph.Scale} * ${Graph.DampDen - Graph.DampNum})
+         |            // ${Graph.DampDen}) // n
+         |           + COALESCE(m, 0) + dm // n AS r
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN c$i ON nodes.source = c$i.dst
+         |)"""
+    }.mkString
+    s"""$sourceOverlapCtes, ov2 AS (
+       |  SELECT * FROM ov WHERE source_a <> source_b
+       |), ed AS (
+       |  SELECT source_a AS src, source_b AS dst, n_dup_pairs AS w FROM ov2
+       |  UNION ALL
+       |  SELECT source_b AS src, source_a AS dst, n_dup_pairs AS w FROM ov2
+       |), outw AS (
+       |  SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM ed GROUP BY src
+       |), sh AS (
+       |  SELECT ed.src, ed.dst, (w * ${Graph.ShareScale}) // ow AS share
+       |  FROM ed JOIN outw ON ed.src = outw.src
+       |), nodes AS (
+       |  SELECT source,
+       |         source NOT IN (SELECT src FROM ed) AS dangling
+       |  FROM (SELECT DISTINCT source FROM documents)
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT source, dangling, ${Graph.Scale} // n AS r FROM nodes, nn
+       |)$iters
+       |SELECT source, r AS rank_micro,
+       |       CAST(r AS DOUBLE) / ${Graph.Scale}.0 AS authority
+       |FROM r${Graph.Iterations}""".stripMargin
+  }
 
   /** Curation CTE block (jac → losers → base → ratios → curated)
     * shared VERBATIM by q_corpus_pipeline and q_corpus_pipeline_temp
@@ -3590,6 +3656,7 @@ object SparkEntry {
     // surface, mirroring q_ann_ivf / q_ann_ivf_served (VERDICT r6 #4).
     "q_source_overlap" -> sourceOverlapSql,
     "q_source_overlap_inline" -> sourceOverlapSql,
+    "q_source_authority" -> sourceAuthorityOracle,
 
     "q_funnel" ->
       """WITH ev AS (
