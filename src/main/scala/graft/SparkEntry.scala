@@ -247,6 +247,11 @@ object SparkEntry {
     "q_ann_ivfpq_served" -> ((s, d) =>
       Pq.ivfPqTopkServed(s, d, stagedIvfIndex(s, d), stagedPqIndex(s, d))),
     "q_dq_report" -> ((s, d) => Curation.dqReport(s, d)),
+    // batch-shape drift monitor (r10): fixed-bucket total-variation
+    // distance between the corpus' even/odd doc_id slices — exact-long
+    // inner sums, ONE final IEEE division (PSI's ln() is not
+    // cross-engine stable).
+    "q_drift_report" -> ((s, d) => Curation.driftReport(s, d)),
     // unigram-LM fluency, one-pass multi-grain rollup, running totals
     "q_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     // Ranked retrieval (r9): BM25 lexical top-k and reciprocal-rank-
@@ -2883,6 +2888,41 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
          |FROM checks GROUP BY 1""".stripMargin
     },
+
+    // Twin of Curation.driftReport: same fixed integer buckets, same
+    // exact-long |ca·nb − cb·na| inner sums, same single final IEEE
+    // division (2.0 · na · nb, left-associated in both engines).
+    "q_drift_report" ->
+      """WITH base AS (
+        |  SELECT doc_id % 2 = 0 AS in_a, n_chars,
+        |         len(regexp_extract_all(lower(text), '\S+')) AS n_tokens
+        |  FROM documents
+        |), fb AS (
+        |  SELECT in_a, 'n_chars' AS feature,
+        |         least(15, n_chars // 128) AS bucket FROM base
+        |  UNION ALL
+        |  SELECT in_a, 'n_tokens', least(15, n_tokens // 32) FROM base
+        |), cells AS (
+        |  SELECT feature, bucket,
+        |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM fb GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT feature, CAST(SUM(ca) AS BIGINT) AS na,
+        |         CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM cells GROUP BY 1
+        |), l1 AS (
+        |  SELECT cells.feature, na, nb,
+        |         CAST(SUM(abs(ca * nb - cb * na)) AS BIGINT) AS l1_scaled
+        |  FROM cells JOIN tot ON cells.feature = tot.feature
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT feature, na AS n_a, nb AS n_b, l1_scaled,
+        |       CASE WHEN na > 0 AND nb > 0
+        |            THEN CAST(l1_scaled AS DOUBLE)
+        |                 / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |       END AS tvd
+        |FROM l1""".stripMargin,
 
     "q_lm_score" ->
       s"""$ToksCte, occ AS (

@@ -177,6 +177,59 @@ object Curation {
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass"),
         sum(when(col("ok"), 0L).otherwise(1L)).as("n_fail"))
 
+  /** Distribution drift between two corpus batches — the monitoring
+    * gate a standing pipeline runs before admitting a new crawl slice
+    * ("did today's batch change shape?"). Per feature, both slices'
+    * values are histogrammed into FIXED integer buckets and compared
+    * by total-variation distance TVD = ½·Σ|p_i − q_i|.
+    *
+    * Engine-exact by construction: the bucket edges are integer floor
+    * divisions, the per-bucket comparison is the exact-long cross
+    * product |ca·nb − cb·na| (no per-bucket float ratios), and the sum
+    * of those longs is order-insensitive — so the ONLY float op is the
+    * final single division, identical operand-for-operand in the twin.
+    * TVD over fixed buckets replaces PSI deliberately: PSI needs ln(),
+    * which is not cross-engine bit-stable (libm vs JVM), the rational-
+    * sigmoid lesson from [[Learn]].
+    *
+    * Scale shape: one corpus scan (features explode from the same
+    * row), map-side combine reduces every partition to
+    * O(features × buckets) rows before the shuffle, and everything
+    * after the first aggregate is bounded-size. Overflow bound:
+    * |ca·nb| ≤ na·nb < 2⁶³ holds to ~3×10⁹ docs PER SLICE; past that,
+    * pre-divide the bucket counts by a common factor (TVD is
+    * scale-invariant in the counts). */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+    val rows = docs.select(
+      (col("doc_id") % 2 === 0).as("in_a"),
+      explode(array(
+        struct(lit("n_chars").as("feature"),
+          expr("least(15L, n_chars DIV 128L)").as("bucket")),
+        struct(lit("n_tokens").as("feature"),
+          expr("least(15L, CAST(n_tokens AS BIGINT) DIV 32L)")
+            .as("bucket")))).as("fb"))
+      .select(col("in_a"), col("fb.feature").as("feature"),
+        col("fb.bucket").as("bucket"))
+    val cells = rows.groupBy(col("feature"), col("bucket")).agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+    val totals = cells.groupBy(col("feature"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cells.join(totals, "feature")
+      .groupBy(col("feature"), col("na"), col("nb"))
+      .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .as("l1_scaled"))
+      .select(col("feature"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("l1_scaled"),
+        when(col("na") > 0 && col("nb") > 0,
+          col("l1_scaled").cast("double") /
+            (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+          .as("tvd"))
+  }
+
   /** Quarantine split: rows passing EVERY rule vs rows failing any
     * (with nulls failing, the two frames partition the input exactly).
     * The good frame flows on; the bad frame lands in a quarantine

@@ -108,6 +108,34 @@ class CorpusAssemblySpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("driftReport: identical slices give exactly zero drift") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // Every even/odd id pair carries IDENTICAL content, so both batch
+    // histograms coincide and the exact-long L1 must be literally 0 —
+    // a float-based TVD would only be approximately zero.
+    val dir = tmpDir("drift_zero")
+    (0L until 8L).map(i => (i, "w " * (20 + 40 * (i / 2).toInt), "en"))
+      .map { case (i, t, l) => (i, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation.driftReport(spark, dir).collect()
+    assert(rows.length == 2, "one row per monitored feature")
+    assert(rows.forall(_.getLong(3) == 0L), "identical slices must L1 to 0")
+    assert(rows.forall(_.getDouble(4) == 0.0))
+  }
+
+  test("driftReport: fixture slices account every doc, TVD in [0,1]") {
+    import graft.operators.Curation
+    val total = Tables.documents(spark, sf0001).count()
+    val rows = Curation.driftReport(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(rows.keySet == Set("n_chars", "n_tokens"))
+    assert(rows.values.forall { case (na, nb, tvd) =>
+      na + nb == total && tvd >= 0.0 && tvd <= 1.0 })
+  }
+
   test("dqReport accounts every row; expectSplit partitions exactly") {
     import spark.implicits._
     import graft.operators.Curation
