@@ -92,6 +92,11 @@ object SparkEntry {
       Similarity.queryIvfIndex(s, idx, queries)
     }),
     "q_embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
+    // MMR diversification (r10): greedy relevance-vs-redundancy
+    // re-rank of each query's candidate pool — the RAG serving step
+    // between ANN and the prompt. The twin unrolls the greedy rounds,
+    // so the hash pins selection ORDER.
+    "q_mmr_rerank" -> ((s, d) => Similarity.mmrDiversify(s, d)),
     // ANN health check: per-query LSH recall vs the exact top-k.
     "q_ann_recall" -> ((s, d) => Similarity.lshRecallReport(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -1263,6 +1268,59 @@ object SparkEntry {
     * recurrence (DuckDB `//` == Spark `DIV` on non-negative operands),
     * so the iterations land on bit-identical ranks; the driver hash
     * pins the ITERATION, not just a final score. */
+  /** Twin of [[graft.operators.Similarity.mmrDiversify]]: K greedy
+    * rounds unrolled as CTEs — pick (windowed argmax of
+    * 0.7·rel − 0.3·pen, vec_id tiebreak), then advance the standing
+    * penalty with the similarity to the latest pick. The 0.7/0.3
+    * weights appear as decimal LITERALS on both sides. */
+  private lazy val mmrOracle: String = {
+    import graft.operators.Similarity
+    val dotE = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, ${Similarity.Dim + 1}), i -> $a[i] * $b[i]))"
+    val steps = (1 to Similarity.MmrKeep).map { t =>
+      val prev = s"c${t - 1}"
+      val pick =
+        s""", p$t AS (
+           |  SELECT *, 0.7 * rel - 0.3 * pen AS score,
+           |         ROW_NUMBER() OVER (PARTITION BY q_id
+           |           ORDER BY (0.7 * rel - 0.3 * pen) DESC, vec_id ASC)
+           |           AS rn
+           |  FROM $prev
+           |), s$t AS (
+           |  SELECT q_id, vec_id, score, v AS sv, nv AS snv
+           |  FROM p$t WHERE rn = 1
+           |)"""
+      val advance =
+        if (t < Similarity.MmrKeep)
+          s""", c$t AS (
+             |  SELECT c.q_id, c.vec_id, c.rel, c.v, c.nv,
+             |         greatest(c.pen,
+             |           ${dotE("c.v", "s.sv")} / (c.nv * s.snv)) AS pen
+             |  FROM $prev c JOIN s$t s
+             |    ON c.q_id = s.q_id AND c.vec_id <> s.vec_id
+             |)"""
+        else ""
+      pick + advance
+    }.mkString
+    val out = (1 to Similarity.MmrKeep).map(t =>
+      s"SELECT q_id, vec_id, CAST($t AS INT) AS mmr_rank, score FROM s$t")
+      .mkString("\n|UNION ALL\n|")
+    s"""$EmbCte, q AS (
+       |  SELECT vec_id AS q_id, v AS qv, nv AS nq FROM n
+       |  WHERE vec_id < ${Similarity.NumQueries}
+       |), mscored AS (
+       |  SELECT q.q_id, n.vec_id,
+       |         ${dotE("qv", "v")} / (nq * nv) AS rel, n.v, n.nv
+       |  FROM n, q WHERE n.vec_id <> q.q_id
+       |), c0 AS (
+       |  SELECT q_id, vec_id, rel, v, nv, 0.0 AS pen
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY rel DESC, vec_id ASC) AS rnk FROM mscored)
+       |  WHERE rnk <= ${Similarity.MmrPool}
+       |)$steps
+       |$out""".stripMargin
+  }
+
   private lazy val sourceAuthorityOracle: String = {
     import graft.operators.Graph
     val damp = (c: String) => s"(($c * ${Graph.DampNum}) // ${Graph.DampDen})"
@@ -1872,6 +1930,8 @@ object SparkEntry {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          |WHERE rank <= ${Similarity.TopK}""".stripMargin,
+
+    "q_mmr_rerank" -> mmrOracle,
 
     "q_ann_lsh" ->
       s"""$EmbCte, bn AS (

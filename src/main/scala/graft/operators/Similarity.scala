@@ -188,6 +188,68 @@ object Similarity {
       saltOn = col("vec_id"), k = k, saltBuckets = saltBuckets)
   }
 
+  /** MMR candidate-pool size (top-R by relevance feeds the greedy
+    * diversifier) and the number of diversified results kept. */
+  val MmrPool = 12
+  val MmrKeep = 5
+
+  /** Maximal-marginal-relevance re-ranking — the serving-tier
+    * diversifier RAG retrieval runs between ANN and the prompt: from
+    * each query's top-[[MmrPool]] relevance candidates, greedily pick
+    * [[MmrKeep]] maximizing 0.7·relevance − 0.3·max-sim-to-already-
+    * picked, so near-duplicate passages don't crowd the context
+    * window.
+    *
+    * Scale shape: the candidate pool is BOUNDED per query (R rows from
+    * the ANN tier — here the exact top-k so the pool shares the
+    * already-hash-proven definition), selection is K rounds of one
+    * q_id-keyed join + one bounded window (≤ R rows per query), total
+    * work O(K·R) per query with queries partitioning the cluster. The
+    * penalty updates incrementally (greatest of the standing penalty
+    * and similarity to the LATEST pick) — never a pairwise matrix.
+    *
+    * Engine-exact: cosines are LTR IEEE dots of parquet-exact
+    * operands; 0.7/0.3 are decimal literals parsed to identical
+    * doubles in both engines (never computed as 1−λ, whose float
+    * round-off could differ from the literal); ties break on vec_id.
+    * The twin unrolls the K greedy rounds as CTEs — the driver hash
+    * pins the greedy SELECTION ORDER, not just the final set. */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val score = lit(0.7) * col("rel") - lit(0.3) * col("pen")
+    var cand = topkCosine(spark, dir, k = MmrPool)
+      .select(col("q_id"), col("vec_id"), col("cosine").as("rel"))
+      .join(corpus(spark, dir).select(col("vec_id"), col("v"), col("nv")),
+        "vec_id")
+      .select(col("q_id"), col("vec_id"), col("rel"), col("v"), col("nv"))
+      .withColumn("pen", lit(0.0))
+      .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to MmrKeep) {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(score.desc, col("vec_id").asc)
+      val sel = cand.withColumn("score", score)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("score"),
+          col("v").as("sv"), col("nv").as("snv"))
+        .localCheckpoint()
+      picks += sel.select(col("q_id"), col("vec_id"),
+        lit(t).as("mmr_rank"), col("score"))
+      if (t < MmrKeep)
+        cand = cand
+          .join(sel.select(col("q_id"), col("vec_id").as("sel_id"),
+            col("sv"), col("snv")), "q_id")
+          .where(col("vec_id") =!= col("sel_id"))
+          .select(col("q_id"), col("vec_id"), col("rel"), col("v"),
+            col("nv"),
+            greatest(col("pen"),
+              dot(col("v"), col("sv")) / (col("nv") * col("snv")))
+              .as("pen"))
+          .localCheckpoint()
+    }
+    picks.reduce(_ unionAll _)
+  }
+
   /** Multi-probe masks: the query's own bucket plus every bucket at
     * Hamming distance 1 (flip one hyperplane sign). */
   val ProbeMasks: Seq[Int] = 0 +: (0 until NumPlanes).map(1 << _)

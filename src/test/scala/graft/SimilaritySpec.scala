@@ -24,6 +24,37 @@ class SimilaritySpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("MMR: k distinct picks, relevance-first opening, scores non-increasing") {
+    val out = Similarity.mmrDiversify(spark, sf0001).cache()
+    try {
+      // Exactly MmrKeep DISTINCT picks per query.
+      val counts = out.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d"))
+        .collect()
+      assert(counts.nonEmpty)
+      counts.foreach { r =>
+        assert(r.getLong(1) == Similarity.MmrKeep && r.getLong(2) == r.getLong(1))
+      }
+      // With an empty picked set there is no penalty yet, so round 1
+      // must agree with the pure relevance argmax.
+      val top1 = Similarity.topkCosine(spark, sf0001)
+        .where(col("rank") === 1)
+        .select(col("q_id"), col("vec_id").as("best"))
+      val disagree = out.where(col("mmr_rank") === 1)
+        .join(top1, "q_id").where(col("vec_id") =!= col("best")).count()
+      assert(disagree == 0, "round 1 must be the relevance argmax")
+      // Each round maximizes over a subset with equal-or-larger
+      // penalties than the last, so the greedy score sequence can
+      // never increase.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("mmr_rank"))
+      val rising = out
+        .withColumn("prev", lag(col("score"), 1).over(w))
+        .where(col("prev").isNotNull && col("score") > col("prev")).count()
+      assert(rising == 0, "MMR scores must be non-increasing over rounds")
+    } finally out.unpersist()
+  }
+
   test("self-similarity is exactly 1 when the query meets itself") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(3)
