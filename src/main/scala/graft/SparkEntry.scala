@@ -262,6 +262,10 @@ object SparkEntry {
     // Ranked retrieval (r9): BM25 lexical top-k and reciprocal-rank-
     // fusion hybrid search (BM25 arm + embedding-cosine arm).
     "q_bm25" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    // positional phrase search (r10): slot-vote alignment — one hash
+    // aggregate keyed (doc, start), shuffle cut to the phrase's own
+    // postings by a broadcast vocabulary join.
+    "q_phrase_search" -> ((s, d) => Retrieval.phraseSearch(s, d)),
     "q_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     // Same answer from the PERSISTED term-partitioned lexical index
     // (built once per JVM): the retrieval build/serve split — postings
@@ -3031,6 +3035,32 @@ object SparkEntry {
     // contribution is micro-unit fixed-point rounded BEFORE the per-doc
     // sum so the aggregate is an order-insensitive exact-long sum.
     "q_bm25" -> bm25Sql,
+
+    // Twin of Retrieval.phraseSearch: the same slot-vote alignment —
+    // term i at position p votes for start p − i; a start collecting
+    // every slot is a phrase match.
+    "q_phrase_search" -> {
+      val ph = graft.operators.Retrieval.DefaultPhrase
+      val vals = ph.zipWithIndex
+        .map { case (t, i) => s"SELECT $i AS sl, '$t' AS ptok" }
+        .mkString(" UNION ALL ")
+      s"""$ToksCte, occ AS (
+         |  SELECT doc_id, r.i - 1 AS pos, t[r.i] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+         |), ph AS (
+         |  $vals
+         |), hits AS (
+         |  SELECT doc_id, pos - sl AS start, sl
+         |  FROM occ JOIN ph ON tok = ptok
+         |), m AS (
+         |  SELECT doc_id, start FROM hits
+         |  GROUP BY doc_id, start
+         |  HAVING COUNT(DISTINCT sl) = ${ph.length}
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |       CAST(MIN(start) AS INT) AS first_pos
+         |FROM m GROUP BY doc_id""".stripMargin
+    },
     // The served path answers the IDENTICAL query from the persisted
     // term-partitioned index — one shared twin proves build/serve
     // hash-identity (the q_ann_ivf / q_ann_ivf_served pattern).

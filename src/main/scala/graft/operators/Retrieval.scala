@@ -56,6 +56,51 @@ object Retrieval {
     * original formulation). */
   val RrfK = 60
 
+  /** Default phrase for the positional search row — a bigram that
+    * genuinely occurs in the fixture vocabulary. */
+  val DefaultPhrase: Seq[String] = Seq("hash", "join")
+
+  /** Exact phrase search by POSITION ALIGNMENT — the retrieval
+    * operator BM25's bag-of-words scoring cannot express ("hash join"
+    * as a unit, not two terms).
+    *
+    * Every occurrence of phrase term i at position p votes for a
+    * phrase START at p − i; a start winning all |phrase| slots is a
+    * match. That turns phrase matching into ONE hash aggregate keyed
+    * (doc, start): the token stream is cut to the phrase's vocabulary
+    * by a broadcast join BEFORE any exchange (the shuffle carries only
+    * phrase-term occurrences — at 100 TB: the phrase's postings, never
+    * the corpus), and a longer phrase adds SLOTS to the same
+    * aggregate, where the naive positional self-join adds a shuffle
+    * per term. A persisted positional-postings index would replace the
+    * tokenize with a posting scan and keep the identical alignment
+    * tail. Repeated phrase terms are handled by slot identity: one
+    * occurrence votes once per slot it could fill, each vote at a
+    * different start. */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: Seq[String] = DefaultPhrase): DataFrame =
+    phraseSearchOf(Tables.documents(spark, dir), phrase)
+
+  def phraseSearchOf(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrase.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("sl", "ptok")
+    docs
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(broadcast(ph), col("tok") === col("ptok"))
+      .select(col("doc_id"), (col("pos") - col("sl")).as("start"),
+        col("sl"))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("sl")).as("k"))
+      .where(col("k") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast("int").as("first_pos"))
+  }
+
   /** Per-(doc, term) BM25 contributions for `terms`, joined against the
     * per-doc length and the broadcast one-row corpus stats. The token
     * stream is filtered to the bounded query vocabulary BEFORE its

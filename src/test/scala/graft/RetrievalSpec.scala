@@ -8,6 +8,29 @@ import graft.operators.Retrieval
   * must survive any refactor of the scoring plumbing. */
 class RetrievalSpec extends SparkSpec {
 
+  test("phrase search: alignment counts, overlaps, repeated-term slots") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "x hash join y hash join"), // two occurrences
+      (2L, "hash y join"),             // both terms, never adjacent
+      (3L, "a a a"),                   // overlapping self-phrase fodder
+      (4L, "a b a b a")                // repeated-term phrase fodder
+    ).toDF("doc_id", "text")
+    val hj = Retrieval.phraseSearchOf(docs, Seq("hash", "join"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(hj == Map(1L -> ((2L, 1))),
+      s"adjacency must be required and counted: $hj")
+    // Overlapping matches each count: "a a a" contains "a a" at 0 and 1.
+    val aa = Retrieval.phraseSearchOf(docs, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(aa == Map(3L -> ((2L, 0))), s"overlaps must both match: $aa")
+    // Repeated-term phrase fills DISTINCT slots: "a b a" at 0 and 2.
+    val aba = Retrieval.phraseSearchOf(docs, Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(aba == Map(4L -> ((2L, 0))), s"slot identity broke: $aba")
+  }
+
   test("bm25: dense ranks, non-increasing scores, matched-term bounds") {
     val rows = Retrieval.bm25TopK(spark, sf0001)
       .orderBy(col("rank")).collect()
