@@ -199,13 +199,31 @@ object Curation {
     * |ca·nb| ≤ na·nb < 2⁶³ holds to ~3×10⁹ docs PER SLICE; past that,
     * pre-divide the bucket counts by a common factor (TVD is
     * scale-invariant in the counts). */
-  def driftReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
+  def driftReport(spark: SparkSession, dir: String): DataFrame =
+    driftTail(driftRows(graft.Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("in_a"), col("n_chars"),
+        col("text"))))
+
+  /** Drift between two document-shaped frames — the cross-VERSION form
+    * ("did the rebuild change the corpus shape?"): pass
+    * [[graft.sinks.Sinks.readVersion]] frames of a published corpus
+    * table. Two scans instead of driftReport's one (the sides live in
+    * different version directories), same shared feature/tail
+    * definitions, so the two forms cannot drift from each other. */
+  def driftBetween(a: DataFrame, b: DataFrame): DataFrame = {
+    def side(df: DataFrame, inA: Boolean) =
+      df.select(lit(inA).as("in_a"), col("n_chars"), col("text"))
+    driftTail(driftRows(side(a, inA = true).unionAll(side(b, inA = false))))
+  }
+
+  /** The monitored features, exploded from one pass over
+    * (in_a, n_chars, text) rows: fixed integer bucket edges (floor
+    * division) so both engines and both drift forms histogram
+    * identically. */
+  private def driftRows(df: DataFrame): DataFrame =
+    df.select(col("in_a"), col("n_chars"),
         size(TextOps.tokens(col("text"))).as("n_tokens"))
-    val rows = docs.select(
-      (col("doc_id") % 2 === 0).as("in_a"),
-      explode(array(
+      .select(col("in_a"), explode(array(
         struct(lit("n_chars").as("feature"),
           expr("least(15L, n_chars DIV 128L)").as("bucket")),
         struct(lit("n_tokens").as("feature"),
@@ -213,6 +231,9 @@ object Curation {
             .as("bucket")))).as("fb"))
       .select(col("in_a"), col("fb.feature").as("feature"),
         col("fb.bucket").as("bucket"))
+
+  /** Shared TVD tail over (in_a, feature, bucket) rows. */
+  private def driftTail(rows: DataFrame): DataFrame = {
     val cells = rows.groupBy(col("feature"), col("bucket")).agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
       sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))

@@ -125,6 +125,17 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(rows.forall(_.getDouble(4) == 0.0))
   }
 
+  test("driftBetween == driftReport when the sides are the same slices") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf0001)
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val viaBetween = Curation.driftBetween(a, b).collect().toSet
+    val viaReport = Curation.driftReport(spark, sf0001).collect().toSet
+    assert(viaBetween == viaReport && viaBetween.nonEmpty,
+      "the one-scan monitor and the two-frame version form diverged")
+  }
+
   test("driftReport: fixture slices account every doc, TVD in [0,1]") {
     import graft.operators.Curation
     val total = Tables.documents(spark, sf0001).count()
