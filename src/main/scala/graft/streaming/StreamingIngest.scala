@@ -139,6 +139,33 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming drift gate: every arriving micro-batch of documents is
+    * drift-scored against the standing REFERENCE corpus
+    * ([[graft.operators.Curation.driftBetween]] — fixed-bucket TVD,
+    * exact-long inner sums) and the per-batch report lands
+    * batchId-keyed in a monitor table — catching "today's crawl slice
+    * changed shape" at INGEST time, not at training time. Replays
+    * overwrite their own batch partition (the standing sink contract),
+    * so the monitor is exactly-once by layout; the report is
+    * O(features × buckets) rows per batch, so the monitor table stays
+    * tiny forever. The reference frame re-reads per batch — at scale
+    * it is the published corpus version, whose histogram a deployment
+    * would snapshot; here the full driftBetween keeps the gate
+    * one-definition with the batch monitor. */
+  def driftGateStream(stream: DataFrame, referencePath: String,
+                      monitorPath: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ref = batch.sparkSession.read.parquet(referencePath)
+        val report = graft.operators.Curation.driftBetween(batch, ref)
+        writeBatchPartition(report, monitorPath, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CDC apply: merge every micro-batch into a keyed layer
     * via [[graft.sinks.Sinks.upsert]] — latest delivery of a key wins
     * ACROSS batches; WITHIN a micro-batch that carries several rows for

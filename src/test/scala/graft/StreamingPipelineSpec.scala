@@ -94,6 +94,26 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(good == Set(0L, 1L) && bad == Set(2L, 3L))
   }
 
+  test("streaming drift gate: per-batch report equals the batch driftBetween") {
+    val dir = tmpDir("driftgate")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // Reference = the even-id corpus half; the arriving batch = odd ids.
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val arriving = docs.where(col("doc_id") % 2 === 1)
+    ref.write.parquet(s"$dir/ref")
+    arriving.write.parquet(s"$dir/in/b0")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in/*")
+    StreamingIngest.driftGateStream(stream, s"$dir/ref",
+      s"$dir/monitor", s"$dir/ckpt")
+    val streamed = spark.read.parquet(s"$dir/monitor")
+      .drop("batch_id").collect().toSet
+    val batch = graft.operators.Curation
+      .driftBetween(arriving, spark.read.parquet(s"$dir/ref"))
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      "stream-admitted drift report must equal the batch computation")
+  }
+
   test("bounded-state streaming dedup collapses re-deliveries in the horizon") {
     val dir = tmpDir("wmdedup")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
