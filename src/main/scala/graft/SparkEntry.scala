@@ -97,6 +97,11 @@ object SparkEntry {
     // between ANN and the prompt. The twin unrolls the greedy rounds,
     // so the hash pins selection ORDER.
     "q_mmr_rerank" -> ((s, d) => Similarity.mmrDiversify(s, d)),
+    // margin-based bitext mining (r10): Artetxe–Schwenk neighborhood-
+    // relative criterion over the en/de embedding slices — the
+    // parallel-corpus extraction step; micro-unit neighborhood means
+    // keep the margin engine-exact.
+    "q_bitext_mine" -> ((s, d) => Similarity.bitextMine(s, d)),
     // ANN health check: per-query LSH recall vs the exact top-k.
     "q_ann_recall" -> ((s, d) => Similarity.lshRecallReport(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -1272,6 +1277,55 @@ object SparkEntry {
     * recurrence (DuckDB `//` == Spark `DIV` on non-negative operands),
     * so the iterations land on bit-identical ranks; the driver hash
     * pins the ITERATION, not just a final score. */
+  /** Twin of [[graft.operators.Similarity.bitextMine]]: the same
+    * forward/backward k-NN cut, micro-unit neighborhood means, and
+    * identically-associated margin division chain. */
+  private lazy val bitextOracle: String = {
+    import graft.operators.Similarity
+    val dotE = (x: String, y: String) =>
+      s"list_sum(list_transform(range(1, ${Similarity.Dim + 1}), i -> $x[i] * $y[i]))"
+    s"""$EmbCte, la AS (
+       |  SELECT vec_id AS a_id, v AS av, nv AS na
+       |  FROM n JOIN documents d ON n.vec_id = d.doc_id
+       |  WHERE d.lang = 'en'
+       |), lb AS (
+       |  SELECT vec_id AS b_id, v AS bv, nv AS nb
+       |  FROM n JOIN documents d ON n.vec_id = d.doc_id
+       |  WHERE d.lang = 'de'
+       |), ab AS (
+       |  SELECT a_id, b_id, ${dotE("av", "bv")} / (na * nb) AS cos
+       |  FROM la, lb
+       |), fa AS (
+       |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cos DESC, b_id ASC) AS rn FROM ab)
+       |  WHERE rn <= ${Similarity.MineK}
+       |), fb AS (
+       |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id
+       |    ORDER BY cos DESC, a_id ASC) AS rn FROM ab)
+       |  WHERE rn <= ${Similarity.MineK}
+       |), ka AS (
+       |  SELECT a_id,
+       |         CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT) AS sa,
+       |         CAST(COUNT(*) AS BIGINT) AS ca
+       |  FROM fa GROUP BY a_id
+       |), kb AS (
+       |  SELECT b_id,
+       |         CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT) AS sb,
+       |         CAST(COUNT(*) AS BIGINT) AS cb
+       |  FROM fb GROUP BY b_id
+       |), m AS (
+       |  SELECT fa.a_id, fa.b_id, fa.cos,
+       |         fa.cos / (((CAST(sa AS DOUBLE) / ca / 1000000.0)
+       |           + (CAST(sb AS DOUBLE) / cb / 1000000.0)) / 2.0) AS margin
+       |  FROM fa JOIN ka ON fa.a_id = ka.a_id JOIN kb ON fa.b_id = kb.b_id
+       |), best AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY margin DESC, b_id ASC) AS brn FROM m
+       |)
+       |SELECT a_id, b_id, cos AS cosine, margin
+       |FROM best WHERE brn = 1 AND margin > 1.05""".stripMargin
+  }
+
   /** Twin of [[graft.operators.Similarity.mmrDiversify]]: K greedy
     * rounds unrolled as CTEs — pick (windowed argmax of
     * 0.7·rel − 0.3·pen, vec_id tiebreak), then advance the standing
@@ -1936,6 +1990,7 @@ object SparkEntry {
          |WHERE rank <= ${Similarity.TopK}""".stripMargin,
 
     "q_mmr_rerank" -> mmrOracle,
+    "q_bitext_mine" -> bitextOracle,
 
     "q_ann_lsh" ->
       s"""$EmbCte, bn AS (

@@ -193,6 +193,72 @@ object Similarity {
   val MmrPool = 12
   val MmrKeep = 5
 
+  /** Bitext-mining neighborhood depth for the margin denominator. */
+  val MineK = 4
+
+  /** Margin-based bitext mining (the Artetxe–Schwenk criterion) — the
+    * parallel-corpus extraction step of a multilingual training
+    * pipeline: for every language-A document, its best language-B
+    * candidate is kept only when cos(a,b) clearly beats the MEAN of
+    * both sides' k-NN neighborhoods, margin = cos / ((mean_a +
+    * mean_b)/2) — absolute-cosine thresholds fail because "high
+    * similarity" is neighborhood-relative (hubness), which is exactly
+    * what the margin normalizes away.
+    *
+    * Scale shape: one cross-scoring of the two language slices with
+    * the smaller side broadcast (at fixture scale exact; past
+    * broadcastability the candidate generation swaps to the IVF
+    * index's probed cells — the ANN-tier substitution, same margin
+    * tail), then two bounded per-key windows (k-NN cut), two compact
+    * per-key aggregates, and a final bounded argmax window.
+    *
+    * Engine-exact: neighborhood means use the micro-unit discipline —
+    * per-neighbor cosines round to exact 1e-6 longs BEFORE the sum
+    * (float accumulation order would make the mean engine-dependent),
+    * and the margin's division chain is associated identically in the
+    * twin; the 1.05 keep-threshold is a decimal literal on both
+    * sides. */
+  def bitextMine(spark: SparkSession, dir: String,
+                 langA: String = "en", langB: String = "de"): DataFrame = {
+    val langs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val c = corpus(spark, dir).join(langs, col("vec_id") === col("doc_id"))
+    val a = c.where(col("lang") === langA).select(col("vec_id").as("a_id"),
+      col("v").as("av"), col("nv").as("na"))
+    val b = c.where(col("lang") === langB).select(col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nv").as("nb"))
+    val ab = a.crossJoin(broadcast(b))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("av"), col("bv")) / (col("na") * col("nb"))).as("cos"))
+      .localCheckpoint() // scored once; feeds both direction windows
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos").desc, col("a_id").asc)
+    val fa = ab.withColumn("rn", row_number().over(wa))
+      .where(col("rn") <= MineK)
+    val fb = ab.withColumn("rn", row_number().over(wb))
+      .where(col("rn") <= MineK)
+    def microSum(src: DataFrame, key: String, s: String, n: String) =
+      src.groupBy(col(key)).agg(
+        sum(round(col("cos") * lit(1000000)).cast("long")).as(s),
+        count(lit(1)).as(n))
+    val ka = microSum(fa, "a_id", "sa", "ca")
+    val kb = microSum(fb, "b_id", "sb", "cb")
+    val wbest = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin").desc, col("b_id").asc)
+    fa.select(col("a_id"), col("b_id"), col("cos"))
+      .join(ka, "a_id").join(kb, "b_id")
+      .withColumn("margin",
+        col("cos") / (((col("sa").cast("double") / col("ca") / lit(1000000.0))
+          + (col("sb").cast("double") / col("cb") / lit(1000000.0)))
+          / lit(2.0)))
+      .withColumn("brn", row_number().over(wbest))
+      .where(col("brn") === 1 && col("margin") > lit(1.05))
+      .select(col("a_id"), col("b_id"), col("cos").as("cosine"),
+        col("margin"))
+  }
+
   /** Maximal-marginal-relevance re-ranking — the serving-tier
     * diversifier RAG retrieval runs between ANN and the prompt: from
     * each query's top-[[MmrPool]] relevance candidates, greedily pick

@@ -55,6 +55,29 @@ class SimilaritySpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("bitext mining: lang-pure sides, unique best per doc, margin gate") {
+    import spark.implicits._
+    val out = Similarity.bitextMine(spark, SparkSpec.Sf001).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty, "the margin gate must not be vacuous")
+      // One best candidate per language-A doc.
+      assert(out.select("a_id").distinct().count() == rows.length)
+      // Every kept pair beats the neighborhood-relative bar.
+      assert(rows.forall(_.getAs[Double]("margin") > 1.05))
+      assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0))
+      // Sides are language-pure: a-ids are en docs, b-ids are de docs.
+      val langs = spark.read.parquet(s"${SparkSpec.Sf001}/documents.parquet")
+        .select($"doc_id", $"lang").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.forall(r => langs(r.getAs[Long]("a_id")) == "en"
+        && langs(r.getAs[Long]("b_id")) == "de"))
+      // The micro-unit means make the whole report re-run-identical.
+      val again = Similarity.bitextMine(spark, SparkSpec.Sf001).collect()
+      assert(rows.toSet == again.toSet)
+    } finally out.unpersist()
+  }
+
   test("self-similarity is exactly 1 when the query meets itself") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(3)
