@@ -373,6 +373,28 @@ class PlanAuditSpec extends SparkSpec {
     } finally txn.unpersist()
   }
 
+  test("r10 additions keep their documented shapes") {
+    // Phrase search: the occ stream is cut to the phrase vocabulary by
+    // a BROADCAST join before any exchange — no cartesian, no sort,
+    // and only hash exchanges after the cut.
+    val ph = finalPlan(q("q_phrase_search"))
+    assert(count(ph, "BroadcastHashJoin") >= 1,
+      s"phrase vocabulary cut must broadcast:\n$ph")
+    assert(!ph.contains("CartesianProduct") && !ph.contains("SortMergeJoin"),
+      s"phrase search grew a heavyweight join:\n$ph")
+    // Drift monitor: ONE corpus scan — both features explode from the
+    // same row pass (a second scan would double the 100 TB cost).
+    val dr = finalPlan(q("q_drift_report"))
+    assert(count(dr, "Scan parquet") == 1,
+      s"drift monitor must histogram both features in one scan:\n$dr")
+    // Bitext mining: the cross-scoring must broadcast the smaller
+    // language side (BroadcastNestedLoopJoin on a bounded broadcast is
+    // the documented shape) — never a CartesianProduct.
+    val bt = finalPlan(q("q_bitext_mine"))
+    assert(!bt.contains("CartesianProduct"),
+      s"bitext cross-scoring fell back to a cartesian:\n$bt")
+  }
+
   test("order+limit plans as TakeOrderedAndProject — no global sort") {
     val p = finalPlan(q("q_order_limit"))
     assert(p.contains("TakeOrderedAndProject"),
