@@ -102,6 +102,10 @@ object SparkEntry {
     // parallel-corpus extraction step; micro-unit neighborhood means
     // keep the margin engine-exact.
     "q_bitext_mine" -> ((s, d) => Similarity.bitextMine(s, d)),
+    // hard-negative mining (r10): per-anchor top-k highest-cosine
+    // vectors OUTSIDE the anchor's positive group — the contrastive-
+    // training counterpart to the mined positives.
+    "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // ANN health check: per-query LSH recall vs the exact top-k.
     "q_ann_recall" -> ((s, d) => Similarity.lshRecallReport(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -1991,6 +1995,23 @@ object SparkEntry {
 
     "q_mmr_rerank" -> mmrOracle,
     "q_bitext_mine" -> bitextOracle,
+
+    // Twin of Similarity.hardNegatives: cross-group top-k; the anchor
+    // excludes itself WITH its positive group, so no self-pair filter.
+    "q_hard_negatives" ->
+      s"""$EmbCte, q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, v AS qv, nv AS nq
+         |  FROM n WHERE vec_id < ${Similarity.NumQueries}
+         |), hscored AS (
+         |  SELECT q.q_id, n.vec_id, n.label,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM n, q WHERE n.label <> q.q_label
+         |)
+         |SELECT q_id, vec_id, label, cosine, CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, vec_id ASC) AS rank FROM hscored)
+         |WHERE rank <= ${Similarity.TopK}""".stripMargin,
 
     "q_ann_lsh" ->
       s"""$EmbCte, bn AS (

@@ -196,6 +196,32 @@ object Similarity {
   /** Bitext-mining neighborhood depth for the margin denominator. */
   val MineK = 4
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k highest-cosine vectors OUTSIDE the anchor's positive group
+    * (the `label` column — in a real pipeline, whatever keys the
+    * (query, positive) sets). Random negatives are easy and teach an
+    * embedding model nothing late in training; the hardest negatives
+    * are exactly the high-similarity cross-group neighbors this
+    * returns. Same scale shape as the exact ANN baseline: bounded
+    * anchor set broadcast, salted two-phase top-k (no global sort);
+    * past broadcastability the candidates come from the IVF index's
+    * probed cells, identical tail. Self-pairs need no filter — the
+    * anchor shares its own label and is excluded with its group. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    k: Int = TopK): DataFrame = {
+    val c = corpus(spark, dir)
+    val anchors = c.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"), col("v").as("qv"), col("nv").as("nq"))
+      .where(col("q_id") < NumQueries)
+    val scored = c.crossJoin(broadcast(anchors))
+      .where(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        (dot(col("qv"), col("v")) / (col("nq") * col("nv"))).as("cosine"))
+    Ranking.saltedTopK(scored, part = Seq(col("q_id")),
+      ord = Seq(col("cosine").desc, col("vec_id").asc),
+      saltOn = col("vec_id"), k = k, saltBuckets = 64)
+  }
+
   /** Margin-based bitext mining (the Artetxe–Schwenk criterion) — the
     * parallel-corpus extraction step of a multilingual training
     * pipeline: for every language-A document, its best language-B

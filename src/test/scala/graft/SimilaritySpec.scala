@@ -55,6 +55,32 @@ class SimilaritySpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("hard negatives: cross-group only, k per anchor, hardness ordering") {
+    val out = Similarity.hardNegatives(spark, SparkSpec.Sf001).cache()
+    try {
+      val anchors = spark.read
+        .parquet(s"${SparkSpec.Sf001}/embeddings.parquet")
+        .where(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id"), col("label"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // Every mined negative sits OUTSIDE its anchor's positive group.
+      assert(rows.forall(r => r.getAs[Number]("label").longValue
+        != anchors(r.getAs[Long]("q_id"))))
+      // Exactly k per anchor, ranks dense, cosine non-increasing.
+      rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+        assert(g.length == Similarity.TopK)
+        val byRank = g.sortBy(_.getAs[Int]("rank"))
+        assert(byRank.map(_.getAs[Int]("rank")).toSeq
+          == (1 to Similarity.TopK))
+        val cs = byRank.map(_.getAs[Double]("cosine"))
+        assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      }
+    } finally out.unpersist()
+  }
+
   test("bitext mining: lang-pure sides, unique best per doc, margin gate") {
     import spark.implicits._
     val out = Similarity.bitextMine(spark, SparkSpec.Sf001).cache()
