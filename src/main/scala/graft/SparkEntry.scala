@@ -275,6 +275,12 @@ object SparkEntry {
     // aggregate keyed (doc, start), shuffle cut to the phrase's own
     // postings by a broadcast vocabulary join.
     "q_phrase_search" -> ((s, d) => Retrieval.phraseSearch(s, d)),
+    // the same phrase answered from the PERSISTED positional index
+    // (partition-pruned to the phrase terms' dirs, tokenize never
+    // re-runs) — shares the inline row's twin: build/serve identity
+    // is driver-hash-verified.
+    "q_phrase_search_served" -> ((s, d) =>
+      Retrieval.phraseSearchServed(s, stagedPosIndex(s, d))),
     "q_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     // Same answer from the PERSISTED term-partitioned lexical index
     // (built once per JVM): the retrieval build/serve split — postings
@@ -636,6 +642,16 @@ object SparkEntry {
       val dir = tempDirWithCleanup("graft_lex")
       operators.Retrieval.buildLexIndex(s, d, s"$dir/lex")
       s"$dir/lex"
+    })
+
+  private val stagedPosIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedPosIndex(s: SparkSession, d: String): String =
+    stagedPosIndexes.computeIfAbsent(d, { _ =>
+      val dir = tempDirWithCleanup("graft_pos")
+      operators.Retrieval.buildPosIndex(s, d, s"$dir/pos")
+      s"$dir/pos"
     })
 
   private val stagedIvfIndexes =
@@ -1281,6 +1297,31 @@ object SparkEntry {
     * recurrence (DuckDB `//` == Spark `DIV` on non-negative operands),
     * so the iterations land on bit-identical ranks; the driver hash
     * pins the ITERATION, not just a final score. */
+  /** Twin of [[graft.operators.Retrieval.phraseSearch]] AND its served
+    * form (one definition — build/serve identity rides on it). */
+  private lazy val phraseOracle: String = {
+    val ph = graft.operators.Retrieval.DefaultPhrase
+    val vals = ph.zipWithIndex
+      .map { case (t, i) => s"SELECT $i AS sl, '$t' AS ptok" }
+      .mkString(" UNION ALL ")
+    s"""$ToksCte, occ AS (
+       |  SELECT doc_id, r.i - 1 AS pos, t[r.i] AS tok
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+       |), ph AS (
+       |  $vals
+       |), hits AS (
+       |  SELECT doc_id, pos - sl AS start, sl
+       |  FROM occ JOIN ph ON tok = ptok
+       |), m AS (
+       |  SELECT doc_id, start FROM hits
+       |  GROUP BY doc_id, start
+       |  HAVING COUNT(DISTINCT sl) = ${ph.length}
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       |       CAST(MIN(start) AS INT) AS first_pos
+       |FROM m GROUP BY doc_id""".stripMargin
+  }
+
   /** Twin of [[graft.operators.Similarity.bitextMine]]: the same
     * forward/backward k-NN cut, micro-unit neighborhood means, and
     * identically-associated margin division chain. */
@@ -3114,29 +3155,10 @@ object SparkEntry {
 
     // Twin of Retrieval.phraseSearch: the same slot-vote alignment —
     // term i at position p votes for start p − i; a start collecting
-    // every slot is a phrase match.
-    "q_phrase_search" -> {
-      val ph = graft.operators.Retrieval.DefaultPhrase
-      val vals = ph.zipWithIndex
-        .map { case (t, i) => s"SELECT $i AS sl, '$t' AS ptok" }
-        .mkString(" UNION ALL ")
-      s"""$ToksCte, occ AS (
-         |  SELECT doc_id, r.i - 1 AS pos, t[r.i] AS tok
-         |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
-         |), ph AS (
-         |  $vals
-         |), hits AS (
-         |  SELECT doc_id, pos - sl AS start, sl
-         |  FROM occ JOIN ph ON tok = ptok
-         |), m AS (
-         |  SELECT doc_id, start FROM hits
-         |  GROUP BY doc_id, start
-         |  HAVING COUNT(DISTINCT sl) = ${ph.length}
-         |)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
-         |       CAST(MIN(start) AS INT) AS first_pos
-         |FROM m GROUP BY doc_id""".stripMargin
-    },
+    // every slot is a phrase match. The served row shares it verbatim:
+    // build/serve identity is driver-hash-verified.
+    "q_phrase_search" -> phraseOracle,
+    "q_phrase_search_served" -> phraseOracle,
     // The served path answers the IDENTICAL query from the persisted
     // term-partitioned index — one shared twin proves build/serve
     // hash-identity (the q_ann_ivf / q_ann_ivf_served pattern).

@@ -81,15 +81,47 @@ object Retrieval {
                    phrase: Seq[String] = DefaultPhrase): DataFrame =
     phraseSearchOf(Tables.documents(spark, dir), phrase)
 
-  def phraseSearchOf(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+  def phraseSearchOf(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseAlign(
+      docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok"))),
+      phrase)
+
+  /** Build the persisted POSITIONAL postings index — (doc_id, pos)
+    * rows term-partitioned (`tok=<term>/` dirs), the layout the
+    * BM25 index uses, but keeping POSITIONS (tf postings cannot serve
+    * phrases). The corpus-grain explode is paid once at build; every
+    * phrase serve after that reads only its terms' partitions. */
+  def buildPosIndex(spark: SparkSession, dir: String,
+                    indexPath: String): Unit =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .write.partitionBy("tok").mode("overwrite")
+      .parquet(s"$indexPath/pos")
+
+  /** Phrase serve from the standing positional index: partition
+    * pruning cuts the scan to the phrase terms' directories (the
+    * tokenize never re-runs), then the SAME alignment tail as the
+    * inline form — build/serve identity by shared definition. */
+  def phraseSearchServed(spark: SparkSession, indexPath: String,
+                         phrase: Seq[String] = DefaultPhrase): DataFrame =
+    phraseAlign(
+      spark.read.parquet(s"$indexPath/pos")
+        .where(col("tok").isin(phrase.distinct: _*))
+        .select(col("doc_id"), col("pos"), col("tok")),
+      phrase)
+
+  /** The ONE alignment tail both phrase paths share (the bm25ScoreTail
+    * discipline): slot votes at start = pos − slot, full-slot starts
+    * are matches. */
+  private def phraseAlign(occ: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs at least one term")
-    val spark = docs.sparkSession
+    val spark = occ.sparkSession
     import spark.implicits._
     val ph = phrase.zipWithIndex.map { case (t, i) => (i, t) }
       .toDF("sl", "ptok")
-    docs
-      .select(col("doc_id"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    occ
       .join(broadcast(ph), col("tok") === col("ptok"))
       .select(col("doc_id"), (col("pos") - col("sl")).as("start"),
         col("sl"))

@@ -86,6 +86,21 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("phrase served == inline; positional scan is partition-pruned") {
+    import graft.operators.Retrieval
+    val dir = tmpDir("pos_idx")
+    Retrieval.buildPosIndex(spark, sf0001, s"$dir/pos")
+    val served = Retrieval.phraseSearchServed(spark, s"$dir/pos")
+    val inline = Retrieval.phraseSearch(spark, sf0001)
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty)
+    // The serve path must touch only the phrase terms' partitions.
+    served.collect()
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("tok"),
+      s"positional read not partition-pruned:\n$p")
+  }
+
   test("bm25 served == inline; postings scan is partition-pruned") {
     val dir = tmpDir("lex_idx")
     graft.operators.Retrieval.buildLexIndex(spark, sf0001, s"$dir/lex")
