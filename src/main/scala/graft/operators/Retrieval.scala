@@ -107,7 +107,13 @@ object Retrieval {
   def phraseSearchServed(spark: SparkSession, indexPath: String,
                          phrase: Seq[String] = DefaultPhrase): DataFrame =
     phraseAlign(
-      spark.read.parquet(s"$indexPath/pos")
+      // Explicit schema: partition-type INFERENCE would read a numeric
+      // token directory (tok=007) back as an integer, silently
+      // renaming the token ("007" → 7) and de-matching it from the
+      // phrase — the BPE vocabulary is full of number pieces, so pin
+      // tok to STRING at the reader.
+      spark.read.schema("doc_id BIGINT, pos INT, tok STRING")
+        .parquet(s"$indexPath/pos")
         .where(col("tok").isin(phrase.distinct: _*))
         .select(col("doc_id"), col("pos"), col("tok")),
       phrase)

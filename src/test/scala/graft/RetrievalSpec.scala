@@ -101,6 +101,25 @@ class RetrievalSpec extends SparkSpec {
       s"positional read not partition-pruned:\n$p")
   }
 
+  test("positional serve survives numeric tokens (no partition inference)") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // A numeric token becomes a tok=007 partition directory; type
+    // inference would read it back as the integer 7 and silently
+    // de-match it from the phrase. The explicit reader schema pins it.
+    val dir = tmpDir("pos_num")
+    Seq((1L, "007 agent 007 agent"), (2L, "agent 7"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    Retrieval.buildPosIndex(spark, dir, s"$dir/pos")
+    val served = Retrieval
+      .phraseSearchServed(spark, s"$dir/pos", Seq("007", "agent"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(served == Map(1L -> ((2L, 0))),
+      s"numeric token de-matched through the partition layout: $served")
+  }
+
   test("bm25 served == inline; postings scan is partition-pruned") {
     val dir = tmpDir("lex_idx")
     graft.operators.Retrieval.buildLexIndex(spark, sf0001, s"$dir/lex")
