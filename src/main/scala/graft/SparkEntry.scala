@@ -266,6 +266,11 @@ object SparkEntry {
     // inner sums, ONE final IEEE division (PSI's ln() is not
     // cross-engine stable).
     "q_drift_report" -> ((s, d) => Curation.driftReport(s, d)),
+    // one-row dataset card (r10): the per-release governance summary —
+    // size, diversity, redundancy (exact + verified near-dup), length
+    // envelope; compact aggregates only, exact longs.
+    "q_dataset_card" -> ((s, d) =>
+      Curation.datasetCard(s, d, stagedPairTable(s, d))),
     // unigram-LM fluency, one-pass multi-grain rollup, running totals
     "q_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     // Ranked retrieval (r9): BM25 lexical top-k and reciprocal-rank-
@@ -3885,6 +3890,34 @@ object SparkEntry {
     "q_source_overlap" -> sourceOverlapSql,
     "q_source_overlap_inline" -> sourceOverlapSql,
     "q_source_authority" -> sourceAuthorityOracle,
+
+    // One-row dataset card: size/diversity aggregates straight off
+    // documents, exact-dup docs by the normalized md5 fingerprint, and
+    // the verified near-dup pair count replayed through the minhash
+    // chain (the `verified` CTE the overlap family already pins).
+    "q_dataset_card" ->
+      s"""$sourceOverlapCtes, base AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |         CAST(SUM(len(regexp_extract_all(lower(text), '\\S+')))
+         |              AS BIGINT) AS total_tokens,
+         |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_en,
+         |         MIN(n_chars) AS min_chars,
+         |         MAX(n_chars) AS max_chars
+         |  FROM documents
+         |), dup AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0)
+         |              AS BIGINT) AS exact_dup_docs
+         |  FROM (SELECT COUNT(*) AS cnt FROM documents
+         |        GROUP BY md5(regexp_replace(trim(lower(text)),
+         |                                    '\\s+', ' ', 'g')))
+         |), np AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS near_dup_pairs FROM verified
+         |)
+         |SELECT * FROM base, dup, np""".stripMargin,
 
     "q_funnel" ->
       """WITH ev AS (

@@ -251,6 +251,38 @@ object Curation {
           .as("tvd"))
   }
 
+  /** One-row DATASET CARD — the governance summary a corpus release
+    * ships: size (docs/chars/tokens), diversity (sources/langs/en
+    * share), redundancy (exact-dup docs by normalized fingerprint,
+    * verified near-dup pairs from the standing pair table), and the
+    * length envelope. Everything is a compact aggregate (three one-row
+    * frames cross-joined broadcast), all counts exact longs, so the
+    * card is engine-exact and costs two corpus scans plus one
+    * pair-table scan no matter the corpus size — the artifact a 100 TB
+    * release regenerates per version and diffs against the last. */
+  def datasetCard(spark: SparkSession, dir: String,
+                  pairFrame: DataFrame): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(size(TextOps.tokens(col("text"))).cast("long"))
+        .as("total_tokens"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+    val dups = docs
+      .groupBy(md5(TextOps.normText(col("text"))).as("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L))
+        .as("exact_dup_docs"))
+    val pairs = pairFrame.where(col("jaccard") >= 0.5)
+      .agg(count(lit(1)).as("near_dup_pairs"))
+    base.crossJoin(broadcast(dups)).crossJoin(broadcast(pairs))
+  }
+
   /** Quarantine split: rows passing EVERY rule vs rows failing any
     * (with nulls failing, the two frames partition the input exactly).
     * The good frame flows on; the bad frame lands in a quarantine

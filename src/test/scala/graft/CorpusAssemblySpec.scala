@@ -125,6 +125,29 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(rows.forall(_.getDouble(4) == 0.0))
   }
 
+  test("dataset card counts exact-dup docs and filters near-dup pairs") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val dir = tmpDir("card")
+    // Docs 1 and 2 are byte-identical after normalization (whitespace
+    // folds); doc 3 is unique — so exactly TWO docs sit in dup groups.
+    Seq((1L, "alpha  beta", "en", 11L, "s0"),
+        (2L, "alpha beta", "en", 10L, "s0"),
+        (3L, "gamma delta", "de", 11L, "s1"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.2))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val card = Curation.datasetCard(spark, dir, pairs).collect()
+    assert(card.length == 1)
+    val r = card.head
+    assert(r.getAs[Long]("n_docs") == 3 && r.getAs[Long]("n_langs") == 2)
+    assert(r.getAs[Long]("exact_dup_docs") == 2,
+      s"normalized fingerprint grouping broke: $r")
+    assert(r.getAs[Long]("near_dup_pairs") == 1,
+      s"jaccard threshold not applied: $r")
+  }
+
   test("driftBetween == driftReport when the sides are the same slices") {
     import graft.operators.Curation
     val docs = Tables.documents(spark, sf0001)
