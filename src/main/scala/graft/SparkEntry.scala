@@ -44,6 +44,12 @@ object SparkEntry {
     "q_version_diff" -> ((s, d) =>
       graft.sinks.Sinks.diffVersions(s, stagedMergeTable(s, d), 1, 2,
         Seq("o_orderkey"))),
+    // incremental aggregate maintenance (r10): a standing rollup
+    // absorbed two delta batches via key-wise re-aggregation; the
+    // oracle rebuilds from the full table — incremental == rebuild,
+    // exactly, because the measures are integer sums.
+    "q_rollup_incremental" -> ((s, d) =>
+      graft.sinks.Sinks.readLatest(s, stagedAggTable(s, d))),
     // LLM-data-pipeline tier (north star): text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -560,6 +566,31 @@ object SparkEntry {
         .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
           (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
       graft.sinks.Sinks.mergePublish(s, inc, s"$dir/t", Seq("o_orderkey"))
+      s"$dir/t"
+    })
+
+  /** Standing rollup maintained by TWO delta applications (even-key
+    * lineitems, then odd) through [[graft.sinks.Sinks.mergeAggPublish]]
+    * — the oracle recomputes the rollup from the FULL table, so the
+    * hash certifies that incremental additive maintenance equals the
+    * rebuild exactly (integer sums are order-insensitive). */
+  private val stagedAggTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedAggTable(s: SparkSession, d: String): String =
+    stagedAggTables.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions._
+      val dir = tempDirWithCleanup("graft_agg")
+      val li = graft.Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("sum_qty"),
+        lit(1L).as("n_rows"), col("l_orderkey"))
+      Seq(0, 1).foreach { slice =>
+        graft.sinks.Sinks.mergeAggPublish(s,
+          li.where(col("l_orderkey") % 2 === slice).drop("l_orderkey"),
+          s"$dir/t", Seq("l_returnflag", "l_linestatus"),
+          Seq("sum_qty", "n_rows"))
+      }
       s"$dir/t"
     })
 
@@ -1757,6 +1788,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'changed' AS change FROM orders
         |WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 <> 0""".stripMargin,
+
+    // The standing rollup after two delta applications must equal the
+    // from-scratch rollup over the full table — exactly (long sums).
+    "q_rollup_incremental" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q_text_stats" ->
       s"""$ToksCte

@@ -259,6 +259,54 @@ object Sinks {
                        beforeClaim: () => Unit = () => ()): Int = {
     import org.apache.spark.sql.functions.col
     val deduped = latestWins(incoming, tableDir, keys, latestBy)
+    publishLoop(spark, tableDir, {
+      case None => deduped
+      case Some(current) => current
+        .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(deduped)
+    }, orphanFenceMs, beforeClaim)
+  }
+
+  /** Incremental AGGREGATE maintenance over the versioned publish: the
+    * standing rollup table absorbs a delta (raw rows OR pre-aggregated
+    * partials — the re-aggregation collapses either) by key-wise
+    * re-aggregation of the named ADDITIVE measures, published through
+    * the same claim-adjacency OCC loop as [[mergePublish]]. Additive
+    * (SUM-of-long / COUNT) measures only: re-agg of partials equals
+    * the full rebuild EXACTLY (the A10 property — integer sums are
+    * order-insensitive), which is what makes maintaining a standing
+    * 100 TB rollup by deltas safe; float measures would drift by
+    * accumulation order and must carry micro-unit longs instead. Crash
+    * semantics inherit from the versioned layout: every intermediate
+    * state is an invariant state, replaying a delta that already
+    * committed DOUBLE-COUNTS (additive merge is not idempotent by
+    * content) — so deltas must be batch-keyed by the caller, the same
+    * contract as the streaming sinks' batch partitions. */
+  def mergeAggPublish(spark: SparkSession, delta: DataFrame,
+                      tableDir: String, keys: Seq[String],
+                      sums: Seq[String],
+                      orphanFenceMs: Long = 60000L,
+                      beforeClaim: () => Unit = () => ()): Int = {
+    import org.apache.spark.sql.functions.{col, sum}
+    require(sums.nonEmpty, "mergeAggPublish needs at least one measure")
+    def reagg(df: DataFrame) =
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(col(sums.head)).as(sums.head),
+          sums.tail.map(c => sum(col(c)).as(c)): _*)
+    publishLoop(spark, tableDir, {
+      case None => reagg(delta)
+      case Some(current) => reagg(current.unionByName(reagg(delta)))
+    }, orphanFenceMs, beforeClaim)
+  }
+
+  /** The shared serializable publish loop: read the current version,
+    * compute the successor state via `mergeOf`, claim, commit only on
+    * claim-adjacency, retract-and-retry otherwise (scaladoc on
+    * [[mergePublishWith]]). `mergeOf(None)` is the bootstrap. */
+  private def publishLoop(spark: SparkSession, tableDir: String,
+                          mergeOf: Option[DataFrame] => DataFrame,
+                          orphanFenceMs: Long,
+                          beforeClaim: () => Unit): Int = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempts = 0
@@ -273,10 +321,8 @@ object Sinks {
           fs.exists(new Path(root, "LATEST")))
       val base = if (hasCurrent) currentVersion(fs, root) else 0
       val merged =
-        if (base == 0) deduped
-        else readVersion(spark, tableDir, base)
-          .join(deduped.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(deduped)
+        if (base == 0) mergeOf(None)
+        else mergeOf(Some(readVersion(spark, tableDir, base)))
       beforeClaim()
       val n = stageAndClaim(merged, tableDir)
       if (n == base + 1) { commitMarker(spark, tableDir, n); result = n }

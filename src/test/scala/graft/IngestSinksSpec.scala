@@ -372,6 +372,36 @@ class IngestSinksSpec extends SparkSpec {
     }
   }
 
+  test("mergeAggPublish: deltas == rebuild; raw and partial deltas agree") {
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 1L, 5L), ("b", 1L, 7L),
+      ("a", 1L, 3L), ("b", 1L, 2L), ("c", 1L, 1L))
+      .toDF("k", "ones", "qty")
+    // Standing table absorbs three deltas of two rows each.
+    val inc = tmpDir("agg_inc")
+    rows.collect().grouped(2).zipWithIndex.foreach { case (slice, _) =>
+      val delta = spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toSeq), rows.schema)
+      Sinks.mergeAggPublish(spark, delta, s"$inc/t", Seq("k"),
+        Seq("ones", "qty"))
+    }
+    val got = Sinks.readLatest(spark, s"$inc/t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(("a", 3L, 18L), ("b", 2L, 9L), ("c", 1L, 1L))
+    assert(got == want, s"incremental drifted from the rebuild: $got")
+    // A PRE-AGGREGATED delta (partials) lands identically to raw rows.
+    val pre = tmpDir("agg_pre")
+    Sinks.mergeAggPublish(spark, rows.where($"k" =!= "c"), s"$pre/t",
+      Seq("k"), Seq("ones", "qty"))
+    Sinks.mergeAggPublish(spark,
+      rows.where($"k" === "c").groupBy($"k")
+        .agg(sum($"ones").as("ones"), sum($"qty").as("qty")),
+      s"$pre/t", Seq("k"), Seq("ones", "qty"))
+    val viaPartial = Sinks.readLatest(spark, s"$pre/t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPartial == want)
+  }
+
   test("mergePublish OCC: a publisher racing past our read is never lost") {
     // Deterministic interleaving through the beforeClaim seam: B reads
     // its merge base (v1), then A's whole merge commits INSIDE B's race
