@@ -50,6 +50,14 @@ object SparkEntry {
     // exactly, because the measures are integer sums.
     "q_rollup_incremental" -> ((s, d) =>
       graft.sinks.Sinks.readLatest(s, stagedAggTable(s, d))),
+    // rollback (r10): after v2 published, rollbackTo(1) — readers must
+    // resolve the PRE-merge base again (marker-only, no data moved).
+    "q_rollback_read" -> ((s, d) =>
+      graft.sinks.Sinks.readLatest(s, stagedLifecycleTable(s, d, "rollback"))),
+    // vacuum (r10): after v1 reclaimed, readers still resolve the
+    // merged v2 — retention cleanup never perturbs the current state.
+    "q_vacuum_read" -> ((s, d) =>
+      graft.sinks.Sinks.readLatest(s, stagedLifecycleTable(s, d, "vacuum"))),
     // LLM-data-pipeline tier (north star): text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -566,6 +574,39 @@ object SparkEntry {
         .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
           (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
       graft.sinks.Sinks.mergePublish(s, inc, s"$dir/t", Seq("o_orderkey"))
+      s"$dir/t"
+    })
+
+  /** Lifecycle tables for the rollback / vacuum oracle rows — each its
+    * own directory because the operations MUTATE version state:
+    * rollback drops markers above the target (readers resolve v=1, the
+    * pre-MERGE base, again — the v=2 data dir survives for forensics),
+    * vacuum reclaims versions below current (readers still resolve the
+    * merged v=2). Both rows hash-match states recomputed from raw
+    * orders, so marker-only rollback and data-reclaiming vacuum are
+    * driver-verified, not just spec-verified. */
+  private val stagedLifecycleTables =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def stagedLifecycleTable(s: SparkSession, d: String,
+                                   op: String): String =
+    stagedLifecycleTables.computeIfAbsent((d, op), { _ =>
+      import org.apache.spark.sql.functions._
+      val dir = tempDirWithCleanup(s"graft_$op")
+      val orders = graft.Tables.orders(s, d)
+      val base = orders.where(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sinks.Sinks.mergePublish(s, base, s"$dir/t", Seq("o_orderkey"))
+      val inc = orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      graft.sinks.Sinks.mergePublish(s, inc, s"$dir/t", Seq("o_orderkey"))
+      op match {
+        case "rollback" => graft.sinks.Sinks.rollbackTo(s, s"$dir/t", 1)
+        case "vacuum" =>
+          val gone = graft.sinks.Sinks.vacuumVersions(s, s"$dir/t")
+          require(gone == Seq(1), s"vacuum should reclaim v=1, got $gone")
+      }
       s"$dir/t"
     })
 
@@ -1333,6 +1374,26 @@ object SparkEntry {
     * recurrence (DuckDB `//` == Spark `DIV` on non-negative operands),
     * so the iterations land on bit-identical ranks; the driver hash
     * pins the ITERATION, not just a final score. */
+  /** The merge fixture's two table states, each serving several
+    * lifecycle rows: the merged current (MERGE result / post-vacuum
+    * read) and the pre-MERGE base (time travel / post-rollback read). */
+  private val mergedStateOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 <> 0
+      |), inc AS (
+      |  SELECT o_orderkey, 'M' AS o_orderstatus,
+      |         o_totalprice + 1.0 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |)
+      |SELECT * FROM base
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+      |UNION ALL SELECT * FROM inc""".stripMargin
+
+  private val baseStateOracle: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 4 <> 0""".stripMargin
+
   /** Twin of [[graft.operators.Retrieval.phraseSearch]] AND its served
     * form (one definition — build/serve identity rides on it). */
   private lazy val phraseOracle: String = {
@@ -1757,26 +1818,18 @@ object SparkEntry {
     // row (status 'M', price+1.0: IEEE add of identical parquet
     // operands, bit-stable), unmatched base rows carry, unmatched
     // incoming keys insert.
-    "q_merge_publish" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 4 <> 0
-        |), inc AS (
-        |  SELECT o_orderkey, 'M' AS o_orderstatus,
-        |         o_totalprice + 1.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 3 = 0
-        |)
-        |SELECT * FROM base
-        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
-        |UNION ALL SELECT * FROM inc""".stripMargin,
+    "q_merge_publish" -> mergedStateOracle,
 
     // v=1 of the staged merge table is the pre-MERGE base slice — a
     // hash match proves the published version directory is immutable
     // under the later v=2 publish (time travel serves history, not a
     // reconstruction).
-    "q_time_travel" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice
-        |FROM orders WHERE o_orderkey % 4 <> 0""".stripMargin,
+    "q_time_travel" -> baseStateOracle,
+    // After rollbackTo(1), readers resolve the base again; after
+    // vacuum, readers still resolve the merged current — the lifecycle
+    // operations share the merge fixture's two state oracles.
+    "q_rollback_read" -> baseStateOracle,
+    "q_vacuum_read" -> mergedStateOracle,
 
     // The keyed v1→v2 diff recomputed from raw orders: the MERGE batch
     // is every %3 key; those also in the base (%4 <> 0) CHANGED (price
