@@ -159,6 +159,33 @@ class CorpusAssemblySpec extends SparkSpec {
       "the one-scan monitor and the two-frame version form diverged")
   }
 
+  test("driftReport == plain-Scala histogram replay on the fixture") {
+    import graft.operators.Curation
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def nToks(t: String): Long =
+      "\\S+".r.findAllIn(t.toLowerCase).length.toLong
+    val rows = docs.flatMap { case (id, nc, tx) =>
+      Seq(("n_chars", math.min(15L, nc / 128L), id % 2 == 0),
+        ("n_tokens", math.min(15L, nToks(tx) / 32L), id % 2 == 0))
+    }
+    val want = rows.groupBy(_._1).map { case (feature, fr) =>
+      val cells = fr.groupBy(_._2).map { case (_, g) =>
+        (g.count(_._3).toLong, g.count(!_._3).toLong)
+      }
+      val na = cells.map(_._1).sum
+      val nb = cells.map(_._2).sum
+      val l1 = cells.map { case (ca, cb) => math.abs(ca * nb - cb * na) }.sum
+      feature -> ((na, nb, l1,
+        l1.toDouble / (2.0 * na.toDouble * nb.toDouble)))
+    }
+    val got = Curation.driftReport(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want, s"drift replay diverged:\n got=$got\nwant=$want")
+  }
+
   test("driftReport: fixture slices account every doc, TVD in [0,1]") {
     import graft.operators.Curation
     val total = Tables.documents(spark, sf0001).count()

@@ -432,6 +432,30 @@ class IngestSinksSpec extends SparkSpec {
     assert(vdirs == Set("v=1", "v=2", "v=3"), s"stray claims: $vdirs")
   }
 
+  test("mergeAggPublish OCC: concurrent deltas all land, sums exact") {
+    val dir = tmpDir("aggthr")
+    val t = s"$dir/t"
+    assert(Sinks.mergeAggPublish(spark,
+      Seq(("k", 1L)).toDF("k", "n"), t, Seq("k"), Seq("n")) == 1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Four concurrent publishers all incrementing the SAME key — the
+    // lost-update shape the claim-adjacency loop exists to prevent:
+    // any lost delta shows up as a wrong exact sum.
+    val fs = (1 to 4).map { i =>
+      Future {
+        Sinks.mergeAggPublish(spark,
+          Seq(("k", i.toLong)).toDF("k", "n"), t, Seq("k"), Seq("n"))
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val got = Sinks.readLatest(spark, t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("k" -> 11L),
+      s"a concurrent aggregate delta was lost: $got")
+  }
+
   test("mergePublish OCC: concurrent threads, disjoint keys, both survive") {
     val dir = tmpDir("mergethr")
     val t = s"$dir/t"
