@@ -57,6 +57,26 @@ class ServeReplaySpec extends SparkSpec {
     assert(got == want, s"MMR replay diverged:\n got=$got\nwant=$want")
   }
 
+  test("hardNegatives == plain-Scala cross-group replay on the fixture") {
+    val c = corpusOf(sf0001)
+    val label = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val want = c.filter(_.id < Similarity.NumQueries).flatMap { q =>
+      c.filter(x => label(x.id) != label(q.id))
+        .map(x => (x.id, dot(q.v, x.v) / (q.n * x.n)))
+        .sortBy { case (id, cs) => (-cs, id) }
+        .take(Similarity.TopK)
+        .zipWithIndex
+        .map { case ((id, cs), i) => (q.id, id, label(id), cs, i + 1) }
+    }.toSet
+    val got = Similarity.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue, r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(got == want, s"hard-negative replay diverged:\n got=$got")
+  }
+
   test("bitextMine == plain-Scala margin replay on the fixture") {
     val c = corpusOf(sf0001)
     val lang = spark.read.parquet(s"$sf0001/documents.parquet")
