@@ -285,6 +285,15 @@ object SparkEntry {
     // envelope; compact aggregates only, exact longs.
     "q_dataset_card" -> ((s, d) =>
       Curation.datasetCard(s, d, stagedPairTable(s, d))),
+    // cross-VERSION drift (r10): the shape report between two PUBLISHED
+    // corpus versions (v1 = even docs, v2 = full), read back through
+    // the versioned layout — the rebuild-review form of the monitor.
+    "q_drift_versions" -> ((s, d) => {
+      val t = stagedDocVersions(s, d)
+      Curation.driftBetween(
+        graft.sinks.Sinks.readVersion(s, t, 1),
+        graft.sinks.Sinks.readVersion(s, t, 2))
+    }),
     // unigram-LM fluency, one-pass multi-grain rollup, running totals
     "q_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     // Ranked retrieval (r9): BM25 lexical top-k and reciprocal-rank-
@@ -607,6 +616,25 @@ object SparkEntry {
           val gone = graft.sinks.Sinks.vacuumVersions(s, s"$dir/t")
           require(gone == Seq(1), s"vacuum should reclaim v=1, got $gone")
       }
+      s"$dir/t"
+    })
+
+  /** Versioned documents table for the cross-version drift row: v=1 is
+    * the even-doc_id half (the "yesterday" corpus), v=2 the full
+    * corpus — both served back through the marker-pointer layout, so
+    * the drift row also exercises readVersion on document-shaped
+    * data. */
+  private val stagedDocVersionTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedDocVersions(s: SparkSession, d: String): String =
+    stagedDocVersionTables.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions._
+      val dir = tempDirWithCleanup("graft_docver")
+      val docs = graft.Tables.documents(s, d)
+      graft.sinks.Sinks.publishVersioned(
+        docs.where(col("doc_id") % 2 === 0), s"$dir/t")
+      graft.sinks.Sinks.publishVersioned(docs, s"$dir/t")
       s"$dir/t"
     })
 
@@ -1374,6 +1402,40 @@ object SparkEntry {
     * recurrence (DuckDB `//` == Spark `DIV` on non-negative operands),
     * so the iterations land on bit-identical ranks; the driver hash
     * pins the ITERATION, not just a final score. */
+  /** The ONE drift tail in SQL — (in_a, n_chars, n_tokens) base rows →
+    * fixed buckets → exact-long L1 → single IEEE division — shared by
+    * the slice monitor and the cross-version row so the twins cannot
+    * drift from each other any more than the Scala forms can. */
+  private def driftOracleOver(baseCte: String): String =
+    s"""WITH base AS (
+       |$baseCte
+       |), fb AS (
+       |  SELECT in_a, 'n_chars' AS feature,
+       |         least(15, n_chars // 128) AS bucket FROM base
+       |  UNION ALL
+       |  SELECT in_a, 'n_tokens', least(15, n_tokens // 32) FROM base
+       |), cells AS (
+       |  SELECT feature, bucket,
+       |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |  FROM fb GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT feature, CAST(SUM(ca) AS BIGINT) AS na,
+       |         CAST(SUM(cb) AS BIGINT) AS nb
+       |  FROM cells GROUP BY 1
+       |), l1 AS (
+       |  SELECT cells.feature, na, nb,
+       |         CAST(SUM(abs(ca * nb - cb * na)) AS BIGINT) AS l1_scaled
+       |  FROM cells JOIN tot ON cells.feature = tot.feature
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT feature, na AS n_a, nb AS n_b, l1_scaled,
+       |       CASE WHEN na > 0 AND nb > 0
+       |            THEN CAST(l1_scaled AS DOUBLE)
+       |                 / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+       |       END AS tvd
+       |FROM l1""".stripMargin
+
   /** The merge fixture's two table states, each serving several
     * lifecycle rows: the merged current (MERGE result / post-vacuum
     * read) and the pre-MERGE base (time travel / post-rollback read). */
@@ -3170,37 +3232,22 @@ object SparkEntry {
     // Twin of Curation.driftReport: same fixed integer buckets, same
     // exact-long |ca·nb − cb·na| inner sums, same single final IEEE
     // division (2.0 · na · nb, left-associated in both engines).
-    "q_drift_report" ->
-      """WITH base AS (
-        |  SELECT doc_id % 2 = 0 AS in_a, n_chars,
+    "q_drift_report" -> driftOracleOver(
+      """  SELECT doc_id % 2 = 0 AS in_a, n_chars,
         |         len(regexp_extract_all(lower(text), '\S+')) AS n_tokens
-        |  FROM documents
-        |), fb AS (
-        |  SELECT in_a, 'n_chars' AS feature,
-        |         least(15, n_chars // 128) AS bucket FROM base
+        |  FROM documents""".stripMargin),
+
+    // Cross-VERSION drift: side A = the v=1 slice (even doc_ids, the
+    // staged publish), side B = the full v=2 corpus — the same tail.
+    "q_drift_versions" -> driftOracleOver(
+      """  SELECT TRUE AS in_a, n_chars,
+        |         len(regexp_extract_all(lower(text), '\S+')) AS n_tokens
+        |  FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL
-        |  SELECT in_a, 'n_tokens', least(15, n_tokens // 32) FROM base
-        |), cells AS (
-        |  SELECT feature, bucket,
-        |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-        |         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
-        |  FROM fb GROUP BY 1, 2
-        |), tot AS (
-        |  SELECT feature, CAST(SUM(ca) AS BIGINT) AS na,
-        |         CAST(SUM(cb) AS BIGINT) AS nb
-        |  FROM cells GROUP BY 1
-        |), l1 AS (
-        |  SELECT cells.feature, na, nb,
-        |         CAST(SUM(abs(ca * nb - cb * na)) AS BIGINT) AS l1_scaled
-        |  FROM cells JOIN tot ON cells.feature = tot.feature
-        |  GROUP BY 1, 2, 3
-        |)
-        |SELECT feature, na AS n_a, nb AS n_b, l1_scaled,
-        |       CASE WHEN na > 0 AND nb > 0
-        |            THEN CAST(l1_scaled AS DOUBLE)
-        |                 / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-        |       END AS tvd
-        |FROM l1""".stripMargin,
+        |  SELECT FALSE AS in_a, n_chars,
+        |         len(regexp_extract_all(lower(text), '\S+')) AS n_tokens
+        |  FROM documents""".stripMargin),
+
 
     "q_lm_score" ->
       s"""$ToksCte, occ AS (

@@ -100,6 +100,22 @@ object Retrieval {
       .write.partitionBy("tok").mode("overwrite")
       .parquet(s"$indexPath/pos")
 
+  /** Incremental positional-index maintenance, batch_id-keyed
+    * exactly-once (the lex-index pattern): each arrival slice lands
+    * its positional postings under its own `batch_id=N` partition with
+    * mode=overwrite, so a replayed slice overwrites itself instead of
+    * double-indexing. Contract: batches carry disjoint doc_id slices.
+    * The serve path is layout-agnostic — the pinned reader schema
+    * surfaces the discovered batch_id column and simply never selects
+    * it — so phrase results over N batches are bit-identical to a
+    * one-shot build over the union (spec-proven, replay included). */
+  def buildPosIndexBatch(spark: SparkSession, docs: DataFrame,
+                         indexPath: String, batchId: Long): Unit =
+    docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .write.partitionBy("tok").mode("overwrite")
+      .parquet(s"$indexPath/pos/batch_id=$batchId")
+
   /** Phrase serve from the standing positional index: partition
     * pruning cuts the scan to the phrase terms' directories (the
     * tokenize never re-runs), then the SAME alignment tail as the

@@ -314,6 +314,24 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming positional-index maintenance — the lex-index pattern
+    * applied to the phrase-search index: each document slice lands its
+    * positional postings batch_id-keyed (exactly-once by layout), and
+    * [[graft.operators.Retrieval.phraseSearchServed]] answers over the
+    * union without re-tokenizing anything already indexed. */
+  def posIndexMaintenanceStream(stream: DataFrame, indexPath: String,
+                                checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Retrieval.buildPosIndexBatch(
+          batch.sparkSession, batch, indexPath, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
     * keeps each key's fingerprint only until the watermark passes it,
     * so state is O(keys inside the watermark horizon) — the shape that

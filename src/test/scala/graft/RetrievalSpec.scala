@@ -101,6 +101,26 @@ class RetrievalSpec extends SparkSpec {
       s"positional read not partition-pruned:\n$p")
   }
 
+  test("pos index batch-maintained == one-shot build; replay is a no-op") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf0001)
+    val inc = tmpDir("pos_inc")
+    Retrieval.buildPosIndexBatch(spark,
+      docs.where(col("doc_id") % 2 === 0), s"$inc/pos", batchId = 0L)
+    Retrieval.buildPosIndexBatch(spark,
+      docs.where(col("doc_id") % 2 === 1), s"$inc/pos", batchId = 1L)
+    val incremental = Retrieval.phraseSearchServed(spark, s"$inc/pos")
+    val inline = Retrieval.phraseSearch(spark, sf0001)
+    assert(incremental.exceptAll(inline).isEmpty &&
+      inline.exceptAll(incremental).isEmpty, "batched index drifted")
+    // Replaying a committed batch overwrites itself — no double-index.
+    Retrieval.buildPosIndexBatch(spark,
+      docs.where(col("doc_id") % 2 === 0), s"$inc/pos", batchId = 0L)
+    val replayed = Retrieval.phraseSearchServed(spark, s"$inc/pos")
+    assert(replayed.exceptAll(inline).isEmpty &&
+      inline.exceptAll(replayed).isEmpty, "replay double-indexed")
+  }
+
   test("positional serve survives numeric tokens (no partition inference)") {
     import spark.implicits._
     import graft.operators.Retrieval

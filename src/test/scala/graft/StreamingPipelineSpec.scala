@@ -94,6 +94,22 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(good == Set(0L, 1L) && bad == Set(2L, 3L))
   }
 
+  test("streaming pos-index maintenance serves phrases over all batches") {
+    val dir = tmpDir("posstream")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.where(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/b0")
+    docs.where(col("doc_id") % 2 === 1).write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in/*")
+    StreamingIngest.posIndexMaintenanceStream(stream, s"$dir/idx",
+      s"$dir/ckpt")
+    val served = graft.operators.Retrieval
+      .phraseSearchServed(spark, s"$dir/idx")
+    val inline = graft.operators.Retrieval.phraseSearch(spark, sf0001)
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty,
+      "stream-maintained phrase index drifted from the batch build")
+  }
+
   test("streaming drift gate: per-batch report equals the batch driftBetween") {
     val dir = tmpDir("driftgate")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
