@@ -88,16 +88,27 @@ object Retrieval {
       phrase)
 
   /** Build the persisted POSITIONAL postings index — (doc_id, pos)
-    * rows term-partitioned (`tok=<term>/` dirs), the layout the
-    * BM25 index uses, but keeping POSITIONS (tf postings cannot serve
-    * phrases). The corpus-grain explode is paid once at build; every
-    * phrase serve after that reads only its terms' partitions. */
+    * rows term-partitioned, the layout the BM25 index uses, but
+    * keeping POSITIONS (tf postings cannot serve phrases). The
+    * corpus-grain explode is paid once at build; every phrase serve
+    * after that reads only its terms' partitions.
+    *
+    * Layout: `batch_id=<n>/tok=<term>/` — the SAME directory depth as
+    * [[buildPosIndexBatch]], so the natural lifecycle (bootstrap with
+    * the full build, then maintain incrementally) keeps one consistent
+    * partition scheme under one indexPath; mixed depths would break
+    * Spark's partition discovery at serve time (ADVICE r10). The
+    * bootstrap claims batch_id = -1, BELOW any batch/streaming id
+    * (foreachBatch ids start at 0), so a checkpoint replaying batch 0
+    * can never clobber the bootstrap slice. mode=overwrite here clears
+    * the WHOLE index (a full rebuild), where the batch form overwrites
+    * only its own batch partition. */
   def buildPosIndex(spark: SparkSession, dir: String,
                     indexPath: String): Unit =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
+      .select(lit(-1L).as("batch_id"), col("doc_id"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-      .write.partitionBy("tok").mode("overwrite")
+      .write.partitionBy("batch_id", "tok").mode("overwrite")
       .parquet(s"$indexPath/pos")
 
   /** Incremental positional-index maintenance, batch_id-keyed

@@ -108,7 +108,20 @@ object ScaleEnvelope {
   def centroidCountFor(n: Long, minCentroids: Int): Int =
     if (n <= CentroidSqrtCrossover)
       math.max(minCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
-    else ((n + TargetCellCap - 1) / TargetCellCap).toInt
+    else {
+      // BigInt ceil-div (the lshPlanesFor discipline, ADVICE r10): the
+      // plain Long form wraps n + (c*-1) near Long.MaxValue and then
+      // .toInt silently truncates past n ≈ 2.1e13 — deriving a WRONG k
+      // instead of failing, the exact silent-wrap class this object
+      // exists to prevent. Guarded, an out-of-range corpus fails loudly
+      // with the remedy in the message.
+      val k = (BigInt(n) + TargetCellCap - 1) / TargetCellCap
+      require(k <= Int.MaxValue,
+        s"centroidCountFor: n=$n derives k=$k centroids (> Int.MaxValue) " +
+          "— past ~2.1e13 vectors raise TargetCellCap (larger cells) or " +
+          "shard the corpus before IVF training")
+      k.toInt
+    }
 
   // ---- 4. MinHash band plan --------------------------------------
 

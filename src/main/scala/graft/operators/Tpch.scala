@@ -159,11 +159,15 @@ object Tpch {
     // 2⁶³ around SF ~ 50–100). Spark (non-ANSI) would WRAP silently
     // while DuckDB's SUM promotes to HUGEINT — a silent divergence, not
     // an error. assert_true makes the bound loud: past it, fail the job
-    // with instructions, never emit wrapped comparisons. (Both operands
-    // are non-negative, so the division bounds are exact.)
+    // with instructions, never emit wrapped comparisons. The bounds use
+    // integer FLOOR division (DIV) — float '/' would round Long.MaxValue
+    // to 2^63 as a double and admit values a few ulps past the true
+    // floor bound, letting the subsequent long multiply wrap after all
+    // (ADVICE r10); DIV on non-negative operands is exact, so the guard
+    // is conservative by construction.
     val inRange =
-      col("value_c") <= lit(Long.MaxValue) / col("n_parts") &&
-      col("total_c") <= lit(Long.MaxValue) / lit(mult)
+      col("value_c") <= expr(s"CAST(${Long.MaxValue} AS BIGINT) DIV n_parts") &&
+      col("total_c") <= lit(Long.MaxValue / mult)
     val guard = assert_true(inRange, lit(
       "tpch_q11: cross-multiplied threshold exceeds Long range at this SF; " +
       "switch to comparing value_c against mult * (total_c / n_parts) " +

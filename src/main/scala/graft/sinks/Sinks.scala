@@ -302,13 +302,32 @@ object Sinks {
   /** The shared serializable publish loop: read the current version,
     * compute the successor state via `mergeOf`, claim, commit only on
     * claim-adjacency, retract-and-retry otherwise (scaladoc on
-    * [[mergePublishWith]]). `mergeOf(None)` is the bootstrap. */
+    * [[mergePublishWith]]). `mergeOf(None)` is the bootstrap.
+    *
+    * Fencing vs the fenced (ADVICE r10): a publisher merely STALLED
+    * (not crashed) between claim and marker for longer than
+    * `orphanFenceMs` can be fenced by a competitor — and must then
+    * FAIL its commit loudly, never report success for a batch that was
+    * discarded or whose number was re-claimed with different data.
+    * Two mechanisms close this: (1) every claim carries a
+    * publisher-owned token file inside the version directory, and
+    * [[commitMarker]] verifies the token before AND after creating the
+    * marker (see its scaladoc for the interleaving argument); (2) the
+    * fence itself is rename-to-tombstone + marker re-check + delete,
+    * not a blind delete — renaming first makes the fence visible to
+    * the owner's token check in the same metadata op that makes the
+    * data unreachable, and the re-check restores a version whose
+    * marker landed between our staleness read and the rename. Every
+    * interleaving therefore ends in one of two states: (marker present
+    * ∧ data present) or (no marker ∧ the stalled publisher throws) —
+    * the serializability claim holds for stalls, not only crashes. */
   private def publishLoop(spark: SparkSession, tableDir: String,
                           mergeOf: Option[DataFrame] => DataFrame,
                           orphanFenceMs: Long,
                           beforeClaim: () => Unit): Int = {
     val root = new Path(tableDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
     var attempts = 0
     var result = -1
     while (result < 0) {
@@ -324,21 +343,46 @@ object Sinks {
         if (base == 0) mergeOf(None)
         else mergeOf(Some(readVersion(spark, tableDir, base)))
       beforeClaim()
-      val n = stageAndClaim(merged, tableDir)
-      if (n == base + 1) { commitMarker(spark, tableDir, n); result = n }
-      else {
+      val c = stageAndClaim(merged, tableDir)
+      if (c.version == base + 1) {
+        commitMarker(spark, tableDir, c); result = c.version
+      } else {
         // Non-adjacent claim: someone claimed (base, n) after our read.
         // Retract ours (invisible — no marker was written) and fence
         // aged orphans in the gap so a crashed publisher can't wedge
         // the table.
-        fs.delete(new Path(root, s"v=$n"), true)
+        fs.delete(new Path(root, s"v=${c.version}"), true)
+        val fc = org.apache.hadoop.fs.FileContext
+          .getFileContext(root.toUri, conf)
         val now = System.currentTimeMillis()
-        ((base + 1) until n).foreach { g =>
+        ((base + 1) until c.version).foreach { g =>
           val p = new Path(root, s"v=$g")
           val marked = fs.exists(new Path(root, s"$MarkerDir/$g"))
           if (!marked && fs.exists(p) &&
-              now - fs.getFileStatus(p).getModificationTime > orphanFenceMs)
-            fs.delete(p, true)
+              now - fs.getFileStatus(p).getModificationTime > orphanFenceMs) {
+            // Rename-first fencing: after this op the dir is gone from
+            // v=g, so a stalled owner's commitMarker token check fails
+            // deterministically. A competitor racing the same fence
+            // surfaces as a rename IOException — it already moved the
+            // dir; nothing left for us to do.
+            val tomb = new Path(root, s".fenced-$g-" +
+              java.util.UUID.randomUUID.toString.take(8))
+            val renamed =
+              try { fc.rename(p, tomb); true }
+              catch { case _: java.io.IOException => false }
+            if (renamed) {
+              // The owner's marker may have landed between our marker
+              // read and the rename — then the version is COMMITTED
+              // and must be restored, not reclaimed. A failed restore
+              // means a fresh claimant took the number meanwhile; the
+              // owner's post-commit token re-check adjudicates that
+              // collision (deleting its dangling marker), so swallow.
+              if (fs.exists(new Path(root, s"$MarkerDir/$g")))
+                try fc.rename(tomb, p)
+                catch { case _: java.io.IOException => () }
+              else fs.delete(tomb, true)
+            }
+          }
         }
       }
     }
@@ -480,10 +524,19 @@ object Sinks {
     * read); their next publish writes a marker and the table is
     * migrated. */
   def publishVersioned(df: DataFrame, tableDir: String): Int = {
-    val next = stageAndClaim(df, tableDir)
-    commitMarker(df.sparkSession, tableDir, next)
-    next
+    val claim = stageAndClaim(df, tableDir)
+    commitMarker(df.sparkSession, tableDir, claim)
+    claim.version
   }
+
+  /** A claimed-but-unmarked version: the number the filesystem granted
+    * plus the publisher-owned token stamped INSIDE the staged data
+    * before the claim rename (so it travels with the directory). The
+    * token is what lets [[commitMarker]] distinguish "my data still
+    * sits at v=n" from "v=n was orphan-fenced and/or re-claimed by a
+    * competitor while I stalled" — the two are indistinguishable by
+    * version number alone. */
+  private[graft] final case class Claim(version: Int, token: String)
 
   /** The first half of [[publishVersioned]]: stage the data and claim a
     * version NUMBER (no-overwrite rename — the filesystem grants each
@@ -492,7 +545,7 @@ object Sinks {
     * what lets [[mergePublish]] validate its merge base between claim
     * and commit, and retract a stale claim without any reader ever
     * having observed it. */
-  private[graft] def stageAndClaim(df: DataFrame, tableDir: String): Int = {
+  private[graft] def stageAndClaim(df: DataFrame, tableDir: String): Claim = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(tableDir)
@@ -501,6 +554,11 @@ object Sinks {
     val stage = new Path(root,
       s".stage-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("errorifexists").parquet(stage.toString)
+    // Claim token: stamped into the staged dir BEFORE the rename, so
+    // ownership travels with the data. `_`-prefixed → invisible to
+    // parquet readers, same convention as _SUCCESS.
+    val token = java.util.UUID.randomUUID.toString
+    fs.create(new Path(stage, s"_claim-$token"), false).close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
     var next = 1 + listVersions(fs, root).foldLeft(0)(math.max)
     var committed = false
@@ -525,19 +583,48 @@ object Sinks {
           else throw e
       }
     }
-    next
+    Claim(next, token)
   }
 
   /** The second half of [[publishVersioned]]: record the version's
     * marker — the commit point readers resolve. Creating a fresh file
     * per publisher commutes with every concurrent publish, so the
-    * resolved pointer (max over markers) never moves backward. */
+    * resolved pointer (max over markers) never moves backward.
+    *
+    * Fence detection (ADVICE r10): a publisher stalled past the orphan
+    * fence age between claim and here may find its version deleted (a
+    * competitor fenced it) or re-claimed with a competitor's data —
+    * committing blindly would either strand readers on a dangling
+    * marker or report success for a silently-discarded batch. The
+    * claim TOKEN closes both: verify it before the marker create
+    * (catches any fence that completed first — the fence renames the
+    * dir away as its FIRST op, so a fenced dir cannot still carry the
+    * token), and re-verify after (catches a fence that read "unmarked"
+    * just before our marker landed; we retract the marker and fail).
+    * After a successful post-check, any later fencer sees the marker
+    * either at its age gate or at its own post-rename re-check and
+    * restores — so "commitMarker returned" really means "readers will
+    * resolve this version". Failure is an IllegalStateException, never
+    * a silent success: the caller's batch was NOT published and must
+    * be replayed (the merge paths converge on replay by design). */
   private[graft] def commitMarker(spark: SparkSession, tableDir: String,
-                                  version: Int): Unit = {
+                                  claim: Claim): Unit = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokenPath =
+      new Path(root, s"v=${claim.version}/_claim-${claim.token}")
+    def fenced(when: String): Nothing = throw new IllegalStateException(
+      s"publish fenced $when: v=${claim.version} under $tableDir no " +
+        s"longer carries claim token ${claim.token} — this publisher " +
+        "stalled past the orphan fence age and the version was " +
+        "reclaimed; the batch was NOT published, replay it")
+    if (!fs.exists(tokenPath)) fenced("before commit")
     fs.mkdirs(new Path(root, MarkerDir))
-    fs.create(new Path(root, s"$MarkerDir/$version"), false).close()
+    fs.create(new Path(root, s"$MarkerDir/${claim.version}"), false).close()
+    if (!fs.exists(tokenPath)) {
+      fs.delete(new Path(root, s"$MarkerDir/${claim.version}"), false)
+      fenced("at commit")
+    }
   }
 
   /** Directory of per-version publish markers; `_`-prefixed so Spark's
