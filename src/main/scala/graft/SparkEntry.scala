@@ -33,6 +33,12 @@ object SparkEntry {
     // the driver hash certifies the merge semantics end to end.
     "q_merge_publish" -> ((s, d) =>
       graft.sinks.Sinks.readLatest(s, stagedMergeTable(s, d))),
+    // the same MERGE maintained by the STREAMING CDC path (r12): two
+    // checkpointed foreachBatch triggers through the versioned publish
+    // + a ledger-detected micro-batch replay; shares q_merge_publish's
+    // twin — stream ≡ batch ≡ oracle.
+    "q_merge_publish_stream" -> ((s, d) =>
+      graft.sinks.Sinks.readLatest(s, stagedStreamMergeTable(s, d))),
     // time travel (r10): the same table read AT v=1 — the pre-MERGE
     // state must still be served verbatim after v=2 published (version
     // dirs are immutable; the pointer, not the data, advanced).
@@ -310,6 +316,15 @@ object SparkEntry {
     "q_phrase_search_served" -> ((s, d) =>
       Retrieval.phraseSearchServed(s, stagedPosIndex(s, d))),
     "q_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    // The same fused query answered ENTIRELY from the two persisted
+    // indexes (r12): lex arm from the term-partitioned postings, vector
+    // arm from the IVF postings (which carry the complete normalized
+    // corpus) — closing the serving story the _served ANN/BM25 rows
+    // opened. Hash-identical to q_hybrid_rrf: shared fusion tail +
+    // shared twin.
+    "q_hybrid_rrf_served" -> ((s, d) =>
+      Retrieval.hybridRrfServed(s, stagedLexIndex(s, d),
+        stagedIvfIndex(s, d))),
     // Same answer from the PERSISTED term-partitioned lexical index
     // (built once per JVM): the retrieval build/serve split — postings
     // partition-pruned to the query terms, no corpus explode at serve
@@ -586,6 +601,43 @@ object SparkEntry {
       s"$dir/t"
     })
 
+  /** The MERGE-then-publish fixture maintained by the STREAMING CDC
+    * path (r12, VERDICT r11 #7): the SAME base and MERGE slices as
+    * [[stagedMergeTable]], delivered as two file-stream triggers
+    * through [[graft.streaming.StreamingIngest.mergePublishStream]]
+    * (the second trigger RE-ATTACHES to the checkpoint — the standing
+    * stream lifecycle), followed by a crash-replay of micro-batch 0
+    * that the applied-batch ledger must detect as a no-op. The row
+    * shares mergedStateOracle with q_merge_publish: stream-maintained
+    * ≡ batch-maintained ≡ oracle, and the versioned layout gives the
+    * CDC stream time travel / rollback / diff for free. */
+  private val stagedStreamMergeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedStreamMergeTable(s: SparkSession, d: String): String =
+    stagedStreamMergeTables.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions._
+      val dir = tempDirWithCleanup("graft_mergestream")
+      val orders = graft.Tables.orders(s, d)
+      val base = orders.where(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val inc = orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      def run(): Unit = graft.streaming.StreamingIngest.mergePublishStream(
+        s.readStream.schema(base.schema).parquet(s"$dir/in/*"),
+        s"$dir/t", Seq("o_orderkey"), s"$dir/ckpt")
+      base.write.parquet(s"$dir/in/b0")
+      run()
+      inc.write.parquet(s"$dir/in/b1")
+      run()
+      val replayed = graft.sinks.Sinks.mergePublishWith(s, base, s"$dir/t",
+        Seq("o_orderkey"), batchId = Some(0L))
+      require(replayed == 2,
+        s"replayed micro-batch minted version $replayed")
+      s"$dir/t"
+    })
+
   /** Lifecycle tables for the rollback / vacuum oracle rows — each its
     * own directory because the operations MUTATE version state:
     * rollback drops markers above the target (readers resolve v=1, the
@@ -658,8 +710,17 @@ object SparkEntry {
         graft.sinks.Sinks.mergeAggPublish(s,
           li.where(col("l_orderkey") % 2 === slice).drop("l_orderkey"),
           s"$dir/t", Seq("l_returnflag", "l_linestatus"),
-          Seq("sum_qty", "n_rows"))
+          Seq("sum_qty", "n_rows"), batchId = Some(slice.toLong))
       }
+      // REPLAY delta 0 (r12): the applied-batch ledger must make it a
+      // no-op — any double count breaks the full-rebuild oracle hash,
+      // so the exactly-once guarantee is driver-verified, not just
+      // spec-verified.
+      val replayed = graft.sinks.Sinks.mergeAggPublish(s,
+        li.where(col("l_orderkey") % 2 === 0).drop("l_orderkey"),
+        s"$dir/t", Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty", "n_rows"), batchId = Some(0L))
+      require(replayed == 2, s"replayed delta minted version $replayed")
       s"$dir/t"
     })
 
@@ -686,6 +747,86 @@ object SparkEntry {
     * per-(doc,term) contribution is micro-unit fixed-point rounded
     * BEFORE the per-doc sum so the aggregate is an order-insensitive
     * exact-long sum. */
+  /** One DuckDB twin for BOTH q_hybrid_rrf and q_hybrid_rrf_served
+    * (r12) — the shared SQL is the build/serve identity statement,
+    * the bm25Sql pattern.  */
+  private lazy val hybridRrfSql: String =
+    s"""$EmbCte, toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+         |  FROM documents
+         |), stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(t)) AS BIGINT) AS sum_dl
+         |  FROM toks
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+         |), occ AS (
+         |  SELECT doc_id, unnest(t) AS tok FROM toks
+         |), tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM occ WHERE tok IN ${inList(Retrieval.DefaultQuery)}
+         |  GROUP BY 1, 2
+         |), dfq AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), contrib AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round((
+         |             ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |               / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |           * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |               / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |                  * (CAST(0.25 AS DOUBLE)
+         |                     + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+         |                       / (CAST(sum_dl AS DOUBLE)
+         |                          / CAST(n_docs AS DOUBLE)))))
+         |           ) * ${Retrieval.ScoreScale}) AS BIGINT) AS contrib_fp
+         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfq ON tf.tok = dfq.tok
+         |  CROSS JOIN stats
+         |), lex_scored AS (
+         |  SELECT doc_id, SUM(contrib_fp) AS score_fp
+         |  FROM contrib GROUP BY 1
+         |), lexr AS (
+         |  SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (
+         |      ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
+         |    FROM lex_scored)
+         |  WHERE lex_rank <= ${Retrieval.CandidateK}
+         |), q AS (
+         |  SELECT v AS qv, nv AS nq FROM n WHERE vec_id = 0
+         |), vec_scored AS (
+         |  SELECT n.vec_id,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
+         |  FROM n, q WHERE n.vec_id <> 0
+         |), vecr AS (
+         |  SELECT vec_id, vec_rank FROM (
+         |    SELECT vec_id, ROW_NUMBER() OVER (
+         |      ORDER BY cosine DESC, vec_id ASC) AS vec_rank
+         |    FROM vec_scored)
+         |  WHERE vec_rank <= ${Retrieval.CandidateK}
+         |), fused AS (
+         |  SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+         |         coalesce(l.lex_rank, 0) AS lex_rank,
+         |         coalesce(v.vec_rank, 0) AS vec_rank
+         |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id
+         |), rr AS (
+         |  SELECT doc_id, lex_rank, vec_rank,
+         |         (CASE WHEN lex_rank > 0
+         |               THEN CAST(1.0 AS DOUBLE) / (${Retrieval.RrfK} + lex_rank)
+         |               ELSE CAST(0.0 AS DOUBLE) END)
+         |       + (CASE WHEN vec_rank > 0
+         |               THEN CAST(1.0 AS DOUBLE) / (${Retrieval.RrfK} + vec_rank)
+         |               ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+         |  FROM fused
+         |)
+         |SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+         |       CAST(vec_rank AS INT) AS vec_rank, rrf,
+         |       CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |        ORDER BY rrf DESC, doc_id ASC) AS rank FROM rr)
+         |WHERE rank <= ${Retrieval.FinalK}""".stripMargin
+
   private lazy val bm25Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
@@ -1881,6 +2022,9 @@ object SparkEntry {
     // operands, bit-stable), unmatched base rows carry, unmatched
     // incoming keys insert.
     "q_merge_publish" -> mergedStateOracle,
+    // Stream-maintained twin (r12): the CDC stream through the
+    // versioned publish must land the IDENTICAL merged state.
+    "q_merge_publish_stream" -> mergedStateOracle,
 
     // v=1 of the staged merge table is the pre-MERGE base slice — a
     // hash match proves the published version directory is immutable
@@ -3311,83 +3455,12 @@ object SparkEntry {
     // Twin of Retrieval.hybridRrf: both arms cut to their top-CandidateK
     // lists, rank within the compact lists, FULL OUTER fuse on
     // doc_id ≡ vec_id, rrf = Σ CAST(1.0 AS DOUBLE)/(60+rank) over
-    // present arms (absent rank crosses as 0).
-    "q_hybrid_rrf" ->
-      s"""$EmbCte, toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
-         |  FROM documents
-         |), stats AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |         CAST(SUM(len(t)) AS BIGINT) AS sum_dl
-         |  FROM toks
-         |), dl AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
-         |), occ AS (
-         |  SELECT doc_id, unnest(t) AS tok FROM toks
-         |), tf AS (
-         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM occ WHERE tok IN ${inList(Retrieval.DefaultQuery)}
-         |  GROUP BY 1, 2
-         |), dfq AS (
-         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
-         |), contrib AS (
-         |  SELECT tf.doc_id,
-         |         CAST(round((
-         |             ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-         |               / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-         |           * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-         |               / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
-         |                  * (CAST(0.25 AS DOUBLE)
-         |                     + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
-         |                       / (CAST(sum_dl AS DOUBLE)
-         |                          / CAST(n_docs AS DOUBLE)))))
-         |           ) * ${Retrieval.ScoreScale}) AS BIGINT) AS contrib_fp
-         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
-         |  JOIN dfq ON tf.tok = dfq.tok
-         |  CROSS JOIN stats
-         |), lex_scored AS (
-         |  SELECT doc_id, SUM(contrib_fp) AS score_fp
-         |  FROM contrib GROUP BY 1
-         |), lexr AS (
-         |  SELECT doc_id, lex_rank FROM (
-         |    SELECT doc_id, ROW_NUMBER() OVER (
-         |      ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
-         |    FROM lex_scored)
-         |  WHERE lex_rank <= ${Retrieval.CandidateK}
-         |), q AS (
-         |  SELECT v AS qv, nv AS nq FROM n WHERE vec_id = 0
-         |), vec_scored AS (
-         |  SELECT n.vec_id,
-         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-         |           i -> qv[i] * v[i])) / (nq * nv) AS cosine
-         |  FROM n, q WHERE n.vec_id <> 0
-         |), vecr AS (
-         |  SELECT vec_id, vec_rank FROM (
-         |    SELECT vec_id, ROW_NUMBER() OVER (
-         |      ORDER BY cosine DESC, vec_id ASC) AS vec_rank
-         |    FROM vec_scored)
-         |  WHERE vec_rank <= ${Retrieval.CandidateK}
-         |), fused AS (
-         |  SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
-         |         coalesce(l.lex_rank, 0) AS lex_rank,
-         |         coalesce(v.vec_rank, 0) AS vec_rank
-         |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id
-         |), rr AS (
-         |  SELECT doc_id, lex_rank, vec_rank,
-         |         (CASE WHEN lex_rank > 0
-         |               THEN CAST(1.0 AS DOUBLE) / (${Retrieval.RrfK} + lex_rank)
-         |               ELSE CAST(0.0 AS DOUBLE) END)
-         |       + (CASE WHEN vec_rank > 0
-         |               THEN CAST(1.0 AS DOUBLE) / (${Retrieval.RrfK} + vec_rank)
-         |               ELSE CAST(0.0 AS DOUBLE) END) AS rrf
-         |  FROM fused
-         |)
-         |SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
-         |       CAST(vec_rank AS INT) AS vec_rank, rrf,
-         |       CAST(rank AS INT) AS rank
-         |FROM (SELECT *, ROW_NUMBER() OVER (
-         |        ORDER BY rrf DESC, doc_id ASC) AS rank FROM rr)
-         |WHERE rank <= ${Retrieval.FinalK}""".stripMargin,
+    // present arms (absent rank crosses as 0). The SERVED row shares
+    // it verbatim (r12): answering from the persisted lex + IVF
+    // indexes is hash-identical to the inline twin — the build/serve
+    // identity statement, same as q_bm25/q_bm25_served.
+    "q_hybrid_rrf" -> hybridRrfSql,
+    "q_hybrid_rrf_served" -> hybridRrfSql,
 
     "q_corpus_rollup" ->
       s"""$ToksCte

@@ -275,12 +275,19 @@ object Retrieval {
     * exact long SUM (identity over the one-shot single row). */
   def bm25TopKServed(spark: SparkSession, indexPath: String,
                      terms: Seq[String] = DefaultQuery,
-                     k: Int = FinalK): DataFrame = {
-    // Explicit schemas: partition-value TYPE INFERENCE would silently
-    // turn an all-digit token directory into an int partition column;
-    // pinning tok STRING keeps the index schema stable for any vocab
-    // (a discovered batch_id partition column is appended after the
-    // pinned fields and simply not selected).
+                     k: Int = FinalK): DataFrame =
+    bm25Cut(servedContribs(spark, indexPath, terms), k)
+
+  /** Per-(doc, term) BM25 contributions answered from the PERSISTED
+    * lex index — the serve-path twin of [[bm25Contribs]], shared by
+    * [[bm25TopKServed]] and [[hybridRrfServed]] so their lex arms are
+    * one definition. Explicit schemas: partition-value TYPE INFERENCE
+    * would silently turn an all-digit token directory into an int
+    * partition column; pinning tok STRING keeps the index schema
+    * stable for any vocab (a discovered batch_id partition column is
+    * appended after the pinned fields and simply not selected). */
+  private def servedContribs(spark: SparkSession, indexPath: String,
+                             terms: Seq[String]): DataFrame = {
     val tf = spark.read
       .schema("doc_id BIGINT, tf BIGINT, tok STRING")
       .parquet(s"$indexPath/postings")
@@ -292,7 +299,7 @@ object Retrieval {
     val stats = spark.read.schema("n_docs BIGINT, sum_dl BIGINT")
       .parquet(s"$indexPath/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    bm25Cut(bm25ScoreTail(tf, dl, stats), k)
+    bm25ScoreTail(tf, dl, stats)
   }
 
   /** BM25 top-k: exact-long micro-unit scores summed per doc, global
@@ -346,14 +353,50 @@ object Retrieval {
   def hybridRrf(spark: SparkSession, dir: String,
                 terms: Seq[String] = DefaultQuery,
                 queryVecId: Long = 0L,
-                k: Int = FinalK): DataFrame = {
+                k: Int = FinalK): DataFrame =
+    hybridRrfTail(bm25Contribs(spark, dir, terms),
+      Similarity.normalizedCorpus(spark, dir), queryVecId, k)
+
+  /** Hybrid RRF answered ENTIRELY from the two persisted indexes
+    * (VERDICT r11 #8): the lex arm reads the term-partitioned postings
+    * (partition-pruned to the query terms, [[servedContribs]]) and the
+    * vector arm reads the IVF index's cell-partitioned postings —
+    * which carry the COMPLETE normalized corpus (vec_id, v, nv), so an
+    * un-probed scan of them is the exact cosine arm, bit-identical to
+    * the inline form (the index persists the same 9-dp-rounded
+    * normalization the inline path computes; parquet round-trips
+    * doubles exactly). Both arms then share [[hybridRrfTail]] with the
+    * inline query — build/serve identity by one definition, the
+    * [[bm25TopKServed]] discipline. Serve cost: the tokenize and the
+    * corpus normalization never re-run; the vector arm is one
+    * broadcast-query pass over the postings (swap in the probed
+    * [[Similarity.queryIvfIndex]] arm for >10⁸ vectors — the fusion
+    * tail is rank-only and doesn't change, but results then carry IVF
+    * recall, not exactness). */
+  def hybridRrfServed(spark: SparkSession, lexIndexPath: String,
+                      vecIndexPath: String,
+                      terms: Seq[String] = DefaultQuery,
+                      queryVecId: Long = 0L,
+                      k: Int = FinalK): DataFrame = {
+    graft.expressions.DotProduct.register(spark)
+    val c = spark.read.parquet(s"$vecIndexPath/postings")
+      .select(col("vec_id"), col("v"), col("nv"))
+    hybridRrfTail(servedContribs(spark, lexIndexPath, terms), c,
+      queryVecId, k)
+  }
+
+  /** The ONE fusion tail both hybrid paths share (the bm25ScoreTail
+    * discipline): top-[[CandidateK]] per arm, rank within the compact
+    * lists, Σ 1/(60+rank) over present arms. `c` is any
+    * (vec_id, v, nv) normalized-corpus frame. */
+  private def hybridRrfTail(contribs: DataFrame, c: DataFrame,
+                            queryVecId: Long, k: Int): DataFrame = {
     val lex = rankedTopR(
-      bm25Contribs(spark, dir, terms)
+      contribs
         .groupBy(col("doc_id"))
         .agg(sum(col("contrib_fp")).as("score_fp")),
       col("score_fp"), col("doc_id"), CandidateK)
       .select(col("doc_id"), col("rank").as("lex_rank"))
-    val c = Similarity.normalizedCorpus(spark, dir)
     val q = c.where(col("vec_id") === queryVecId)
       .select(col("v").as("qv"), col("nv").as("nq"))
     val scoredVec = c.crossJoin(broadcast(q))

@@ -97,9 +97,14 @@ object ScaleEnvelope {
   /** k centroids at corpus size n: ⌈√n⌉ (floored at minCentroids) up
     * to the crossover, ⌈n/c*⌉ beyond — continuous at the boundary
     * (both give c*; one past it, both give c*+1: ⌈√(c*²+1)⌉ = c*+1 =
-    * ⌈(c*²+1)/c*⌉). Ceil-div in pure Long arithmetic; √/⌈·⌉ of an
-    * exact-integer double are correctly rounded IEEE ops — DuckDB's
-    * CASE twin lands on the identical k either side of the switch.
+    * ⌈(c*²+1)/c*⌉). The ceil-div runs in BigInt (r11): the plain Long
+    * form `(n + c* − 1) / c*` wraps near Long.MaxValue and `.toInt`
+    * silently truncates past n ≈ 2.1·10¹³, so the derivation is done
+    * wrap-free and guarded by a loud require at k > Int.MaxValue —
+    * Spark-side only (DuckDB's arithmetic promotes to HUGEINT and
+    * cannot wrap, so its CASE twin needs no guard; below the edge the
+    * twins land on the identical k — √/⌈·⌉ of an exact-integer double
+    * are correctly rounded IEEE ops).
     *
     * Past ~10¹⁰ vectors k = n/c* ≈ 10⁶ centroids (~0.5 GB) outgrows a
     * broadcast; the assignment join then moves to a shuffle join —

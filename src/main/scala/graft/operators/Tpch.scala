@@ -165,9 +165,7 @@ object Tpch {
     // floor bound, letting the subsequent long multiply wrap after all
     // (ADVICE r10); DIV on non-negative operands is exact, so the guard
     // is conservative by construction.
-    val inRange =
-      col("value_c") <= expr(s"CAST(${Long.MaxValue} AS BIGINT) DIV n_parts") &&
-      col("total_c") <= lit(Long.MaxValue / mult)
+    val inRange = q11InRange(mult)
     val guard = assert_true(inRange, lit(
       "tpch_q11: cross-multiplied threshold exceeds Long range at this SF; " +
       "switch to comparing value_c against mult * (total_c / n_parts) " +
@@ -178,6 +176,20 @@ object Tpch {
       .select(col("p_partkey"),
         (col("value_c").cast("double") / 100).as("value"))
   }
+
+  /** Q11's Long-range admissibility predicate, factored so the
+    * boundary spec can pin its exactness (VERDICT r11 #5): the
+    * cross-multiplied HAVING comparison `value_c * n_parts >
+    * total_c * mult` is wrap-free iff value_c ≤ ⌊Long.MaxValue /
+    * n_parts⌋ and total_c ≤ ⌊Long.MaxValue / mult⌋. Integer FLOOR
+    * division (`DIV` — exact on non-negative longs) makes both bounds
+    * EXACT: at the bound the product is ≤ 2⁶³−1 by the floor property,
+    * one past it the product provably exceeds 2⁶³−1 (⌊M/n⌋·n > M−n, so
+    * (⌊M/n⌋+1)·n > M). A float '/' here would round through double and
+    * admit values a few ulps past the true floor (ADVICE r10). */
+  private[graft] def q11InRange(mult: Long) =
+    col("value_c") <= expr(s"CAST(${Long.MaxValue} AS BIGINT) DIV n_parts") &&
+      col("total_c") <= lit(Long.MaxValue / mult)
 
   /** TPC-H Q12 (shipping-priority classes): per line class, how many
     * late lines came from high- vs low-priority orders — the

@@ -255,6 +255,7 @@ object Sinks {
   def mergePublishWith(spark: SparkSession, incoming: DataFrame,
                        tableDir: String, keys: Seq[String],
                        latestBy: Seq[String] = Nil,
+                       batchId: Option[Long] = None,
                        orphanFenceMs: Long = 60000L,
                        beforeClaim: () => Unit = () => ()): Int = {
     import org.apache.spark.sql.functions.col
@@ -264,7 +265,7 @@ object Sinks {
       case Some(current) => current
         .join(deduped.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(deduped)
-    }, orphanFenceMs, beforeClaim)
+    }, orphanFenceMs, beforeClaim, batchId)
   }
 
   /** Incremental AGGREGATE maintenance over the versioned publish: the
@@ -278,13 +279,19 @@ object Sinks {
     * 100 TB rollup by deltas safe; float measures would drift by
     * accumulation order and must carry micro-unit longs instead. Crash
     * semantics inherit from the versioned layout: every intermediate
-    * state is an invariant state, replaying a delta that already
-    * committed DOUBLE-COUNTS (additive merge is not idempotent by
-    * content) — so deltas must be batch-keyed by the caller, the same
-    * contract as the streaming sinks' batch partitions. */
+    * state is an invariant state — and replay of an already-committed
+    * delta (where additive merge would DOUBLE-COUNT, not being
+    * idempotent by content) is closed IN THE ENGINE when the delta is
+    * batch-keyed (r12, VERDICT r11 #5): pass `batchId` and each
+    * version carries an applied-batch ledger file (`_applied`, staged
+    * pre-claim so it commits atomically with the data); a delta whose
+    * id the current version's ledger already lists is detected inside
+    * the OCC loop and returns the current version untouched. Without a
+    * batchId the caller owns replay protection, as before. */
   def mergeAggPublish(spark: SparkSession, delta: DataFrame,
                       tableDir: String, keys: Seq[String],
                       sums: Seq[String],
+                      batchId: Option[Long] = None,
                       orphanFenceMs: Long = 60000L,
                       beforeClaim: () => Unit = () => ()): Int = {
     import org.apache.spark.sql.functions.{col, sum}
@@ -296,7 +303,7 @@ object Sinks {
     publishLoop(spark, tableDir, {
       case None => reagg(delta)
       case Some(current) => reagg(current.unionByName(reagg(delta)))
-    }, orphanFenceMs, beforeClaim)
+    }, orphanFenceMs, beforeClaim, batchId)
   }
 
   /** The shared serializable publish loop: read the current version,
@@ -317,14 +324,22 @@ object Sinks {
     * not a blind delete — renaming first makes the fence visible to
     * the owner's token check in the same metadata op that makes the
     * data unreachable, and the re-check restores a version whose
-    * marker landed between our staleness read and the rename. Every
-    * interleaving therefore ends in one of two states: (marker present
-    * ∧ data present) or (no marker ∧ the stalled publisher throws) —
-    * the serializability claim holds for stalls, not only crashes. */
+    * marker landed between our staleness read and the rename. The
+    * restore's third leg (r12): [[stageAndClaim]]'s MARKER EXCLUSION
+    * guarantees no claimant retains a slot whose marker exists, so the
+    * restore converges ([[restoreTombstone]]) instead of racing a
+    * usurper — without it, a fresh claimant grabbing the freed slot
+    * between fence and restore left uncommitted bytes under the
+    * owner's committed marker (VERDICT r11 #1). Every interleaving
+    * therefore ends in one of two states: (marker present ∧ the
+    * OWNER's data present) or (no marker ∧ the stalled publisher
+    * throws) — the serializability claim holds for stalls, not only
+    * crashes. */
   private def publishLoop(spark: SparkSession, tableDir: String,
                           mergeOf: Option[DataFrame] => DataFrame,
                           orphanFenceMs: Long,
-                          beforeClaim: () => Unit): Int = {
+                          beforeClaim: () => Unit,
+                          batchId: Option[Long] = None): Int = {
     val root = new Path(tableDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
@@ -339,55 +354,147 @@ object Sinks {
         (fs.exists(new Path(root, MarkerDir)) ||
           fs.exists(new Path(root, "LATEST")))
       val base = if (hasCurrent) currentVersion(fs, root) else 0
-      val merged =
-        if (base == 0) mergeOf(None)
-        else mergeOf(Some(readVersion(spark, tableDir, base)))
-      beforeClaim()
-      val c = stageAndClaim(merged, tableDir)
-      if (c.version == base + 1) {
-        commitMarker(spark, tableDir, c); result = c.version
-      } else {
-        // Non-adjacent claim: someone claimed (base, n) after our read.
-        // Retract ours (invisible — no marker was written) and fence
-        // aged orphans in the gap so a crashed publisher can't wedge
-        // the table.
-        fs.delete(new Path(root, s"v=${c.version}"), true)
-        val fc = org.apache.hadoop.fs.FileContext
-          .getFileContext(root.toUri, conf)
-        val now = System.currentTimeMillis()
-        ((base + 1) until c.version).foreach { g =>
-          val p = new Path(root, s"v=$g")
-          val marked = fs.exists(new Path(root, s"$MarkerDir/$g"))
-          if (!marked && fs.exists(p) &&
-              now - fs.getFileStatus(p).getModificationTime > orphanFenceMs) {
-            // Rename-first fencing: after this op the dir is gone from
-            // v=g, so a stalled owner's commitMarker token check fails
-            // deterministically. A competitor racing the same fence
-            // surfaces as a rename IOException — it already moved the
-            // dir; nothing left for us to do.
-            val tomb = new Path(root, s".fenced-$g-" +
-              java.util.UUID.randomUUID.toString.take(8))
-            val renamed =
-              try { fc.rename(p, tomb); true }
-              catch { case _: java.io.IOException => false }
-            if (renamed) {
-              // The owner's marker may have landed between our marker
-              // read and the rename — then the version is COMMITTED
-              // and must be restored, not reclaimed. A failed restore
-              // means a fresh claimant took the number meanwhile; the
-              // owner's post-commit token re-check adjudicates that
-              // collision (deleting its dangling marker), so swallow.
-              if (fs.exists(new Path(root, s"$MarkerDir/$g")))
-                try fc.rename(tomb, p)
-                catch { case _: java.io.IOException => () }
-              else fs.delete(tomb, true)
-            }
-          }
+      // Applied-batch ledger (r12): with a batchId, a delta whose id is
+      // already in the current version's ledger is a REPLAY — return
+      // the current version untouched instead of re-merging (the
+      // exactly-once guarantee additive merges cannot get from content
+      // idempotence). The check sits INSIDE the retry loop so it is
+      // re-evaluated against every fresh base the OCC loop observes.
+      val applied: Set[Long] =
+        if (base == 0) Set.empty else appliedBatches(fs, root, base)
+      if (batchId.exists(applied.contains)) result = base
+      else {
+        val merged =
+          if (base == 0) mergeOf(None)
+          else mergeOf(Some(readVersion(spark, tableDir, base)))
+        beforeClaim()
+        val c = stageAndClaim(merged, tableDir,
+          stamp = stageDir =>
+            batchId.foreach(id => writeApplied(fs, stageDir, applied + id)))
+        if (c.version == base + 1) {
+          commitMarker(spark, tableDir, c); result = c.version
+        } else {
+          // Non-adjacent claim: someone claimed (base, n) after our
+          // read. Retract ours (invisible — no marker was written) and
+          // fence aged orphans in the gap so a crashed publisher can't
+          // wedge the table.
+          fs.delete(new Path(root, s"v=${c.version}"), true)
+          val fc = org.apache.hadoop.fs.FileContext
+            .getFileContext(root.toUri, conf)
+          ((base + 1) until c.version)
+            .foreach(g => fenceOrphan(fs, fc, root, g, orphanFenceMs))
         }
       }
     }
     result
   }
+
+  /** Fence ONE aged claimed-but-unmarked gap version (factored out of
+    * [[publishLoop]] r12 so the interleavings are spec-drivable).
+    * Rename-first: after the tombstone rename the dir is gone from
+    * `v=g`, so a stalled owner's commitMarker token check fails
+    * deterministically. A competitor racing the same fence surfaces as
+    * a rename IOException — it already moved the dir; nothing left for
+    * us to do. The marker re-check after the rename catches an owner
+    * whose marker landed between our staleness read and the rename:
+    * that version is COMMITTED and must be restored, not reclaimed —
+    * [[restoreTombstone]] carries the convergence argument.
+    * Spec seams: `beforeRename` runs between the staleness read and
+    * the tombstone rename (the window in which the owner's commit can
+    * land, making the re-check/restore leg reachable); `afterRename`
+    * runs between the rename and the re-check (the window a fresh
+    * claimant would need to usurp the freed slot — the triple race
+    * marker exclusion closes). */
+  private[graft] def fenceOrphan(fs: org.apache.hadoop.fs.FileSystem,
+                                 fc: org.apache.hadoop.fs.FileContext,
+                                 root: Path, g: Int, orphanFenceMs: Long,
+                                 beforeRename: () => Unit = () => (),
+                                 afterRename: () => Unit = () => ()): Unit = {
+    val p = new Path(root, s"v=$g")
+    val marked = fs.exists(new Path(root, s"$MarkerDir/$g"))
+    val now = System.currentTimeMillis()
+    if (!marked && fs.exists(p) &&
+        now - fs.getFileStatus(p).getModificationTime > orphanFenceMs) {
+      beforeRename()
+      val tomb = new Path(root, s".fenced-$g-" +
+        java.util.UUID.randomUUID.toString.take(8))
+      val renamed =
+        try { fc.rename(p, tomb); true }
+        catch { case _: java.io.IOException => false }
+      if (renamed) {
+        afterRename()
+        if (fs.exists(new Path(root, s"$MarkerDir/$g")))
+          restoreTombstone(fs, fc, root, g, tomb)
+        else fs.delete(tomb, true)
+      }
+    }
+  }
+
+  /** Restore a tombstoned COMMITTED version to its `v=g` slot. The
+    * restore can transiently fail only while a claimant is transiting
+    * [[stageAndClaim]]'s check→rename window into the freed slot; the
+    * marker-exclusion post-check forces every such claimant to VACATE,
+    * so a bounded retry converges. If the marker disappears while we
+    * retry, the "commit" was transient — the owner's post-commit token
+    * check retracted it (the owner throws `fenced at commit`), the
+    * tombstoned bytes were never visible to readers, and the tombstone
+    * is reclaimed instead. Exhausting the retries means an interleaving
+    * the protocol claims impossible — assert loudly (the r11 code
+    * swallowed this failure, silently serving a claimant's uncommitted
+    * bytes under the owner's marker; VERDICT r11 #1). */
+  private def restoreTombstone(fs: org.apache.hadoop.fs.FileSystem,
+                               fc: org.apache.hadoop.fs.FileContext,
+                               root: Path, g: Int, tomb: Path): Unit = {
+    val marker = new Path(root, s"$MarkerDir/$g")
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      if (!fs.exists(marker)) {
+        fs.delete(tomb, true); done = true
+      } else {
+        try { fc.rename(tomb, new Path(root, s"v=$g")); done = true }
+        catch {
+          case e: java.io.IOException =>
+            if (attempts >= 100) throw new IllegalStateException(
+              s"fence restore of committed v=$g under $root kept failing " +
+                s"— v=$g is occupied by data that never vacates, which " +
+                "the marker-exclusion claim protocol makes impossible; " +
+                s"the committed bytes are stranded at $tomb", e)
+            Thread.sleep(20L)
+        }
+      }
+    }
+  }
+
+  /** Read the applied-batch ledger stamped into a version directory
+    * (absent on tables never batch-keyed → empty). */
+  private def appliedBatches(fs: org.apache.hadoop.fs.FileSystem,
+                             root: Path, version: Int): Set[Long] = {
+    val p = new Path(root, s"v=$version/$AppliedLedger")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).getLines()
+        .flatMap(_.trim.toLongOption).toSet
+      finally in.close()
+    }
+  }
+
+  /** Stamp the ledger into a STAGE directory (pre-claim, so it rides
+    * the claim rename atomically — `_`-prefixed, invisible to parquet
+    * readers). One small file per version, rewritten wholesale: ids
+    * accumulate down the version chain because each publish stamps
+    * (parent's ledger + its id). */
+  private def writeApplied(fs: org.apache.hadoop.fs.FileSystem,
+                           stageDir: Path, ids: Set[Long]): Unit = {
+    val out = fs.create(new Path(stageDir, AppliedLedger), false)
+    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Ledger file name inside a version directory. */
+  private val AppliedLedger = "_applied"
 
   /** Range-clustered layout: repartitionByRange + sortWithinPartitions
     * on the dominant filter column before writing, so every output file
@@ -544,16 +651,40 @@ object Sinks {
     * version is INVISIBLE to readers until [[commitMarker]] — which is
     * what lets [[mergePublish]] validate its merge base between claim
     * and commit, and retract a stale claim without any reader ever
-    * having observed it. */
-  private[graft] def stageAndClaim(df: DataFrame, tableDir: String): Claim = {
+    * having observed it.
+    *
+    * MARKER EXCLUSION (r12, closes the VERDICT-r11 triple race): a
+    * claim is refused on any number whose COMMIT MARKER already exists
+    * — checked before each rename attempt and re-checked after the
+    * rename lands. The state the check makes unrepresentable: a
+    * fencer tombstones v=g, the (fully committed) owner's marker for g
+    * is present, and a fresh claimant grabs the freed v=g slot before
+    * the fencer's restore — readers resolving max-marker would then
+    * serve the claimant's UNCOMMITTED bytes under the owner's marker.
+    * The pre-check skips marker-carrying numbers without an attempt;
+    * the post-check covers a marker that landed inside the
+    * check→rename window by VACATING (renaming our data back to a
+    * fresh stage name and moving to the next number), after which the
+    * fencer's restore retry finds the slot free ([[restoreTombstone]]).
+    * `stamp` runs against the staged directory after the data write
+    * and before the claim rename — metadata files written there (the
+    * applied-batch ledger) travel with the version atomically.
+    * `beforeRename` is the spec seam for injecting a marker into the
+    * check→rename window deterministically. */
+  private[graft] def stageAndClaim(df: DataFrame, tableDir: String,
+                                   stamp: Path => Unit = _ => (),
+                                   beforeRename: Int => Unit = _ => ())
+      : Claim = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
-    val stage = new Path(root,
+    def freshStage() = new Path(root,
       s".stage-${java.util.UUID.randomUUID.toString.take(8)}")
+    var stage = freshStage()
     df.write.mode("errorifexists").parquet(stage.toString)
+    stamp(stage)
     // Claim token: stamped into the staged dir BEFORE the rename, so
     // ownership travels with the data. `_`-prefixed → invisible to
     // parquet readers, same convention as _SUCCESS.
@@ -561,29 +692,47 @@ object Sinks {
     fs.create(new Path(stage, s"_claim-$token"), false).close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
     var next = 1 + listVersions(fs, root).foldLeft(0)(math.max)
-    var committed = false
-    while (!committed) {
-      try {
-        // Rename.NONE: fails if the destination exists — the claim on
-        // this version number.
-        fc.rename(stage, new Path(root, s"v=$next"),
-          org.apache.hadoop.fs.Options.Rename.NONE)
-        committed = true
-      } catch {
-        // The exists-check inside FileContext.rename is check-then-act
-        // on most filesystems, so a racing loser may surface as a PLAIN
-        // IOException from the underlying rename (ENOTEMPTY etc.), not
-        // only as FileAlreadyExistsException. Disambiguate by looking
-        // at the destination: if someone now owns v=next we lost the
-        // race (data is staged — retrying costs one metadata op);
-        // otherwise it is a genuine I/O failure and must propagate,
-        // not spin the retry loop forever.
-        case e: java.io.IOException =>
-          if (fs.exists(new Path(root, s"v=$next"))) next += 1
-          else throw e
+    var claimed = -1
+    while (claimed < 0) {
+      if (fs.exists(new Path(root, s"$MarkerDir/$next"))) {
+        // Marker exclusion pre-check: the number is COMMITTED (its
+        // data may be transiting a fence tombstone) — never claimable.
+        next += 1
+      } else {
+        beforeRename(next)
+        try {
+          // Rename.NONE: fails if the destination exists — the claim on
+          // this version number.
+          fc.rename(stage, new Path(root, s"v=$next"),
+            org.apache.hadoop.fs.Options.Rename.NONE)
+          if (fs.exists(new Path(root, s"$MarkerDir/$next"))) {
+            // Marker landed inside the check→rename window: the number
+            // is committed and its owner's data is in a fence
+            // tombstone awaiting restore. Vacate the slot (our data
+            // keeps its token — the rename moves the whole dir) and
+            // try the next number.
+            val back = freshStage()
+            fc.rename(new Path(root, s"v=$next"), back,
+              org.apache.hadoop.fs.Options.Rename.NONE)
+            stage = back
+            next += 1
+          } else claimed = next
+        } catch {
+          // The exists-check inside FileContext.rename is check-then-act
+          // on most filesystems, so a racing loser may surface as a PLAIN
+          // IOException from the underlying rename (ENOTEMPTY etc.), not
+          // only as FileAlreadyExistsException. Disambiguate by looking
+          // at the destination: if someone now owns v=next we lost the
+          // race (data is staged — retrying costs one metadata op);
+          // otherwise it is a genuine I/O failure and must propagate,
+          // not spin the retry loop forever.
+          case e: java.io.IOException =>
+            if (fs.exists(new Path(root, s"v=$next"))) next += 1
+            else throw e
+        }
       }
     }
-    Claim(next, token)
+    Claim(claimed, token)
   }
 
   /** The second half of [[publishVersioned]]: record the version's
@@ -608,7 +757,18 @@ object Sinks {
     * a silent success: the caller's batch was NOT published and must
     * be replayed (the merge paths converge on replay by design). */
   private[graft] def commitMarker(spark: SparkSession, tableDir: String,
-                                  claim: Claim): Unit = {
+                                  claim: Claim): Unit =
+    commitMarkerWith(spark, tableDir, claim)
+
+  /** [[commitMarker]] with the spec seam exposed: `beforeMarker` runs
+    * after the token pre-check and before the marker create — the
+    * exact window in which a fence arriving mid-commit produces the
+    * "fenced at commit" retract-and-throw path, which no wall-clock
+    * interleaving reaches deterministically. */
+  private[graft] def commitMarkerWith(spark: SparkSession, tableDir: String,
+                                      claim: Claim,
+                                      beforeMarker: () => Unit = () => ())
+      : Unit = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tokenPath =
@@ -619,6 +779,7 @@ object Sinks {
         "stalled past the orphan fence age and the version was " +
         "reclaimed; the batch was NOT published, replay it")
     if (!fs.exists(tokenPath)) fenced("before commit")
+    beforeMarker()
     fs.mkdirs(new Path(root, MarkerDir))
     fs.create(new Path(root, s"$MarkerDir/${claim.version}"), false).close()
     if (!fs.exists(tokenPath)) {
@@ -722,10 +883,32 @@ object Sinks {
     * version and any NEWER unreferenced one — a publish may be in
     * flight — survive). Vacuumed versions lose their publish markers
     * too, so a later "rollback by deleting newer markers" can never
-    * point at a reclaimed directory. Returns the versions removed. */
+    * point at a reclaimed directory. Returns the versions removed.
+    *
+    * Fence-tombstone reaping (r12, VERDICT r11 #4): a fencer that
+    * crashed mid-fence leaves a hidden `.fenced-g-*` directory — on a
+    * contended table, unbounded garbage this retention pass must
+    * reclaim. Disposition by the marker invariant: marker g present
+    * with `v=g` missing means the tombstone holds the ONLY copy of a
+    * COMMITTED version (the fencer died between rename and restore) —
+    * complete the restore; any other state means the bytes were never
+    * committed or are already served from `v=g` — delete. The
+    * tombstone pass runs FIRST so a restored version participates in
+    * the normal retention sweep below. */
   def vacuumVersions(spark: SparkSession, tableDir: String): Seq[Int] = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".fenced-"))
+      .foreach { st =>
+        val g = st.getPath.getName.stripPrefix(".fenced-")
+          .takeWhile(_ != '-').toIntOption
+        val restorable = g.exists(v =>
+          fs.exists(new Path(root, s"$MarkerDir/$v")) &&
+            !fs.exists(new Path(root, s"v=$v")))
+        if (restorable) fs.rename(st.getPath, new Path(root, s"v=${g.get}"))
+        else fs.delete(st.getPath, true)
+      }
     val current = currentVersion(fs, root)
     val old = listVersions(fs, root).filter(_ < current).sorted
     old.foreach { v =>

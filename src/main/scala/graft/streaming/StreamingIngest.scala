@@ -199,6 +199,42 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming CDC apply through the VERSIONED publish (VERDICT r11
+    * #7) — [[upsertStream]]'s merge semantics composed with
+    * [[graft.sinks.Sinks.mergePublish]]'s marker layout, so the
+    * stream-maintained layer gets time travel, rollback, and
+    * [[graft.sinks.Sinks.diffVersions]] for free, and readers resolve
+    * whole committed versions instead of riding upsert's non-atomic
+    * two-rename swap window. Delivery is EXACTLY-ONCE BY LEDGER: the
+    * micro-batch id rides `mergePublishWith(batchId=...)`, so a batch
+    * replayed after a checkpoint-window crash is detected against the
+    * current version's applied-batch ledger and becomes a no-op —
+    * stronger than the content-convergence argument upsertStream
+    * relies on (and the only correct shape if this wrapper is ever
+    * pointed at [[graft.sinks.Sinks.mergeAggPublish]], where replay
+    * would double-count). Batches apply serially (the streaming
+    * engine's contract), so the OCC loop only ever retries against
+    * out-of-band publishers sharing the table. */
+  def mergePublishStream(stream: DataFrame, tableDir: String,
+                         keys: Seq[String], checkpointDir: String,
+                         latestBy: Seq[String] = Nil): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The merge plan references the batch twice (anti-join keys +
+        // union) — persist so the source parses once per trigger.
+        batch.persist()
+        try {
+          graft.sinks.Sinks.mergePublishWith(batch.sparkSession, batch,
+            tableDir, keys, latestBy, batchId = Some(batchId))
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Standing near-dup index maintenance (VERDICT r5 ask #7): each
     * micro-batch of arriving documents lands in the docs layer
     * (batchId-idempotent) and is folded into the persisted signature +
@@ -318,9 +354,17 @@ object StreamingIngest {
     * applied to the phrase-search index: each document slice lands its
     * positional postings batch_id-keyed (exactly-once by layout), and
     * [[graft.operators.Retrieval.phraseSearchServed]] answers over the
-    * union without re-tokenizing anything already indexed. */
+    * union without re-tokenizing anything already indexed. Attach-time
+    * adoption (ADVICE r11): an index bootstrapped by the PRE-r11 flat
+    * [[graft.operators.Retrieval.buildPosIndex]] (tok=* at the root)
+    * is migrated under `batch_id=-1` before the first batch lands —
+    * without it the batch-keyed writes sit NEXT TO flat tok=* dirs and
+    * partition discovery fails at serve time, the exact mixed-depth
+    * failure the unified layout exists to prevent. Idempotent; the
+    * current bootstrap layout has nothing left to move. */
   def posIndexMaintenanceStream(stream: DataFrame, indexPath: String,
                                 checkpointDir: String): Unit = {
+    graft.sinks.Sinks.adoptFlatLayout(stream.sparkSession, s"$indexPath/pos")
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -121,6 +121,86 @@ class RetrievalSpec extends SparkSpec {
       inline.exceptAll(replayed).isEmpty, "replay double-indexed")
   }
 
+  test("pos index mixed lifecycle: bootstrap → stream maintenance on ONE " +
+      "indexPath; replayed batch 0 never clobbers the bootstrap slice") {
+    import graft.operators.Retrieval
+    // The lifecycle the unified batch_id layout exists for (ADVICE r10
+    // / VERDICT r11 #3): full build claims batch_id=-1, a stream then
+    // attaches to the SAME indexPath and its foreachBatch ids (0, 1)
+    // land beside it — one consistent partition depth, and the
+    // bootstrap sits BELOW any replayable id.
+    val docs = Tables.documents(spark, sf0001)
+    val dir = tmpDir("pos_mixed")
+    docs.where(col("doc_id") % 3 === 0).write
+      .parquet(s"$dir/boot/documents.parquet")
+    Retrieval.buildPosIndex(spark, s"$dir/boot", s"$dir/idx")
+    docs.where(col("doc_id") % 3 === 1)
+      .coalesce(1).write.parquet(s"$dir/in/s1")
+    docs.where(col("doc_id") % 3 === 2)
+      .coalesce(1).write.parquet(s"$dir/in/s2")
+    val schema = spark.read.parquet(s"$dir/in/s1").schema
+    graft.streaming.StreamingIngest.posIndexMaintenanceStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+      s"$dir/idx", s"$dir/ckpt")
+    val inline = Retrieval.phraseSearch(spark, sf0001)
+    val served = Retrieval.phraseSearchServed(spark, s"$dir/idx")
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty, "mixed-lifecycle index drifted")
+    // Crash-replay of stream batch 0 (whatever slice it carried):
+    // overwrites ONLY batch_id=0 — the batch_id=-1 bootstrap survives
+    // byte-identically and the serve stays converged.
+    val b0docs = docs.join(
+      spark.read.schema("doc_id BIGINT, pos INT, tok STRING")
+        .parquet(s"$dir/idx/pos/batch_id=0").select("doc_id").distinct(),
+      Seq("doc_id"))
+    val bootBefore = spark.read
+      .schema("doc_id BIGINT, pos INT, tok STRING")
+      .parquet(s"$dir/idx/pos/batch_id=-1")
+    val bootCount = bootBefore.count()
+    Retrieval.buildPosIndexBatch(spark, b0docs, s"$dir/idx", batchId = 0L)
+    val bootAfter = spark.read
+      .schema("doc_id BIGINT, pos INT, tok STRING")
+      .parquet(s"$dir/idx/pos/batch_id=-1")
+    assert(bootAfter.count() == bootCount &&
+      bootAfter.exceptAll(bootBefore).isEmpty,
+      "replayed batch 0 clobbered the batch_id=-1 bootstrap slice")
+    val replayed = Retrieval.phraseSearchServed(spark, s"$dir/idx")
+    assert(replayed.exceptAll(inline).isEmpty &&
+      inline.exceptAll(replayed).isEmpty, "replay drifted the serve")
+  }
+
+  test("pos index flat-layout adoption: a pre-unified flat index is " +
+      "migrated under batch_id=-1 at stream attach") {
+    import graft.operators.Retrieval
+    // An index bootstrapped by the OLD flat layout (tok=* at the
+    // root). Without attach-time adoption, the stream's batch_id=N
+    // dirs land NEXT TO the flat tok=* dirs and partition discovery
+    // fails at serve time (ADVICE r11 #3).
+    val docs = Tables.documents(spark, sf0001)
+    val dir = tmpDir("pos_adopt")
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        posexplode(graft.operators.TextOps.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .write.partitionBy("tok").mode("overwrite").parquet(s"$dir/idx/pos")
+    docs.where(col("doc_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$dir/in/s1")
+    val schema = spark.read.parquet(s"$dir/in/s1").schema
+    graft.streaming.StreamingIngest.posIndexMaintenanceStream(
+      spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+      s"$dir/idx", s"$dir/ckpt")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/idx/pos/batch_id=-1")),
+      "flat layout was not adopted under batch_id=-1")
+    val inline = Retrieval.phraseSearch(spark, sf0001)
+    val served = Retrieval.phraseSearchServed(spark, s"$dir/idx")
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty, "adopted index drifted")
+  }
+
   test("positional serve survives numeric tokens (no partition inference)") {
     import spark.implicits._
     import graft.operators.Retrieval

@@ -137,4 +137,57 @@ class ScaleEnvelopeSpec extends SparkSpec {
     val ks = around.map(Similarity.centroidCountFor(_))
     assert(ks == ks.sorted)
   }
+
+  test("centroid count: exact at the Int.MaxValue guard edge (BigInt " +
+      "ceil-div neither wraps nor trips early)") {
+    val cap = ScaleEnvelope.TargetCellCap
+    // Largest admissible corpus: k = ⌈n/c*⌉ = Int.MaxValue exactly at
+    // n = Int.MaxValue · c* (≈ 2.1·10¹³ vectors). The r10 Long form
+    // `((n + c* − 1) / c*).toInt` would TRUNCATE here — deriving a
+    // wrong small k silently; the BigInt form returns the exact value.
+    val edge = Int.MaxValue.toLong * cap
+    assert(Similarity.centroidCountFor(edge) == Int.MaxValue)
+    // Just below: still exact (ceil-div of a non-multiple).
+    assert(Similarity.centroidCountFor(edge - 1) == Int.MaxValue)
+    assert(Similarity.centroidCountFor(edge - cap) == Int.MaxValue - 1)
+    // One vector past the edge: k would be Int.MaxValue + 1 — the
+    // guard fires LOUDLY with the remedy, instead of wrapping.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.centroidCountFor(edge + 1)
+    }
+    assert(e.getMessage.contains("TargetCellCap") &&
+      e.getMessage.contains("shard"))
+  }
+
+  test("tpch q11 guard: DIV floor bound is exact — bound passes " +
+      "wrap-free, bound+1 provably wraps and trips assert_true") {
+    val spark = this.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val M = Long.MaxValue
+    val nParts = 3L
+    val bound = M / nParts // DIV on non-negatives ≡ this floor
+    // The floor property the guard rides: at the bound the cross
+    // product stays in range; one past it provably exceeds 2⁶³−1.
+    assert(BigInt(bound) * nParts <= BigInt(M))
+    assert(BigInt(bound + 1) * nParts > BigInt(M))
+    def guardedCount(valueC: Long): Long =
+      Seq((valueC, 100L, nParts)).toDF("value_c", "total_c", "n_parts")
+        .where(coalesce(
+          assert_true(graft.operators.Tpch.q11InRange(mult = 2L),
+            lit("boundary")).cast("boolean"), lit(true)))
+        .count()
+    assert(guardedCount(bound) == 1L, "exact-bound value was rejected")
+    val e = intercept[Exception] { guardedCount(bound + 1) }
+    assert(e.getMessage != null)
+    // And the total_c leg: ⌊M/mult⌋ passes, one past trips.
+    def totalGuard(totalC: Long): Long =
+      Seq((1L, totalC, nParts)).toDF("value_c", "total_c", "n_parts")
+        .where(coalesce(
+          assert_true(graft.operators.Tpch.q11InRange(mult = 2L),
+            lit("boundary")).cast("boolean"), lit(true)))
+        .count()
+    assert(totalGuard(M / 2) == 1L)
+    intercept[Exception] { totalGuard(M / 2 + 1) }
+  }
 }

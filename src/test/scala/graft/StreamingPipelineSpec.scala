@@ -5,6 +5,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.sources.{Generator, Ingest}
 import graft.streaming.StreamingIngest
 import graft.operators.{Events, Relational}
+import graft.sinks.Sinks
 
 /** E2 streaming ingest (file source + AvailableNow + archive) and the E1
   * end-to-end pipeline smoke (SURVEY §5.4). */
@@ -108,6 +109,43 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(served.exceptAll(inline).isEmpty &&
       inline.exceptAll(served).isEmpty,
       "stream-maintained phrase index drifted from the batch build")
+  }
+
+  test("streaming CDC through the versioned publish: stream == batch " +
+      "merge, micro-batch replay is a ledger no-op, history composes") {
+    import spark.implicits._
+    val dir = tmpDir("mergestream")
+    val t = s"$dir/t"
+    // Trigger 1: the insert slice.
+    val b0 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", "seq")
+    b0.coalesce(1).write.parquet(s"$dir/in/b0")
+    def run(): Unit = StreamingIngest.mergePublishStream(
+      spark.readStream.schema(b0.schema).parquet(s"$dir/in/*"),
+      t, Seq("id"), s"$dir/ckpt", latestBy = Seq("seq"))
+    run()
+    def latest = Sinks.readLatest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest == Set((1L, "a"), (2L, "b")))
+    // Trigger 2 (same checkpoint — the stream RE-ATTACHES): an update
+    // for id=2 delivered twice in one batch (CDC coalescing; latestBy
+    // picks seq=3) plus an insert.
+    Seq((2L, "B_stale", 2L), (2L, "B", 3L), (3L, "c", 2L))
+      .toDF("id", "s", "seq").coalesce(1).write.parquet(s"$dir/in/b1")
+    run()
+    assert(latest == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // The versioned layout composes: the pre-update state is still
+    // readable and the change set is one diff.
+    assert(Sinks.readVersion(spark, t, 1).count() == 2)
+    val diff = Sinks.diffVersions(spark, t, 1, 2, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((2L, "changed"), (3L, "added")))
+    // Crash-replay of micro-batch 0 (exactly what a re-run foreachBatch
+    // does after a checkpoint-window failure): the applied-batch ledger
+    // detects it — no new version, no content change.
+    assert(Sinks.mergePublishWith(spark, b0, t, Seq("id"),
+      latestBy = Seq("seq"), batchId = Some(0L)) == 2)
+    assert(latest == Set((1L, "a"), (2L, "B"), (3L, "c")),
+      "replayed micro-batch mutated the stream-maintained table")
   }
 
   test("streaming drift gate: per-batch report equals the batch driftBetween") {
