@@ -56,6 +56,12 @@ object SparkEntry {
     // exactly, because the measures are integer sums.
     "q_rollup_incremental" -> ((s, d) =>
       graft.sinks.Sinks.readLatest(s, stagedAggTable(s, d))),
+    // the same standing rollup maintained by the STREAM (r12):
+    // checkpointed foreachBatch deltas through mergeAggPublish with
+    // the micro-batch id riding the applied-batch ledger — replay
+    // no-ops instead of double-counting; shares the full-rebuild twin.
+    "q_rollup_incremental_stream" -> ((s, d) =>
+      graft.sinks.Sinks.readLatest(s, stagedStreamAggTable(s, d))),
     // rollback (r10): after v2 published, rollbackTo(1) — readers must
     // resolve the PRE-merge base again (marker-only, no data moved).
     "q_rollback_read" -> ((s, d) =>
@@ -369,6 +375,18 @@ object SparkEntry {
     // SCD Type 2 (r9): change stream → versioned dimension with
     // half-open validity windows; one key-partitioned exchange.
     "q_scd2" -> ((s, d) => Scd.scd2(s, d)),
+    // the same dimension maintained by the STREAMING CDC path (r12):
+    // bootstrap + incremental scd2Apply micro-batches through the
+    // versioned publish (ledger-keyed — scd2Apply is not content-
+    // idempotent, so replay detection is the correctness condition);
+    // shares q_scd2's twin: stream ≡ rebuild.
+    "q_scd2_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.sinks.Sinks.readLatest(s, stagedScdStreamTable(s, d))
+        .drop("event_id")
+        .select(col("user_id"), col("version_no"), col("status"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    }),
     // Point-in-time fact⨝dim join over the SCD2 windows, with two
     // self-certifying audit columns (tiling ⇒ one match per fact row).
     "q_scd2_join" -> ((s, d) => Scd.factAsOfDim(s, d)),
@@ -638,6 +656,42 @@ object SparkEntry {
       s"$dir/t"
     })
 
+  /** SCD2 dimension maintained by the STREAMING path (r12): the
+    * fixture change stream split at its median ts into two append-only
+    * slices, delivered as checkpointed triggers through
+    * [[graft.streaming.StreamingIngest.scd2MaintenanceStream]]
+    * (bootstrap build, then incremental scd2Apply), plus a crash-replay
+    * of micro-batch 0 that the applied-batch ledger must no-op —
+    * scd2Apply re-unions a replayed slice's change points into the
+    * touched keys' histories, so WITHOUT the ledger the replay corrupts
+    * the dim (content idempotence does not hold). Shares q_scd2's
+    * from-scratch twin. */
+  private val stagedScdStreamTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedScdStreamTable(s: SparkSession, d: String): String =
+    stagedScdStreamTables.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions.col
+      val dir = tempDirWithCleanup("graft_scdstream")
+      val ev = Scd.changeStream(s, d)
+      val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+      def run(): Unit =
+        graft.streaming.StreamingIngest.scd2MaintenanceStream(
+          s.readStream.schema(ev.schema).parquet(s"$dir/in/*"),
+          s"$dir/t", s"$dir/ckpt")
+      ev.where(col("ts_us") <= cut).write.parquet(s"$dir/in/b0")
+      run()
+      ev.where(col("ts_us") > cut).write.parquet(s"$dir/in/b1")
+      run()
+      val replayed = graft.sinks.Sinks.publishState(s, s"$dir/t", {
+        case Some(dim) => Scd.scd2Apply(dim, ev.where(col("ts_us") <= cut))
+        case None => throw new IllegalStateException("empty scd table")
+      }, batchId = Some(0L))
+      require(replayed == 2,
+        s"replayed SCD micro-batch minted version $replayed")
+      s"$dir/t"
+    })
+
   /** Lifecycle tables for the rollback / vacuum oracle rows — each its
     * own directory because the operations MUTATE version state:
     * rollback drops markers above the target (readers resolve v=1, the
@@ -724,6 +778,45 @@ object SparkEntry {
       s"$dir/t"
     })
 
+  /** The standing rollup maintained by the STREAMING path (r12): the
+    * same two lineitem delta slices as [[stagedAggTable]], delivered
+    * as checkpointed file-stream triggers through
+    * [[graft.streaming.StreamingIngest.mergeAggPublishStream]], plus a
+    * crash-replay of micro-batch 0 that the applied-batch ledger must
+    * no-op (for an ADDITIVE merge that detection is the correctness
+    * condition — a replay double-counts, unlike the keyed merge's
+    * content convergence). Shares q_rollup_incremental's full-rebuild
+    * twin: stream ≡ incremental ≡ rebuild, exactly. */
+  private val stagedStreamAggTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedStreamAggTable(s: SparkSession, d: String): String =
+    stagedStreamAggTables.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions._
+      val dir = tempDirWithCleanup("graft_aggstream")
+      val li = graft.Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("sum_qty"),
+        lit(1L).as("n_rows"), col("l_orderkey"))
+      def slice(m: Int) =
+        li.where(col("l_orderkey") % 2 === m).drop("l_orderkey")
+      def run(): Unit =
+        graft.streaming.StreamingIngest.mergeAggPublishStream(
+          s.readStream.schema(slice(0).schema).parquet(s"$dir/in/*"),
+          s"$dir/t", Seq("l_returnflag", "l_linestatus"),
+          Seq("sum_qty", "n_rows"), s"$dir/ckpt")
+      slice(0).write.parquet(s"$dir/in/b0")
+      run()
+      slice(1).write.parquet(s"$dir/in/b1")
+      run()
+      val replayed = graft.sinks.Sinks.mergeAggPublish(s, slice(0),
+        s"$dir/t", Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty", "n_rows"), batchId = Some(0L))
+      require(replayed == 2,
+        s"replayed rollup micro-batch minted version $replayed")
+      s"$dir/t"
+    })
+
   private def stagedPairTable(s: SparkSession, d: String): DataFrame = {
     val path = stagedPairTables.computeIfAbsent(d, { _ =>
       val dir = tempDirWithCleanup("graft_pairs")
@@ -747,6 +840,39 @@ object SparkEntry {
     * per-(doc,term) contribution is micro-unit fixed-point rounded
     * BEFORE the per-doc sum so the aggregate is an order-insensitive
     * exact-long sum. */
+  /** One DuckDB twin for q_scd2 AND its stream-maintained form
+    * (r12): the from-scratch SCD2 build both must equal. */
+  private lazy val scd2Sql: String =
+    """WITH ev AS (
+        |  SELECT user_id, event_id, event_type AS status,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_id, status, ts_us
+        |  FROM (SELECT *, LAG(status, 1) OVER w AS prev_status
+        |        FROM ev WINDOW w AS (PARTITION BY user_id
+        |                             ORDER BY ts_us, event_id))
+        |  WHERE prev_status IS NULL OR prev_status <> status
+        |)
+        |SELECT user_id, version_no, status, valid_from_us, valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM (
+        |  SELECT user_id, status, ts_us AS valid_from_us,
+        |         LEAD(ts_us, 1) OVER w AS valid_to_us,
+        |         CAST(ROW_NUMBER() OVER w AS INT) AS version_no
+        |  FROM changes WINDOW w AS (PARTITION BY user_id
+        |                            ORDER BY ts_us, event_id)
+        |)""".stripMargin
+
+  /** One DuckDB twin for q_rollup_incremental AND its stream-
+    * maintained form (r12): the full-table rebuild both maintenance
+    * paths must equal exactly (integer sums are order-insensitive). */
+  private lazy val rollupRebuildSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   /** One DuckDB twin for BOTH q_hybrid_rrf and q_hybrid_rrf_served
     * (r12) — the shared SQL is the build/serve identity statement,
     * the bm25Sql pattern.  */
@@ -2050,11 +2176,10 @@ object SparkEntry {
 
     // The standing rollup after two delta applications must equal the
     // from-scratch rollup over the full table — exactly (long sums).
-    "q_rollup_incremental" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        |       CAST(COUNT(*) AS BIGINT) AS n_rows
-        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // The stream-maintained row (r12) shares it verbatim: stream ≡
+    // incremental ≡ rebuild.
+    "q_rollup_incremental" -> rollupRebuildSql,
+    "q_rollup_incremental_stream" -> rollupRebuildSql,
 
     "q_text_stats" ->
       s"""$ToksCte
@@ -3806,28 +3931,12 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     // Twin of Scd.scd2: identical change-suppression + validity windows
-    // (ties broken by the unique event_id in both engines).
-    "q_scd2" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type AS status,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-        |  FROM events
-        |), changes AS (
-        |  SELECT user_id, event_id, status, ts_us
-        |  FROM (SELECT *, LAG(status, 1) OVER w AS prev_status
-        |        FROM ev WINDOW w AS (PARTITION BY user_id
-        |                             ORDER BY ts_us, event_id))
-        |  WHERE prev_status IS NULL OR prev_status <> status
-        |)
-        |SELECT user_id, version_no, status, valid_from_us, valid_to_us,
-        |       valid_to_us IS NULL AS is_current
-        |FROM (
-        |  SELECT user_id, status, ts_us AS valid_from_us,
-        |         LEAD(ts_us, 1) OVER w AS valid_to_us,
-        |         CAST(ROW_NUMBER() OVER w AS INT) AS version_no
-        |  FROM changes WINDOW w AS (PARTITION BY user_id
-        |                            ORDER BY ts_us, event_id)
-        |)""".stripMargin,
+    // (ties broken by the unique event_id in both engines). The
+    // STREAM-maintained row (r12) shares it verbatim: the dimension
+    // maintained by checkpointed scd2Apply micro-batches through the
+    // versioned publish must equal the from-scratch build exactly.
+    "q_scd2" -> scd2Sql,
+    "q_scd2_stream" -> scd2Sql,
 
     // Twin of Scd.factAsOfDim: dim rebuilt by the q_scd2 SQL, then the
     // same equi-join + validity band + audit aggregates.

@@ -335,6 +335,26 @@ object Sinks {
     * OWNER's data present) or (no marker ∧ the stalled publisher
     * throws) — the serializability claim holds for stalls, not only
     * crashes. */
+  /** General versioned STATE-TRANSITION publish (r12): run an
+    * arbitrary `mergeOf` transition (current state → successor state)
+    * through the same claim-adjacency OCC loop, fencing, and
+    * applied-batch ledger as [[mergePublish]] — for maintenance
+    * operators whose transition is not a keyed merge (SCD2 apply, any
+    * fold of a delta into standing state). `mergeOf(None)` is the
+    * bootstrap. With a `batchId`, replaying a committed transition is
+    * detected and returns the current version untouched — which is the
+    * correctness condition whenever the transition is not idempotent
+    * by content. Engine-internal seam (private[graft]): public callers
+    * go through the named operators that pin their transition's
+    * semantics with specs and oracle rows. */
+  private[graft] def publishState(spark: SparkSession, tableDir: String,
+                                  mergeOf: Option[DataFrame] => DataFrame,
+                                  batchId: Option[Long],
+                                  orphanFenceMs: Long = 60000L,
+                                  beforeClaim: () => Unit = () => ()): Int =
+    publishLoop(spark, tableDir, mergeOf, orphanFenceMs, beforeClaim,
+      batchId)
+
   private def publishLoop(spark: SparkSession, tableDir: String,
                           mergeOf: Option[DataFrame] => DataFrame,
                           orphanFenceMs: Long,

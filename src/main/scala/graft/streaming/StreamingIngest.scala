@@ -235,6 +235,76 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming AGGREGATE maintenance through the versioned publish —
+    * the rollup twin of [[mergePublishStream]]: every micro-batch of
+    * raw rows (or pre-aggregated partials — the re-aggregation
+    * collapses either) folds into the standing rollup via
+    * [[graft.sinks.Sinks.mergeAggPublish]], keyed by the micro-batch
+    * id. Here the applied-batch ledger is not an optimization but the
+    * CORRECTNESS condition: additive merges double-count on replay
+    * (unlike the keyed merge's content convergence), so a checkpoint-
+    * window crash replay MUST be detected — the ledger check inside
+    * the OCC loop makes the replay a no-op, turning at-least-once
+    * delivery into exactly-once rollup maintenance. Per-trigger cost:
+    * one re-aggregation of (current rollup ∪ batch partials) — the
+    * rollup stays compact (group-key grain), so at 100 TB of FEED the
+    * standing state written per version is the rollup's size, not the
+    * corpus's. Additive long measures only (the mergeAggPublish
+    * contract). */
+  def mergeAggPublishStream(stream: DataFrame, tableDir: String,
+                            keys: Seq[String], sums: Seq[String],
+                            checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.Sinks.mergeAggPublish(batch.sparkSession, batch,
+          tableDir, keys, sums, batchId = Some(batchId))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming SCD2 dimension maintenance through the versioned
+    * publish (r12) — the dimension-table completion of the CDC story:
+    * each micro-batch of change events
+    * `(user_id, event_id, status, ts_us)` folds into the standing
+    * versioned dimension via [[graft.operators.Scd.scd2Apply]] (touched
+    * keys rebuilt from their own versions + the slice — O(affected),
+    * never O(history)); the first batch bootstraps via
+    * [[graft.operators.Scd.scd2FromChanges]]. Published through
+    * [[graft.sinks.Sinks.publishState]]'s OCC loop with the micro-batch
+    * id on the applied-batch ledger: scd2Apply is NOT idempotent by
+    * content (re-applying a slice re-unions its change points into the
+    * touched keys' histories), so replay detection is the correctness
+    * condition here, same as the additive rollup. The dim gets time
+    * travel / rollback / diff for free, and point-in-time consumers
+    * ([[graft.operators.Scd.statusAsOf]], factAsOfDim) read whole
+    * committed versions. Batch contract: slices append-only PER KEY
+    * (the scd2Apply envelope — route late data to the raw-history
+    * rebuild path). */
+  def scd2MaintenanceStream(stream: DataFrame, tableDir: String,
+                            checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The apply references the batch twice (affected keys + union)
+        // — persist so the source parses once per trigger.
+        batch.persist()
+        try {
+          graft.sinks.Sinks.publishState(batch.sparkSession, tableDir, {
+            case None => graft.operators.Scd.scd2FromChanges(batch)
+            case Some(dim) => graft.operators.Scd.scd2Apply(dim, batch)
+          }, batchId = Some(batchId))
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Standing near-dup index maintenance (VERDICT r5 ask #7): each
     * micro-batch of arriving documents lands in the docs layer
     * (batchId-idempotent) and is folded into the persisted signature +

@@ -121,6 +121,24 @@ class RetrievalSpec extends SparkSpec {
       inline.exceptAll(replayed).isEmpty, "replay double-indexed")
   }
 
+  test("hybrid rrf served == inline; lex arm partition-pruned") {
+    import graft.operators.{Retrieval, Similarity}
+    val dir = tmpDir("hybrid_idx")
+    Retrieval.buildLexIndex(spark, sf0001, s"$dir/lex")
+    Similarity.buildIvfIndex(spark, sf0001, s"$dir/ivf")
+    val served = Retrieval.hybridRrfServed(spark, s"$dir/lex", s"$dir/ivf")
+    val inline = Retrieval.hybridRrf(spark, sf0001)
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty,
+      "served hybrid drifted from the inline fusion")
+    // The lex arm must touch only the query terms' partitions — the
+    // bm25TopKServed pin, carried to the fused form.
+    served.collect()
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("tok"),
+      s"served hybrid's postings read not partition-pruned:\n$p")
+  }
+
   test("pos index mixed lifecycle: bootstrap → stream maintenance on ONE " +
       "indexPath; replayed batch 0 never clobbers the bootstrap slice") {
     import graft.operators.Retrieval

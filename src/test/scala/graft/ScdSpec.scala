@@ -67,6 +67,40 @@ class ScdSpec extends SparkSpec {
       "incrementally maintained dim diverged from the from-scratch build")
   }
 
+  test("stream-maintained dim == full rebuild; micro-batch replay is a " +
+      "ledger no-op (scd2Apply is not content-idempotent)") {
+    val ev = Scd.changeStream(spark, sf0001)
+    val t0 = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val s0 = ev.where($"ts_us" <= t0)
+    val s1 = ev.where($"ts_us" > t0)
+    assert(s0.count() > 0 && s1.count() > 0)
+    val dir = tmpDir("scdstream")
+    // Two checkpointed triggers: bootstrap, then incremental apply.
+    def run(): Unit = graft.streaming.StreamingIngest.scd2MaintenanceStream(
+      spark.readStream.schema(s0.schema).parquet(s"$dir/in/*"),
+      s"$dir/t", s"$dir/ckpt")
+    s0.coalesce(1).write.parquet(s"$dir/in/b0")
+    run()
+    s1.coalesce(1).write.parquet(s"$dir/in/b1")
+    run()
+    val full = Scd.scd2FromChanges(ev)
+    def served = graft.sinks.Sinks.readLatest(spark, s"$dir/t")
+    assert(served.except(full).isEmpty && full.except(served).isEmpty,
+      "stream-maintained dim diverged from the from-scratch build")
+    // Replay micro-batch 0: WITHOUT the ledger this re-unions s0's
+    // change points into every touched key's history (scd2Apply is not
+    // idempotent by content) — the ledger must no-op it.
+    assert(graft.sinks.Sinks.publishState(spark, s"$dir/t", {
+      case Some(dim) => Scd.scd2Apply(dim, s0)
+      case None => fail("replay saw an empty table")
+    }, batchId = Some(0L)) == 2)
+    assert(served.except(full).isEmpty && full.except(served).isEmpty,
+      "replayed micro-batch corrupted the dim")
+    // History composes: v=1 is the bootstrap slice's dim.
+    assert(graft.sinks.Sinks.readVersion(spark, s"$dir/t", 1)
+      .except(Scd.scd2FromChanges(s0)).isEmpty)
+  }
+
   test("one exchange: the three windows share the key partitioning") {
     // sf0.01, NOT sf0.001: the cached `dim` above has the sf0.001
     // logical plan, and the cache manager would substitute an

@@ -148,6 +148,43 @@ class StreamingPipelineSpec extends SparkSpec {
       "replayed micro-batch mutated the stream-maintained table")
   }
 
+  test("streaming rollup maintenance: stream == rebuild exactly, " +
+      "micro-batch replay cannot double-count") {
+    import spark.implicits._
+    val dir = tmpDir("aggstream")
+    val t = s"$dir/t"
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 1L, 5L), ("b", 1L, 7L),
+      ("a", 1L, 3L), ("b", 1L, 2L), ("c", 1L, 1L))
+      .toDF("k", "ones", "qty")
+    // Two triggers (checkpointed re-attach between them — the standing
+    // stream lifecycle), slices overlapping on keys.
+    val s0 = rows.where($"qty" >= 5L)
+    val s1 = rows.where($"qty" < 5L)
+    s0.coalesce(1).write.parquet(s"$dir/in/b0")
+    def run(): Unit = StreamingIngest.mergeAggPublishStream(
+      spark.readStream.schema(rows.schema).parquet(s"$dir/in/*"),
+      t, Seq("k"), Seq("ones", "qty"), s"$dir/ckpt")
+    run()
+    s1.coalesce(1).write.parquet(s"$dir/in/b1")
+    run()
+    def got = Sinks.readLatest(spark, t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(("a", 3L, 18L), ("b", 2L, 9L), ("c", 1L, 1L))
+    assert(got == want, s"stream-maintained rollup drifted: $got")
+    // Crash-replay of micro-batch 0: additive merge would DOUBLE-COUNT
+    // — the ledger makes it a detected no-op instead (this is the
+    // correctness condition, not an optimization: content idempotence
+    // cannot save an additive merge).
+    assert(Sinks.mergeAggPublish(spark, s0, t, Seq("k"),
+      Seq("ones", "qty"), batchId = Some(0L)) == 2)
+    assert(got == want, s"replayed micro-batch double-counted: $got")
+    // The rollup history composes: version 1 is the first slice alone.
+    assert(Sinks.readVersion(spark, t, 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("a", 2L, 15L), ("b", 1L, 7L)))
+  }
+
   test("streaming drift gate: per-batch report equals the batch driftBetween") {
     val dir = tmpDir("driftgate")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
