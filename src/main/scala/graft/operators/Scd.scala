@@ -77,14 +77,40 @@ object Scd {
     * user_id and the untouched (usually overwhelming) majority of the
     * dim is never rewritten.
     *
-    * Envelope (documented, enforced nowhere cheaper than the caller):
-    * the slice must be append-only PER KEY (every new ts at-or-after
-    * the key's open version). LATE data can resurrect a suppressed
-    * duplicate that compression dropped (… A(t1) [A(t5) suppressed] …
-    * + late B(t3) ⇒ A(t5) becomes a change again) — that case needs
-    * the raw-history rebuild path, which [[scd2]] is. */
-  def scd2Apply(dim: DataFrame, newChanges: DataFrame): DataFrame = {
+    * Envelope — now ENFORCED in the engine (r12): the slice must be
+    * append-only PER KEY (every new ts at-or-after the key's open
+    * version). LATE data can resurrect a suppressed duplicate that
+    * compression dropped (… A(t1) [A(t5) suppressed] … + late B(t3) ⇒
+    * A(t5) becomes a change again) — that case needs the raw-history
+    * rebuild path, which [[scd2]] is. The violation used to be the
+    * caller's silent-divergence hazard; the apply now detects it with
+    * one aggregate over the AFFECTED keys only (max open valid_from vs
+    * the slice's min ts per key — grain bounded by the slice, never
+    * the dim) and fails loudly with the remedy. The probe rides the
+    * same key-partitioned join the apply already pays; `checkLate =
+    * false` opts out when the feed is append-only by construction
+    * (e.g. an event-time-ordered stream) and the driver-side probe
+    * matters. */
+  def scd2Apply(dim: DataFrame, newChanges: DataFrame,
+                checkLate: Boolean = true): DataFrame = {
     val affected = newChanges.select(col("user_id")).distinct()
+    if (checkLate) {
+      val open = dim.where(col("is_current"))
+        .select(col("user_id"), col("valid_from_us").as("open_from_us"))
+      val late = newChanges
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("min_ts_us"))
+        .join(open, Seq("user_id"))
+        .where(col("min_ts_us") < col("open_from_us"))
+      val sample = late.select(col("user_id"), col("min_ts_us"),
+        col("open_from_us")).take(3)
+      require(sample.isEmpty,
+        "scd2Apply: LATE changes for key(s) " +
+          sample.map(r => s"${r.get(0)} (ts ${r.get(1)} < open version " +
+            s"from ${r.get(2)})").mkString("; ") +
+          " — a slice must be append-only per key (version compression " +
+          "cannot resurrect suppressed duplicates); rebuild those keys " +
+          "from raw history via scd2FromChanges instead")
+    }
     val untouched = dim.join(affected, Seq("user_id"), "left_anti")
     val touchedAsChanges = dim.join(affected, Seq("user_id"), "left_semi")
       .select(col("user_id"), col("event_id"), col("status"),

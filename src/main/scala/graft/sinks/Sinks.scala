@@ -825,6 +825,48 @@ object Sinks {
   def readVersion(spark: SparkSession, tableDir: String, version: Int): DataFrame =
     spark.read.parquet(s"$tableDir/v=$version")
 
+  /** TIME-based time travel (r12): the version current AS OF
+    * `atMillis`. A marker file is created at the commit instant and
+    * never modified, so its mtime IS the version's commit timestamp —
+    * the version as of t is max{v : marker-mtime(v) ≤ t}, resolved
+    * from the same marker listing [[readLatest]] uses (one directory
+    * listing, no data touched). Monotone: markers only accumulate, so
+    * the same t always resolves the same version until vacuum reclaims
+    * it (fails loudly then — a reclaimed version cannot be served).
+    * Caveat for cross-machine readers: mtimes carry the NAMENODE/store
+    * clock, the usual caveat of timestamp-based travel (table formats
+    * embed commit times in their log for the same reason, with the
+    * same trust model). */
+  def versionAt(spark: SparkSession, tableDir: String,
+                atMillis: Long): Int = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = new Path(root, MarkerDir)
+    val committed =
+      if (!fs.exists(md)) Nil
+      else fs.listStatus(md).toSeq
+        .flatMap(st => st.getPath.getName.toIntOption
+          .map(v => v -> st.getModificationTime))
+    val asOf = committed.filter(_._2 <= atMillis).map(_._1)
+    require(asOf.nonEmpty,
+      s"no servable version of $tableDir as of $atMillis — either before " +
+        "the first commit, or vacuumed past the retention window " +
+        "(earliest surviving marker: " +
+        s"${committed.map(_._2).minOption.getOrElse("none")}; widen " +
+        "vacuumVersions' keepLast to serve travel this far back)")
+    val v = asOf.max
+    require(fs.exists(new Path(root, s"v=$v")),
+      s"version v=$v of $tableDir (current as of $atMillis) has a marker " +
+        "but no data directory — a fence restore or vacuum is in flight; " +
+        "retry, or run vacuumVersions to complete a crashed restore")
+    v
+  }
+
+  /** [[readVersion]] at the version [[versionAt]] resolves. */
+  def readAsOf(spark: SparkSession, tableDir: String,
+               atMillis: Long): DataFrame =
+    readVersion(spark, tableDir, versionAt(spark, tableDir, atMillis))
+
   /** Keyed diff of two published versions — the review artifact for a
     * versioned corpus ("what did this rebuild actually change?"):
     * one row per key whose state differs, `change` ∈ added / removed /
@@ -898,12 +940,16 @@ object Sinks {
     fs.delete(new Path(root, "LATEST"), false)
   }
 
-  /** Drop every version directory below the pointed-to one (how long a
-    * time-travel window to keep is the caller's policy; the pointed
-    * version and any NEWER unreferenced one — a publish may be in
-    * flight — survive). Vacuumed versions lose their publish markers
-    * too, so a later "rollback by deleting newer markers" can never
-    * point at a reclaimed directory. Returns the versions removed.
+  /** Drop version directories below the pointed-to one, RETAINING the
+    * `keepLast` newest of them as the time-travel window (r12 — the
+    * scaladoc always said the window is the caller's policy; now the
+    * API has the knob: keepLast = 0 keeps only the current version,
+    * keepLast = 3 serves [[readAsOf]]/[[rollbackTo]] three versions
+    * back). The pointed version and any NEWER unreferenced one — a
+    * publish may be in flight — always survive. Vacuumed versions lose
+    * their publish markers too, so a later "rollback by deleting newer
+    * markers" can never point at a reclaimed directory. Returns the
+    * versions removed.
     *
     * Fence-tombstone reaping (r12, VERDICT r11 #4): a fencer that
     * crashed mid-fence leaves a hidden `.fenced-g-*` directory — on a
@@ -915,7 +961,9 @@ object Sinks {
     * committed or are already served from `v=g` — delete. The
     * tombstone pass runs FIRST so a restored version participates in
     * the normal retention sweep below. */
-  def vacuumVersions(spark: SparkSession, tableDir: String): Seq[Int] = {
+  def vacuumVersions(spark: SparkSession, tableDir: String,
+                     keepLast: Int = 0): Seq[Int] = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(root).toSeq
@@ -930,7 +978,10 @@ object Sinks {
         else fs.delete(st.getPath, true)
       }
     val current = currentVersion(fs, root)
+    // Keep the `keepLast` NEWEST below current (by version number, not
+    // arithmetic — committed numbers need not be contiguous).
     val old = listVersions(fs, root).filter(_ < current).sorted
+      .dropRight(keepLast)
     old.foreach { v =>
       fs.delete(new Path(root, s"v=$v"), true)
       fs.delete(new Path(root, s"$MarkerDir/$v"), false)

@@ -231,6 +231,97 @@ class PublishFenceSpec extends SparkSpec {
       batchId = Some(0L)) == 1, "replayed merge batch minted a version")
   }
 
+  test("time-based travel + retention window: readAsOf resolves by " +
+      "commit instant, vacuum keepLast preserves the travel horizon") {
+    val t = s"${tmpDir("asof")}/t"
+    def pub(i: Long): Unit = {
+      assert(Sinks.mergePublish(spark,
+        Seq((i, s"s$i")).toDF("id", "s"), t, Seq("id")) == i.toInt)
+      Thread.sleep(30) // separate the marker mtimes (= commit instants)
+    }
+    pub(1L); val afterV1 = System.currentTimeMillis(); Thread.sleep(30)
+    pub(2L); val afterV2 = System.currentTimeMillis(); Thread.sleep(30)
+    pub(3L); pub(4L)
+    assert(Sinks.versionAt(spark, t, afterV1) == 1)
+    assert(Sinks.versionAt(spark, t, afterV2) == 2)
+    assert(Sinks.versionAt(spark, t, System.currentTimeMillis()) == 4)
+    assert(Sinks.readAsOf(spark, t, afterV2).count() == 2)
+    // Before the first commit: loud, with the earliest instant named.
+    val e = intercept[IllegalArgumentException] {
+      Sinks.versionAt(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("no servable version"))
+    // Retention window: keepLast=2 reclaims only v=1 — v=2 and v=3
+    // keep serving time travel.
+    assert(Sinks.vacuumVersions(spark, t, keepLast = 2) == Seq(1))
+    assert(Sinks.versionAt(spark, t, afterV2) == 2)
+    assert(Sinks.readVersion(spark, t, 3).count() == 3)
+    // Travel past the reclaimed horizon fails loudly, with the remedy.
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.versionAt(spark, t, afterV1)
+    }
+    assert(e2.getMessage.contains("keepLast"))
+    // Default (keepLast=0) reclaims the rest below current.
+    assert(Sinks.vacuumVersions(spark, t) == Seq(2, 3))
+    assert(Sinks.readLatest(spark, t).count() == 4)
+  }
+
+  test("protocol soak: concurrent publishers under zero fence age + a " +
+      "stalled claim — exact sums, loud fences, clean root") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = s"${tmpDir("fence_soak")}/t"
+    val (fs, _, root) = fsOf(t)
+    assert(Sinks.mergeAggPublish(spark, Seq(("k", 0L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"), batchId = Some(100L)) == 1)
+    // A claim that will NEVER commit: every concurrent publisher that
+    // loses adjacency must fence it (age gate zero) — the stall the
+    // protocol exists for, now under real thread interleavings.
+    val stalled = Sinks.stageAndClaim(Seq(("k", 999L)).toDF("k", "n"), t)
+    // With fence age 0 even an IN-FLIGHT competitor can be fenced
+    // between its claim and its commit — then mergeAggPublish throws
+    // `publish fenced` and the contract is REPLAY: same batchId, the
+    // ledger keeps the retry exactly-once even if the throw raced the
+    // marker.
+    def publish(i: Long): Int = {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        assert(attempts <= 30, s"publisher $i fenced $attempts times")
+        try return Sinks.mergeAggPublish(spark,
+          Seq(("k", i)).toDF("k", "n"), t, Seq("k"), Seq("n"),
+          batchId = Some(i), orphanFenceMs = 0L)
+        catch { case e: IllegalStateException
+          if e.getMessage.contains("publish fenced") => () }
+      }
+      -1
+    }
+    val fs4 = (1L to 4L).map(i => Future(publish(i)))
+    Await.result(Future.sequence(fs4), 300.seconds)
+    def sum = Sinks.readLatest(spark, t).collect()
+      .map(r => r.getLong(1)).sum
+    assert(sum == 10L, s"a concurrent delta was lost or doubled: $sum")
+    // The stalled publisher was fenced by SOMEONE — its commit throws,
+    // its 999 never entered the sum.
+    intercept[IllegalStateException] {
+      Sinks.commitMarker(spark, t, stalled)
+    }
+    assert(sum == 10L)
+    // Every id replays as a no-op against the final state.
+    (1L to 4L).foreach { i =>
+      Sinks.mergeAggPublish(spark, Seq(("k", 77L)).toDF("k", "n"),
+        t, Seq("k"), Seq("n"), batchId = Some(i), orphanFenceMs = 0L)
+    }
+    assert(sum == 10L, "a replayed id re-applied after the soak")
+    // Root hygiene: only committed version dirs + markers survive — no
+    // tombstones, no stage debris, no orphaned claims.
+    val kids = childrenOf(fs, root)
+    val markers = markersOf(fs, root)
+    assert(kids == markers.map(v => s"v=$v") + "_latest",
+      s"soak left debris: ${kids -- markers.map(v => s"v=$v") - "_latest"}")
+  }
+
   test("ledger survives the OCC retry: a racing publisher between read " +
       "and claim does not break replay detection") {
     val t = s"${tmpDir("ledger_occ")}/t"

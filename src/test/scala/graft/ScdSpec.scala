@@ -67,6 +67,25 @@ class ScdSpec extends SparkSpec {
       "incrementally maintained dim diverged from the from-scratch build")
   }
 
+  test("late slice fails loudly: the append-only envelope is enforced, " +
+      "not just documented") {
+    val ev = Scd.changeStream(spark, sf0001)
+    val t0 = ev.stat.approxQuantile("ts_us", Array(0.8), 0.0).head.toLong
+    val dim = Scd.scd2FromChanges(ev.where($"ts_us" > t0 - 1))
+    // A slice entirely BEFORE the open versions: version compression
+    // could not reproduce the raw-history rebuild — must throw with
+    // the remedy, never silently diverge.
+    val e = intercept[IllegalArgumentException] {
+      Scd.scd2Apply(dim, ev.where($"ts_us" <= t0 - 1)).count()
+    }
+    assert(e.getMessage.contains("LATE") &&
+      e.getMessage.contains("scd2FromChanges"))
+    // Opt-out for append-only-by-construction feeds still works.
+    val ok = Scd.scd2Apply(dim, ev.where($"ts_us" > t0 - 1),
+      checkLate = false)
+    assert(ok.count() > 0)
+  }
+
   test("stream-maintained dim == full rebuild; micro-batch replay is a " +
       "ledger no-op (scd2Apply is not content-idempotent)") {
     val ev = Scd.changeStream(spark, sf0001)
