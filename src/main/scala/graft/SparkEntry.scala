@@ -160,6 +160,12 @@ object SparkEntry {
       Curation.curatedDocsContainmentFrom(s, d, stagedPairTable(s, d))),
     // train/eval n-gram contamination check over the hash split
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
+    // cross-split leakage at the NEAR-DUP tier (r12): verified pairs
+    // straddling the train/val/test split, served from the standing
+    // pair table — the audit is a shuffle-free projection (split =
+    // inline hash-bucket of each member id).
+    "q_split_leakage" -> ((s, d) =>
+      Curation.splitLeakage(stagedPairTable(s, d))),
     // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
     "q_generator" -> ((s, _) => sources.Generator.campaigns(s, 1000)),
     "q_ingest_roundtrip_csv" -> ((s, d) => ingestRoundtrip(s, d, "csv")),
@@ -411,6 +417,15 @@ object SparkEntry {
     // boundary-safe cut must leave the token stream bit-identical.
     "q_bpe_encode_chunked" ->
       ((s, d) => TextOps.bpeEncodeChunked(s, d, maxPieces = 64)),
+    // DECODE round-trip (r12): the losslessness proof — decode of the
+    // full mine→encode chain must reproduce the original piece stream;
+    // the twin computes the piece-concat md5 straight from text, so any
+    // content the encode loop drops or doubles hash-mismatches.
+    "q_bpe_roundtrip" -> ((s, d) => TextOps.bpeRoundtrip(s, d)),
+    // TOKEN IDS (r12): bounded top-V vocab (dense ids by count DESC,
+    // token ASC; broadcastable BY CONSTRUCTION) + reserved UNK id —
+    // each doc's ordered id sequence md5-pinned, values AND order.
+    "q_bpe_ids" -> ((s, d) => TextOps.bpeIds(s, d)),
     // Build/serve identity on the oracle surface for the minhash tier
     // (VERDICT r6 #4, mirroring q_ann_ivf_served): the SERVED form
     // reads the once-per-JVM staged pair table, the INLINE form
@@ -1969,6 +1984,23 @@ object SparkEntry {
     * chunked row hash-matching this same recursive-CTE replay IS
     * the driver-verified equivalence proof. */
   private lazy val bpeEncodeOracle: String =
+      s"""$bpeEncodeCtes
+         |SELECT p.doc_id AS doc_id,
+         |       CAST(len(p.p) AS BIGINT) AS n_pieces,
+         |       CAST(CASE WHEN f.enc_text IS NULL OR f.enc_text = '' THEN 0
+         |            ELSE len(string_split(f.enc_text, ' ')) END AS BIGINT)
+         |         AS n_tokens,
+         |       CASE WHEN len(p.p) > 0 THEN
+         |         CAST(CASE WHEN f.enc_text IS NULL OR f.enc_text = ''
+         |              THEN 0 ELSE len(string_split(f.enc_text, ' ')) END
+         |           AS DOUBLE) / len(p.p) END AS compression,
+         |       md5(coalesce(f.enc_text, '')) AS encoded_md5
+         |FROM pieces p
+         |LEFT JOIN fin f ON p.doc_id = f.doc_id""".stripMargin
+
+  /** The shared mine→encode replay (through per-doc `enc_text` in
+    * `fin`) — prefix of [[bpeEncodeOracle]] and the bpe_ids twin. */
+  private lazy val bpeEncodeCtes: String =
       s"""WITH RECURSIVE pieces AS (
          |  SELECT doc_id, regexp_extract_all(lower(text),
          |           '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS p
@@ -2004,19 +2036,7 @@ object SparkEntry {
          |  SELECT doc_id, trim(st) AS enc_text FROM enc e
          |  WHERE NOT EXISTS (SELECT 1 FROM mr
          |                    WHERE contains(e.st, ' '||mr.a||' '||mr.b||' '))
-         |)
-         |SELECT p.doc_id AS doc_id,
-         |       CAST(len(p.p) AS BIGINT) AS n_pieces,
-         |       CAST(CASE WHEN f.enc_text IS NULL OR f.enc_text = '' THEN 0
-         |            ELSE len(string_split(f.enc_text, ' ')) END AS BIGINT)
-         |         AS n_tokens,
-         |       CASE WHEN len(p.p) > 0 THEN
-         |         CAST(CASE WHEN f.enc_text IS NULL OR f.enc_text = ''
-         |              THEN 0 ELSE len(string_split(f.enc_text, ' ')) END
-         |           AS DOUBLE) / len(p.p) END AS compression,
-         |       md5(coalesce(f.enc_text, '')) AS encoded_md5
-         |FROM pieces p
-         |LEFT JOIN fin f ON p.doc_id = f.doc_id""".stripMargin
+         |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_master_model" ->
@@ -2756,6 +2776,37 @@ object SparkEntry {
          |WHERE a.bucket < 80 AND b.bucket >= 90
          |GROUP BY 1, 2
          |HAVING COUNT(*) >= 3""".stripMargin,
+
+    // Near-dup-tier leakage: the verified pair frame (the ngram_jaccard
+    // twin's CTE) with each member's split computed by the same
+    // md5-bucket expression as q_train_split, kept where the splits
+    // differ — replayed from scratch here, served from the standing
+    // pair table on the Spark side (another build/serve identity).
+    "q_split_leakage" ->
+      s"""$ToksCte, $minhashCtes, verified AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         len(list_intersect(a.sh, b.sh)) AS n_inter,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |), sp AS (
+         |  SELECT doc_a, doc_b, n_inter, jaccard,
+         |         CASE WHEN CAST('0x' || substr(md5('split:' || doc_a::VARCHAR), 1, 8)
+         |                AS BIGINT) % 100 < 80 THEN 'train'
+         |              WHEN CAST('0x' || substr(md5('split:' || doc_a::VARCHAR), 1, 8)
+         |                AS BIGINT) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split_a,
+         |         CASE WHEN CAST('0x' || substr(md5('split:' || doc_b::VARCHAR), 1, 8)
+         |                AS BIGINT) % 100 < 80 THEN 'train'
+         |              WHEN CAST('0x' || substr(md5('split:' || doc_b::VARCHAR), 1, 8)
+         |                AS BIGINT) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split_b
+         |  FROM verified WHERE jaccard >= 0.5
+         |)
+         |SELECT doc_a, doc_b, split_a, split_b, n_inter, jaccard
+         |FROM sp WHERE split_a <> split_b""".stripMargin,
 
     "q_generator" -> {
       def h8(tag: String) =
@@ -4203,6 +4254,45 @@ object SparkEntry {
     // Forced-small segments at fixture scale (maxPieces=64), same
     // twin: chunk-first must be invisible in the result.
     "q_bpe_encode_chunked" -> bpeEncodeOracle,
+
+    // Losslessness twin: the piece-concat md5 computed directly from
+    // text — deliberately NOT the recursive encode CTE, because the
+    // invariant (decode ∘ encode = piece stream) holds for EVERY merge
+    // set; the Spark side still runs the full mine→encode→decode chain,
+    // so a content-eating merge loop cannot pass.
+    "q_bpe_roundtrip" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(lower(text),
+         |         '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_pieces,
+         |       md5(array_to_string(regexp_extract_all(lower(text),
+         |         '[a-z]+|[0-9]+|[^a-z0-9\\s]'), '')) AS decoded_md5
+         |FROM documents""".stripMargin,
+
+    // Token-id twin: replay the encode to per-doc enc_text, rank the
+    // top-V vocab (count DESC, token ASC), left-join ids over the
+    // zip-unnested token/position stream (UNK = V for misses), and
+    // string_agg the ids in position order under the md5.
+    "q_bpe_ids" ->
+      s"""$bpeEncodeCtes, etoks AS (
+         |  SELECT doc_id, t.tok, t.pos
+         |  FROM fin, LATERAL (
+         |    SELECT unnest(string_split(enc_text, ' ')) AS tok,
+         |           unnest(range(1, len(string_split(enc_text, ' ')) + 1)) AS pos) t
+         |  WHERE enc_text <> ''
+         |), vocab AS (
+         |  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) - 1 AS id
+         |  FROM etoks GROUP BY tok
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC)
+         |    <= ${TextOps.BpeVocabSize}
+         |)
+         |SELECT e.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_unk,
+         |       md5(string_agg(coalesce(v.id, ${TextOps.BpeVocabSize})::VARCHAR,
+         |         ' ' ORDER BY e.pos)) AS ids_md5
+         |FROM etoks e LEFT JOIN vocab v USING (tok)
+         |GROUP BY e.doc_id""".stripMargin,
 
     // Served (from the staged pair table) and inline (recomputing the
     // minhash→LSH→verify chain in-query) forms SHARE one twin — the

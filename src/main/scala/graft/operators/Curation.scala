@@ -147,6 +147,35 @@ object Curation {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Cross-split leakage audit at the NEAR-DUP tier — the complement of
+    * [[decontaminate]]'s exact-shingle evidence: a verified near-dup
+    * pair whose members landed on different sides of the train/val/test
+    * split is contamination the split hash cannot prevent (hash splits
+    * are content-blind; near-identical documents with different ids
+    * split independently, and a test doc whose near-twin trains
+    * silently inflates every eval built on it). Served from the
+    * standing verified pair table, the audit is a PROJECTION: the split
+    * is the same per-row hash-bucket expression as
+    * [[Sampling.trainSplit]] computed inline on each pair member — no
+    * corpus join, no shuffle, no recompute; at a standing deployment
+    * this costs one scan of the (tiny relative to corpus) pair table.
+    * Emits the offending pairs with both splits and the Jaccard
+    * evidence; the curation remedy is dropping the non-train member
+    * (or re-binning by content fingerprint, which exact dedup upstream
+    * already handles for byte-identical twins). */
+  def splitLeakage(pairFrame: DataFrame,
+                   minJaccard: Double = 0.5): DataFrame = {
+    def splitCol(c: org.apache.spark.sql.Column) =
+      Sampling.splitOf(Sampling.splitBucket(c))
+    pairFrame
+      .where(col("jaccard") >= minJaccard)
+      .withColumn("split_a", splitCol(col("doc_a")))
+      .withColumn("split_b", splitCol(col("doc_b")))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("n_inter"), col("jaccard"))
+  }
+
   /** The standing data-quality contract for the documents corpus,
     * name → predicate. Rules are plain Columns, so they compile into
     * the scan like any filter. */

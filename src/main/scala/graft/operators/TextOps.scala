@@ -695,7 +695,20 @@ object TextOps {
     * the loop body for the classic heap-over-positions tokenizer, which
     * preserves these exact semantics at O(L log L). */
   def bpeEncode(spark: SparkSession, dir: String,
-                k: Int = BpeTopK): DataFrame = {
+                k: Int = BpeTopK): DataFrame =
+    bpeEncodedRows(spark, dir, k).select(
+      col("doc_id"), col("n_pieces"), col("n_tokens"),
+      when(col("n_pieces") > 0,
+        col("n_tokens").cast("double") / col("n_pieces"))
+        .as("compression"),
+      md5(col("enc")).as("encoded_md5"))
+
+  /** The full (doc_id, n_pieces, n_tokens, enc) encode frame backing
+    * [[bpeEncode]] and [[bpeRoundtrip]] — one definition so the
+    * md5-pinned encoding and the losslessness proof can never drift
+    * onto different encode paths. */
+  private def bpeEncodedRows(spark: SparkSession, dir: String,
+                             k: Int): DataFrame = {
     import spark.implicits._
     val merges: Array[(String, String)] =
       bpeMergeCandidates(spark, dir, k)
@@ -706,7 +719,7 @@ object TextOps {
           (p(0), p(1))
         }
     val bc = spark.sparkContext.broadcast(merges)
-    val encoded = Spread(Tables.documents(spark, dir))
+    Spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         val re = java.util.regex.Pattern.compile(BpePiecePattern)
@@ -723,12 +736,77 @@ object TextOps {
           (docId, pieces.length.toLong, nTok, enc)
         }
       }.toDF("doc_id", "n_pieces", "n_tokens", "enc")
-    encoded.select(
-      col("doc_id"), col("n_pieces"), col("n_tokens"),
-      when(col("n_pieces") > 0,
-        col("n_tokens").cast("double") / col("n_pieces"))
-        .as("compression"),
-      md5(col("enc")).as("encoded_md5"))
+  }
+
+  /** BPE DECODE + the losslessness proof a tokenizer owes its training
+    * pipeline: every token is by construction a concatenation of
+    * original pieces (a merge only ever glues adjacent units, and the
+    * piece alphabet `[a-z]+|[0-9]+|[^a-z0-9\s]` excludes the space the
+    * token stream is delimited with), so decode is exactly "strip the
+    * delimiters", and decode(encode(x)) must equal x's piece stream —
+    * the tokenizer can reorder BOUNDARIES but never drop, duplicate, or
+    * alter CONTENT. The row pins that invariant end-to-end through the
+    * real mine→encode chain: the Spark side runs the full top-k merge
+    * mining and fixpoint encode and then decodes; the DuckDB twin
+    * computes the piece-concat md5 straight from `text` WITHOUT
+    * replaying the encode (no recursive CTE — the invariant is
+    * merge-set-independent), so any character a buggy merge loop eats
+    * or doubles hash-mismatches. Scale shape inherits [[bpeEncode]]'s:
+    * broadcast merge table, map-only encode, no shuffle. */
+  def bpeRoundtrip(spark: SparkSession, dir: String,
+                   k: Int = BpeTopK): DataFrame =
+    bpeEncodedRows(spark, dir, k).select(
+      col("doc_id"), col("n_pieces"),
+      md5(regexp_replace(col("enc"), " ", "")).as("decoded_md5"))
+
+  /** Vocab id budget for [[bpeIds]] — fixture-sized BELOW the
+    * synthetic corpus's 31-piece alphabet so the cap genuinely binds
+    * and the UNK path is live on the oracle surface (a cap nothing
+    * falls past is untested semantics); production budgets are
+    * 32k–256k, same shape. */
+  val BpeVocabSize = 24
+
+  /** TOKEN-ID EMISSION — the step that makes the tokenizer's output a
+    * training input (mine → encode → ids; [[bpeRoundtrip]] is the
+    * inverse leg): a bounded vocabulary of the `vocabSize` most
+    * frequent tokens gets dense ids 0..V−1 by (count DESC, token ASC)
+    * — the deterministic rank, via the same salted two-phase
+    * [[Ranking.saltedTopK]] every global top-k here uses — and each
+    * document becomes its ordered id sequence (md5-pinned, so the
+    * hash pins id VALUES and ORDER both), with out-of-vocab tokens
+    * mapped to the reserved UNK id V and counted per doc.
+    *
+    * The vocab CAP is what makes this scale: the raw piece alphabet is
+    * unbounded (every distinct word is a candidate token), so an
+    * uncapped id table could not broadcast — capping at V bounds the
+    * mapping side BY CONSTRUCTION, the id join broadcasts at any
+    * corpus size, and the cap IS the semantics (real tokenizers fix V
+    * and reserve UNK) rather than an approximation. The per-doc
+    * reassembly shuffles token rows once on doc_id into a hash
+    * aggregate whose sort_array-over-collect_list state is bounded by
+    * document length — the same bound the encode itself already
+    * carries. Docs with an empty piece stream have no id sequence and
+    * are absent (the twin's GROUP BY agrees). */
+  def bpeIds(spark: SparkSession, dir: String,
+             k: Int = BpeTopK, vocabSize: Int = BpeVocabSize): DataFrame = {
+    val toks = bpeEncodedRows(spark, dir, k)
+      .select(col("doc_id"),
+        posexplode(split(col("enc"), " ")).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+    val counted = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val vocab = Ranking.saltedTopK(counted, Seq.empty,
+        Seq(col("n").desc, col("tok").asc),
+        Hash.h8("bpevocab", col("tok")), vocabSize, 16)
+      .select(col("tok"), (col("rank") - 1).cast("int").as("id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("id"), lit(vocabSize)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === vocabSize, 1L).otherwise(0L)).as("n_unk"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("id")))),
+            p => p.getField("id").cast("string")), " ")).as("ids_md5"))
   }
 
   /** Piece budget per encode segment in [[bpeEncodeChunked]] — sized so

@@ -331,10 +331,16 @@ object Sinks {
     * usurper — without it, a fresh claimant grabbing the freed slot
     * between fence and restore left uncommitted bytes under the
     * owner's committed marker (VERDICT r11 #1). Every interleaving
-    * therefore ends in one of two states: (marker present ∧ the
-    * OWNER's data present) or (no marker ∧ the stalled publisher
-    * throws) — the serializability claim holds for stalls, not only
-    * crashes. */
+    * therefore ends in one of THREE states: (marker present ∧ the
+    * OWNER's data present), (no marker ∧ the stalled publisher
+    * throws), or — when the publisher dies inside commitMarker's
+    * create→post-check window after its fenced claim was deleted — a
+    * ZOMBIE marker with no data, which never carried readable state:
+    * readers resolve past it (the servable rule in currentVersion),
+    * marker exclusion keeps its number unclaimable, the
+    * claim-adjacency check commits over all-zombie gaps, and
+    * vacuumVersions reaps it. The serializability claim holds for
+    * stalls and crashes both. */
   /** General versioned STATE-TRANSITION publish (r12): run an
     * arbitrary `mergeOf` transition (current state → successor state)
     * through the same claim-adjacency OCC loop, fencing, and
@@ -391,7 +397,20 @@ object Sinks {
         val c = stageAndClaim(merged, tableDir,
           stamp = stageDir =>
             batchId.foreach(id => writeApplied(fs, stageDir, applied + id)))
-        if (c.version == base + 1) {
+        // Claim adjacency, zombie-aware (r12): a gap number carrying a
+        // marker but neither data nor a tombstone is a crashed-commit
+        // zombie — no state was ever readable there and marker
+        // exclusion keeps it permanently unclaimable, so committing
+        // over it skips nothing. Any other gap content (a live claim,
+        // a committed version our base read missed, a restore in
+        // flight) still forces the retract-and-retry.
+        def zombieNumber(g: Int): Boolean =
+          fs.exists(new Path(root, s"$MarkerDir/$g")) &&
+            !fs.exists(new Path(root, s"v=$g")) &&
+            !fs.listStatus(root).exists(
+              _.getPath.getName.startsWith(s".fenced-$g-"))
+        if (c.version == base + 1 ||
+            ((base + 1) until c.version).forall(zombieNumber)) {
           commitMarker(spark, tableDir, c); result = c.version
         } else {
           // Non-adjacent claim: someone claimed (base, n) after our
@@ -847,19 +866,19 @@ object Sinks {
       else fs.listStatus(md).toSeq
         .flatMap(st => st.getPath.getName.toIntOption
           .map(v => v -> st.getModificationTime))
-    val asOf = committed.filter(_._2 <= atMillis).map(_._1)
+    // Same servable rule as [[readLatest]]'s resolution (r12): a marker
+    // with no data directory — fence-restore transit or crashed-commit
+    // zombie — is skipped, serving the newest committed version at or
+    // before t that actually has bytes.
+    val asOf = committed.filter { case (v, m) =>
+      m <= atMillis && fs.exists(new Path(root, s"v=$v")) }.map(_._1)
     require(asOf.nonEmpty,
       s"no servable version of $tableDir as of $atMillis — either before " +
         "the first commit, or vacuumed past the retention window " +
         "(earliest surviving marker: " +
         s"${committed.map(_._2).minOption.getOrElse("none")}; widen " +
         "vacuumVersions' keepLast to serve travel this far back)")
-    val v = asOf.max
-    require(fs.exists(new Path(root, s"v=$v")),
-      s"version v=$v of $tableDir (current as of $atMillis) has a marker " +
-        "but no data directory — a fence restore or vacuum is in flight; " +
-        "retry, or run vacuumVersions to complete a crashed restore")
-    v
+    asOf.max
   }
 
   /** [[readVersion]] at the version [[versionAt]] resolves. */
@@ -977,6 +996,19 @@ object Sinks {
         if (restorable) fs.rename(st.getPath, new Path(root, s"v=${g.get}"))
         else fs.delete(st.getPath, true)
       }
+    // Zombie-marker reap (r12): a publisher that crashed inside
+    // commitMarker's create→post-check window — after its unmarked
+    // claim had been fenced and deleted — leaves a marker with no data
+    // directory. It is no version at all (nothing was ever readable
+    // there); readers skip it and marker exclusion blocks its number,
+    // but left in place it pins a dead number forever. The tombstone
+    // pass above has already restored or deleted every .fenced-* dir,
+    // so marker ∧ no-directory IS the zombie test here.
+    val md = new Path(root, MarkerDir)
+    if (fs.exists(md)) fs.listStatus(md).toSeq
+      .flatMap(st => st.getPath.getName.toIntOption.map(st.getPath -> _))
+      .filter { case (_, v) => !fs.exists(new Path(root, s"v=$v")) }
+      .foreach { case (p, _) => fs.delete(p, false) }
     val current = currentVersion(fs, root)
     // Keep the `keepLast` NEWEST below current (by version number, not
     // arithmetic — committed numbers need not be contiguous).
@@ -996,6 +1028,21 @@ object Sinks {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .flatMap(s => s.getPath.getName.stripPrefix("v=").toIntOption)
 
+  /** The version readers RESOLVE: the highest marker whose data
+    * directory EXISTS. A marker with no `v=<n>` directory is skipped —
+    * two transients produce one: a fence→restore transit (the
+    * committed bytes sit in a tombstone for the duration of two
+    * renames) and a ZOMBIE marker from a publisher that crashed (or
+    * was descheduled) inside commitMarker's create→post-check window
+    * after its unmarked claim had been fenced and deleted (r12 —
+    * observed as a reader PATH_NOT_FOUND flake under suite-load
+    * stalls: the zombie marker resolved as current and the read
+    * exploded on a path that never carried committed data). Skipping
+    * serves the previous committed snapshot — a consistent read —
+    * and the marker-exclusion claim check keeps the skipped number
+    * unclaimable, so nothing foreign can ever appear under it;
+    * [[vacuumVersions]] reaps permanent zombies so the skip list
+    * cannot grow without bound. */
   private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
                              root: Path): Int = {
     val md = new Path(root, MarkerDir)
@@ -1003,7 +1050,14 @@ object Sinks {
       if (fs.exists(md))
         fs.listStatus(md).toSeq.flatMap(_.getPath.getName.toIntOption)
       else Nil
-    if (markers.nonEmpty) markers.max
+    val servable = markers.sorted(Ordering[Int].reverse)
+      .find(v => fs.exists(new Path(root, s"v=$v")))
+    if (servable.nonEmpty) servable.get
+    else if (markers.nonEmpty) throw new IllegalStateException(
+      s"markers exist under $root but none has a data directory — every " +
+        "version is in a fence-restore transit or is a crashed-commit " +
+        "zombie; retry, or run vacuumVersions to reap zombies and " +
+        "complete crashed restores")
     else {
       // Legacy single-file pointer (pre-r7 tables): resolve it so an
       // existing deployment keeps reading; the next publish writes a

@@ -291,6 +291,41 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("splitLeakage: exactly the cross-split verified pairs, served from " +
+      "the pair table == recomputed inline") {
+    import graft.operators.Curation
+    // sf0.01: enough verified near-dup pairs that some straddle the
+    // 80/10/10 hash split (sf0.001's pair set can be all-train).
+    val dir = tmpDir("leak")
+    Dedup.buildPairTable(spark, SparkSpec.Sf001, s"$dir/pairs")
+    val served = Curation.splitLeakage(Dedup.pairTable(spark, s"$dir/pairs"))
+    val inline = Curation.splitLeakage(
+      Dedup.ngramJaccard(spark, SparkSpec.Sf001))
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty,
+      "served leakage audit diverged from the inline recompute")
+    assert(served.count() > 0, "fixture produced no cross-split pairs")
+    // First-principles reference: join the standalone split operator
+    // onto the verified pairs and keep the differing ones.
+    val split = Sampling.trainSplit(spark, SparkSpec.Sf001)
+      .select(col("doc_id"), col("split"))
+    val expected = Dedup.ngramJaccard(spark, SparkSpec.Sf001)
+      .where(col("jaccard") >= 0.5)
+      .join(split.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("n_inter"), col("jaccard"))
+    assert(served.exceptAll(expected).isEmpty &&
+      expected.exceptAll(served).isEmpty,
+      "inline split projection diverged from the join-based reference")
+    // No same-split pair leaks into the audit; thresholds hold.
+    assert(served.where(col("split_a") === col("split_b") ||
+      col("jaccard") < 0.5).isEmpty)
+  }
+
   test("trainSplit is deterministic, total, and ~80/10/10") {
     val s = Sampling.trainSplit(spark, sf0001)
     assert(s.count() == Tables.documents(spark, sf0001).count())

@@ -442,11 +442,16 @@ class IngestSinksSpec extends SparkSpec {
     import scala.concurrent.ExecutionContext.Implicits.global
     // Four concurrent publishers all incrementing the SAME key — the
     // lost-update shape the claim-adjacency loop exists to prevent:
-    // any lost delta shows up as a wrong exact sum.
+    // any lost delta shows up as a wrong exact sum. Fence age pinned
+    // far above any suite-load stall: this test is about lost updates
+    // under contention, NOT fencing (PublishFenceSpec's soak covers
+    // that) — at the 60 s default a GC/scheduler stall under full-suite
+    // parallelism could fence a live publisher and fail its commit.
     val fs = (1 to 4).map { i =>
       Future {
         Sinks.mergeAggPublish(spark,
-          Seq(("k", i.toLong)).toDF("k", "n"), t, Seq("k"), Seq("n"))
+          Seq(("k", i.toLong)).toDF("k", "n"), t, Seq("k"), Seq("n"),
+          orphanFenceMs = 600000L)
       }
     }
     Await.result(Future.sequence(fs), 120.seconds)
@@ -464,11 +469,12 @@ class IngestSinksSpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // Same fence-age pin as the aggregate test above: contention only.
     val fs = (1 to 4).map { i =>
       Future {
-        Sinks.mergePublish(spark,
+        Sinks.mergePublishWith(spark,
           Seq((i.toLong, s"w$i", i.toDouble)).toDF("id", "s", "x"),
-          t, Seq("id"))
+          t, Seq("id"), orphanFenceMs = 600000L)
       }
     }
     Await.result(Future.sequence(fs), 120.seconds)

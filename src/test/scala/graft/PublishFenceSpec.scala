@@ -7,10 +7,12 @@ import graft.sinks.Sinks
   * (VERDICT r11 #1/#2 — the r11 mechanism shipped untested and carried
   * a marker-vs-reclaim race). Every case drives a REAL window through
   * a spec seam (`beforeClaim`, `beforeRename`, `afterRename`,
-  * `beforeMarker`) rather than sleeping: the interleaving either ends
-  * in (marker present ∧ the owner's data present) or (no marker ∧ the
-  * stalled publisher throws) — the two-state claim the Sinks scaladoc
-  * makes, now enforced by assertion. */
+  * `beforeMarker`) rather than sleeping: the interleaving ends in
+  * (marker present ∧ the owner's data present), (no marker ∧ the
+  * stalled publisher throws), or — for a publisher that died inside
+  * commitMarker's create→post-check window — a data-less ZOMBIE
+  * marker readers resolve past and vacuum reaps (r12 third state) —
+  * the Sinks scaladoc's state enumeration, enforced by assertion. */
 class PublishFenceSpec extends SparkSpec {
   import spark.implicits._
 
@@ -110,6 +112,78 @@ class PublishFenceSpec extends SparkSpec {
       "a committed version was lost to a stale-read fence")
     assert(childrenOf(fs, root) == Set("v=1", "_latest"),
       "restore left a tombstone behind")
+  }
+
+  test("reader during a fence-restore transit serves the previous " +
+      "committed version, never a missing path") {
+    val t = s"${tmpDir("fence_transit")}/t"
+    val (fs, fc, root) = fsOf(t)
+    assert(Sinks.mergePublish(spark, Seq((1L, "v1")).toDF("id", "s"),
+      t, Seq("id")) == 1)
+    val claimB = Sinks.stageAndClaim(
+      Seq((1L, "v1"), (2L, "v2")).toDF("id", "s"), t)
+    assert(claimB.version == 2)
+    // Owner commits entirely inside the fencer's read→rename window;
+    // the afterRename seam is the transit: marker 2 present, its data
+    // in the tombstone. A reader here used to resolve max-marker 2 and
+    // explode PATH_NOT_FOUND (the suite-load flake this fixes) —
+    // the servable rule now falls back to committed v=1.
+    var duringTransit: Set[(Long, String)] = null
+    var transitAsOf = -1
+    Sinks.fenceOrphan(fs, fc, root, 2, 0L,
+      beforeRename = () => Sinks.commitMarker(spark, t, claimB),
+      afterRename = () => {
+        duringTransit = rowsOf(t)
+        transitAsOf =
+          Sinks.versionAt(spark, t, System.currentTimeMillis())
+      })
+    assert(duringTransit == Set((1L, "v1")),
+      "reader inside the transit window did not fall back to v=1")
+    assert(transitAsOf == 1)
+    // Restore completed: v=2 serves again, no tombstone debris.
+    assert(rowsOf(t) == Set((1L, "v1"), (2L, "v2")))
+    assert(childrenOf(fs, root) == Set("v=1", "v=2", "_latest"))
+  }
+
+  test("zombie marker from a crashed commit: readers skip it, publishes " +
+      "jump it, vacuum reaps it") {
+    val t = s"${tmpDir("fence_zombie")}/t"
+    val (fs, _, root) = fsOf(t)
+    def sum = Sinks.readLatest(spark, t).collect()
+      .map(r => r.getLong(1)).sum
+    assert(Sinks.mergeAggPublish(spark, Seq(("k", 1L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"), batchId = Some(1L)) == 1)
+    assert(Sinks.mergeAggPublish(spark, Seq(("k", 2L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"), batchId = Some(2L)) == 2)
+    // Crash residue: a publisher was fenced, its unmarked claim
+    // deleted, and it died INSIDE commitMarker's create→post-check
+    // window — marker 4 exists and no v=4 ever will. Planted directly:
+    // the window is two metadata ops wide and has no seam to hold it
+    // open, but the residue state is exactly this.
+    fs.mkdirs(new Path(root, "_latest"))
+    fs.create(new Path(root, "_latest/4"), false).close()
+    // Readers resolve past the zombie to the newest committed version.
+    assert(sum == 3L, "reader did not skip the data-less zombie marker")
+    assert(Sinks.versionAt(spark, t, System.currentTimeMillis()) == 2)
+    // Publishing continues below the zombie (3 is adjacent to 2)...
+    assert(Sinks.mergeAggPublish(spark, Seq(("k", 4L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"), batchId = Some(3L)) == 3)
+    assert(sum == 7L)
+    // ...and then must JUMP it: marker exclusion bars claiming 4, so
+    // the claim lands at 5 and the all-zombie gap {4} commits instead
+    // of livelocking the adjacency retry.
+    assert(Sinks.mergeAggPublish(spark, Seq(("k", 8L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"), batchId = Some(4L)) == 5)
+    assert(sum == 15L)
+    // Vacuum reaps the zombie marker with the old versions.
+    assert(Sinks.vacuumVersions(spark, t) == Seq(1, 2, 3))
+    assert(markersOf(fs, root) == Set(5),
+      "vacuum left the zombie marker pinning a dead number")
+    assert(sum == 15L)
+    // Ledger replay detection survives the zombie jump.
+    Sinks.mergeAggPublish(spark, Seq(("k", 99L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"), batchId = Some(4L))
+    assert(sum == 15L, "a replayed id re-applied across the zombie gap")
   }
 
   test("triple race: claimant can never sit under another publisher's " +

@@ -399,6 +399,78 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == ((3L, 2L, md5hex("pq r"))))
   }
 
+  test("bpe round-trip: decode is lossless over the piece stream") {
+    // decode = strip the token delimiters (pieces never contain the
+    // space the stream is delimited with), and the result must equal
+    // the raw regex piece concat for EVERY document — the encode
+    // fixpoint may move boundaries but never content. The crafted
+    // corpus pins the hand-checkable case; the fixture corpus proves it
+    // at scale where merges genuinely fire. (Chunked-encode
+    // losslessness follows transitively from the chunked == whole
+    // md5-identity test above.)
+    val docs = Seq(
+      (1L, "x y z x y z x y", "en", "s", 0L),
+      (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("bpert")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val crafted = TextOps.bpeRoundtrip(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decoded_md5"))
+      .toMap
+    assert(crafted(1L) == md5hex("xyzxyzxy"))
+    assert(crafted(2L) == md5hex(""))
+    val expected = Tables.documents(spark, SparkSpec.Sf001)
+      .select($"doc_id",
+        md5(array_join(TextOps.bpePieces($"text"), "")).as("decoded_md5"))
+    val rt = TextOps.bpeRoundtrip(spark, SparkSpec.Sf001)
+      .select($"doc_id", $"decoded_md5")
+    assert(rt.exceptAll(expected).isEmpty && expected.exceptAll(rt).isEmpty,
+      "encode loop dropped or duplicated content")
+  }
+
+  test("bpe ids: crafted corpus ranks the vocab by (count DESC, tok ASC) " +
+      "and UNKs past the cap") {
+    // Token stream after the (x,y) merge: doc1 = xy z xy z xy,
+    // doc2 = pq r → counts: xy=3, z=2, pq=1, r=1. With vocabSize=3 the
+    // vocab is xy→0, z→1, pq→2 and r falls to UNK id 3.
+    val docs = Seq(
+      (1L, "x y z x y z x y", "en", "s", 0L),
+      (2L, "p q r", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("bpeids")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = TextOps.bpeIds(spark, dir, vocabSize = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unk"),
+          r.getAs[String]("ids_md5"))).toMap
+    assert(out(1L) == ((5L, 0L, md5hex("0 1 0 1 0"))))
+    assert(out(2L) == ((2L, 1L, md5hex("2 3"))))
+  }
+
+  test("bpe ids fixture invariants: per-doc counts track the encode, " +
+      "UNK fires, deterministic") {
+    val ids = TextOps.bpeIds(spark, SparkSpec.Sf001)
+    val enc = TextOps.bpeEncode(spark, SparkSpec.Sf001)
+      .select($"doc_id", $"n_tokens".as("n_enc"))
+    // Same docs, same token counts as the encode the ids are minted
+    // from; the fixture's distinct-token count exceeds the 512 cap so
+    // the UNK path genuinely fires.
+    val j = ids.join(enc, "doc_id")
+    assert(j.count() == enc.count() &&
+      j.where($"n_tokens" =!= $"n_enc").isEmpty)
+    assert(ids.agg(sum($"n_unk")).head().getLong(0) > 0,
+      "vocab cap did not bind — UNK path untested at this fixture")
+    assert(ids.where($"n_unk" > $"n_tokens").isEmpty)
+    val again = TextOps.bpeIds(spark, SparkSpec.Sf001)
+    assert(ids.exceptAll(again).isEmpty && again.exceptAll(ids).isEmpty)
+  }
+
   test("bpe fast encoder == reference replace-loop (800 generated cases)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
