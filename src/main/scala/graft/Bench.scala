@@ -65,10 +65,16 @@ object Bench {
     *    twin) is the headline.
     *  - `q_pq_topk` / `q_ann_ivfpq` (r10, same policy): in-query
     *    codebook/centroid training + corpus encode; the `_served`
-    *    twins (index-backed, same oracles) are the headlines. */
+    *    twins (index-backed, same oracles) are the headlines.
+    *  - `q_pack_ids` (r12, same policy as q_bpe_encode_chunked): the
+    *    one-shot form re-runs the encode subtree for both the pack
+    *    layout and the id stream; a standing deployment packs from
+    *    the materialized encode layer, so timing the replay would
+    *    triple-count q_bpe_encode's mining+encode cost. */
   val notBenched: Set[String] =
     Set("q_ann_ivf", "q_semdedup", "q_simhash64_auto",
-      "q_bpe_encode_chunked", "q_pq_topk", "q_ann_ivfpq")
+      "q_bpe_encode_chunked", "q_pq_topk", "q_ann_ivfpq",
+      "q_pack_ids")
 
   /** Timed rounds per query; per-query MIN is the reported time.
     * SPARK_GRAFT_REPS overrides (the one-off sf1 observation run uses 1 —

@@ -426,6 +426,11 @@ object SparkEntry {
     // token ASC; broadcastable BY CONSTRUCTION) + reserved UNK id —
     // each doc's ordered id sequence md5-pinned, values AND order.
     "q_bpe_ids" -> ((s, d) => TextOps.bpeIds(s, d)),
+    // PACKED id sequences (r12): the per-doc id streams laid out into
+    // fixed-budget training sequences under q_seq_pack's conventions,
+    // each pack's concatenated id stream md5-pinned in (doc_id, pos)
+    // order — the bytes a training loader would consume.
+    "q_pack_ids" -> ((s, d) => TextOps.packIds(s, d)),
     // Build/serve identity on the oracle surface for the minhash tier
     // (VERDICT r6 #4, mirroring q_ann_ivf_served): the SERVED form
     // reads the once-per-JVM staged pair table, the INLINE form
@@ -1997,6 +2002,23 @@ object SparkEntry {
          |       md5(coalesce(f.enc_text, '')) AS encoded_md5
          |FROM pieces p
          |LEFT JOIN fin f ON p.doc_id = f.doc_id""".stripMargin
+
+  /** [[bpeEncodeCtes]] extended with the token/position stream
+    * (`etoks`) and the ranked top-V vocab (`vocab`) — shared prefix of
+    * the bpe_ids and pack_ids twins, mirroring TextOps.bpeIdStream. */
+  private lazy val bpeIdsCtes: String =
+    s"""$bpeEncodeCtes, etoks AS (
+       |  SELECT doc_id, t.tok, t.pos
+       |  FROM fin, LATERAL (
+       |    SELECT unnest(string_split(enc_text, ' ')) AS tok,
+       |           unnest(range(1, len(string_split(enc_text, ' ')) + 1)) AS pos) t
+       |  WHERE enc_text <> ''
+       |), vocab AS (
+       |  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) - 1 AS id
+       |  FROM etoks GROUP BY tok
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC)
+       |    <= ${TextOps.BpeVocabSize}
+       |)""".stripMargin
 
   /** The shared mine→encode replay (through per-doc `enc_text` in
     * `fin`) — prefix of [[bpeEncodeOracle]] and the bpe_ids twin. */
@@ -4273,18 +4295,7 @@ object SparkEntry {
     // zip-unnested token/position stream (UNK = V for misses), and
     // string_agg the ids in position order under the md5.
     "q_bpe_ids" ->
-      s"""$bpeEncodeCtes, etoks AS (
-         |  SELECT doc_id, t.tok, t.pos
-         |  FROM fin, LATERAL (
-         |    SELECT unnest(string_split(enc_text, ' ')) AS tok,
-         |           unnest(range(1, len(string_split(enc_text, ' ')) + 1)) AS pos) t
-         |  WHERE enc_text <> ''
-         |), vocab AS (
-         |  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) - 1 AS id
-         |  FROM etoks GROUP BY tok
-         |  QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC)
-         |    <= ${TextOps.BpeVocabSize}
-         |)
+      s"""$bpeIdsCtes
          |SELECT e.doc_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
          |       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -4293,6 +4304,44 @@ object SparkEntry {
          |         ' ' ORDER BY e.pos)) AS ids_md5
          |FROM etoks e LEFT JOIN vocab v USING (tok)
          |GROUP BY e.doc_id""".stripMargin,
+
+    // Packed-sequence twin: the q_seq_pack layout (lang strata, doc_id
+    // order, start-offset spillover) applied to the ENCODE's token
+    // counts, with each pack's concatenated id stream (UNK = V) hashed
+    // in (doc_id, pos) order — membership, values, and order one md5.
+    "q_pack_ids" ->
+      s"""$bpeIdsCtes, doc AS (
+         |  SELECT p.doc_id, d.lang,
+         |         CAST(CASE WHEN f.enc_text IS NULL OR f.enc_text = '' THEN 0
+         |              ELSE len(string_split(f.enc_text, ' ')) END AS BIGINT)
+         |           AS n_tokens
+         |  FROM pieces p
+         |  LEFT JOIN fin f ON p.doc_id = f.doc_id
+         |  JOIN documents d ON p.doc_id = d.doc_id
+         |), dg AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         (CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+         |           // ${graft.operators.Sampling.PackBudget} AS pack_id
+         |  FROM doc
+         |), pid AS (
+         |  SELECT e.doc_id, e.pos,
+         |         coalesce(v.id, ${TextOps.BpeVocabSize})::VARCHAR AS id
+         |  FROM etoks e LEFT JOIN vocab v USING (tok)
+         |), agg AS (
+         |  SELECT g.lang, g.pack_id,
+         |         md5(string_agg(i.id, ' ' ORDER BY i.doc_id, i.pos)) AS ids_md5
+         |  FROM pid i JOIN dg g ON i.doc_id = g.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT g.lang, g.pack_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(g.n_tokens) AS BIGINT) AS n_tokens,
+         |       MIN(g.doc_id) AS first_doc, MAX(g.doc_id) AS last_doc,
+         |       coalesce(MIN(a.ids_md5), md5('')) AS ids_md5
+         |FROM dg g LEFT JOIN agg a
+         |  ON g.lang = a.lang AND g.pack_id = a.pack_id
+         |GROUP BY g.lang, g.pack_id""".stripMargin,
 
     // Served (from the staged pair table) and inline (recomputing the
     // minhash→LSH→verify chain in-query) forms SHARE one twin — the

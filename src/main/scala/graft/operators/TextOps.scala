@@ -788,8 +788,21 @@ object TextOps {
     * carries. Docs with an empty piece stream have no id sequence and
     * are absent (the twin's GROUP BY agrees). */
   def bpeIds(spark: SparkSession, dir: String,
-             k: Int = BpeTopK, vocabSize: Int = BpeVocabSize): DataFrame = {
-    val toks = bpeEncodedRows(spark, dir, k)
+             k: Int = BpeTopK, vocabSize: Int = BpeVocabSize): DataFrame =
+    bpeIdStream(bpeEncodedRows(spark, dir, k), vocabSize)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === vocabSize, 1L).otherwise(0L)).as("n_unk"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("id")))),
+            p => p.getField("id").cast("string")), " ")).as("ids_md5"))
+
+  /** The (doc_id, pos, id) token-id stream under the bounded top-V
+    * vocab — one definition shared by [[bpeIds]] and [[packIds]] so the
+    * id assignment (salted top-V rank, UNK = V) can never drift between
+    * the per-doc and packed emissions. */
+  private def bpeIdStream(enc: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = enc
       .select(col("doc_id"),
         posexplode(split(col("enc"), " ")).as(Seq("pos", "tok")))
       .where(col("tok") =!= "")
@@ -801,12 +814,61 @@ object TextOps {
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("id"), lit(vocabSize)).as("id"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("id") === vocabSize, 1L).otherwise(0L)).as("n_unk"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("pos"), col("id")))),
-            p => p.getField("id").cast("string")), " ")).as("ids_md5"))
+  }
+
+  /** PACKED TRAINING SEQUENCES over the token-ID stream — the last
+    * mile of the tokenizer chain (mine → encode → ids → packs): the
+    * per-doc id sequences of [[bpeIds]] laid out into fixed-budget
+    * training sequences under [[Sampling.packSequences]]'s exact
+    * conventions (lang strata, doc_id order, spillover — a document
+    * belongs to the pack where it STARTS), with each pack's
+    * concatenated id stream md5-pinned in (doc_id, pos) order, so the
+    * hash certifies pack MEMBERSHIP, id VALUES, and CONCATENATION
+    * ORDER all at once — the actual bytes a training loader would
+    * consume.
+    *
+    * Scale shape: the doc-grain pack assignment is the [[Sampling
+    * .packSequencesOf]] per-stratum window (production range-partitions
+    * by (lang, doc_id) and prefix-sums per shard — same note there);
+    * the id stream joins its doc's pack key on doc_id (one co-keyed
+    * shuffle) and reduces in one hash aggregate whose collect_list
+    * state is bounded by budget + the max single-doc overhang, the same
+    * bound a real sequence writer carries. The encode subtree feeds
+    * both arms, so a one-shot evaluation runs it twice — a standing
+    * deployment materializes the encode layer once and packs from it
+    * (the served-index pattern), which is why the row sits with the
+    * other encode-replay twins in Bench.notBenched. */
+  def packIds(spark: SparkSession, dir: String,
+              k: Int = BpeTopK, vocabSize: Int = BpeVocabSize,
+              budget: Int = Sampling.PackBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = bpeEncodedRows(spark, dir, k)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = enc.select(col("doc_id"), col("n_tokens"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_offset div $budget"))
+    val comp = packed.groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    val ids = bpeIdStream(enc, vocabSize)
+      .join(packed.select(col("doc_id"), col("lang"), col("pack_id")),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(md5(array_join(
+        transform(
+          sort_array(collect_list(struct(col("doc_id"), col("pos"),
+            col("id")))),
+          p => p.getField("id").cast("string")), " ")).as("ids_md5"))
+    // Left join + empty-stream md5: a pack whose every member encodes
+    // to zero tokens has no id rows but still exists as composition.
+    comp.join(ids, Seq("lang", "pack_id"), "left")
+      .select(col("lang"), col("pack_id"), col("n_docs"), col("n_tokens"),
+        col("first_doc"), col("last_doc"),
+        coalesce(col("ids_md5"), md5(lit(""))).as("ids_md5"))
   }
 
   /** Piece budget per encode segment in [[bpeEncodeChunked]] — sized so

@@ -471,6 +471,53 @@ class TextDedupSpec extends SparkSpec {
     assert(ids.exceptAll(again).isEmpty && again.exceptAll(ids).isEmpty)
   }
 
+  test("pack ids: crafted corpus packs by start offset and hashes the " +
+      "concatenated id stream in (doc_id, pos) order") {
+    // Same corpus as the bpe-ids crafted case: doc1 -> xy z xy z xy
+    // (5 tokens, ids 0 1 0 1 0), doc2 -> pq r (2 tokens, ids 2 3).
+    // Budget 4: doc1 starts at offset 0 -> pack 0; doc2 starts at 5 ->
+    // pack 5 div 4 = 1 (spillover: a doc belongs to the pack where it
+    // STARTS, so doc1's 5th token overhangs pack 0 rather than split).
+    val docs = Seq(
+      (1L, "x y z x y z x y", "en", "s", 0L),
+      (2L, "p q r", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("packids")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = TextOps.packIds(spark, dir, vocabSize = 3, budget = 4)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("pack_id")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"),
+          r.getAs[String]("ids_md5")))).toMap
+    assert(out.size == 2)
+    assert(out(("en", 0L)) == ((1L, 5L, 1L, 1L, md5hex("0 1 0 1 0"))))
+    assert(out(("en", 1L)) == ((1L, 2L, 2L, 2L, md5hex("2 3"))))
+  }
+
+  test("pack ids fixture invariants: packs partition the corpus, token " +
+      "totals track the encode, deterministic") {
+    val packs = TextOps.packIds(spark, SparkSpec.Sf001)
+    val enc = TextOps.bpeEncode(spark, SparkSpec.Sf001)
+    // Every document lands in exactly one pack; no token invented or
+    // dropped between the encode and the packed layout.
+    assert(packs.agg(sum($"n_docs")).head().getLong(0) ==
+      Tables.documents(spark, SparkSpec.Sf001).count())
+    assert(packs.agg(sum($"n_tokens")).head().getLong(0) ==
+      enc.agg(sum($"n_tokens")).head().getLong(0))
+    // The budget genuinely binds at the fixture (multiple packs per
+    // stratum) and doc ranges are coherent.
+    assert(packs.groupBy($"lang").agg(max($"pack_id").as("m"))
+      .where($"m" === 0).isEmpty, "budget never split a stratum")
+    assert(packs.where($"first_doc" > $"last_doc" ||
+      $"n_docs" <= 0 || $"n_tokens" < 0).isEmpty)
+    val again = TextOps.packIds(spark, SparkSpec.Sf001)
+    assert(packs.exceptAll(again).isEmpty && again.exceptAll(packs).isEmpty)
+  }
+
   test("bpe fast encoder == reference replace-loop (800 generated cases)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
