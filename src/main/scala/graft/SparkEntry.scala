@@ -166,6 +166,11 @@ object SparkEntry {
     // inline hash-bucket of each member id).
     "q_split_leakage" -> ((s, d) =>
       Curation.splitLeakage(stagedPairTable(s, d))),
+    // ...and the REMEDY (r12): a split keyed by near-dup cluster label
+    // instead of raw doc_id — near-twins co-assigned by construction,
+    // singletons identical to q_train_split's stable hash side.
+    "q_cluster_split" -> ((s, d) =>
+      Sampling.clusterSafeSplit(s, d, stagedPairTable(s, d))),
     // sources: seeded generator (S9) and schema-on-read ingest (S1/S5)
     "q_generator" -> ((s, _) => sources.Generator.campaigns(s, 1000)),
     "q_ingest_roundtrip_csv" -> ((s, d) => ingestRoundtrip(s, d, "csv")),
@@ -2829,6 +2834,42 @@ object SparkEntry {
          |)
          |SELECT doc_a, doc_b, split_a, split_b, n_inter, jaccard
          |FROM sp WHERE split_a <> split_b""".stripMargin,
+
+    // The remedy twin: the q_dedup_clusters recursive label walk gives
+    // each clustered doc its min-doc_id label; the split hash keys on
+    // coalesce(cluster_id, doc_id) — q_train_split's expression exactly,
+    // with the family label substituted where one exists.
+    "q_cluster_split" ->
+      s"""${ToksCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $minhashCtes, jac AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM pairs p
+         |  JOIN docs a ON p.doc_a = a.doc_id
+         |  JOIN docs b ON p.doc_b = b.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |), walk AS (
+         |  SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl AS lbl
+         |  FROM walk w JOIN edges e ON w.doc_id = e.src
+         |), clusters AS (
+         |  SELECT doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY 1
+         |), keyed AS (
+         |  SELECT d.doc_id,
+         |         CAST('0x' || substr(md5('split:' ||
+         |             coalesce(c.cluster_id, d.doc_id)::VARCHAR), 1, 8)
+         |           AS BIGINT) % 100 AS bucket
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM keyed""".stripMargin,
 
     "q_generator" -> {
       def h8(tag: String) =

@@ -36,6 +36,32 @@ object Sampling {
         splitBucket(col("doc_id")).as("bucket"))
       .withColumn("split", splitOf(col("bucket")))
 
+  /** LEAKAGE-SAFE train/val/test split — the remedy for what
+    * [[Curation.splitLeakage]] detects: assignment is keyed by the
+    * near-dup CLUSTER label ([[Dedup.dedupClustersFrom]]'s propagated
+    * min-doc_id), not the raw doc_id, so every member of a verified
+    * near-dup family lands on the same side BY CONSTRUCTION — a test
+    * document whose near-twin trains cannot exist under this split.
+    * Documents in no verified pair key by their own doc_id, which is
+    * exactly [[trainSplit]]'s assignment, so the unclustered bulk of
+    * the corpus keeps its stable hash side and the split only moves
+    * where near-dup evidence says it must (and stays append-stable
+    * except where new evidence merges a family — the unavoidable
+    * price of content-aware assignment). Scale: label-prop runs on
+    * the pair-table-sized edge frame alone (tiny vs corpus); the
+    * corpus-side cost is one joined map pass, broadcastable whenever
+    * the clustered minority fits. */
+  def clusterSafeSplit(spark: SparkSession, dir: String,
+                       pairFrame: DataFrame,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val clusters = Dedup.dedupClustersFrom(pairFrame, minJaccard)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitOf(splitBucket(coalesce(col("cluster_id"), col("doc_id"))))
+          .as("split"))
+  }
+
   /** Per-stratum sampling rates in parts-per-million (domain-mix
     * weighting: downsample the over-represented stratum). */
   val SampleRatesPpm: Seq[(String, Int)] =

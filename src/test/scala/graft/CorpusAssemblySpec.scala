@@ -326,6 +326,40 @@ class CorpusAssemblySpec extends SparkSpec {
       col("jaccard") < 0.5).isEmpty)
   }
 
+  test("clusterSafeSplit: near-twins co-assigned (audit closes to zero), " +
+      "singletons keep trainSplit's side") {
+    import graft.operators.Curation
+    val pairs = Dedup.ngramJaccard(spark, SparkSpec.Sf001)
+    val safe = Sampling.clusterSafeSplit(spark, SparkSpec.Sf001, pairs)
+    // Total: one assignment per document.
+    assert(safe.count() ==
+      Tables.documents(spark, SparkSpec.Sf001).count())
+    // The audit the split exists to close is NON-VACUOUS on the naive
+    // split at this fixture...
+    assert(Curation.splitLeakage(pairs).count() > 0,
+      "fixture has no naive-split leakage — remedy untestable here")
+    // ...and structurally zero under the cluster-keyed split.
+    val leaked = pairs.where(col("jaccard") >= 0.5)
+      .join(safe.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(safe.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .where(col("split_a") =!= col("split_b"))
+    assert(leaked.isEmpty, "near-dup pair straddles the cluster split")
+    // Docs in no verified pair keep the plain hash assignment — the
+    // split moves ONLY where near-dup evidence forces it.
+    val clustered = pairs.where(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.where(col("jaccard") >= 0.5)
+        .select(col("doc_b").as("doc_id"))).distinct()
+    val naive = Sampling.trainSplit(spark, SparkSpec.Sf001)
+      .select(col("doc_id"), col("split").as("naive_split"))
+    val drifted = safe.join(clustered, Seq("doc_id"), "left_anti")
+      .join(naive, "doc_id")
+      .where(col("split") =!= col("naive_split"))
+    assert(drifted.isEmpty, "a singleton's split moved")
+  }
+
   test("trainSplit is deterministic, total, and ~80/10/10") {
     val s = Sampling.trainSplit(spark, sf0001)
     assert(s.count() == Tables.documents(spark, sf0001).count())
