@@ -186,6 +186,55 @@ class PublishFenceSpec extends SparkSpec {
     assert(sum == 15L, "a replayed id re-applied across the zombie gap")
   }
 
+  test("multi-zombie gap commits over it; a mixed gap (zombie + real " +
+      "commit) retracts and retries instead") {
+    val t = s"${tmpDir("fence_zgap")}/t"
+    val (fs, _, root) = fsOf(t)
+    def sum = Sinks.readLatest(spark, t).collect()
+      .map(r => r.getLong(1)).sum
+    assert(Sinks.mergeAggPublish(spark, Seq(("k", 1L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"), batchId = Some(1L)) == 1)
+    // TWO adjacent crash residues: markers 2 and 3, no data, no
+    // tombstones — the forall over a width-2 gap, which the
+    // single-zombie test never exercises.
+    fs.create(new Path(root, "_latest/2"), false).close()
+    fs.create(new Path(root, "_latest/3"), false).close()
+    assert(sum == 1L)
+    // Claim lands at 4 (marker exclusion bars 2 and 3); base is 1; the
+    // all-zombie gap {2,3} commits rather than livelocking.
+    assert(Sinks.mergeAggPublish(spark, Seq(("k", 2L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"), batchId = Some(2L)) == 4)
+    assert(sum == 3L)
+    // MIXED gap via the seam: between P's base read (4) and its claim,
+    // plant a zombie at 5 AND let a competitor genuinely commit 6 (its
+    // own all-zombie gap {5}). P then claims 7 and sees gap {5, 6}
+    // where 6 HAS data — not all-zombie, so P must retract and retry
+    // from base 6 (committing over the gap would lose the
+    // competitor's update), landing at 7 with both deltas merged.
+    var planted = false
+    val pv = Sinks.mergeAggPublish(spark, Seq(("k", 8L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"), batchId = Some(3L), beforeClaim = () => {
+        if (!planted) {
+          planted = true
+          fs.create(new Path(root, "_latest/5"), false).close()
+          assert(Sinks.mergeAggPublish(spark,
+            Seq(("k", 100L)).toDF("k", "n"),
+            t, Seq("k"), Seq("n"), batchId = Some(30L)) == 6)
+        }
+      })
+    assert(pv == 7, s"stale-base publisher landed at $pv, not 7")
+    assert(sum == 111L, "the mixed gap lost the competitor's update")
+    // Vacuum reaps all three zombies; every batch id replays as no-op.
+    Sinks.vacuumVersions(spark, t)
+    assert(!markersOf(fs, root).exists(Set(2, 3, 5)),
+      "vacuum left a zombie marker")
+    Seq(1L, 2L, 3L, 30L).foreach { id =>
+      Sinks.mergeAggPublish(spark, Seq(("k", 99L)).toDF("k", "n"),
+        t, Seq("k"), Seq("n"), batchId = Some(id))
+    }
+    assert(sum == 111L, "a replayed id re-applied")
+  }
+
   test("triple race: claimant can never sit under another publisher's " +
       "committed marker (marker exclusion in stageAndClaim)") {
     val t = s"${tmpDir("fence_triple")}/t"
