@@ -54,9 +54,13 @@ object Sampling {
   def clusterSafeSplit(spark: SparkSession, dir: String,
                        pairFrame: DataFrame,
                        minJaccard: Double = 0.5): DataFrame = {
+    // No broadcast hint: the clustered minority is usually tiny and
+    // AQE will broadcast it from statistics, but a pathological corpus
+    // (everything near-dup) should degrade to a shuffle join, not OOM
+    // a forced broadcast.
     val clusters = Dedup.dedupClustersFrom(pairFrame, minJaccard)
     Tables.documents(spark, dir).select(col("doc_id"))
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
         splitOf(splitBucket(coalesce(col("cluster_id"), col("doc_id"))))
           .as("split"))

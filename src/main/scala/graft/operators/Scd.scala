@@ -39,8 +39,18 @@ object Scd {
   private[graft] def scd2FromChanges(stream: DataFrame): DataFrame = {
     val byTs = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
+    // High-water of ABSORBED events (r12): the open version's
+    // `last_seen_us` is the max raw ts the key has ever seen —
+    // including suppressed duplicates, whose ts the version rows
+    // otherwise discard. It exists so [[scd2Apply]]'s late-slice guard
+    // can reject events that would interleave BEFORE a suppressed
+    // duplicate (undetectable from valid_from alone); closed versions
+    // carry NULL (only the open version can absorb new events). Same
+    // partition key as the other windows — no extra exchange.
+    val keySpan = Window.partitionBy(col("user_id"))
     val changes = stream
       .withColumn("prev_status", lag(col("status"), 1).over(byTs))
+      .withColumn("key_last_ts", max(col("ts_us")).over(keySpan))
       .where(col("prev_status").isNull ||
         col("prev_status") =!= col("status"))
       .drop("prev_status")
@@ -52,13 +62,16 @@ object Scd {
       .select(col("user_id"), col("version_no"), col("status"),
         col("event_id"),
         col("ts_us").as("valid_from_us"), col("valid_to_us"),
-        col("valid_to_us").isNull.as("is_current"))
+        col("valid_to_us").isNull.as("is_current"),
+        when(col("valid_to_us").isNull, col("key_last_ts"))
+          .as("last_seen_us"))
   }
 
   /** The fixture change stream: each user's event_type plays the
     * tracked dimension attribute ("status"). */
   def scd2(spark: SparkSession, dir: String): DataFrame =
-    scd2FromChanges(changeStream(spark, dir)).drop("event_id")
+    scd2FromChanges(changeStream(spark, dir))
+      .drop("event_id", "last_seen_us")
 
   /** Raw fixture events as the canonical change-stream shape. */
   def changeStream(spark: SparkSession, dir: String): DataFrame =
@@ -68,45 +81,59 @@ object Scd {
 
   /** Incremental maintenance: merge an APPEND-ONLY slice of new changes
     * into an existing dim (built with [[scd2FromChanges]], i.e. still
-    * carrying `event_id`) WITHOUT the raw history — the versions of the
-    * touched keys ARE a lossless compression of their suppressed change
-    * stream, so converting them back to change points and rebuilding
-    * only those keys reproduces the from-scratch build bit-for-bit
-    * (ScdSpec pins the identity). Cost is O(affected keys' versions +
+    * carrying `event_id`) WITHOUT the raw history — PROVIDED the
+    * envelope below holds, the versions of the touched keys are a
+    * sufficient compression of their suppressed change stream:
+    * converting them back to change points and rebuilding only those
+    * keys reproduces the from-scratch build bit-for-bit (ScdSpec pins
+    * the identity; suppressed-duplicate ts are genuinely lost, which
+    * is exactly why the envelope is guarded on the absorbed
+    * high-water, not on valid_from). Cost is O(affected keys' versions +
     * slice), not O(history): the anti/semi joins key-partition on
     * user_id and the untouched (usually overwhelming) majority of the
     * dim is never rewritten.
     *
-    * Envelope — now ENFORCED in the engine (r12): the slice must be
-    * append-only PER KEY (every new ts at-or-after the key's open
-    * version). LATE data can resurrect a suppressed duplicate that
-    * compression dropped (… A(t1) [A(t5) suppressed] … + late B(t3) ⇒
-    * A(t5) becomes a change again) — that case needs the raw-history
-    * rebuild path, which [[scd2]] is. The violation used to be the
-    * caller's silent-divergence hazard; the apply now detects it with
-    * one aggregate over the AFFECTED keys only (max open valid_from vs
-    * the slice's min ts per key — grain bounded by the slice, never
-    * the dim) and fails loudly with the remedy. The probe rides the
-    * same key-partitioned join the apply already pays; `checkLate =
-    * false` opts out when the feed is append-only by construction
-    * (e.g. an event-time-ordered stream) and the driver-side probe
-    * matters. */
+    * Envelope — ENFORCED in the engine (r12): the slice must be
+    * append-only PER KEY — every new ts at-or-after the key's
+    * ABSORBED high-water (`last_seen_us`: the max event ts the open
+    * version has seen, INCLUDING suppressed duplicates, which is
+    * strictly more than its valid_from). LATE data can resurrect a
+    * suppressed duplicate that compression dropped (… A(t1)
+    * [A(t5) suppressed] … + late B(t3) ⇒ A(t5) becomes a change
+    * again) — that case needs the raw-history rebuild path, which
+    * [[scd2]] is. Guarding on valid_from alone (the first r12 cut)
+    * missed exactly that case: an event between the open version's
+    * start and a later suppressed ts passed the check and diverged
+    * silently; the high-water closes it. Residual: a tie AT the
+    * high-water (new event with ts equal to the last absorbed one)
+    * is accepted and ordered by event_id, the same total order the
+    * from-scratch build uses — identical-ts reorders across slices
+    * are inherent to any ts-keyed incremental apply. Probe cost,
+    * honestly: one aggregate of the SLICE joined to the dim's open
+    * rows and a driver-side take(3) — a second dim scan per apply,
+    * the price of failing BEFORE any bytes are staged (an in-plan
+    * assert would fail mid-publish instead). `checkLate = false`
+    * opts out when the feed is append-only by construction. */
   def scd2Apply(dim: DataFrame, newChanges: DataFrame,
                 checkLate: Boolean = true): DataFrame = {
     val affected = newChanges.select(col("user_id")).distinct()
     if (checkLate) {
+      val hw =
+        if (dim.columns.contains("last_seen_us"))
+          coalesce(col("last_seen_us"), col("valid_from_us"))
+        else col("valid_from_us") // legacy dim without the high-water
       val open = dim.where(col("is_current"))
-        .select(col("user_id"), col("valid_from_us").as("open_from_us"))
+        .select(col("user_id"), hw.as("open_hw_us"))
       val late = newChanges
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("min_ts_us"))
         .join(open, Seq("user_id"))
-        .where(col("min_ts_us") < col("open_from_us"))
+        .where(col("min_ts_us") < col("open_hw_us"))
       val sample = late.select(col("user_id"), col("min_ts_us"),
-        col("open_from_us")).take(3)
+        col("open_hw_us")).take(3)
       require(sample.isEmpty,
         "scd2Apply: LATE changes for key(s) " +
           sample.map(r => s"${r.get(0)} (ts ${r.get(1)} < open version " +
-            s"from ${r.get(2)})").mkString("; ") +
+            s"high-water ${r.get(2)})").mkString("; ") +
           " — a slice must be append-only per key (version compression " +
           "cannot resurrect suppressed duplicates); rebuild those keys " +
           "from raw history via scd2FromChanges instead")

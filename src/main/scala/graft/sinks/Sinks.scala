@@ -394,9 +394,15 @@ object Sinks {
           if (base == 0) mergeOf(None)
           else mergeOf(Some(readVersion(spark, tableDir, base)))
         beforeClaim()
+        // The ledger is carried forward even on an UN-keyed publish
+        // (batchId = None): dropping it would silently disable replay
+        // detection for every previously committed id the moment an
+        // out-of-band correction touches the table.
         val c = stageAndClaim(merged, tableDir,
-          stamp = stageDir =>
-            batchId.foreach(id => writeApplied(fs, stageDir, applied + id)))
+          stamp = stageDir => {
+            val ids = applied ++ batchId
+            if (ids.nonEmpty) writeApplied(fs, stageDir, ids)
+          })
         // Claim adjacency, zombie-aware (r12): a gap number carrying a
         // marker but neither data nor a tombstone is a crashed-commit
         // zombie — no state was ever readable there and marker
@@ -452,8 +458,13 @@ object Sinks {
     val p = new Path(root, s"v=$g")
     val marked = fs.exists(new Path(root, s"$MarkerDir/$g"))
     val now = System.currentTimeMillis()
-    if (!marked && fs.exists(p) &&
-        now - fs.getFileStatus(p).getModificationTime > orphanFenceMs) {
+    // The mtime read races a competitor's fence rename (exists →
+    // getFileStatus TOCTOU): a vanished path means the competitor
+    // already moved it — the same no-op as losing the rename race.
+    val aged = !marked && fs.exists(p) &&
+      (try now - fs.getFileStatus(p).getModificationTime > orphanFenceMs
+       catch { case _: java.io.FileNotFoundException => false })
+    if (aged) {
       beforeRename()
       val tomb = new Path(root, s".fenced-$g-" +
         java.util.UUID.randomUUID.toString.take(8))
@@ -495,19 +506,25 @@ object Sinks {
         try { fc.rename(tomb, new Path(root, s"v=$g")); done = true }
         catch {
           case e: java.io.IOException =>
-            if (attempts >= 100) throw new IllegalStateException(
+            // Converged by another actor: vacuumVersions' tombstone
+            // pass restores committed tombstones too — tomb gone with
+            // v=g present is the healthy end state, not a failure.
+            if (!fs.exists(tomb) && fs.exists(new Path(root, s"v=$g")))
+              done = true
+            else if (attempts >= 100) throw new IllegalStateException(
               s"fence restore of committed v=$g under $root kept failing " +
                 s"— v=$g is occupied by data that never vacates, which " +
                 "the marker-exclusion claim protocol makes impossible; " +
                 s"the committed bytes are stranded at $tomb", e)
-            Thread.sleep(20L)
+            else Thread.sleep(20L)
         }
       }
     }
   }
 
   /** Read the applied-batch ledger stamped into a version directory
-    * (absent on tables never batch-keyed → empty). */
+    * (absent on tables never batch-keyed → empty). Lines are single
+    * ids (`7`) or inclusive ranges (`3-9`) — see [[writeApplied]]. */
   private def appliedBatches(fs: org.apache.hadoop.fs.FileSystem,
                              root: Path, version: Int): Set[Long] = {
     val p = new Path(root, s"v=$version/$AppliedLedger")
@@ -515,7 +532,15 @@ object Sinks {
     else {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in).getLines()
-        .flatMap(_.trim.toLongOption).toSet
+        .map(_.trim).filter(_.nonEmpty)
+        .flatMap { line =>
+          line.split('-') match {
+            case Array(a, b) if a.nonEmpty =>
+              (for (lo <- a.toLongOption; hi <- b.toLongOption)
+                yield (lo to hi).iterator).getOrElse(Iterator.empty)
+            case _ => line.toLongOption.iterator
+          }
+        }.toSet
       finally in.close()
     }
   }
@@ -524,11 +549,31 @@ object Sinks {
     * the claim rename atomically — `_`-prefixed, invisible to parquet
     * readers). One small file per version, rewritten wholesale: ids
     * accumulate down the version chain because each publish stamps
-    * (parent's ledger + its id). */
+    * (parent's ledger + its id) — so contiguous runs are COLLAPSED to
+    * inclusive `lo-hi` ranges before writing. A checkpointed stream's
+    * ids are monotonically contiguous, so its ledger stays ONE line
+    * forever (O(1) metadata per publish, not O(batches)); only
+    * genuinely sparse ad-hoc id sets pay per-gap lines. Exact-set
+    * semantics are unchanged — ranges are an encoding, not a
+    * max-watermark approximation (out-of-order ad-hoc ids stay
+    * individually detectable). */
   private def writeApplied(fs: org.apache.hadoop.fs.FileSystem,
                            stageDir: Path, ids: Set[Long]): Unit = {
+    val sorted = ids.toSeq.sorted
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { id =>
+      // Negative ids stay singletons: `lo-hi` only parses unambiguously
+      // when both bounds are non-negative (stream ids always are).
+      if (id >= 0 && ranges.nonEmpty && ranges.last._1 >= 0 &&
+          ranges.last._2 == id - 1)
+        ranges(ranges.length - 1) = (ranges.last._1, id)
+      else ranges += ((id, id))
+    }
+    val body = ranges
+      .map { case (lo, hi) => if (lo == hi) s"$lo" else s"$lo-$hi" }
+      .mkString("\n")
     val out = fs.create(new Path(stageDir, AppliedLedger), false)
-    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -757,14 +802,27 @@ object Sinks {
             next += 1
           } else claimed = next
         } catch {
+          // FileAlreadyExistsException IS the lost race — the
+          // destination existed at rename time. Do NOT re-derive that
+          // from a post-hoc exists() probe: the winner may vacate
+          // (marker landed) or retract (non-adjacent) its claim inside
+          // our throw→probe window, the probe then reads false, and a
+          // plain lost race would propagate as a crash (observed as a
+          // rare suite flake). Skipping forward is always safe: if the
+          // slot was retracted the gap just re-enters the adjacency
+          // check.
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            next += 1
           // The exists-check inside FileContext.rename is check-then-act
-          // on most filesystems, so a racing loser may surface as a PLAIN
-          // IOException from the underlying rename (ENOTEMPTY etc.), not
-          // only as FileAlreadyExistsException. Disambiguate by looking
-          // at the destination: if someone now owns v=next we lost the
-          // race (data is staged — retrying costs one metadata op);
-          // otherwise it is a genuine I/O failure and must propagate,
-          // not spin the retry loop forever.
+          // on most filesystems, so a racing loser may also surface as a
+          // PLAIN IOException from the underlying rename (ENOTEMPTY
+          // etc.). Disambiguate by looking at the destination: if
+          // someone now owns v=next we lost the race (data is staged —
+          // retrying costs one metadata op); otherwise it is a genuine
+          // I/O failure and must propagate, not spin the retry loop
+          // forever. (The vacate window above applies here too, but
+          // without the typed signal a vanished destination is
+          // indistinguishable from real I/O failure — propagate.)
           case e: java.io.IOException =>
             if (fs.exists(new Path(root, s"v=$next"))) next += 1
             else throw e
@@ -981,7 +1039,8 @@ object Sinks {
     * tombstone pass runs FIRST so a restored version participates in
     * the normal retention sweep below. */
   def vacuumVersions(spark: SparkSession, tableDir: String,
-                     keepLast: Int = 0): Seq[Int] = {
+                     keepLast: Int = 0,
+                     zombieGraceMs: Long = 600000L): Seq[Int] = {
     require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -990,25 +1049,45 @@ object Sinks {
       .foreach { st =>
         val g = st.getPath.getName.stripPrefix(".fenced-")
           .takeWhile(_ != '-').toIntOption
-        val restorable = g.exists(v =>
-          fs.exists(new Path(root, s"$MarkerDir/$v")) &&
-            !fs.exists(new Path(root, s"v=$v")))
+        val marked = g.exists(v => fs.exists(new Path(root, s"$MarkerDir/$v")))
+        val restorable = marked &&
+          g.exists(v => !fs.exists(new Path(root, s"v=$v")))
+        // A MARKED tombstone whose slot is occupied is a vacating
+        // claimant in transit (marker exclusion forces it out): leave
+        // the committed bytes for the fencer's bounded retry or the
+        // next vacuum — deleting here would destroy the only copy of a
+        // committed version. Only UNMARKED tombstones (crashed-fence
+        // debris of uncommitted claims) are reclaimed.
         if (restorable) fs.rename(st.getPath, new Path(root, s"v=${g.get}"))
-        else fs.delete(st.getPath, true)
+        else if (!marked) fs.delete(st.getPath, true)
       }
     // Zombie-marker reap (r12): a publisher that crashed inside
     // commitMarker's create→post-check window — after its unmarked
     // claim had been fenced and deleted — leaves a marker with no data
     // directory. It is no version at all (nothing was ever readable
     // there); readers skip it and marker exclusion blocks its number,
-    // but left in place it pins a dead number forever. The tombstone
-    // pass above has already restored or deleted every .fenced-* dir,
-    // so marker ∧ no-directory IS the zombie test here.
+    // but left in place it pins a dead number forever. The reap is
+    // AGE-GATED (`zombieGraceMs`): a fence-restore transit also shows
+    // marker ∧ no-directory for the duration of two renames, and
+    // reaping a transit's marker would make the fencer's re-check
+    // misread its committed tombstone as reclaimable — a marker this
+    // old with no data, no tombstone (re-checked per marker against a
+    // fresh listing), and no restore in flight is genuinely dead. The
+    // residual window — a fencer stalled past the grace between its
+    // rename and its re-check — is the same stall class orphanFenceMs
+    // already bounds, and the restore's convergence check tolerates a
+    // vacuum completing the restore first.
     val md = new Path(root, MarkerDir)
+    val reapNow = System.currentTimeMillis()
     if (fs.exists(md)) fs.listStatus(md).toSeq
-      .flatMap(st => st.getPath.getName.toIntOption.map(st.getPath -> _))
-      .filter { case (_, v) => !fs.exists(new Path(root, s"v=$v")) }
-      .foreach { case (p, _) => fs.delete(p, false) }
+      .flatMap(st => st.getPath.getName.toIntOption
+        .map(v => (st.getPath, v, st.getModificationTime)))
+      .filter { case (_, v, m) =>
+        reapNow - m > zombieGraceMs &&
+          !fs.exists(new Path(root, s"v=$v")) &&
+          !fs.listStatus(root).exists(
+            _.getPath.getName.startsWith(s".fenced-$v-")) }
+      .foreach { case (p, _, _) => fs.delete(p, false) }
     val current = currentVersion(fs, root)
     // Keep the `keepLast` NEWEST below current (by version number, not
     // arithmetic — committed numbers need not be contiguous).

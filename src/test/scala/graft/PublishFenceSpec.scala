@@ -175,8 +175,11 @@ class PublishFenceSpec extends SparkSpec {
     assert(Sinks.mergeAggPublish(spark, Seq(("k", 8L)).toDF("k", "n"),
       t, Seq("k"), Seq("n"), batchId = Some(4L)) == 5)
     assert(sum == 15L)
-    // Vacuum reaps the zombie marker with the old versions.
-    assert(Sinks.vacuumVersions(spark, t) == Seq(1, 2, 3))
+    // Vacuum reaps the zombie marker with the old versions (grace 0:
+    // the zombie was planted milliseconds ago; production keeps the
+    // default so a fence-restore transit is never misread as dead).
+    assert(Sinks.vacuumVersions(spark, t, zombieGraceMs = 0L) ==
+      Seq(1, 2, 3))
     assert(markersOf(fs, root) == Set(5),
       "vacuum left the zombie marker pinning a dead number")
     assert(sum == 15L)
@@ -225,7 +228,7 @@ class PublishFenceSpec extends SparkSpec {
     assert(pv == 7, s"stale-base publisher landed at $pv, not 7")
     assert(sum == 111L, "the mixed gap lost the competitor's update")
     // Vacuum reaps all three zombies; every batch id replays as no-op.
-    Sinks.vacuumVersions(spark, t)
+    Sinks.vacuumVersions(spark, t, zombieGraceMs = 0L)
     assert(!markersOf(fs, root).exists(Set(2, 3, 5)),
       "vacuum left a zombie marker")
     Seq(1L, 2L, 3L, 30L).foreach { id =>
@@ -233,6 +236,69 @@ class PublishFenceSpec extends SparkSpec {
         t, Seq("k"), Seq("n"), batchId = Some(id))
     }
     assert(sum == 111L, "a replayed id re-applied")
+  }
+
+  test("applied-batch ledger survives an un-keyed publish and stays " +
+      "range-compact under contiguous stream ids") {
+    val t = s"${tmpDir("fence_ledger")}/t"
+    val (fs, _, root) = fsOf(t)
+    def sum = Sinks.readLatest(spark, t).collect()
+      .map(r => r.getLong(1)).sum
+    // Contiguous stream-style ids 0..2 → the ledger file is ONE range
+    // line, not one line per batch (O(1) metadata for a standing
+    // stream, the unbounded-growth fix).
+    (0L to 2L).foreach { id =>
+      Sinks.mergeAggPublish(spark, Seq(("k", 1L)).toDF("k", "n"),
+        t, Seq("k"), Seq("n"), batchId = Some(id))
+    }
+    assert(sum == 3L)
+    val in = fs.open(new Path(root, "v=3/_applied"))
+    val body = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+    assert(body.trim == "0-2", s"ledger not range-compacted: '$body'")
+    // An UN-keyed publish (out-of-band correction) must CARRY the
+    // ledger forward — dropping it would re-enable double-counting for
+    // every previously applied id.
+    Sinks.mergeAggPublish(spark, Seq(("k", 10L)).toDF("k", "n"),
+      t, Seq("k"), Seq("n"))
+    assert(sum == 13L)
+    (0L to 2L).foreach { id =>
+      Sinks.mergeAggPublish(spark, Seq(("k", 99L)).toDF("k", "n"),
+        t, Seq("k"), Seq("n"), batchId = Some(id))
+    }
+    assert(sum == 13L,
+      "a replayed id re-applied after an un-keyed publish dropped the ledger")
+  }
+
+  test("vacuum never deletes a MARKED tombstone while its slot is " +
+      "occupied; restores it once the occupant vacates") {
+    val t = s"${tmpDir("fence_vactrans")}/t"
+    val (fs, _, root) = fsOf(t)
+    assert(Sinks.mergePublish(spark, Seq((1L, "a")).toDF("id", "s"),
+      t, Seq("id")) == 1)
+    assert(Sinks.mergePublish(spark, Seq((2L, "b")).toDF("id", "s"),
+      t, Seq("id")) == 2)
+    // Frozen mid-protocol residue: v=3 committed, fenced to a
+    // tombstone, and a claimant is transiting the freed slot (marker
+    // exclusion will force it out). The old vacuum judged "tombstone
+    // not restorable" and DELETED the only committed copy.
+    val claim3 = Sinks.stageAndClaim(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t)
+    assert(claim3.version == 3)
+    Sinks.commitMarker(spark, t, claim3)
+    val (_, fc, _) = fsOf(t)
+    fc.rename(new Path(root, "v=3"), new Path(root, ".fenced-3-transit"))
+    fs.mkdirs(new Path(root, "v=3"))
+    fs.create(new Path(root, "v=3/_claim-usurper"), false).close()
+    Sinks.vacuumVersions(spark, t, keepLast = 10)
+    assert(childrenOf(fs, root).contains(".fenced-3-transit"),
+      "vacuum deleted the committed tombstone of an occupied slot")
+    // Occupant vacates; the next vacuum completes the restore.
+    fs.delete(new Path(root, "v=3"), true)
+    Sinks.vacuumVersions(spark, t, keepLast = 10)
+    assert(rowsOf(t) == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "vacuum failed to restore the committed tombstone after vacate")
+    assert(!childrenOf(fs, root).exists(_.startsWith(".fenced-")))
   }
 
   test("triple race: claimant can never sit under another publisher's " +

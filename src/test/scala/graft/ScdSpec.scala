@@ -86,6 +86,34 @@ class ScdSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("late slice that would resurrect a SUPPRESSED duplicate is " +
+      "rejected by the absorbed high-water, not missed by valid_from") {
+    // Key 1: A(t=10), A(t=50) — the t=50 duplicate is suppressed, so
+    // the dim has ONE open version A from t=10 whose valid_from cannot
+    // see t=50. A late B(t=30) sits between them: rebuilding from the
+    // dim's change points would yield A[10,30) B[30,inf) while the raw
+    // history says A[10,30) B[30,50) A[50,inf) — silent divergence the
+    // first r12 guard (min ts < open valid_from) passed straight
+    // through. The high-water (last_seen_us = 50) rejects it.
+    val hist = Seq((1L, 100L, "A", 10L), (1L, 101L, "A", 50L))
+      .toDF("user_id", "event_id", "status", "ts_us")
+    val dim = Scd.scd2FromChanges(hist)
+    assert(dim.count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      Scd.scd2Apply(dim,
+        Seq((1L, 102L, "B", 30L)).toDF("user_id", "event_id", "status",
+          "ts_us")).count()
+    }
+    assert(e.getMessage.contains("high-water"))
+    // An event at-or-after the high-water applies, and the result
+    // matches the raw-history rebuild exactly.
+    val late = Seq((1L, 103L, "B", 60L))
+      .toDF("user_id", "event_id", "status", "ts_us")
+    val inc = Scd.scd2Apply(dim, late)
+    val full = Scd.scd2FromChanges(hist.unionByName(late))
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty)
+  }
+
   test("stream-maintained dim == full rebuild; micro-batch replay is a " +
       "ledger no-op (scd2Apply is not content-idempotent)") {
     val ev = Scd.changeStream(spark, sf0001)

@@ -459,8 +459,8 @@ class TextDedupSpec extends SparkSpec {
     val enc = TextOps.bpeEncode(spark, SparkSpec.Sf001)
       .select($"doc_id", $"n_tokens".as("n_enc"))
     // Same docs, same token counts as the encode the ids are minted
-    // from; the fixture's distinct-token count exceeds the 512 cap so
-    // the UNK path genuinely fires.
+    // from; the fixture's distinct-token count exceeds the
+    // BpeVocabSize cap (24) so the UNK path genuinely fires.
     val j = ids.join(enc, "doc_id")
     assert(j.count() == enc.count() &&
       j.where($"n_tokens" =!= $"n_enc").isEmpty)
