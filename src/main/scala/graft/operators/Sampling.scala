@@ -51,16 +51,29 @@ object Sampling {
     * the pair-table-sized edge frame alone (tiny vs corpus); the
     * corpus-side cost is one joined map pass, broadcastable whenever
     * the clustered minority fits. */
+  /** Broadcast bound for [[clusterSafeSplit]]'s cluster map: 10M
+    * (doc_id, cluster_id) longs ≈ 160 MB serialized — comfortably
+    * under the 8 GB broadcast hard limit with headroom for executor
+    * copies; past it the split degrades to a doc_id-co-keyed shuffle
+    * join rather than failing. */
+  val BroadcastClusterRows = 10000000L
+
   def clusterSafeSplit(spark: SparkSession, dir: String,
                        pairFrame: DataFrame,
                        minJaccard: Double = 0.5): DataFrame = {
-    // No broadcast hint: the clustered minority is usually tiny and
-    // AQE will broadcast it from statistics, but a pathological corpus
-    // (everything near-dup) should degrade to a shuffle join, not OOM
-    // a forced broadcast.
+    // Measured broadcast dispatch (the ScaleEnvelope discipline): the
+    // cluster frame is a localCheckpoint LogicalRDD — no Catalyst
+    // stats, so an unhinted join plans a two-exchange sort-merge and a
+    // blind hint would OOM on a pathological all-near-dup corpus.
+    // The label-prop already materialized the frame, so counting it is
+    // a cheap driver scalar: broadcast the usual tiny minority, shuffle
+    // the pathological one.
     val clusters = Dedup.dedupClustersFrom(pairFrame, minJaccard)
+    val mapSide =
+      if (clusters.count() <= BroadcastClusterRows) broadcast(clusters)
+      else clusters
     Tables.documents(spark, dir).select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
+      .join(mapSide, Seq("doc_id"), "left")
       .select(col("doc_id"),
         splitOf(splitBucket(coalesce(col("cluster_id"), col("doc_id"))))
           .as("split"))
