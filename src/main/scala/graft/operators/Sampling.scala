@@ -51,26 +51,24 @@ object Sampling {
     * the pair-table-sized edge frame alone (tiny vs corpus); the
     * corpus-side cost is one joined map pass, broadcastable whenever
     * the clustered minority fits. */
-  /** Broadcast bound for [[clusterSafeSplit]]'s cluster map: 10M
-    * (doc_id, cluster_id) longs ≈ 160 MB serialized — comfortably
-    * under the 8 GB broadcast hard limit with headroom for executor
-    * copies; past it the split degrades to a doc_id-co-keyed shuffle
-    * join rather than failing. */
-  val BroadcastClusterRows = 10000000L
-
   def clusterSafeSplit(spark: SparkSession, dir: String,
                        pairFrame: DataFrame,
-                       minJaccard: Double = 0.5): DataFrame = {
-    // Measured broadcast dispatch (the ScaleEnvelope discipline): the
-    // cluster frame is a localCheckpoint LogicalRDD — no Catalyst
-    // stats, so an unhinted join plans a two-exchange sort-merge and a
-    // blind hint would OOM on a pathological all-near-dup corpus.
-    // The label-prop already materialized the frame, so counting it is
-    // a cheap driver scalar: broadcast the usual tiny minority, shuffle
-    // the pathological one.
+                       minJaccard: Double = 0.5,
+                       broadcastRows: Long =
+                         ScaleEnvelope.BroadcastClusterRows): DataFrame = {
+    // Measured broadcast dispatch ([[ScaleEnvelope.BroadcastClusterRows]]
+    // carries the sizing argument): the cluster frame is a
+    // localCheckpoint LogicalRDD — no Catalyst stats, so an unhinted
+    // join plans a two-exchange sort-merge and a blind hint would OOM
+    // on a pathological all-near-dup corpus. The label-prop already
+    // materialized the frame, so counting it is a cheap driver scalar:
+    // broadcast the usual tiny minority, shuffle the pathological one.
+    // (The checkpoint blocks stay pinned for the returned frame's
+    // lifetime — the construction-time-iteration class every iterative
+    // operator here shares.)
     val clusters = Dedup.dedupClustersFrom(pairFrame, minJaccard)
     val mapSide =
-      if (clusters.count() <= BroadcastClusterRows) broadcast(clusters)
+      if (clusters.count() <= broadcastRows) broadcast(clusters)
       else clusters
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(mapSide, Seq("doc_id"), "left")

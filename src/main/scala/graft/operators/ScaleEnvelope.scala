@@ -64,6 +64,21 @@ object ScaleEnvelope {
   /** Quarter bands at or below the trigger, wide multi-index above. */
   def simhashUseWide(nDocs: Long): Boolean = nDocs > SimhashWideTrigger
 
+  // ---- 1b. Cluster-map join form ----------------------------------
+
+  /** Cluster rows above which [[Sampling.clusterSafeSplit]] joins its
+    * (doc_id, cluster_id) map by shuffle instead of broadcast. Sized
+    * against DRIVER/EXECUTOR HEAP, not the 8 GB broadcast hard limit:
+    * a broadcast is collected on the driver and rebuilt per executor
+    * as a LongHashedRelation at ~2–4× its ~16 B/row serialized size,
+    * so 2M rows ≈ 32 MB serialized / ≲128 MB built — safe on a
+    * default-sized driver with room to spare, while the 8 GB limit
+    * would admit row counts that OOM long before reaching it. The
+    * frame has no Catalyst stats (localCheckpoint LogicalRDD), so the
+    * dispatch must be an explicit measured decision — the count is a
+    * driver scalar over already-materialized checkpoint blocks. */
+  val BroadcastClusterRows = 2000000L
+
   // ---- 2. Banded-LSH signature width ------------------------------
 
   /** Hard width of a band signature (bits of a positive Long). Not a

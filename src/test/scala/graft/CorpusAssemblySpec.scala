@@ -358,6 +358,13 @@ class CorpusAssemblySpec extends SparkSpec {
       .join(naive, "doc_id")
       .where(col("split") =!= col("naive_split"))
     assert(drifted.isEmpty, "a singleton's split moved")
+    // Over-threshold fallback: broadcastRows = 0 forces the shuffle
+    // join — the dispatch changes the PLAN, never the assignments.
+    val shuffled = Sampling.clusterSafeSplit(spark, SparkSpec.Sf001,
+      pairs, broadcastRows = 0L)
+    assert(safe.exceptAll(shuffled).isEmpty &&
+      shuffled.exceptAll(safe).isEmpty,
+      "shuffle-form split diverged from the broadcast form")
   }
 
   test("trainSplit is deterministic, total, and ~80/10/10") {

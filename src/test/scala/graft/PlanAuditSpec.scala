@@ -373,6 +373,20 @@ class PlanAuditSpec extends SparkSpec {
     } finally txn.unpersist()
   }
 
+  test("cluster-safe split keeps its map-side join: the measured " +
+      "broadcast dispatch, not a stats-blind sort-merge") {
+    // The cluster frame is a stats-less localCheckpoint LogicalRDD —
+    // without the measured dispatch the planner (and, observed, AQE)
+    // falls back to a two-exchange SortMergeJoin of the full corpus
+    // against a ~dozen-row map. Regression pin for the 45ff1a3 slip
+    // that silently dropped the hint.
+    val cs = finalPlan(q("q_cluster_split"))
+    assert(count(cs, "BroadcastHashJoin") >= 1,
+      s"cluster map must join map-side below the envelope bound:\n$cs")
+    assert(!cs.contains("SortMergeJoin"),
+      s"cluster split regressed to a corpus-wide sort-merge join:\n$cs")
+  }
+
   test("r10 additions keep their documented shapes") {
     // Phrase search: the occ stream is cut to the phrase vocabulary by
     // a BROADCAST join before any exchange — no cartesian, no sort,
