@@ -373,9 +373,25 @@ object Sinks {
     var result = -1
     while (result < 0) {
       attempts += 1
-      require(attempts <= 16,
-        s"mergePublish: lost the commit race $attempts times on $tableDir " +
-          "— pathological contention, back off at the caller")
+      if (attempts > 64) {
+        def ls(p: Path): String =
+          try fs.listStatus(p).map(_.getPath.getName).sorted.mkString(",")
+          catch { case _: java.io.IOException => "<unlistable>" }
+        throw new IllegalArgumentException(
+          s"mergePublish: lost the commit race $attempts times on " +
+            s"$tableDir — pathological contention or a wedged orphan " +
+            "claim below the fence age; back off at the caller " +
+            s"[root: ${ls(root)}; markers: ${ls(new Path(root, MarkerDir))}]")
+      }
+      // Jittered linear backoff after a lost round: N publishers who
+      // all retract and re-claim in lockstep can starve one of them
+      // past any fixed attempt bound (observed at 4 writers under
+      // suite load) — desynchronizing the retries is the standard
+      // livelock remedy, and the sleep only triggers on contested
+      // tables.
+      if (attempts > 1) Thread.sleep(
+        java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(5L, 40L) * math.min(attempts, 8))
       val hasCurrent = fs.exists(root) &&
         (fs.exists(new Path(root, MarkerDir)) ||
           fs.exists(new Path(root, "LATEST")))
@@ -398,11 +414,22 @@ object Sinks {
         // (batchId = None): dropping it would silently disable replay
         // detection for every previously committed id the moment an
         // out-of-band correction touches the table.
-        val c = stageAndClaim(merged, tableDir,
-          stamp = stageDir => {
-            val ids = applied ++ batchId
-            if (ids.nonEmpty) writeApplied(fs, stageDir, ids)
-          })
+        // A missing-file-rooted stage failure is a TRANSIENT of this
+        // protocol, not an error: the merge's base read resolves
+        // v=base's files, and a fence-restore transit (a fencer whose
+        // staleness read lost to the owner's commit renames the dir
+        // to a tombstone and back) can move them mid-scan. The base is
+        // still committed and serving — re-enter the loop, re-resolve,
+        // recompute (bounded by the same attempts guard).
+        val c =
+          try stageAndClaim(merged, tableDir,
+            stamp = stageDir => {
+              val ids = applied ++ batchId
+              if (ids.nonEmpty) writeApplied(fs, stageDir, ids)
+            })
+          catch {
+            case e: Throwable if missingFileRooted(e) => null
+          }
         // Claim adjacency, zombie-aware (r12): a gap number carrying a
         // marker but neither data nor a tombstone is a crashed-commit
         // zombie — no state was ever readable there and marker
@@ -415,17 +442,30 @@ object Sinks {
             !fs.exists(new Path(root, s"v=$g")) &&
             !fs.listStatus(root).exists(
               _.getPath.getName.startsWith(s".fenced-$g-"))
-        if (c.version == base + 1 ||
+        if (c == null) () // transient base move — loop re-reads
+        else if (c.version == base + 1 ||
             ((base + 1) until c.version).forall(zombieNumber)) {
           commitMarker(spark, tableDir, c); result = c.version
         } else {
           // Non-adjacent claim: someone claimed (base, n) after our
-          // read. Retract ours (invisible — no marker was written) and
-          // fence aged orphans in the gap so a crashed publisher can't
-          // wedge the table.
-          fs.delete(new Path(root, s"v=${c.version}"), true)
+          // read. Retract ours (invisible — no marker was written) by
+          // RENAME-then-delete, never an in-place recursive delete:
+          // Hadoop's local fullyDelete RE-LISTS children as it runs,
+          // so the moment the slot empties a competitor's claim rename
+          // can land in it and the still-running delete then chews the
+          // competitor's fresh files — its claim token (observed in
+          // soak as a spurious "fenced before commit" at a 10-minute
+          // fence age) or, if it commits first, a COMMITTED version's
+          // data files (observed as reader FileNotFoundException).
+          // The rename releases the slot atomically; the delete then
+          // touches only our private tombstone. Then fence aged
+          // orphans in the gap so a crashed publisher can't wedge the
+          // table.
           val fc = org.apache.hadoop.fs.FileContext
             .getFileContext(root.toUri, conf)
+          val retract = new Path(root, s".retract-${c.token.take(8)}")
+          fc.rename(new Path(root, s"v=${c.version}"), retract)
+          fs.delete(retract, true)
           ((base + 1) until c.version)
             .foreach(g => fenceOrphan(fs, fc, root, g, orphanFenceMs))
         }
@@ -458,12 +498,24 @@ object Sinks {
     val p = new Path(root, s"v=$g")
     val marked = fs.exists(new Path(root, s"$MarkerDir/$g"))
     val now = System.currentTimeMillis()
-    // The mtime read races a competitor's fence rename (exists →
-    // getFileStatus TOCTOU): a vanished path means the competitor
-    // already moved it — the same no-op as losing the rename race.
-    val aged = !marked && fs.exists(p) &&
-      (try now - fs.getFileStatus(p).getModificationTime > orphanFenceMs
-       catch { case _: java.io.FileNotFoundException => false })
+    // The mtime read races competitors (exists → getFileStatus
+    // TOCTOU): a vanished path can surface as FileNotFoundException
+    // OR — on the local fs, whose status loads File.lastModified()
+    // lazily — as a status carrying mtime 0, because lastModified()
+    // returns 0 for a path that disappeared mid-read instead of
+    // throwing. Treating 0 as an age made a retract-then-reclaim
+    // window fatal: the fencer read the retracted dir as epoch-old,
+    // then renamed away the owner's FRESH re-claim that landed before
+    // its rename (observed as a rare soak failure at a 10-minute
+    // fence age). A vanished path means a competitor moved it — the
+    // same no-op as losing the rename race; no real claim dir carries
+    // an epoch mtime (every stage is freshly written).
+    val aged = !marked && fs.exists(p) && {
+      val m =
+        try fs.getFileStatus(p).getModificationTime
+        catch { case _: java.io.FileNotFoundException => 0L }
+      m > 0 && now - m > orphanFenceMs
+    }
     if (aged) {
       beforeRename()
       val tomb = new Path(root, s".fenced-$g-" +
@@ -503,7 +555,18 @@ object Sinks {
       if (!fs.exists(marker)) {
         fs.delete(tomb, true); done = true
       } else {
-        try { fc.rename(tomb, new Path(root, s"v=$g")); done = true }
+        try {
+          fc.rename(tomb, new Path(root, s"v=$g"))
+          // Local-fs rename can NEST the source inside a destination
+          // that appeared in the check→rename window (the same HDFS-
+          // semantics fallback stageAndClaim verifies against): if a
+          // claimant occupied v=g mid-restore, our committed bytes are
+          // now at v=g/<tombName> — pull them back out and retry (the
+          // claimant's marker-exclusion vacate frees the slot).
+          val nested = new Path(root, s"v=$g/${tomb.getName}")
+          if (fs.exists(nested)) { fc.rename(nested, tomb); Thread.sleep(20L) }
+          else done = true
+        }
         catch {
           case e: java.io.IOException =>
             // Converged by another actor: vacuumVersions' tombstone
@@ -579,6 +642,23 @@ object Sinks {
 
   /** Ledger file name inside a version directory. */
   private val AppliedLedger = "_applied"
+
+  /** True when a failure is rooted in (or reports) a missing data
+    * file — the signature of a scan whose resolved files a
+    * fence-restore transit moved mid-read. Spark wraps the underlying
+    * FileNotFoundException in task/job failures whose cause chain is
+    * sometimes flattened into the message, so both are checked. */
+  private def missingFileRooted(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          (t.getMessage != null &&
+            t.getMessage.contains("FileNotFoundException")))
+        return true
+      t = t.getCause
+    }
+    false
+  }
 
   /** Range-clustered layout: repartitionByRange + sortWithinPartitions
     * on the dominant filter column before writing, so every output file
@@ -757,7 +837,8 @@ object Sinks {
     * check→rename window deterministically. */
   private[graft] def stageAndClaim(df: DataFrame, tableDir: String,
                                    stamp: Path => Unit = _ => (),
-                                   beforeRename: Int => Unit = _ => ())
+                                   beforeRename: Int => Unit = _ => (),
+                                   afterRename: Int => Unit = _ => ())
       : Claim = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -766,17 +847,26 @@ object Sinks {
     fs.mkdirs(root)
     def freshStage() = new Path(root,
       s".stage-${java.util.UUID.randomUUID.toString.take(8)}")
-    var stage = freshStage()
-    df.write.mode("errorifexists").parquet(stage.toString)
-    stamp(stage)
-    // Claim token: stamped into the staged dir BEFORE the rename, so
-    // ownership travels with the data. `_`-prefixed → invisible to
-    // parquet readers, same convention as _SUCCESS.
     val token = java.util.UUID.randomUUID.toString
-    fs.create(new Path(stage, s"_claim-$token"), false).close()
+    var stage: Path = null
+    def restage(): Unit = {
+      stage = freshStage()
+      // A failed stage write (e.g. the merge's base read raced a
+      // fence-restore transit) must not leave partial debris for the
+      // soak's hygiene or grow the root until vacuum: reap and rethrow.
+      try df.write.mode("errorifexists").parquet(stage.toString)
+      catch { case e: Throwable => fs.delete(stage, true); throw e }
+      stamp(stage)
+      // Claim token: stamped into the staged dir BEFORE the rename, so
+      // ownership travels with the data. `_`-prefixed → invisible to
+      // parquet readers, same convention as _SUCCESS.
+      fs.create(new Path(stage, s"_claim-$token"), false).close()
+    }
+    restage()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
     var next = 1 + listVersions(fs, root).foldLeft(0)(math.max)
     var claimed = -1
+    var slotAttempts = 0
     while (claimed < 0) {
       if (fs.exists(new Path(root, s"$MarkerDir/$next"))) {
         // Marker exclusion pre-check: the number is COMMITTED (its
@@ -789,43 +879,83 @@ object Sinks {
           // this version number.
           fc.rename(stage, new Path(root, s"v=$next"),
             org.apache.hadoop.fs.Options.Rename.NONE)
+          // A successful rename return is NOT a claim on the local fs:
+          // RawLocalFileSystem.rename falls back to HDFS directory
+          // semantics when the destination came into existence inside
+          // FileContext's check→rename window — it moves the source
+          // INTO the existing destination as a CHILD and returns true.
+          // Forensically observed: a loser's stage nested at
+          // v=N/.stage-*, the loser proceeding as if it owned v=N, and
+          // its commitMarker later failing "fenced" (or worse,
+          // committing a marker over the winner's bytes). Ownership is
+          // therefore verified by the claim token at the TOP level of
+          // the slot; a nested loser recovers its bytes (or restages
+          // if the winner's retract already swept them away) and moves
+          // to the next number.
+          val vdir = new Path(root, s"v=$next")
+          if (!fs.exists(new Path(vdir, s"_claim-$token"))) {
+            val nested = new Path(vdir, stage.getName)
+            val back = freshStage()
+            val recovered =
+              try { fc.rename(nested, back); true }
+              catch { case _: java.io.IOException => false }
+            if (recovered) stage = back else restage()
+            next += 1
+          } else {
+          afterRename(next)
           if (fs.exists(new Path(root, s"$MarkerDir/$next"))) {
             // Marker landed inside the check→rename window: the number
             // is committed and its owner's data is in a fence
             // tombstone awaiting restore. Vacate the slot (our data
             // keeps its token — the rename moves the whole dir) and
-            // try the next number.
-            val back = freshStage()
-            fc.rename(new Path(root, s"v=$next"), back,
-              org.apache.hadoop.fs.Options.Rename.NONE)
-            stage = back
+            // try the next number. A failed vacate rename must not
+            // propagate (an unretracted claim would wedge every later
+            // publisher's adjacency until the fence age): if our token
+            // is gone with it, restage and move on.
+            var vacated = false
+            var vacateTries = 0
+            while (!vacated) {
+              vacateTries += 1
+              val back = freshStage()
+              try {
+                fc.rename(new Path(root, s"v=$next"), back,
+                  org.apache.hadoop.fs.Options.Rename.NONE)
+                stage = back; vacated = true
+              } catch {
+                case e: java.io.IOException =>
+                  // Slot already empty (someone moved it with our
+                  // bytes): restage. Still ours: the vacate MUST
+                  // complete — abandoning it would orphan the slot
+                  // and wedge adjacency until the fence age.
+                  if (!fs.exists(new Path(root, s"v=$next/_claim-$token"))) {
+                    restage(); vacated = true
+                  } else if (vacateTries > 16) throw e
+                  else Thread.sleep(10L)
+              }
+            }
             next += 1
           } else claimed = next
+          }
         } catch {
-          // FileAlreadyExistsException IS the lost race — the
-          // destination existed at rename time. Do NOT re-derive that
-          // from a post-hoc exists() probe: the winner may vacate
-          // (marker landed) or retract (non-adjacent) its claim inside
-          // our throw→probe window, the probe then reads false, and a
-          // plain lost race would propagate as a crash (observed as a
-          // rare suite flake). Skipping forward is always safe: if the
-          // slot was retracted the gap just re-enters the adjacency
-          // check.
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            next += 1
-          // The exists-check inside FileContext.rename is check-then-act
-          // on most filesystems, so a racing loser may also surface as a
-          // PLAIN IOException from the underlying rename (ENOTEMPTY
-          // etc.). Disambiguate by looking at the destination: if
-          // someone now owns v=next we lost the race (data is staged —
-          // retrying costs one metadata op); otherwise it is a genuine
-          // I/O failure and must propagate, not spin the retry loop
-          // forever. (The vacate window above applies here too, but
-          // without the typed signal a vanished destination is
-          // indistinguishable from real I/O failure — propagate.)
+          // ANY rename failure is a lost slot race, not an error to
+          // propagate: the typed FileAlreadyExistsException (dst
+          // existed at FileContext's check), ENOTEMPTY (dst landed
+          // between check and rename(2)), and — observed in soak —
+          // Shell chmod ExitCodeExceptions from the local fs's
+          // HDFS-semantics fallback, which COPIES the source file by
+          // file into an existing destination and crashes mid-copy
+          // when the slot's winner vacates or retracts underneath it.
+          // A post-hoc exists(dst) probe cannot disambiguate (the
+          // winner may already be gone), so the policy is: verify our
+          // stage survived (a failed fallback copy can consume it —
+          // restage from the DataFrame if the token file is missing),
+          // move to the next number, and let the slot-attempts cap
+          // bound genuinely persistent I/O failure.
           case e: java.io.IOException =>
-            if (fs.exists(new Path(root, s"v=$next"))) next += 1
-            else throw e
+            slotAttempts += 1
+            if (slotAttempts > 64) throw e
+            if (!fs.exists(new Path(stage, s"_claim-$token"))) restage()
+            next += 1
         }
       }
     }
@@ -870,20 +1000,59 @@ object Sinks {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tokenPath =
       new Path(root, s"v=${claim.version}/_claim-${claim.token}")
-    def fenced(when: String): Nothing = throw new IllegalStateException(
-      s"publish fenced $when: v=${claim.version} under $tableDir no " +
-        s"longer carries claim token ${claim.token} — this publisher " +
-        "stalled past the orphan fence age and the version was " +
-        "reclaimed; the batch was NOT published, replay it")
+    def fenced(when: String): Nothing = {
+      // Forensic snapshot: the states that distinguish the possible
+      // mechanisms (fence tombstone vs vacate vs foreign occupation).
+      def ls(p: Path): String =
+        try fs.listStatus(p).map(_.getPath.getName).sorted.mkString(",")
+        catch { case _: java.io.IOException => "<unlistable>" }
+      throw new IllegalStateException(
+        s"publish fenced $when: v=${claim.version} under $tableDir no " +
+          s"longer carries claim token ${claim.token} — this publisher " +
+          "stalled past the orphan fence age and the version was " +
+          "reclaimed; the batch was NOT published, replay it " +
+          s"[root: ${ls(root)}; v-dir: " +
+          s"${ls(new Path(root, s"v=${claim.version}"))}; markers: " +
+          s"${ls(new Path(root, MarkerDir))}]")
+    }
     if (!fs.exists(tokenPath)) fenced("before commit")
     beforeMarker()
     fs.mkdirs(new Path(root, MarkerDir))
-    fs.create(new Path(root, s"$MarkerDir/${claim.version}"), false).close()
+    // The marker NAMES its claim token (r12): readers verify the slot
+    // still carries `_claim-<token>` before serving, which closes the
+    // transient read-uncommitted window in which a claimant occupies a
+    // freed committed slot between its rename and its marker-re-check
+    // vacate — under a token-verified marker, foreign bytes are never
+    // servable, not merely never PERSISTENTLY servable. (The
+    // create→write is not atomic; a reader catching the marker empty
+    // falls back to the legacy dir-exists rule — the pre-r12 behavior,
+    // and the window is two metadata ops wide.)
+    val out = fs.create(new Path(root, s"$MarkerDir/${claim.version}"), false)
+    try out.write(claim.token.getBytes("UTF-8")) finally out.close()
     if (!fs.exists(tokenPath)) {
       fs.delete(new Path(root, s"$MarkerDir/${claim.version}"), false)
       fenced("at commit")
     }
   }
+
+  /** The reader-side servability test for one marker: its data
+    * directory exists AND — when the marker file names a claim token
+    * (r12) — the directory still carries that token, so a claimant
+    * transiting a freed committed slot can never be served as the
+    * committed version. Tokenless (legacy / mid-write) markers fall
+    * back to the dir-exists rule. One small-file read per candidate;
+    * resolution normally checks a single marker. */
+  private def servableVersion(fs: org.apache.hadoop.fs.FileSystem,
+                              root: Path, v: Int): Boolean =
+    fs.exists(new Path(root, s"v=$v")) && {
+      val tok =
+        try {
+          val in = fs.open(new Path(root, s"$MarkerDir/$v"))
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      tok.isEmpty || fs.exists(new Path(root, s"v=$v/_claim-$tok"))
+    }
 
   /** Directory of per-version publish markers; `_`-prefixed so Spark's
     * partition discovery ignores it next to the `v=<n>` dirs. */
@@ -926,10 +1095,12 @@ object Sinks {
           .map(v => v -> st.getModificationTime))
     // Same servable rule as [[readLatest]]'s resolution (r12): a marker
     // with no data directory — fence-restore transit or crashed-commit
-    // zombie — is skipped, serving the newest committed version at or
-    // before t that actually has bytes.
+    // zombie — or whose directory no longer carries the marker's claim
+    // token (a claimant transiting the freed slot) is skipped, serving
+    // the newest committed version at or before t that actually has
+    // its own bytes.
     val asOf = committed.filter { case (v, m) =>
-      m <= atMillis && fs.exists(new Path(root, s"v=$v")) }.map(_._1)
+      m <= atMillis && servableVersion(fs, root, v) }.map(_._1)
     require(asOf.nonEmpty,
       s"no servable version of $tableDir as of $atMillis — either before " +
         "the first commit, or vacuumed past the retention window " +
@@ -1088,6 +1259,18 @@ object Sinks {
           !fs.listStatus(root).exists(
             _.getPath.getName.startsWith(s".fenced-$v-")) }
       .foreach { case (p, _, _) => fs.delete(p, false) }
+    // Crash-debris reap: `.stage-*` (publisher died mid-stage, never
+    // claimed) and `.retract-*` (died between the retract rename and
+    // its delete) are publisher-private dirs no reader or claimant
+    // ever references — age-gated only so a LIVE publisher's
+    // in-flight stage is never pulled out from under it.
+    fs.listStatus(root).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory &&
+          (n.startsWith(".stage-") || n.startsWith(".retract-")) &&
+          reapNow - s.getModificationTime > zombieGraceMs }
+      .foreach(s => fs.delete(s.getPath, true))
     val current = currentVersion(fs, root)
     // Keep the `keepLast` NEWEST below current (by version number, not
     // arithmetic — committed numbers need not be contiguous).
@@ -1130,7 +1313,7 @@ object Sinks {
         fs.listStatus(md).toSeq.flatMap(_.getPath.getName.toIntOption)
       else Nil
     val servable = markers.sorted(Ordering[Int].reverse)
-      .find(v => fs.exists(new Path(root, s"v=$v")))
+      .find(v => servableVersion(fs, root, v))
     if (servable.nonEmpty) servable.get
     else if (markers.nonEmpty) throw new IllegalStateException(
       s"markers exist under $root but none has a data directory — every " +

@@ -369,6 +369,46 @@ class PublishFenceSpec extends SparkSpec {
     assert(rowsOf(t) == Set((9L, "claimant")))
   }
 
+  test("reader during a claimant's occupancy of a freed committed slot " +
+      "never serves the claimant's uncommitted bytes (token-verified " +
+      "markers)") {
+    val t = s"${tmpDir("fence_occupy")}/t"
+    val (fs, fc, root) = fsOf(t)
+    // v=1 committed and intact; v=2 committed but its fencer crashed
+    // mid-fence — data in a tombstone, marker 2 present, slot free.
+    assert(Sinks.mergePublish(spark, Seq((1L, "base")).toDF("id", "s"),
+      t, Seq("id")) == 1)
+    val claimB = Sinks.stageAndClaim(
+      Seq((1L, "base"), (2L, "real")).toDF("id", "s"), t)
+    Sinks.commitMarker(spark, t, claimB)
+    fc.rename(new Path(root, "v=2"), new Path(root, ".fenced-2-crash"))
+    // Hide marker 2 past the claimant's pre-check, restore it in the
+    // beforeRename seam; READ inside the afterRename window — the
+    // claimant occupies v=2 while marker 2 is visible. Without
+    // token-verified markers this read served the claimant's
+    // uncommitted (9, "foreign") row as the committed v=2.
+    val marker = new Path(root, "_latest/2")
+    val hidden = new Path(root, "_latest/.hidden-2")
+    fc.rename(marker, hidden)
+    var injected = false
+    var duringOccupancy: Set[(Long, String)] = null
+    val claimC = Sinks.stageAndClaim(
+      Seq((9L, "foreign")).toDF("id", "s"), t,
+      beforeRename = n => if (n == 2 && !injected) {
+        injected = true
+        fc.rename(hidden, marker)
+      },
+      afterRename = n => if (n == 2) duringOccupancy = rowsOf(t))
+    assert(claimC.version == 3)
+    assert(duringOccupancy == Set((1L, "base")),
+      s"reader served a claimant's uncommitted bytes: $duringOccupancy")
+    // Vacuum restores the crashed fence's tombstone; v=2 serves again.
+    Sinks.vacuumVersions(spark, t)
+    assert(rowsOf(t) == Set((1L, "base"), (2L, "real")))
+    Sinks.commitMarker(spark, t, claimC)
+    assert(rowsOf(t) == Set((9L, "foreign")))
+  }
+
   test("vacuum reaps uncommitted fence tombstones and stage debris " +
       "never reaches readers") {
     val t = s"${tmpDir("fence_vac")}/t"
