@@ -864,7 +864,34 @@ object Sinks {
     }
     restage()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
-    var next = 1 + listVersions(fs, root).foldLeft(0)(math.max)
+    // Claims start at COMMITTED max + 1, not at max(existing dirs)+1:
+    // a retracted claim leaves an empty number below the live claims
+    // above it, and dir-derived numbering then never returns to fill
+    // the hole — every publisher claims above it, finds the hole in
+    // its adjacency gap (neither committed nor zombie), retracts, and
+    // re-claims above it again, a mutual starvation observed at 4
+    // writers as 65 lost rounds over root {v=1,v=2,v=4,v=5; markers
+    // 1,2}. Walking up from the committed base instead restores the
+    // lock-free progress guarantee: whoever holds base+1 either
+    // commits (progress) or retracts (freeing base+1 for the next
+    // claimant); occupied or marker-excluded numbers are skipped by
+    // the existing rename/exclusion logic. Tables with no markers yet
+    // (bootstrap or legacy LATEST) keep the dir-derived start.
+    // The start is the SERVABLE current + 1 (not the max marker —
+    // a crashed-commit zombie above the servable base would skip the
+    // genuinely free next number); the walk skips marker-excluded and
+    // occupied numbers from there. All-zombie marker sets fall back
+    // to the max marker, bootstrap/legacy tables to the dir max.
+    val markerMax =
+      if (fs.exists(new Path(root, MarkerDir)))
+        fs.listStatus(new Path(root, MarkerDir)).toSeq
+          .flatMap(_.getPath.getName.toIntOption).foldLeft(0)(math.max)
+      else 0
+    var next =
+      if (markerMax > 0)
+        (try currentVersion(fs, root)
+         catch { case _: IllegalStateException => markerMax }) + 1
+      else 1 + listVersions(fs, root).foldLeft(0)(math.max)
     var claimed = -1
     var slotAttempts = 0
     while (claimed < 0) {
