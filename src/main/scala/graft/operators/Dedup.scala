@@ -352,6 +352,10 @@ object Dedup {
   def appendToPairTableBatch(spark: SparkSession, newDocs: DataFrame,
                              allDocs: DataFrame, sigPath: String,
                              pairPath: String, batchId: Long): Unit = {
+    // Replay guard post-compaction (r13): a folded batch's partition
+    // no longer exists to overwrite — re-appending would double the
+    // pairs; the in-table ledger no-ops it ([[Compaction]]).
+    if (Compaction.isPairBatchFolded(spark, pairPath, batchId)) return
     // A table bootstrapped flat (buildSignatureTable / the batch
     // append API) adopts the batch-keyed layout on first contact —
     // flat children next to batch_id= dirs would make the whole

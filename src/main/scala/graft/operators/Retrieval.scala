@@ -121,11 +121,13 @@ object Retrieval {
     * it — so phrase results over N batches are bit-identical to a
     * one-shot build over the union (spec-proven, replay included). */
   def buildPosIndexBatch(spark: SparkSession, docs: DataFrame,
-                         indexPath: String, batchId: Long): Unit =
+                         indexPath: String, batchId: Long): Unit = {
+    if (Compaction.isFolded(spark, indexPath, batchId)) return
     docs.select(col("doc_id"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
       .write.partitionBy("tok").mode("overwrite")
       .parquet(s"$indexPath/pos/batch_id=$batchId")
+  }
 
   /** Phrase serve from the standing positional index: partition
     * pruning cuts the scan to the phrase terms' directories (the
@@ -138,11 +140,14 @@ object Retrieval {
       // token directory (tok=007) back as an integer, silently
       // renaming the token ("007" → 7) and de-matching it from the
       // phrase — the BPE vocabulary is full of number pieces, so pin
-      // tok to STRING at the reader.
-      spark.read.schema("doc_id BIGINT, pos INT, tok STRING")
-        .parquet(s"$indexPath/pos")
-        .where(col("tok").isin(phrase.distinct: _*))
-        .select(col("doc_id"), col("pos"), col("tok")),
+      // tok to STRING at the reader. Takedown-aware (r13): deleted
+      // docs drop out of the occurrence slice before alignment.
+      Takedown.applyDeletes(
+        spark.read.schema("doc_id BIGINT, pos INT, tok STRING")
+          .parquet(s"$indexPath/pos")
+          .where(col("tok").isin(phrase.distinct: _*))
+          .select(col("doc_id"), col("pos"), col("tok")),
+        s"$indexPath/deletes"),
       phrase)
 
   /** The ONE alignment tail both phrase paths share (the bm25ScoreTail
@@ -253,6 +258,11 @@ object Retrieval {
     * replay included). */
   def buildLexIndexBatch(spark: SparkSession, docs: DataFrame,
                          indexPath: String, batchId: Long): Unit = {
+    // Replay guard post-compaction (r13): once [[Compaction]] folded
+    // this id's partition away, re-writing it would DOUBLE-COUNT (the
+    // partition itself was the pre-fold dedup) — the folded ledger
+    // makes the replay a no-op instead.
+    if (Compaction.isFolded(spark, indexPath, batchId)) return
     docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
@@ -288,11 +298,18 @@ object Retrieval {
     * appended after the pinned fields and simply not selected). */
   private def servedContribs(spark: SparkSession, indexPath: String,
                              terms: Seq[String]): DataFrame = {
-    val tf = spark.read
-      .schema("doc_id BIGINT, tf BIGINT, tok STRING")
-      .parquet(s"$indexPath/postings")
-      .where(col("tok").isin(terms: _*))
-      .select(col("doc_id"), col("tok"), col("tf"))
+    // Takedown-aware (r13): anti-join the logically-deleted docs (a
+    // no-op when the index never saw a takedown); the matching
+    // corpus-stats correction is already a negative partial under
+    // stats/, and df re-derives from this purged slice — so served
+    // scores equal a rebuild over the purged corpus, bit for bit.
+    val tf = Takedown.applyDeletes(
+      spark.read
+        .schema("doc_id BIGINT, tf BIGINT, tok STRING")
+        .parquet(s"$indexPath/postings")
+        .where(col("tok").isin(terms: _*))
+        .select(col("doc_id"), col("tok"), col("tf")),
+      s"$indexPath/deletes")
     val dl = spark.read.schema("doc_id BIGINT, dl BIGINT")
       .parquet(s"$indexPath/doclens")
       .select(col("doc_id"), col("dl"))

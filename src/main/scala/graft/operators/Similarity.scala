@@ -854,6 +854,8 @@ object Similarity {
     * overwrites the same batch partition. */
   def buildIvfIndexBatch(spark: SparkSession, emb: DataFrame,
                          indexPath: String, batchId: Long): Unit = {
+    // Replay guard post-compaction (r13): see [[Compaction]].
+    if (Compaction.isFolded(spark, indexPath, batchId)) return
     graft.sinks.Sinks.adoptFlatLayout(spark, s"$indexPath/postings")
     val c = corpusOf(spark, emb)
     val cents = trainedCentroidsOf(c)
@@ -912,7 +914,11 @@ object Similarity {
     val probes = scored.withColumn("crank", row_number().over(byQ))
       .where(col("crank") <= NumProbes)
       .select(col("q_id"), col("cent_id").as("cell"))
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    // Takedown-aware (r13): taken-down vectors drop out of the probed
+    // cells before scoring (no-op join when no takedown ever ran).
+    val postings = Takedown.applyDeletes(
+      spark.read.parquet(s"$indexPath/postings"),
+      s"$indexPath/deletes", idCol = "vec_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     postings.join(broadcast(probes), "cell")

@@ -360,8 +360,14 @@ private[graft] object Publish {
     * time on EVERY publish, not the documented O(ranges). */
   private[graft] def appliedBatches(fs: org.apache.hadoop.fs.FileSystem,
                                     root: Path, version: Int)
-      : Seq[(Long, Long)] = {
-    val p = new Path(root, s"v=$version/$AppliedLedger")
+      : Seq[(Long, Long)] =
+    readLedger(fs, new Path(root, s"v=$version/$AppliedLedger"))
+
+  /** Parse one ledger FILE into sorted symbolic ranges (shared by the
+    * version ledger above and the index-compaction `_folded` ledgers —
+    * [[graft.operators.Compaction]]). */
+  private[graft] def readLedger(fs: org.apache.hadoop.fs.FileSystem,
+                                p: Path): Seq[(Long, Long)] =
     if (!fs.exists(p)) Nil
     else {
       val in = fs.open(p)
@@ -377,6 +383,23 @@ private[graft] object Publish {
         }.toSeq.sortBy(_._1)
       finally in.close()
     }
+
+  /** Serialize symbolic ranges to one ledger FILE (overwrite — the
+    * ledger is tiny and rewritten wholesale; `lo-hi` lines, singletons
+    * bare). The write goes through a temp + rename so a crash never
+    * leaves a half-written ledger. */
+  private[graft] def writeLedger(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: Path, ranges: Seq[(Long, Long)]): Unit = {
+    val body = ranges.sortBy(_._1)
+      .map { case (lo, hi) => if (lo == hi) s"$lo" else s"$lo-$hi" }
+      .mkString("\n")
+    val tmp = new Path(p.getParent,
+      s".${p.getName}-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"ledger rename failed: $tmp -> $p")
   }
 
   /** Membership test against the symbolic ledger — O(ranges), which is

@@ -235,6 +235,34 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** DELETE-AWARE streaming CDC through the versioned publish (r13):
+    * [[mergePublishStream]] for batches that carry an I/U/D operation
+    * column — the real CDC wire shape. Each micro-batch folds via
+    * [[graft.sinks.Sinks.mergePublishCdc]] (winning D removes the key,
+    * I/U upsert, `latestBy` resolves a key's coalesced ops to its
+    * FINAL one), keyed by the micro-batch id on the applied-batch
+    * ledger — a replayed delete batch must no-op, not re-delete into a
+    * later re-insert (deletes are NOT idempotent by content once the
+    * key is re-stated). */
+  def mergePublishCdcStream(stream: DataFrame, tableDir: String,
+                            keys: Seq[String], checkpointDir: String,
+                            opCol: String = "op",
+                            latestBy: Seq[String] = Nil): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          graft.sinks.Sinks.mergePublishCdc(batch.sparkSession, batch,
+            tableDir, keys, opCol, latestBy, batchId = Some(batchId))
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming AGGREGATE maintenance through the versioned publish —
     * the rollup twin of [[mergePublishStream]]: every micro-batch of
     * raw rows (or pre-aggregated partials — the re-aggregation
