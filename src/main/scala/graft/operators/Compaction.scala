@@ -30,19 +30,44 @@ import graft.sinks.Publish
   *    takedown whose ids are already purged must not re-stamp a
   *    negative stats partial (double-subtraction).
   *
-  * Crash discipline: the consolidated data is fully written to a
-  * hidden `.fold-<max>` dir BEFORE the ledger is extended, and the
-  * ledger is extended BEFORE any old partition is touched — every
-  * crash prefix is therefore recoverable: ledger-not-written → rerun
-  * from scratch (stale tmp is reaped); ledger-written-but-swap-
-  * incomplete → [[recoverFold]] (run automatically at the next
-  * compact) completes the rename and reaps the renamed-away originals.
-  * Like the other directory-swapping maintenance ops here (upsert,
-  * adoptFlatLayout), the swap window is not atomic for concurrent
+  * == Crash discipline (r13 review hardening) ==
+  *
+  * Phases, strictly ordered across ALL subdirs of an index:
+  *  1. MATERIALIZE — the consolidated, delete-purged content is fully
+  *     written to a hidden `.fold-<id>` tmp per subdir; the LAST write
+  *     into each tmp is a `_fold_complete` marker file, so a partial
+  *     tmp is detectable.
+  *  2. LEDGER — `_folded` (and `deletes/_folded`) extended. From this
+  *     instant replays no-op; their data still lives in the original
+  *     partitions, so no state is lost whatever happens next.
+  *  3. SWAP — per subdir: originals renamed to hidden `.oldfold-N`,
+  *     tmp renamed to `batch_id=<id>`, `.oldfold-*` reaped. The fold
+  *     OUTPUT is distinguishable from an original by the
+  *     `_fold_complete` marker it carries (invisible to parquet).
+  *  4. CLEANUP — the deletes partitions are removed (their content is
+  *     now physically applied; their ledger keeps replays out).
+  *
+  * [[recoverFold]] (run automatically at the start of every compact)
+  * maps every crash prefix back to a consistent state: a tmp whose
+  * destination already carries the marker is redundant (reaped); any
+  * other tmp means the swap did not complete — originals are ROLLED
+  * BACK from `.oldfold-*` and the tmp dropped (the fold simply re-runs
+  * later; the ledger may already name the ids, which is safe because
+  * their data is back in the originals). Stray `.oldfold-*` with no
+  * tmp: if the max id's destination carries the marker the fold
+  * landed (crash before the reap — finish reaping), else roll back.
+  * Like the other directory-swapping maintenance here (upsert,
+  * adoptFlatLayout), the swap window is not atomic for CONCURRENT
   * readers — run compaction quiesced or accept one transient
   * missing-file retry, the same contract the fence-restore transit
-  * already imposes on readers. */
+  * already imposes. Concurrent WRITERS during a crashed-compaction
+  * window are out of contract (quiesced maintenance). */
 object Compaction {
+
+  /** Marker file inside a fold OUTPUT partition — what distinguishes
+    * it from an ordinary ingest partition during crash recovery.
+    * `_`-prefixed → invisible to parquet readers. */
+  private val FoldMarker = "_fold_complete"
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -77,51 +102,109 @@ object Compaction {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
 
-  /** Complete a crashed fold of one subdir: a `.fold-<id>` tmp with no
-    * `batch_id=<id>` destination means the crash hit the swap window —
-    * finish the rename, then reap any `.oldfold-*` leftovers. A tmp
-    * WITH a live destination is stale pre-ledger debris — reap it. */
-  private def recoverFold(fs: FileSystem, sub: Path): Unit = {
-    if (!fs.exists(sub)) return
-    fs.listStatus(sub).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".fold-"))
-      .foreach { st =>
-        val id = st.getPath.getName.stripPrefix(".fold-")
-        val dest = new Path(sub, s"batch_id=$id")
-        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
-        else fs.delete(st.getPath, true)
-      }
+  /** Restore every `.oldfold-N` whose destination is free — the UNDO
+    * of a partial swap. A destination that exists is left alone (it is
+    * either the landed fold, handled by the caller's marker check, or
+    * an out-of-contract concurrent write — never clobbered). */
+  private def rollback(fs: FileSystem, sub: Path): Unit =
     fs.listStatus(sub).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".oldfold-"))
-      .foreach(s => fs.delete(s.getPath, true))
+      .foreach { st =>
+        val dest = new Path(sub,
+          s"batch_id=${st.getPath.getName.stripPrefix(".oldfold-")}")
+        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+      }
+
+  /** Map any crash prefix of a fold back to a consistent state — see
+    * the object scaladoc's case analysis. Idempotent; cheap on a
+    * healthy directory (one listing). */
+  private def recoverFold(fs: FileSystem, sub: Path): Unit = {
+    if (!fs.exists(sub)) return
+    val kids = fs.listStatus(sub).toSeq
+    val tmps = kids.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(".fold-"))
+    tmps.foreach { st =>
+      val id = st.getPath.getName.stripPrefix(".fold-")
+      val landed =
+        fs.exists(new Path(sub, s"batch_id=$id/$FoldMarker"))
+      if (!landed) rollback(fs, sub)
+      // Landed → tmp is a redundant re-materialization (same inputs or
+      // a newer delete set — the deletes dirs still exist until phase
+      // 4, so logical deletion keeps serving correctly and the next
+      // compact re-applies). Not landed → originals are back; the tmp
+      // (complete or partial — the marker distinguishes, but both are
+      // safely re-derivable) is dropped and the fold re-runs.
+      fs.delete(st.getPath, true)
+    }
+    if (tmps.isEmpty) {
+      val oldIds = kids
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".oldfold-"))
+        .flatMap(_.getPath.getName.stripPrefix(".oldfold-").toLongOption)
+      if (oldIds.nonEmpty) {
+        // No tmp: either the fold landed (its output = max oldfold id,
+        // by construction the fold id is the max folded ingest id) and
+        // the crash hit the reap — finish reaping; or the swap never
+        // renamed the tmp in — roll the originals back.
+        if (fs.exists(new Path(sub, s"batch_id=${oldIds.max}/$FoldMarker")))
+          kids.filter(_.getPath.getName.startsWith(".oldfold-"))
+            .foreach(s => fs.delete(s.getPath, true))
+        else rollback(fs, sub)
+      }
+    }
   }
 
-  /** Fold ONE batch_id-partitioned subdir: `df` is the already-read,
-    * already-purged consolidated content (WITHOUT the batch_id
-    * column); it lands under `batch_id=<foldId>` with the given inner
-    * partitioning. Write-tmp → swap → reap, in the crash order the
-    * object scaladoc argues. */
-  private def foldSubdir(spark: SparkSession, sub: Path, df: DataFrame,
-                         foldId: Long, partitionCols: Seq[String]): Unit = {
+  /** Phase 1 for one subdir: write the consolidated content to the
+    * hidden tmp, marker last. */
+  private def materializeFold(spark: SparkSession, sub: Path, df: DataFrame,
+                              foldId: Long,
+                              partitionCols: Seq[String]): Unit = {
     val (fs, _) = fsOf(spark, sub.toString)
     val tmp = new Path(sub, s".fold-$foldId")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
-    // Swap: originals out (hidden, preserved until the new dir is in
-    // place), consolidated in, originals reaped.
+    fs.create(new Path(tmp, FoldMarker), false).close()
+  }
+
+  /** Phase 3 for one subdir: originals out, fold in, originals reaped. */
+  private def swapFold(fs: FileSystem, sub: Path, foldId: Long): Unit = {
     val olds = fs.listStatus(sub).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
     val moved = olds.map { st =>
-      val hid = new Path(sub, s".oldfold-${st.getPath.getName.stripPrefix("batch_id=")}")
+      val hid = new Path(sub,
+        s".oldfold-${st.getPath.getName.stripPrefix("batch_id=")}")
       if (!fs.rename(st.getPath, hid))
         throw new java.io.IOException(s"fold swap failed: ${st.getPath}")
       hid
     }
-    if (!fs.rename(tmp, new Path(sub, s"batch_id=$foldId")))
+    if (!fs.rename(new Path(sub, s".fold-$foldId"),
+        new Path(sub, s"batch_id=$foldId")))
       throw new java.io.IOException(s"fold rename failed into $sub")
     moved.foreach(p => fs.delete(p, true))
+  }
+
+  /** Phases 2+3+4 shared by every index form: extend the ledgers, swap
+    * all materialized subdirs, clear the applied deletes partitions. */
+  private def commitFold(fs: FileSystem, root: Path,
+                         subs: Seq[(Path, Long)],
+                         ingest: Seq[Long],
+                         deletesSub: String,
+                         takedowns: Seq[Long]): Unit = {
+    Publish.writeLedger(fs, new Path(root, "_folded"),
+      ingest.foldLeft(Publish.readLedger(fs, new Path(root, "_folded")))(
+        (acc, id) => Publish.addBatch(acc, id)))
+    if (takedowns.nonEmpty) {
+      fs.mkdirs(new Path(root, deletesSub))
+      Publish.writeLedger(fs, new Path(root, s"$deletesSub/_folded"),
+        takedowns.foldLeft(
+          Publish.readLedger(fs, new Path(root, s"$deletesSub/_folded")))(
+          (acc, id) => Publish.addBatch(acc, id)))
+    }
+    subs.foreach { case (sub, foldId) => swapFold(fs, sub, foldId) }
+    takedowns.foreach(id =>
+      fs.delete(new Path(root, s"$deletesSub/batch_id=$id"), true))
   }
 
   /** Compact the LEXICAL index ([[Retrieval.buildLexIndexBatch]]
@@ -134,7 +217,6 @@ object Compaction {
     val (fs, root) = fsOf(spark, indexPath)
     val subs = Seq("postings", "doclens", "stats").map(new Path(root, _))
     subs.foreach(recoverFold(fs, _))
-    recoverFold(fs, new Path(root, "deletes"))
     val ingest = batchIds(fs, subs.head)
     if (ingest.isEmpty) return // one-shot layout or already folded
     val foldId = ingest.max
@@ -155,27 +237,10 @@ object Compaction {
     val stats = spark.read.schema("n_docs BIGINT, sum_dl BIGINT")
       .parquet(s"$indexPath/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    // Materialize tmps for ALL subdirs first (data safe), THEN extend
-    // the ledgers (replays start no-oping), THEN swap (crash here is
-    // completed by recoverFold on the next run).
-    foldSubdir(spark, subs(0), postings, foldId, Seq("tok"))
-    foldSubdir(spark, subs(1), doclens, foldId, Nil)
-    foldSubdir(spark, subs(2), stats, foldId, Nil)
-    val ledger = ingest.foldLeft(foldedBatches(spark, indexPath))(
-      (acc, id) => Publish.addBatch(acc, id))
-    Publish.writeLedger(fs, new Path(root, "_folded"), ledger)
-    if (takedowns.nonEmpty) {
-      val tdLedger = takedowns.foldLeft(foldedTakedowns(spark, deletesDir))(
-        (acc, id) => Publish.addBatch(acc, id))
-      fs.mkdirs(new Path(root, "deletes"))
-      Publish.writeLedger(fs, new Path(root, "deletes/_folded"), tdLedger)
-      // Deletes are folded into the data — clear them (their ledger
-      // keeps replays out) and drop the now-double-counting negative
-      // stats partials' SOURCE: they were summed into the folded row,
-      // and their batch dirs died with the stats fold above.
-      takedowns.foreach(id =>
-        fs.delete(new Path(root, s"deletes/batch_id=$id"), true))
-    }
+    materializeFold(spark, subs(0), postings, foldId, Seq("tok"))
+    materializeFold(spark, subs(1), doclens, foldId, Nil)
+    materializeFold(spark, subs(2), stats, foldId, Nil)
+    commitFold(fs, root, subs.map(_ -> foldId), ingest, "deletes", takedowns)
   }
 
   /** Compact the POSITIONAL index ([[Retrieval.buildPosIndexBatch]]
@@ -185,28 +250,17 @@ object Compaction {
     val (fs, root) = fsOf(spark, indexPath)
     val sub = new Path(root, "pos")
     recoverFold(fs, sub)
-    recoverFold(fs, new Path(root, "deletes"))
     val ingest = batchIds(fs, sub)
     if (ingest.isEmpty) return
     val foldId = ingest.max
-    val deletesDir = s"$indexPath/deletes"
     val takedowns = batchIds(fs, new Path(root, "deletes"))
     val occ = Takedown.applyDeletes(
       spark.read.schema("doc_id BIGINT, pos INT, tok STRING")
         .parquet(s"$indexPath/pos")
         .select(col("doc_id"), col("pos"), col("tok")),
-      deletesDir)
-    foldSubdir(spark, sub, occ, foldId, Seq("tok"))
-    Publish.writeLedger(fs, new Path(root, "_folded"),
-      ingest.foldLeft(foldedBatches(spark, indexPath))(
-        (acc, id) => Publish.addBatch(acc, id)))
-    if (takedowns.nonEmpty) {
-      Publish.writeLedger(fs, new Path(root, "deletes/_folded"),
-        takedowns.foldLeft(foldedTakedowns(spark, deletesDir))(
-          (acc, id) => Publish.addBatch(acc, id)))
-      takedowns.foreach(id =>
-        fs.delete(new Path(root, s"deletes/batch_id=$id"), true))
-    }
+      s"$indexPath/deletes")
+    materializeFold(spark, sub, occ, foldId, Seq("tok"))
+    commitFold(fs, root, Seq(sub -> foldId), ingest, "deletes", takedowns)
   }
 
   /** Compact the near-dup PAIR + SIGNATURE tables (the
@@ -219,7 +273,6 @@ object Compaction {
     val (fs, pairRoot) = fsOf(spark, pairPath)
     val sigRoot = new Path(sigPath)
     recoverFold(fs, pairRoot); recoverFold(fs, sigRoot)
-    recoverFold(fs, new Path(pairRoot, "_deletes"))
     val ingest = batchIds(fs, pairRoot)
     if (ingest.isEmpty) return
     val foldId = ingest.max
@@ -228,20 +281,10 @@ object Compaction {
     val sigs = Takedown.applyDeletes(
       spark.read.parquet(sigPath).drop("batch_id"),
       s"$pairPath/_deletes")
-    foldSubdir(spark, pairRoot, pairs, foldId, Nil)
-    foldSubdir(spark, sigRoot, sigs, foldId, Nil)
-    Publish.writeLedger(fs, new Path(pairRoot, "_folded"),
-      ingest.foldLeft(
-        Publish.readLedger(fs, new Path(pairRoot, "_folded")))(
-        (acc, id) => Publish.addBatch(acc, id)))
-    if (takedowns.nonEmpty) {
-      Publish.writeLedger(fs, new Path(pairRoot, "_deletes/_folded"),
-        takedowns.foldLeft(
-          Publish.readLedger(fs, new Path(pairRoot, "_deletes/_folded")))(
-          (acc, id) => Publish.addBatch(acc, id)))
-      takedowns.foreach(id =>
-        fs.delete(new Path(pairRoot, s"_deletes/batch_id=$id"), true))
-    }
+    materializeFold(spark, pairRoot, pairs, foldId, Nil)
+    materializeFold(spark, sigRoot, sigs, foldId, Nil)
+    commitFold(fs, pairRoot, Seq(pairRoot -> foldId, sigRoot -> foldId),
+      ingest, "_deletes", takedowns)
   }
 
   /** The pair/sig tables' replay guard reads the in-table ledger. */
@@ -259,7 +302,6 @@ object Compaction {
     val (fs, root) = fsOf(spark, indexPath)
     val sub = new Path(root, "postings")
     recoverFold(fs, sub)
-    recoverFold(fs, new Path(root, "deletes"))
     val ingest = batchIds(fs, sub)
     if (ingest.isEmpty) return
     val foldId = ingest.max
@@ -267,17 +309,7 @@ object Compaction {
     val postings = Takedown.applyDeletes(
       spark.read.parquet(s"$indexPath/postings").drop("batch_id"),
       s"$indexPath/deletes", idCol = "vec_id")
-    foldSubdir(spark, sub, postings, foldId, Seq("cell"))
-    Publish.writeLedger(fs, new Path(root, "_folded"),
-      ingest.foldLeft(foldedBatches(spark, indexPath))(
-        (acc, id) => Publish.addBatch(acc, id)))
-    if (takedowns.nonEmpty) {
-      Publish.writeLedger(fs, new Path(root, "deletes/_folded"),
-        takedowns.foldLeft(
-          foldedTakedowns(spark, s"$indexPath/deletes"))(
-          (acc, id) => Publish.addBatch(acc, id)))
-      takedowns.foreach(id =>
-        fs.delete(new Path(root, s"deletes/batch_id=$id"), true))
-    }
+    materializeFold(spark, sub, postings, foldId, Seq("cell"))
+    commitFold(fs, root, Seq(sub -> foldId), ingest, "deletes", takedowns)
   }
 }

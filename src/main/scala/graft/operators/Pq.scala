@@ -176,7 +176,12 @@ object Pq {
   def adcTopkServed(spark: SparkSession, dir: String, indexPath: String,
                     k: Int = Similarity.TopK): DataFrame =
     adcServe(unitCorpus(spark, dir),
-      codes = spark.read.parquet(s"$indexPath/codes"),
+      // Takedown-aware (r13): taken-down vectors' codes leave the
+      // candidate set (deletes recorded via Takedown at
+      // `<indexPath>/deletes`, vec_id-keyed, same as IVF).
+      codes = Takedown.applyDeletes(
+        spark.read.parquet(s"$indexPath/codes"),
+        s"$indexPath/deletes", idCol = "vec_id"),
       books = spark.read.parquet(s"$indexPath/books"), k = k)
 
   /** The shared ADC serve tail: per-query LUT (m, code → micro-rounded
@@ -254,10 +259,16 @@ object Pq {
     // assignment is already persisted in the postings layout.
     val ranked = rankedCells(
       raw.where(col("vec_id") < Similarity.NumQueries), cents)
-    val cells = spark.read.parquet(s"$ivfIndexPath/postings")
+    // Takedown-aware (r13): honor deletes recorded against EITHER
+    // index (the IVF cells and the PQ codes are views of one corpus).
+    val cells = Takedown.applyDeletes(
+        spark.read.parquet(s"$ivfIndexPath/postings"),
+        s"$ivfIndexPath/deletes", idCol = "vec_id")
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
     ivfPqServeWith(unitCorpus(spark, dir), ranked, cells,
-      codes = spark.read.parquet(s"$pqIndexPath/codes"),
+      codes = Takedown.applyDeletes(
+        spark.read.parquet(s"$pqIndexPath/codes"),
+        s"$pqIndexPath/deletes", idCol = "vec_id"),
       books = spark.read.parquet(s"$pqIndexPath/books"), k = k)
   }
 

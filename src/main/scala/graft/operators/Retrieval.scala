@@ -396,7 +396,13 @@ object Retrieval {
                       queryVecId: Long = 0L,
                       k: Int = FinalK): DataFrame = {
     graft.expressions.DotProduct.register(spark)
-    val c = spark.read.parquet(s"$vecIndexPath/postings")
+    // Takedown-aware (r13 review): the vector arm must drop deleted
+    // vectors like every other serve path — a taken-down doc surfacing
+    // through hybrid fusion is the same compliance hole as serving it
+    // directly.
+    val c = Takedown.applyDeletes(
+      spark.read.parquet(s"$vecIndexPath/postings"),
+      s"$vecIndexPath/deletes", idCol = "vec_id")
       .select(col("vec_id"), col("v"), col("nv"))
     hybridRrfTail(servedContribs(spark, lexIndexPath, terms), c,
       queryVecId, k)

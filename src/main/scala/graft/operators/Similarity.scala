@@ -584,7 +584,11 @@ object Similarity {
                      threshold: Double = SemDedupEps): DataFrame = {
     graft.expressions.DotProduct.register(spark)
     val cents = spark.read.parquet(s"$indexPath/centroids")
-    val members = spark.read.parquet(s"$indexPath/postings")
+    // Takedown-aware (r13 review): deleted vectors leave the dedup
+    // sweep too — they must neither survive nor shadow a live vector.
+    val members = Takedown.applyDeletes(
+        spark.read.parquet(s"$indexPath/postings"),
+        s"$indexPath/deletes", idCol = "vec_id")
       .select(col("cell").cast("long").as("cell"), col("vec_id"),
         col("v"), col("nv"))
       .join(broadcast(cents), col("cell") === col("cent_id"))

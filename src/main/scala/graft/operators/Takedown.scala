@@ -57,23 +57,35 @@ object Takedown {
       .parquet(s"$deletesDir/batch_id=$takedownId")
 
   /** All deleted ids under a deletes directory (empty frame with the
-    * right schema when no takedown ever ran). `exceptBatch` excludes
-    * one takedown's own slice — the replay-safe base for computing
-    * "what THIS batch newly deletes". */
+    * right schema when no takedown ever ran). `beforeBatch` restricts
+    * to takedown batches with a SMALLER id — the replay-stable base
+    * for computing "what THIS batch newly deletes": ownership of a
+    * doc's stats correction goes to the smallest takedownId containing
+    * it, a rule that is independent of replay order (an exclude-my-own
+    * rule is not — replaying batch A after a later overlapping batch B
+    * landed would re-assign A's docs to B and the rewritten correction
+    * would under-subtract; r13 review). */
   def deletedIds(spark: SparkSession, deletesDir: String,
                  idCol: String = "doc_id",
-                 exceptBatch: Option[Long] = None): DataFrame = {
+                 beforeBatch: Option[Long] = None): DataFrame = {
     val root = new Path(deletesDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType))))
+    if (!fs.exists(root)) empty
     else {
       val all = spark.read.schema(deletesSchema(idCol)).parquet(deletesDir)
-      exceptBatch.fold(all)(b => all.where(col("batch_id") =!= b))
+      // Post-compaction the deletes dir can hold ONLY the `_folded`
+      // ledger (zero data files): no batch_id partition column is
+      // discovered then, and filtering on it would throw — an empty
+      // dir means nothing recorded (r13 review; the folded history
+      // lives in the data, not here).
+      if (!all.columns.contains("batch_id"))
+        if (beforeBatch.isEmpty) all.select(col(idCol)).distinct() else empty
+      else beforeBatch.fold(all)(b => all.where(col("batch_id") < b))
         .select(col(idCol)).distinct()
     }
   }
@@ -119,9 +131,12 @@ object Takedown {
     // depths break partition discovery — adopt first (moves the flat
     // row under batch_id=-1, the standard bootstrap id; idempotent).
     graft.sinks.Sinks.adoptFlatLayout(spark, s"$indexPath/stats")
+    // "Newly deleted BY THIS batch" = ids minus docs owned by a
+    // SMALLER takedownId — deterministic under replay whatever later
+    // batches landed in between (see [[deletedIds]]).
     val fresh = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
       .join(deletedIds(spark, s"$indexPath/deletes",
-        exceptBatch = Some(takedownId)), Seq("doc_id"), "left_anti")
+        beforeBatch = Some(takedownId)), Seq("doc_id"), "left_anti")
     val dl = spark.read.schema("doc_id BIGINT, dl BIGINT")
       .parquet(s"$indexPath/doclens")
     val corr = dl.join(broadcast(fresh), "doc_id")

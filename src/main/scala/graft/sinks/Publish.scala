@@ -397,9 +397,13 @@ private[graft] object Publish {
       s".${p.getName}-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"ledger rename failed: $tmp -> $p")
+    // OVERWRITE rename, never delete-then-rename (r13 review): a crash
+    // between a delete and a rename would leave NO ledger at all, and
+    // a vanished _folded ledger re-opens every folded batch id to
+    // replay double-counting.
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+        new org.apache.hadoop.conf.Configuration())
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Membership test against the symbolic ledger — O(ranges), which is

@@ -300,13 +300,18 @@ object Sinks {
       s"mergePublishCdc into $tableDir: no operation column '$opCol' " +
         s"in the batch (columns: ${incoming.columns.mkString(", ")})")
     // Fail fast on unknown ops — a typo'd op silently treated as
-    // upsert would resurrect a deleted key; one cheap probe.
-    val bad = incoming
-      .where(!upper(col(opCol)).isin("I", "U", "D"))
+    // upsert would resurrect a deleted key. NULL is invalid too
+    // (r13 review): `!upper(NULL).isin(...)` is NULL, so a bare
+    // negation would pass a NULL op through the guard and the
+    // `=!= "D"` below would then silently DELETE that key (excluded
+    // from upserts, anti-joined out of survivors). The probe scans
+    // one pruned column (cheap next to the merge itself).
+    val bad = incoming.select(col(opCol))
+      .where(col(opCol).isNull || !upper(col(opCol)).isin("I", "U", "D"))
     if (!bad.isEmpty)
       throw new IllegalArgumentException(
         s"mergePublishCdc into $tableDir: operation column '$opCol' " +
-          "carries values outside I/U/D")
+          "carries NULL or values outside I/U/D")
     val winners = latestWins(incoming, tableDir, keys, latestBy)
     val upserts = winners.where(upper(col(opCol)) =!= "D").drop(opCol)
     Publish.publishLoop(spark, tableDir, {

@@ -65,6 +65,14 @@ class TakedownSpec extends SparkSpec {
       docs.join(extra, Seq("doc_id"), "left_anti"), rebuilt2, 0L)
     assert(servedRows(s"$dir/idx") == servedRows(rebuilt2),
       "overlapping takedown batches double-subtracted the stats")
+    // Replay of takedown 0 AFTER the overlapping takedown 1 landed:
+    // the smaller-id ownership rule recomputes the SAME correction
+    // whatever landed since (r13 review — an exclude-my-own rule
+    // would re-assign the overlap doc to batch 1 and the rewritten
+    // batch-0 partial would under-subtract).
+    Takedown.takedownLex(spark, s"$dir/idx", takedownIds, 0L)
+    assert(servedRows(s"$dir/idx") == servedRows(rebuilt2),
+      "takedown replay after a later overlapping batch drifted")
   }
 
   test("pos takedown: served phrase results equal the purged rebuild") {
@@ -232,6 +240,50 @@ class TakedownSpec extends SparkSpec {
       purgedDocs.select("doc_id", "text").unionByName(extraDoc), rebuilt, 0L)
     assert(servedRows(idx) == servedRows(rebuilt),
       "post-fold ingest drifted from the equivalent rebuild")
+    // A FRESH takedown post-compaction (r13 review: the deletes dir
+    // holds only the _folded ledger then — zero data files, so no
+    // batch_id partition column is discovered; this path used to
+    // throw). Taking the fresh doc back down returns the index to the
+    // exact pre-extra state.
+    Takedown.takedownLex(spark, idx, Seq(900001L).toDF("doc_id"), 5L)
+    assert(servedRows(idx) == before,
+      "fresh takedown after compaction drifted")
+  }
+
+  test("compaction crash recovery: partial tmp, mid-swap, and " +
+      "pre-reap states all converge to identical serves") {
+    val dir = tmpDir("fold_recover")
+    val idx = s"$dir/idx"
+    Retrieval.buildPosIndexBatch(spark,
+      docs.where(col("doc_id") % 2 === 0), idx, 0L)
+    Retrieval.buildPosIndexBatch(spark,
+      docs.where(col("doc_id") % 2 === 1), idx, 1L)
+    def rows = Retrieval.phraseSearchServed(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows
+    assert(want.nonEmpty)
+    val fs = new Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // Crash state A: a PARTIAL tmp (no _fold_complete marker) — next
+    // compact reaps it and folds cleanly.
+    fs.mkdirs(new Path(s"$idx/pos/.fold-1/junk"))
+    Compaction.compactPosIndex(spark, idx)
+    assert(rows == want, "partial-tmp recovery changed serves")
+    assert(!fs.exists(new Path(s"$idx/pos/.fold-1")))
+    // Crash state B: mid-swap — the folded output renamed away to
+    // .oldfold with nothing in its place. recoverFold must roll back.
+    fs.rename(new Path(s"$idx/pos/batch_id=1"),
+      new Path(s"$idx/pos/.oldfold-1"))
+    Compaction.compactPosIndex(spark, idx)
+    assert(rows == want, "mid-swap rollback lost data")
+    // Crash state C: fold landed but the old-partition reap crashed —
+    // a stray .oldfold next to the marker-carrying output must be
+    // reaped, never restored (restoring would double-count).
+    fs.mkdirs(new Path(s"$idx/pos/.oldfold-0/junk"))
+    Compaction.compactPosIndex(spark, idx)
+    assert(rows == want, "pre-reap recovery changed serves")
+    assert(!fs.listStatus(new Path(s"$idx/pos")).exists(
+      _.getPath.getName.startsWith(".oldfold-")))
   }
 
   test("pos + ivf + pair compaction: folded tables serve identically " +
