@@ -87,6 +87,14 @@ object SparkEntry {
     // oracle — stream ≡ batch ≡ recompute.
     "q_merge_publish_cdc_stream" -> ((s, d) =>
       graft.sinks.Sinks.readLatest(s, stagedStreamCdcTable(s, d))),
+    // corpus takedown (r13): the versioned documents corpus after a
+    // takedown D-batch (doc_id % 5 == 2, the SAME id set the index
+    // takedown rows use) — one story end to end: this row is the
+    // corpus leg, q_bm25_takedown/_compacted are the derived-index
+    // legs, and the oracle recomputes each from the filtered raw
+    // documents.
+    "q_takedown_corpus" -> ((s, d) =>
+      graft.sinks.Sinks.readLatest(s, stagedTakedownCorpus(s, d))),
     // LLM-data-pipeline tier (north star): text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -431,6 +439,17 @@ object SparkEntry {
     // Point-in-time fact⨝dim join over the SCD2 windows, with two
     // self-certifying audit columns (tiling ⇒ one match per fact row).
     "q_scd2_join" -> ((s, d) => Scd.factAsOfDim(s, d)),
+    // SCD2 over a DELETE-CARRYING CDC stream (r13): a D event closes
+    // the key's open version and opens nothing; version_no counts live
+    // versions. Deletes derived deterministically (event_id % 11 == 3)
+    // so the DuckDB twin replays the same sentinel build.
+    "q_scd2_cdc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, when}
+      val cdc = Scd.changeStream(s, d)
+        .withColumn("op",
+          when(col("event_id") % 11 === 3, "D").otherwise("U"))
+      Scd.scd2FromCdc(cdc).drop("event_id", "last_seen_us")
+    }),
     // Z-order layout (r9): Morton interleave of normalized
     // (l_partkey, l_suppkey) — the clustering key zorderWrite sorts by;
     // closed-form integer arithmetic, exact twin in DuckDB.
@@ -707,6 +726,33 @@ object SparkEntry {
       val replayed = graft.sinks.Sinks.mergePublishCdc(s, cdc, s"$dir/t",
         Seq("o_orderkey"), batchId = Some(1L))
       require(replayed == 2, s"replayed CDC batch minted version $replayed")
+      s"$dir/t"
+    })
+
+  /** Corpus-takedown fixture (r13): the documents table published
+    * versioned (v1), then the takedown id set (doc_id % 5 == 2 — the
+    * same set the index-takedown fixtures use) applied as a CDC
+    * D-batch (v2). Replay of the takedown batch must no-op against the
+    * ledger. */
+  private val stagedTakedownCorpora =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedTakedownCorpus(s: SparkSession, d: String): String =
+    stagedTakedownCorpora.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions._
+      val dir = tempDirWithCleanup("graft_corpus_td")
+      val docs = graft.Tables.documents(s, d)
+      require(graft.sinks.Sinks.mergePublish(s, docs, s"$dir/t",
+        Seq("doc_id")) == 1)
+      val dels = takedownDocIds(s, d)
+        .join(docs, Seq("doc_id"))
+        .withColumn("op", lit("D"))
+      require(graft.sinks.Sinks.mergePublishCdc(s, dels, s"$dir/t",
+        Seq("doc_id"), batchId = Some(0L)) == 2)
+      val replayed = graft.sinks.Sinks.mergePublishCdc(s, dels, s"$dir/t",
+        Seq("doc_id"), batchId = Some(0L))
+      require(replayed == 2,
+        s"replayed corpus takedown minted version $replayed")
       s"$dir/t"
     })
 
@@ -3916,6 +3962,9 @@ object SparkEntry {
     // folded ingest batch and the folded takedown.
     "q_bm25_takedown" -> bm25SqlOver("WHERE doc_id % 5 <> 2"),
     "q_bm25_compacted" -> bm25SqlOver("WHERE doc_id % 5 <> 2"),
+    "q_takedown_corpus" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE doc_id % 5 <> 2""".stripMargin,
 
     // Twin of Retrieval.hybridRrf: both arms cut to their top-CandidateK
     // lists, rank within the compact lists, FULL OUTER fuse on
@@ -4276,6 +4325,36 @@ object SparkEntry {
     // maintained by checkpointed scd2Apply micro-batches through the
     // versioned publish must equal the from-scratch build exactly.
     "q_scd2" -> scd2Sql,
+
+    // Delete-carrying SCD2 (r13): the same change-stream build with
+    // event_id % 11 == 3 mapped to a sentinel status, sentinel
+    // versions dropped post-lead (they still CLOSE their
+    // predecessors), survivors densely renumbered.
+    "q_scd2_cdc" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_id % 11 = 3 THEN ' __deleted__'
+        |              ELSE event_type END AS status,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_id, status, ts_us
+        |  FROM (SELECT *, LAG(status, 1) OVER w AS prev_status
+        |        FROM ev WINDOW w AS (PARTITION BY user_id
+        |                             ORDER BY ts_us, event_id))
+        |  WHERE prev_status IS NULL OR prev_status <> status
+        |), vers AS (
+        |  SELECT user_id, event_id, status, ts_us AS valid_from_us,
+        |         LEAD(ts_us, 1) OVER w AS valid_to_us
+        |  FROM changes WINDOW w AS (PARTITION BY user_id
+        |                            ORDER BY ts_us, event_id)
+        |)
+        |SELECT user_id, CAST(ROW_NUMBER() OVER w2 AS INT) AS version_no,
+        |       status, valid_from_us, valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM vers WHERE status <> ' __deleted__'
+        |WINDOW w2 AS (PARTITION BY user_id
+        |              ORDER BY valid_from_us, event_id)""".stripMargin,
     "q_scd2_stream" -> scd2Sql,
 
     // Twin of Scd.factAsOfDim: dim rebuilt by the q_scd2 SQL, then the

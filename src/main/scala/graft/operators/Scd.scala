@@ -73,6 +73,121 @@ object Scd {
     scd2FromChanges(changeStream(spark, dir))
       .drop("event_id", "last_seen_us")
 
+  /** Sentinel status a CDC DELETE maps to inside the build — chosen
+    * outside any plausible real status domain (space-prefixed), never
+    * present in the returned dim. */
+  private[graft] val Deleted = " __deleted__"
+
+  /** SCD2 build over a DELETE-CARRYING CDC stream (r13, the dimension
+    * completion of [[graft.sinks.Sinks.mergePublishCdc]]): rows carry
+    * an I/U/D `opCol`; a D at ts T CLOSES the key's open version at T
+    * and opens nothing — the key has no current row until a later
+    * event re-opens one (and a re-statement of the pre-delete status
+    * after a delete IS a new version: the key was absent in between).
+    * Mechanics: deletes become a sentinel status, the standard build
+    * runs unchanged (the sentinel closes its predecessor via the same
+    * lead()), and sentinel versions are dropped with the surviving
+    * versions densely renumbered — `version_no` counts LIVE versions.
+    * Same one-exchange scale shape as [[scd2FromChanges]]. */
+  def scd2FromCdc(stream: DataFrame, opCol: String = "op"): DataFrame = {
+    dropDeleted(scd2FromChanges(mapCdcOps(stream, opCol)))
+  }
+
+  /** Map the op column into the status channel (D → sentinel), failing
+    * fast on NULL/unknown ops — the [[graft.sinks.Sinks.mergePublishCdc]]
+    * guard, for the same reason (a typo'd op must not silently change
+    * history). */
+  private def mapCdcOps(stream: DataFrame, opCol: String): DataFrame = {
+    require(stream.columns.contains(opCol),
+      s"scd2 CDC build: no operation column '$opCol' " +
+        s"(columns: ${stream.columns.mkString(", ")})")
+    val bad = stream.select(col(opCol))
+      .where(col(opCol).isNull || !upper(col(opCol)).isin("I", "U", "D"))
+    if (!bad.isEmpty)
+      throw new IllegalArgumentException(
+        s"scd2 CDC build: operation column '$opCol' carries NULL or " +
+          "values outside I/U/D")
+    stream.select(col("user_id"), col("event_id"),
+      when(upper(col(opCol)) === "D", lit(Deleted))
+        .otherwise(col("status")).as("status"),
+      col("ts_us"))
+  }
+
+  /** The late-slice guard shared by [[scd2Apply]] and [[scd2ApplyCdc]]:
+    * reject any slice carrying an event older than an affected key's
+    * open-version high-water (version compression cannot resurrect
+    * suppressed duplicates — such keys must rebuild from raw history).
+    * Keys WITHOUT an open version (deleted) are ungoverned here by
+    * construction: any later event is a fresh opener. */
+  private def assertNotLate(dim: DataFrame, newChanges: DataFrame): Unit = {
+    val hw =
+      if (dim.columns.contains("last_seen_us"))
+        coalesce(col("last_seen_us"), col("valid_from_us"))
+      else col("valid_from_us") // legacy dim without the high-water
+    val open = dim.where(col("is_current"))
+      .select(col("user_id"), hw.as("open_hw_us"))
+    val late = newChanges
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("min_ts_us"))
+      .join(open, Seq("user_id"))
+      .where(col("min_ts_us") < col("open_hw_us"))
+    val sample = late.select(col("user_id"), col("min_ts_us"),
+      col("open_hw_us")).take(3)
+    require(sample.isEmpty,
+      "scd2Apply: LATE changes for key(s) " +
+        sample.map(r => s"${r.get(0)} (ts ${r.get(1)} < open version " +
+          s"high-water ${r.get(2)})").mkString("; ") +
+        " — a slice must be append-only per key (version compression " +
+        "cannot resurrect suppressed duplicates); rebuild those keys " +
+        "from raw history via scd2FromChanges instead")
+  }
+
+  /** Drop sentinel (deleted) versions and renumber the survivors
+    * densely — the shared tail of the CDC build and the CDC apply, so
+    * their bit-identity cannot drift. The renumber window shares the
+    * build's partition key (one exchange end to end). */
+  private def dropDeleted(dim: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    dim.where(col("status") =!= Deleted)
+      .withColumn("version_no", row_number().over(byKey))
+  }
+
+  /** Incremental CDC apply (the [[scd2Apply]] affected-keys rebuild,
+    * delete-aware): touched keys replay their live versions as changes
+    * PLUS a reconstructed tombstone wherever a key's LAST version is
+    * closed — in a dim built by this family, the only way a key's last
+    * version closes without a successor IS a delete, and its
+    * `valid_to_us` is the deletion instant. Without the tombstone the
+    * replay would RESURRECT deleted keys (the rebuilt last version
+    * would come out open). Synthetic tombstones carry event_id = -1 —
+    * below any real event id, so a real event at exactly the deletion
+    * ts re-opens AFTER the delete, deterministically. Late-slice guard
+    * inherits from [[scd2Apply]] for keys with an open version;
+    * deleted keys have none, so any post-deletion event is a fresh
+    * opener by construction. */
+  def scd2ApplyCdc(dim: DataFrame, newChanges: DataFrame,
+                   opCol: String = "op",
+                   checkLate: Boolean = true): DataFrame = {
+    val mapped = mapCdcOps(newChanges, opCol)
+    val affected = mapped.select(col("user_id")).distinct()
+    if (checkLate) assertNotLate(dim, mapped)
+    val untouched = dim.join(affected, Seq("user_id"), "left_anti")
+    val touched = dim.join(affected, Seq("user_id"), "left_semi")
+    val touchedAsChanges = touched
+      .select(col("user_id"), col("event_id"), col("status"),
+        col("valid_from_us").as("ts_us"))
+    val byKeyDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us").desc, col("event_id").desc)
+    val tombstones = touched
+      .withColumn("__rn", row_number().over(byKeyDesc))
+      .where(col("__rn") === 1 && !col("is_current"))
+      .select(col("user_id"), lit(-1L).as("event_id"),
+        lit(Deleted).as("status"), col("valid_to_us").as("ts_us"))
+    val rebuilt = dropDeleted(scd2FromChanges(
+      touchedAsChanges.unionByName(tombstones).unionByName(mapped)))
+    untouched.unionByName(rebuilt)
+  }
+
   /** Raw fixture events as the canonical change-stream shape. */
   def changeStream(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -117,27 +232,7 @@ object Scd {
   def scd2Apply(dim: DataFrame, newChanges: DataFrame,
                 checkLate: Boolean = true): DataFrame = {
     val affected = newChanges.select(col("user_id")).distinct()
-    if (checkLate) {
-      val hw =
-        if (dim.columns.contains("last_seen_us"))
-          coalesce(col("last_seen_us"), col("valid_from_us"))
-        else col("valid_from_us") // legacy dim without the high-water
-      val open = dim.where(col("is_current"))
-        .select(col("user_id"), hw.as("open_hw_us"))
-      val late = newChanges
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("min_ts_us"))
-        .join(open, Seq("user_id"))
-        .where(col("min_ts_us") < col("open_hw_us"))
-      val sample = late.select(col("user_id"), col("min_ts_us"),
-        col("open_hw_us")).take(3)
-      require(sample.isEmpty,
-        "scd2Apply: LATE changes for key(s) " +
-          sample.map(r => s"${r.get(0)} (ts ${r.get(1)} < open version " +
-            s"high-water ${r.get(2)})").mkString("; ") +
-          " — a slice must be append-only per key (version compression " +
-          "cannot resurrect suppressed duplicates); rebuild those keys " +
-          "from raw history via scd2FromChanges instead")
-    }
+    if (checkLate) assertNotLate(dim, newChanges)
     val untouched = dim.join(affected, Seq("user_id"), "left_anti")
     val touchedAsChanges = dim.join(affected, Seq("user_id"), "left_semi")
       .select(col("user_id"), col("event_id"), col("status"),

@@ -46,7 +46,12 @@ class PublishSoakSpec extends SparkSpec {
       var done = false
       while (!done) {
         attempts += 1
-        assert(attempts <= 30, s"publisher of batch $id fenced $attempts times")
+        // Livelock tripwire, not a correctness bound: with fence age 0
+        // a CPU-starved publisher is legitimately fenced once per
+        // stall, so the cap is sized for a heavily co-tenanted box
+        // (observed 30+ under a concurrent Verify+Bench load; quiet
+        // runs need < 5).
+        assert(attempts <= 100, s"publisher of batch $id fenced $attempts times")
         try {
           Sinks.mergeAggPublish(spark,
             Seq(("k", 1L << id)).toDF("k", "n"), t, Seq("k"), Seq("n"),

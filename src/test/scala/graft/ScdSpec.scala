@@ -148,6 +148,60 @@ class ScdSpec extends SparkSpec {
       .except(Scd.scd2FromChanges(s0)).isEmpty)
   }
 
+  test("scd2 CDC deletes: a D closes the open version and opens " +
+      "nothing; re-insert after delete is a NEW version; apply == " +
+      "rebuild including the tombstone-reconstruction path") {
+    def cdc(rows: (Long, Long, String, Long, String)*) =
+      rows.toDF("user_id", "event_id", "status", "ts_us", "op")
+    val all = cdc(
+      (1L, 1L, "A", 10L, "I"), (1L, 2L, "B", 20L, "U"),
+      (1L, 3L, "x", 30L, "D"), // status on a D is ignored
+      (2L, 4L, "A", 10L, "I"),
+      (3L, 5L, "A", 10L, "I"), (3L, 6L, "z", 20L, "D"),
+      (3L, 7L, "A", 30L, "I")) // same status re-stated after delete
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "version_no", "status", "valid_from_us",
+          "valid_to_us", "is_current")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3), Option(r.get(4)).map(_.toString), r.getBoolean(5)))
+        .toSet
+    val dim = Scd.scd2FromCdc(all)
+    assert(shape(dim) == Set(
+      (1L, 1, "A", 10L, Some("20"), false),
+      (1L, 2, "B", 20L, Some("30"), false), // closed BY the delete
+      (2L, 1, "A", 10L, None, true),
+      (3L, 1, "A", 10L, Some("20"), false),
+      (3L, 2, "A", 30L, None, true)), // re-insert = new version
+      s"CDC build wrong: ${shape(dim)}")
+    // No current row for the deleted key; point-in-time after the
+    // delete finds nothing for it.
+    assert(Scd.statusAsOf(dim, 35L).where(col("user_id") === 1L).isEmpty)
+    // Apply == rebuild across a split that puts the deletes in the
+    // second slice.
+    val s1 = all.where(col("ts_us") <= 15L)
+    val s2 = all.where(col("ts_us") > 15L)
+    assert(shape(Scd.scd2ApplyCdc(Scd.scd2FromCdc(s1), s2)) == shape(dim),
+      "CDC apply drifted from the rebuild")
+    // Tombstone reconstruction: a later event for a DELETED key with
+    // the SAME status as its last version must open a NEW version at
+    // its own ts — without the synthetic tombstone the replay
+    // suppresses it as a duplicate and RESURRECTS the old window.
+    val dim3 = Scd.scd2ApplyCdc(dim, cdc((1L, 9L, "B", 40L, "U")))
+    val k1 = shape(dim3).filter(_._1 == 1L)
+    assert(k1 == Set(
+      (1L, 1, "A", 10L, Some("20"), false),
+      (1L, 2, "B", 20L, Some("30"), false),
+      (1L, 3, "B", 40L, None, true)),
+      s"deleted key resurrected or mis-reopened: $k1")
+    assert(shape(dim3) ==
+      shape(Scd.scd2FromCdc(all.unionByName(cdc((1L, 9L, "B", 40L, "U"))))),
+      "post-delete apply drifted from the full rebuild")
+    // Unknown / NULL ops fail fast.
+    intercept[IllegalArgumentException] {
+      Scd.scd2FromCdc(cdc((9L, 1L, "A", 1L, "UPSERT")))
+    }
+  }
+
   test("one exchange: the three windows share the key partitioning") {
     // sf0.01, NOT sf0.001: the cached `dim` above has the sf0.001
     // logical plan, and the cache manager would substitute an
