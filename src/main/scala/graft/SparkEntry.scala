@@ -387,6 +387,12 @@ object SparkEntry {
     // this hash breaks.
     "q_bm25_compacted" -> ((s, d) =>
       Retrieval.bm25TopKServed(s, stagedCompactedLexIndex(s, d))),
+    // takedown delivered as a STREAM (r13): the id set arrives through
+    // StreamingIngest.takedownStream (checkpointed trigger, id-keyed
+    // exactly-once) instead of a direct call — shares the purged-
+    // corpus oracle: stream-takedown ≡ batch-takedown ≡ rebuild.
+    "q_bm25_takedown_stream" -> ((s, d) =>
+      Retrieval.bm25TopKServed(s, stagedStreamTakedownLexIndex(s, d))),
     // SymSpell fuzzy vocab matching (r9): deletion-neighborhood
     // blocking + exact levenshtein verify; the oracle is brute-force
     // all-pairs, so equality proves the blocking lost nothing.
@@ -450,6 +456,12 @@ object SparkEntry {
           when(col("event_id") % 11 === 3, "D").otherwise("U"))
       Scd.scd2FromCdc(cdc).drop("event_id", "last_seen_us")
     }),
+    // the same delete-carrying dim maintained by the STREAM
+    // (checkpointed triggers through scd2ApplyCdc + a ledger-detected
+    // replay of the delete-carrying slice); shares q_scd2_cdc's twin.
+    "q_scd2_cdc_stream" -> ((s, d) =>
+      graft.sinks.Sinks.readLatest(s, stagedScdCdcStreamTable(s, d))
+        .drop("event_id", "last_seen_us")),
     // Z-order layout (r9): Morton interleave of normalized
     // (l_partkey, l_suppkey) — the clustering key zorderWrite sorts by;
     // closed-form integer arithmetic, exact twin in DuckDB.
@@ -729,6 +741,35 @@ object SparkEntry {
       s"$dir/t"
     })
 
+  /** Stream-delivered takedown fixture (r13): the same two-batch lex
+    * index as [[stagedTakedownLexIndex]], but the takedown id set
+    * arrives through [[graft.streaming.StreamingIngest.takedownStream]]
+    * (one checkpointed trigger; the micro-batch id keys the deletes
+    * partition and the stats correction), then a re-drain on the same
+    * checkpoint (no new request files → no-op restart). */
+  private val stagedStreamTakedownLexIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedStreamTakedownLexIndex(s: SparkSession,
+                                           d: String): String =
+    stagedStreamTakedownLexIndexes.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions.col
+      val dir = tempDirWithCleanup("graft_lex_td_stream")
+      val idx = s"$dir/lex"
+      val docs = graft.Tables.documents(s, d)
+      operators.Retrieval.buildLexIndexBatch(s,
+        docs.where(col("doc_id") % 2 === 0), idx, 0L)
+      operators.Retrieval.buildLexIndexBatch(s,
+        docs.where(col("doc_id") % 2 === 1), idx, 1L)
+      takedownDocIds(s, d).write.parquet(s"$dir/req/b0")
+      def drain(): Unit = graft.streaming.StreamingIngest.takedownStream(
+        s.readStream.schema("doc_id BIGINT").parquet(s"$dir/req/*"),
+        lexIndexPath = Some(idx), checkpointDir = s"$dir/ckpt")
+      drain()
+      drain() // exactly-once restart: nothing new to process
+      idx
+    })
+
   /** Corpus-takedown fixture (r13): the documents table published
     * versioned (v1), then the takedown id set (doc_id % 5 == 2 — the
     * same set the index-takedown fixtures use) applied as a CDC
@@ -753,6 +794,45 @@ object SparkEntry {
         Seq("doc_id"), batchId = Some(0L))
       require(replayed == 2,
         s"replayed corpus takedown minted version $replayed")
+      s"$dir/t"
+    })
+
+  /** Delete-carrying SCD2 dim maintained by the STREAM (r13): the
+    * q_scd2_cdc change stream (event_id % 11 == 3 → D) split at its
+    * median ts into two append-only-per-key slices, delivered as
+    * checkpointed triggers through
+    * [[graft.streaming.StreamingIngest.scd2CdcMaintenanceStream]]
+    * (bootstrap scd2FromCdc, then scd2ApplyCdc with the tombstone
+    * reconstruction), plus a crash-replay of micro-batch 0 the
+    * applied-batch ledger must no-op — a replayed D-slice re-applied
+    * after later re-inserts would wrongly re-close keys. Shares
+    * q_scd2_cdc's from-scratch twin. */
+  private val stagedScdCdcStreamTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedScdCdcStreamTable(s: SparkSession, d: String): String =
+    stagedScdCdcStreamTables.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions.{col, when}
+      val dir = tempDirWithCleanup("graft_scdcdcstream")
+      val ev = Scd.changeStream(s, d)
+        .withColumn("op",
+          when(col("event_id") % 11 === 3, "D").otherwise("U"))
+      val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+      def run(): Unit =
+        graft.streaming.StreamingIngest.scd2CdcMaintenanceStream(
+          s.readStream.schema(ev.schema).parquet(s"$dir/in/*"),
+          s"$dir/t", s"$dir/ckpt")
+      ev.where(col("ts_us") <= cut).write.parquet(s"$dir/in/b0")
+      run()
+      ev.where(col("ts_us") > cut).write.parquet(s"$dir/in/b1")
+      run()
+      val replayed = graft.sinks.Sinks.publishState(s, s"$dir/t", {
+        case Some(dim) =>
+          Scd.scd2ApplyCdc(dim, ev.where(col("ts_us") <= cut))
+        case None => throw new IllegalStateException("empty scd table")
+      }, batchId = Some(0L))
+      require(replayed == 2,
+        s"replayed SCD-CDC micro-batch minted version $replayed")
       s"$dir/t"
     })
 
@@ -3962,6 +4042,7 @@ object SparkEntry {
     // folded ingest batch and the folded takedown.
     "q_bm25_takedown" -> bm25SqlOver("WHERE doc_id % 5 <> 2"),
     "q_bm25_compacted" -> bm25SqlOver("WHERE doc_id % 5 <> 2"),
+    "q_bm25_takedown_stream" -> bm25SqlOver("WHERE doc_id % 5 <> 2"),
     "q_takedown_corpus" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE doc_id % 5 <> 2""".stripMargin,
@@ -4331,6 +4412,32 @@ object SparkEntry {
     // versions dropped post-lead (they still CLOSE their
     // predecessors), survivors densely renumbered.
     "q_scd2_cdc" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_id % 11 = 3 THEN ' __deleted__'
+        |              ELSE event_type END AS status,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_id, status, ts_us
+        |  FROM (SELECT *, LAG(status, 1) OVER w AS prev_status
+        |        FROM ev WINDOW w AS (PARTITION BY user_id
+        |                             ORDER BY ts_us, event_id))
+        |  WHERE prev_status IS NULL OR prev_status <> status
+        |), vers AS (
+        |  SELECT user_id, event_id, status, ts_us AS valid_from_us,
+        |         LEAD(ts_us, 1) OVER w AS valid_to_us
+        |  FROM changes WINDOW w AS (PARTITION BY user_id
+        |                            ORDER BY ts_us, event_id)
+        |)
+        |SELECT user_id, CAST(ROW_NUMBER() OVER w2 AS INT) AS version_no,
+        |       status, valid_from_us, valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM vers WHERE status <> ' __deleted__'
+        |WINDOW w2 AS (PARTITION BY user_id
+        |              ORDER BY valid_from_us, event_id)""".stripMargin,
+    // stream-maintained twin: same delete-carrying build.
+    "q_scd2_cdc_stream" ->
       """WITH ev AS (
         |  SELECT user_id, event_id,
         |         CASE WHEN event_id % 11 = 3 THEN ' __deleted__'

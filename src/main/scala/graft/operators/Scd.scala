@@ -154,17 +154,26 @@ object Scd {
 
   /** Incremental CDC apply (the [[scd2Apply]] affected-keys rebuild,
     * delete-aware): touched keys replay their live versions as changes
-    * PLUS a reconstructed tombstone wherever a key's LAST version is
-    * closed — in a dim built by this family, the only way a key's last
-    * version closes without a successor IS a delete, and its
-    * `valid_to_us` is the deletion instant. Without the tombstone the
-    * replay would RESURRECT deleted keys (the rebuilt last version
-    * would come out open). Synthetic tombstones carry event_id = -1 —
-    * below any real event id, so a real event at exactly the deletion
-    * ts re-opens AFTER the delete, deterministically. Late-slice guard
-    * inherits from [[scd2Apply]] for keys with an open version;
-    * deleted keys have none, so any post-deletion event is a fresh
-    * opener by construction. */
+    * PLUS a reconstructed tombstone at every GAP — wherever a version
+    * closes and the next version (if any) does not open at that same
+    * instant. In a dim built by this family a gap can only mean a
+    * deletion (normal status changes tile: valid_to == next
+    * valid_from), and the gap's left edge IS the deletion instant.
+    * Both gap kinds matter: the trailing gap (deleted key, no
+    * successor — without its tombstone the replay RESURRECTS the key)
+    * and the INTERIOR gap (deleted then re-opened — without its
+    * tombstone the replay glues the pre-delete version's close to the
+    * re-open ts, and a same-status re-open gets wrongly suppressed as
+    * a duplicate; caught by the stream fixture's driver hash, r13).
+    * Synthetic tombstones carry event_id = -1 — below any real event
+    * id, so a real event at exactly the deletion ts re-opens AFTER the
+    * delete, deterministically. Envelope: a delete and a re-open at
+    * the SAME microsecond leave a zero-width gap the version table
+    * cannot represent — indistinguishable from no deletion; a source
+    * emitting those must rebuild from raw history (the late-slice
+    * rebuild path). Late-slice guard inherits from [[scd2Apply]] for
+    * keys with an open version; deleted keys have none, so any
+    * post-deletion event is a fresh opener by construction. */
   def scd2ApplyCdc(dim: DataFrame, newChanges: DataFrame,
                    opCol: String = "op",
                    checkLate: Boolean = true): DataFrame = {
@@ -176,11 +185,13 @@ object Scd {
     val touchedAsChanges = touched
       .select(col("user_id"), col("event_id"), col("status"),
         col("valid_from_us").as("ts_us"))
-    val byKeyDesc = Window.partitionBy(col("user_id"))
-      .orderBy(col("valid_from_us").desc, col("event_id").desc)
+    val byKeyAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
     val tombstones = touched
-      .withColumn("__rn", row_number().over(byKeyDesc))
-      .where(col("__rn") === 1 && !col("is_current"))
+      .withColumn("__next_from", lead(col("valid_from_us"), 1).over(byKeyAsc))
+      .where(col("valid_to_us").isNotNull &&
+        (col("__next_from").isNull ||
+          col("__next_from") =!= col("valid_to_us")))
       .select(col("user_id"), lit(-1L).as("event_id"),
         lit(Deleted).as("status"), col("valid_to_us").as("ts_us"))
     val rebuilt = dropDeleted(scd2FromChanges(

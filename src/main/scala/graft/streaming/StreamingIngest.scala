@@ -333,6 +333,71 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** DELETE-AWARE streaming SCD2 maintenance (r13): the
+    * [[scd2MaintenanceStream]] lifecycle for change streams that carry
+    * an I/U/D op column — each micro-batch folds via
+    * [[graft.operators.Scd.scd2ApplyCdc]] (deletes CLOSE open versions
+    * and open nothing; the synthetic-tombstone reconstruction keeps
+    * deleted keys deleted across the affected-keys rebuild), bootstrap
+    * via scd2FromCdc, micro-batch id on the applied-batch ledger —
+    * replaying a delete-carrying slice must no-op (a replayed D after
+    * a re-insert would wrongly re-close the key). */
+  def scd2CdcMaintenanceStream(stream: DataFrame, tableDir: String,
+                               checkpointDir: String,
+                               opCol: String = "op"): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          graft.sinks.Sinks.publishState(batch.sparkSession, tableDir, {
+            case None => graft.operators.Scd.scd2FromCdc(batch, opCol)
+            case Some(dim) =>
+              graft.operators.Scd.scd2ApplyCdc(dim, batch, opCol)
+          }, batchId = Some(batchId))
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Continuous TAKEDOWN stream (r13): takedown requests (doc_ids)
+    * arrive as a stream and propagate into the standing lex/pos index
+    * pair and the near-dup pair table at each trigger — the
+    * operational form of [[graft.operators.Takedown]], keyed by the
+    * micro-batch id so a replayed request batch is exactly-once (the
+    * recordDeletes overwrite + the post-compaction folded-takedown
+    * ledger). Corpus-side removal is the caller's mergePublishCdc
+    * D-batch; embedding-index takedown takes the same shape with
+    * vec_id ids. Cost per trigger: O(|ids|) writes + one doclens probe
+    * for the stats correction — never an index rewrite (compaction
+    * amortizes the physical fold). */
+  def takedownStream(idStream: DataFrame,
+                     lexIndexPath: Option[String] = None,
+                     posIndexPath: Option[String] = None,
+                     pairTablePath: Option[String] = None,
+                     checkpointDir: String): Unit = {
+    val q = idStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val s = batch.sparkSession
+          lexIndexPath.foreach(p =>
+            graft.operators.Takedown.takedownLex(s, p, batch, batchId))
+          posIndexPath.foreach(p =>
+            graft.operators.Takedown.takedownPos(s, p, batch, batchId))
+          pairTablePath.foreach(p =>
+            graft.operators.Takedown.takedownPairs(s, p, batch, batchId))
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Standing near-dup index maintenance (VERDICT r5 ask #7): each
     * micro-batch of arriving documents lands in the docs layer
     * (batchId-idempotent) and is folded into the persisted signature +

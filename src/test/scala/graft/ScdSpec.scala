@@ -196,6 +196,25 @@ class ScdSpec extends SparkSpec {
     assert(shape(dim3) ==
       shape(Scd.scd2FromCdc(all.unionByName(cdc((1L, 9L, "B", 40L, "U"))))),
       "post-delete apply drifted from the full rebuild")
+    // INTERIOR gap preservation (r13 stream-fixture regression): a key
+    // deleted and RE-OPENED inside the standing dim must keep its
+    // pre-delete close instant through a later apply — the replay
+    // needs a tombstone per GAP, not just per deleted key; and a
+    // same-status re-open after an interior delete must stay a
+    // separate version, not get suppressed as a duplicate.
+    val interior = cdc(
+      (5L, 1L, "A", 10L, "I"), (5L, 2L, "z", 20L, "D"),
+      (5L, 3L, "A", 30L, "I"))
+    val dimI = Scd.scd2FromCdc(interior)
+    val applied = Scd.scd2ApplyCdc(dimI, cdc((5L, 9L, "C", 40L, "U")))
+    val wantI = shape(Scd.scd2FromCdc(
+      interior.unionByName(cdc((5L, 9L, "C", 40L, "U")))))
+    assert(shape(applied) == wantI,
+      s"interior deletion lost through apply: ${shape(applied)} vs $wantI")
+    assert(wantI == Set(
+      (5L, 1, "A", 10L, Some("20"), false),
+      (5L, 2, "A", 30L, Some("40"), false),
+      (5L, 3, "C", 40L, None, true)))
     // Unknown / NULL ops fail fast.
     intercept[IllegalArgumentException] {
       Scd.scd2FromCdc(cdc((9L, 1L, "A", 1L, "UPSERT")))
