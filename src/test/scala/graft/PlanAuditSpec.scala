@@ -421,4 +421,36 @@ class PlanAuditSpec extends SparkSpec {
     val p = finalPlan(q("q_performance_metrics"))
     assert(count(p, "PushedFilters: \\[[^\\]]") >= 1, p)
   }
+
+  test("r13 takedown/compaction rows keep their documented shapes") {
+    // Logical takedown serve: term-pruned postings (pushed filter on
+    // tok), the deleted set applied as a BROADCAST anti-join (takedown
+    // sets are requests, never corpus-scale), stats = partial re-sum.
+    val td = finalPlan(q("q_bm25_takedown"))
+    assert(count(td, "BroadcastHashJoin LeftAnti|BroadcastHashJoin.*LeftAnti") >= 1,
+      s"takedown deletes must anti-join as a broadcast:\n$td")
+    assert(count(td, "PushedFilters: \\[[^\\]]") >= 1,
+      s"postings scan lost its term pushdown:\n$td")
+    assert(!td.contains("SortMergeJoin"),
+      s"takedown serve grew a sort-merge join:\n$td")
+    // Compacted serve: the fold removed the deletes and the per-batch
+    // stats partials — the plan must be STRICTLY leaner than the
+    // logical-takedown plan (fewer scans, no anti-join left; its
+    // deletes dir holds only the ledger).
+    val fc = finalPlan(q("q_bm25_compacted"))
+    assert(count(fc, "Scan parquet") < count(td, "Scan parquet"),
+      s"compaction failed to shed scans:\n$fc")
+    assert(!fc.contains("SortMergeJoin"), fc)
+    // CDC serve rows are plain version scans: zero exchanges.
+    Seq("q_merge_publish_cdc", "q_merge_publish_cdc_stream",
+      "q_takedown_corpus").foreach { name =>
+      val p = finalPlan(q(name))
+      assert(count(p, "Exchange (hash|range)") == 0,
+        s"$name must be a bare published-version scan:\n$p")
+    }
+    // The CDC diff stays one keyed full-outer round.
+    val vd = finalPlan(q("q_version_diff_cdc"))
+    assert(count(vd, "Exchange (hash|range)") <= 2,
+      s"CDC diff grew past its one full-outer exchange round:\n$vd")
+  }
 }
