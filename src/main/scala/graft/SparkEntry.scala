@@ -756,11 +756,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val dir = tempDirWithCleanup("graft_lex_td_stream")
       val idx = s"$dir/lex"
-      val docs = graft.Tables.documents(s, d)
-      operators.Retrieval.buildLexIndexBatch(s,
-        docs.where(col("doc_id") % 2 === 0), idx, 0L)
-      operators.Retrieval.buildLexIndexBatch(s,
-        docs.where(col("doc_id") % 2 === 1), idx, 1L)
+      buildTwoBatchLex(s, d, idx)
       takedownDocIds(s, d).write.parquet(s"$dir/req/b0")
       def drain(): Unit = graft.streaming.StreamingIngest.takedownStream(
         s.readStream.schema("doc_id BIGINT").parquet(s"$dir/req/*"),
@@ -1295,7 +1291,11 @@ object SparkEntry {
       .select(col("doc_id"))
   }
 
-  private def buildTakedownLex(s: SparkSession, d: String,
+  /** The ONE two-batch lex-index recipe every takedown/compaction
+    * fixture shares (batch 0 = even doc_ids, batch 1 = odd) — one
+    * definition so the stream-takedown fixture can never silently
+    * diverge from the batch fixtures it mirrors (r13 review). */
+  private def buildTwoBatchLex(s: SparkSession, d: String,
                                idx: String): Unit = {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(s, d)
@@ -1303,6 +1303,11 @@ object SparkEntry {
       docs.where(col("doc_id") % 2 === 0), idx, 0L)
     operators.Retrieval.buildLexIndexBatch(s,
       docs.where(col("doc_id") % 2 === 1), idx, 1L)
+  }
+
+  private def buildTakedownLex(s: SparkSession, d: String,
+                               idx: String): Unit = {
+    buildTwoBatchLex(s, d, idx)
     operators.Takedown.takedownLex(s, idx, takedownDocIds(s, d), 0L)
   }
 

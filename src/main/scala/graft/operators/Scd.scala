@@ -101,12 +101,18 @@ object Scd {
     require(stream.columns.contains(opCol),
       s"scd2 CDC build: no operation column '$opCol' " +
         s"(columns: ${stream.columns.mkString(", ")})")
-    val bad = stream.select(col(opCol))
-      .where(col(opCol).isNull || !upper(col(opCol)).isin("I", "U", "D"))
+    // NULL status on an I/U is invalid too (r13 review): it would open
+    // a NULL version that dropDeleted's null-hostile `=!=` then
+    // silently filters — a NULL-status insert behaving as a delete.
+    // The probe scans two pruned columns.
+    val bad = stream.select(col(opCol), col("status"))
+      .where(col(opCol).isNull ||
+        !upper(col(opCol)).isin("I", "U", "D") ||
+        (upper(col(opCol)) =!= "D" && col("status").isNull))
     if (!bad.isEmpty)
       throw new IllegalArgumentException(
         s"scd2 CDC build: operation column '$opCol' carries NULL or " +
-          "values outside I/U/D")
+          "values outside I/U/D, or an I/U row carries a NULL status")
     stream.select(col("user_id"), col("event_id"),
       when(upper(col(opCol)) === "D", lit(Deleted))
         .otherwise(col("status")).as("status"),
@@ -126,9 +132,23 @@ object Scd {
       else col("valid_from_us") // legacy dim without the high-water
     val open = dim.where(col("is_current"))
       .select(col("user_id"), hw.as("open_hw_us"))
+    // DELETED keys (r13 review): no open version carries their
+    // high-water, but an event older than the DELETION INSTANT can
+    // still resurrect a pre-delete suppressed duplicate through the
+    // replay. The deletion instant is the key's max valid_to (no
+    // absorbed event can postdate it — anything later would have
+    // re-opened the key), so it is the exact high-water. Keys with any
+    // open version fall out of this arm (the open-version arm governs
+    // them); non-CDC dims have every key open, leaving this arm empty.
+    val deletedHw = dim.groupBy(col("user_id"))
+      .agg(max(when(col("is_current"), 1).otherwise(0)).as("__any_open"),
+        max(col("valid_to_us")).as("__del_hw"))
+      .where(col("__any_open") === 0)
+      .select(col("user_id"), col("__del_hw").as("open_hw_us"))
+    val guard = open.unionByName(deletedHw)
     val late = newChanges
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("min_ts_us"))
-      .join(open, Seq("user_id"))
+      .join(guard, Seq("user_id"))
       .where(col("min_ts_us") < col("open_hw_us"))
     val sample = late.select(col("user_id"), col("min_ts_us"),
       col("open_hw_us")).take(3)
@@ -187,11 +207,23 @@ object Scd {
         col("valid_from_us").as("ts_us"))
     val byKeyAsc = Window.partitionBy(col("user_id"))
       .orderBy(col("valid_from_us"), col("event_id"))
+    // A tombstone is reconstructed at v.valid_to when (a) there is a
+    // GAP to the next version (or no next version) — a delete with a
+    // later (or no) re-open; or (b) the next version TILES but carries
+    // the SAME status — the signature of a zero-width delete+re-open
+    // at one microsecond (the normal build suppresses same-status
+    // consecutive changes, so two tiling same-status versions can only
+    // have had a sentinel between them; r13 review closed this as a
+    // silent-divergence corner — the synthetic tombstone at the shared
+    // boundary, ordering below the re-open via event_id = -1, replays
+    // it exactly).
     val tombstones = touched
       .withColumn("__next_from", lead(col("valid_from_us"), 1).over(byKeyAsc))
+      .withColumn("__next_status", lead(col("status"), 1).over(byKeyAsc))
       .where(col("valid_to_us").isNotNull &&
         (col("__next_from").isNull ||
-          col("__next_from") =!= col("valid_to_us")))
+          col("__next_from") =!= col("valid_to_us") ||
+          col("__next_status") === col("status")))
       .select(col("user_id"), lit(-1L).as("event_id"),
         lit(Deleted).as("status"), col("valid_to_us").as("ts_us"))
     val rebuilt = dropDeleted(scd2FromChanges(

@@ -379,6 +379,13 @@ object StreamingIngest {
                      posIndexPath: Option[String] = None,
                      pairTablePath: Option[String] = None,
                      checkpointDir: String): Unit = {
+    // All-None would CONSUME and checkpoint takedown requests while
+    // applying them nowhere — for a right-to-erasure pipeline, a
+    // silent compliance hole (r13 review). Fail fast.
+    require(lexIndexPath.nonEmpty || posIndexPath.nonEmpty ||
+        pairTablePath.nonEmpty,
+      "takedownStream: no target index/table — requests would be " +
+        "checkpointed as processed and applied nowhere")
     val q = idStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -215,9 +215,44 @@ class ScdSpec extends SparkSpec {
       (5L, 1, "A", 10L, Some("20"), false),
       (5L, 2, "A", 30L, Some("40"), false),
       (5L, 3, "C", 40L, None, true)))
-    // Unknown / NULL ops fail fast.
+    // ZERO-WIDTH delete+re-open (same microsecond, same status): the
+    // build handles it (sentinel breaks duplicate suppression → two
+    // tiling same-status versions), and the apply must PRESERVE it —
+    // two tiling same-status versions can only mean a zero-width
+    // sentinel sat between them, so the replay re-synthesizes it
+    // (r13 review: the gap-only detector silently merged the pair).
+    val zw = cdc(
+      (7L, 1L, "A", 10L, "I"), (7L, 2L, "x", 20L, "D"),
+      (7L, 3L, "A", 20L, "I"))
+    val dimZ = Scd.scd2FromCdc(zw)
+    assert(shape(dimZ).filter(_._1 == 7L) == Set(
+      (7L, 1, "A", 10L, Some("20"), false),
+      (7L, 2, "A", 20L, None, true)))
+    val appliedZ = Scd.scd2ApplyCdc(dimZ, cdc((7L, 9L, "B", 30L, "U")))
+    assert(shape(appliedZ) == shape(Scd.scd2FromCdc(
+      zw.unionByName(cdc((7L, 9L, "B", 30L, "U"))))),
+      s"zero-width delete+re-open collapsed through apply: ${shape(appliedZ)}")
+    // LATE event for a fully-DELETED key: older than the deletion
+    // instant → rejected (it could resurrect a pre-delete suppressed
+    // duplicate); at-or-after the deletion instant → a fresh opener.
+    val delDim = Scd.scd2FromCdc(cdc(
+      (8L, 1L, "A", 10L, "I"), (8L, 2L, "A", 15L, "U"), // suppressed dup
+      (8L, 3L, "x", 20L, "D")))
+    intercept[IllegalArgumentException] {
+      Scd.scd2ApplyCdc(delDim, cdc((8L, 9L, "B", 12L, "U")))
+    }
+    assert(shape(Scd.scd2ApplyCdc(delDim, cdc((8L, 9L, "B", 25L, "U"))))
+      == Set((8L, 1, "A", 10L, Some("20"), false),
+             (8L, 2, "B", 25L, None, true)))
+    // Unknown / NULL ops fail fast; so does a NULL status on an I/U
+    // (it would silently behave as a delete through the sentinel drop).
     intercept[IllegalArgumentException] {
       Scd.scd2FromCdc(cdc((9L, 1L, "A", 1L, "UPSERT")))
+    }
+    intercept[IllegalArgumentException] {
+      Scd.scd2FromCdc(
+        Seq((9L, 1L, null.asInstanceOf[String], 1L, "I"))
+          .toDF("user_id", "event_id", "status", "ts_us", "op"))
     }
   }
 
