@@ -96,7 +96,7 @@ object Compaction {
     Publish.batchApplied(foldedTakedowns(spark, deletesDir), takedownId)
 
   /** Batch ids present as `batch_id=N` children of one subdir. */
-  private def batchIds(fs: FileSystem, dir: Path): Seq[Long] =
+  private[operators] def batchIds(fs: FileSystem, dir: Path): Seq[Long] =
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))

@@ -280,14 +280,30 @@ object Sampling {
 
   /** Pack an arbitrary document frame (doc_id, lang, text) — the form
     * the pipeline driver uses to pack only curation survivors. */
-  def packSequencesOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+  def packSequencesOf(docs: DataFrame): DataFrame =
+    packTail(
+      docs
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("start_offset",
+          sum(col("n_tokens")).over(strataRunningWindow) - col("n_tokens")))
+
+  /** The per-stratum running-offset window packing orders by — shared
+    * with [[graft.operators.Takedown.repackSuffix]], whose seeded
+    * offsets must use the identical partitioning/ordering or the
+    * suffix-repack identity drifts. */
+  private[operators] def strataRunningWindow =
+    Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("start_offset",
-        sum(col("n_tokens")).over(w) - col("n_tokens"))
+
+  /** The ONE offset→pack aggregation both the full pack and the
+    * takedown suffix-repack share (pack_id = start_offset div budget
+    * — INTEGER div on both paths, matching DuckDB `//`; ADVICE r13
+    * flagged a true-division twin that rounds past 2^53): one
+    * definition so the repack's bit-identity to a full repack cannot
+    * drift. Input: (doc_id, lang, n_tokens, start_offset). */
+  private[operators] def packTail(withOffsets: DataFrame): DataFrame =
+    withOffsets
       .withColumn("pack_id", expr(s"start_offset div $PackBudget"))
       .groupBy(col("lang"), col("pack_id"))
       .agg(
@@ -295,5 +311,4 @@ object Sampling {
         sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-  }
 }

@@ -126,11 +126,21 @@ object Scd {
     * Keys WITHOUT an open version (deleted) are ungoverned here by
     * construction: any later event is a fresh opener. */
   private def assertNotLate(dim: DataFrame, newChanges: DataFrame): Unit = {
+    // The guard only governs keys the SLICE touches — restrict the dim
+    // to them before any aggregate (ADVICE r13: the deleted-keys arm
+    // used to groupBy the ENTIRE dim per apply, a dim-wide shuffle in
+    // an engine whose documented scale shape is one exchange per
+    // apply). The semi-join prunes both arms to O(touched history);
+    // the late-check join below was keyed on user_id anyway, so the
+    // restriction is semantics-preserving on both the CDC and plain
+    // paths.
+    val touched = dim.join(newChanges.select(col("user_id")).distinct(),
+      Seq("user_id"), "left_semi")
     val hw =
       if (dim.columns.contains("last_seen_us"))
         coalesce(col("last_seen_us"), col("valid_from_us"))
       else col("valid_from_us") // legacy dim without the high-water
-    val open = dim.where(col("is_current"))
+    val open = touched.where(col("is_current"))
       .select(col("user_id"), hw.as("open_hw_us"))
     // DELETED keys (r13 review): no open version carries their
     // high-water, but an event older than the DELETION INSTANT can
@@ -140,7 +150,7 @@ object Scd {
     // re-opened the key), so it is the exact high-water. Keys with any
     // open version fall out of this arm (the open-version arm governs
     // them); non-CDC dims have every key open, leaving this arm empty.
-    val deletedHw = dim.groupBy(col("user_id"))
+    val deletedHw = touched.groupBy(col("user_id"))
       .agg(max(when(col("is_current"), 1).otherwise(0)).as("__any_open"),
         max(col("valid_to_us")).as("__del_hw"))
       .where(col("__any_open") === 0)

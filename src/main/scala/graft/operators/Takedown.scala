@@ -126,6 +126,31 @@ object Takedown {
     // double-subtract ([[Compaction]]'s deletes ledger).
     if (Compaction.isTakedownFolded(spark, s"$indexPath/deletes",
         takedownId)) return
+    // MONOTONE-ID contract, enforced (ADVICE r13): the
+    // smallest-takedownId-owns stats rule is replay-stable only when
+    // fresh ids arrive in increasing order — a brand-new batch applied
+    // with an id SMALLER than an already-applied overlapping batch
+    // would recompute the overlap doc as "fresh" (deletedIds excludes
+    // the larger id) and stamp a SECOND negative partial: silent
+    // double-subtraction. Replaying an id already recorded (crash
+    // recovery) stays legal — it recomputes its own correction
+    // idempotently; only a FRESH id below the high-water is rejected.
+    {
+      val fs = new Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val recorded =
+        Compaction.batchIds(fs, new Path(s"$indexPath/deletes"))
+      val seenMax = (recorded ++ Compaction
+        .foldedTakedowns(spark, s"$indexPath/deletes").map(_._2))
+        .foldLeft(-1L)(math.max)
+      require(takedownId >= seenMax || recorded.contains(takedownId),
+        s"takedownLex: out-of-order takedownId $takedownId — ids up " +
+          s"to $seenMax are already applied under $indexPath/deletes, " +
+          "and the smallest-id-owns stats-correction rule " +
+          "double-subtracts when a FRESH smaller id lands later; " +
+          "replay an existing id, or allocate ids monotonically " +
+          "(the streaming path's micro-batch ids already are)")
+    }
     // A one-shot ([[Retrieval.buildLexIndex]]) stats dir is FLAT; the
     // correction partial below adds a batch_id= child, and mixed
     // depths break partition discovery — adopt first (moves the flat
@@ -197,45 +222,79 @@ object Takedown {
       .withColumnRenamed("doc_id", "doc_b")
   }
 
-  /** Which packed training sequences a takedown invalidates: packing
-    * ([[Sampling.packSequencesOf]]) assigns docs to fixed-budget packs
-    * by a running token offset ordered by doc_id within each lang
-    * stratum, so deleting a doc shifts every LATER doc's offset in
-    * that stratum — packs strictly before the first deleted doc's
-    * pack are bit-identical, everything from it onward must repack.
-    * Returns one row per affected lang: (lang, from_pack_id). Langs
-    * untouched by the takedown are absent (nothing to do). */
-  def affectedPacks(docs: DataFrame, ids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id"), col("lang"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("start_offset",
-        sum(col("n_tokens")).over(w) - col("n_tokens"))
+  /** Which packed training sequences a takedown invalidates — resolved
+    * from the STANDING pack table, never a corpus-wide offset window
+    * (r14, VERDICT r13 #1: the old form recomputed every doc's running
+    * offset per takedown, a full-stratum pass that defeated half the
+    * point of [[repackSuffix]]). Packing ([[Sampling.packSequencesOf]])
+    * assigns a doc to the pack where it STARTS, in doc_id order — so
+    * the first affected pack of a lang stratum is exactly the pack
+    * whose [first_doc, last_doc] range CONTAINS the stratum's smallest
+    * deleted doc: a broadcast range-join of the (small) deleted set
+    * against the pack table, one linear pass over packs, zero windows.
+    * `docs` supplies only the deleted docs' lang (a broadcast lookup
+    * of two pruned columns); `packs` must be the standing pack table
+    * OF `docs` (same corpus, pre-takedown).
+    *
+    * Returns one row per affected lang:
+    * (lang, from_pack_id, from_doc, seed_offset) — `from_doc` the cut
+    * pack's first doc (everything below it is untouched by the
+    * takedown, because the smallest deleted doc starts in the cut
+    * pack), and `seed_offset` the exact running token offset at
+    * `from_doc`, reconstructed as the SUM of pack token counts
+    * strictly below the cut (pack n_tokens sums the docs STARTING in
+    * the pack, so the cumulative pack sum IS the running doc offset at
+    * each pack's first doc; every doc below the cut survives, so the
+    * purged corpus's offset there equals the original). Integer
+    * arithmetic end to end (ADVICE r13: the old true-division
+    * `min(start_offset) / budget` yields DOUBLE and disagrees with the
+    * packer's `div` past 2^53 stratum tokens). Langs untouched by the
+    * takedown are absent (nothing to do). */
+  def affectedPacks(docs: DataFrame, ids: DataFrame,
+                    packs: DataFrame): DataFrame = {
+    val firstDead = docs
       .join(broadcast(ids.select(col("doc_id")).distinct()), "doc_id")
+      .groupBy(col("lang")).agg(min(col("doc_id")).as("first_dead"))
+    val cut = packs.join(broadcast(firstDead), Seq("lang"))
+      .where(col("first_dead") >= col("first_doc") &&
+        col("first_dead") <= col("last_doc"))
       .groupBy(col("lang"))
-      .agg((min(col("start_offset")) / Sampling.PackBudget)
-        .cast("long").as("from_pack_id"))
+      .agg(min(col("pack_id")).as("from_pack_id"))
+    packs.join(broadcast(cut), Seq("lang"))
+      .groupBy(col("lang"), col("from_pack_id"))
+      .agg(
+        min(when(col("pack_id") === col("from_pack_id"), col("first_doc")))
+          .as("from_doc"),
+        coalesce(sum(when(col("pack_id") < col("from_pack_id"),
+          col("n_tokens"))), lit(0L)).as("seed_offset"))
   }
 
-  /** Repack ONLY the affected suffix: the packs of the PURGED corpus
-    * with pack_id >= the stratum's from_pack_id. Union with the
-    * original packs below the cut reproduces a full repack of the
-    * purged corpus exactly (TakedownSpec pins the identity) — so a
-    * takedown rewrites O(affected suffix) pack shards, not the whole
-    * training set. (The offset window here still scans the stratum;
-    * at 100 TB the scan too is bounded by seeding the running offset
-    * at the cut from the standing pack table's cumulative counts —
-    * same algebra, kept simple here.) */
-  def repackSuffix(docs: DataFrame, ids: DataFrame): DataFrame = {
-    val purged = docs.join(
-      broadcast(ids.select(col("doc_id")).distinct()),
-      Seq("doc_id"), "left_anti")
-    Sampling.packSequencesOf(purged)
-      .join(broadcast(affectedPacks(docs, ids)), Seq("lang"))
-      .where(col("pack_id") >= col("from_pack_id"))
-      .drop("from_pack_id")
+  /** Repack ONLY the affected suffix: per affected lang, the purged
+    * docs from the cut pack's first doc onward get their running
+    * offsets seeded at [[affectedPacks]]'s `seed_offset` and flow
+    * through the SAME offset→pack tail as the full packer
+    * ([[Sampling.packTail]] — one definition, no drift). Union with
+    * the original packs below the cut reproduces a full repack of the
+    * purged corpus exactly (TakedownSpec pins the identity), so a
+    * takedown rewrites O(affected suffix) pack shards AND scans only
+    * the affected suffix — the offset window runs over the
+    * cut-filtered frame, never the full stratum (plan-pinned). */
+  def repackSuffix(docs: DataFrame, ids: DataFrame,
+                   packs: DataFrame): DataFrame = {
+    val cuts = affectedPacks(docs, ids, packs)
+    val suffix = docs
+      .join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+      .join(broadcast(cuts), Seq("lang"))
+      .where(col("doc_id") >= col("from_doc"))
+    Sampling.packTail(
+      suffix
+        .select(col("doc_id"), col("lang"), col("seed_offset"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("start_offset",
+          col("seed_offset") +
+            sum(col("n_tokens")).over(Sampling.strataRunningWindow) -
+            col("n_tokens"))
+        .drop("seed_offset"))
   }
 }

@@ -400,9 +400,13 @@ private[graft] object Publish {
     // OVERWRITE rename, never delete-then-rename (r13 review): a crash
     // between a delete and a rename would leave NO ledger at all, and
     // a vanished _folded ledger re-opens every folded batch id to
-    // replay double-counting.
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
-        new org.apache.hadoop.conf.Configuration())
+    // replay double-counting. The FileContext threads the CALLER's fs
+    // configuration (ADVICE r13): a bare `new Configuration()` would
+    // resolve the commit rename against an unconfigured filesystem on
+    // any scheme needing session config (s3a credentials, custom
+    // impls) — exactly on the _folded write whose loss re-opens folded
+    // ids to double-count.
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 

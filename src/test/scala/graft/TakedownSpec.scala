@@ -73,6 +73,23 @@ class TakedownSpec extends SparkSpec {
     Takedown.takedownLex(spark, s"$dir/idx", takedownIds, 0L)
     assert(servedRows(s"$dir/idx") == servedRows(rebuilt2),
       "takedown replay after a later overlapping batch drifted")
+    // A FRESH id BELOW the applied high-water is rejected (ADVICE r13:
+    // the smallest-id-owns rule would re-own the overlap docs and
+    // double-subtract); ids 0 and 1 are applied, so a new id 0 < x < 1
+    // cannot exist — but a fresh takedown at an id below max that was
+    // never recorded must fail loudly. Fabricate by asking for id 0
+    // after deleting its partition? No — simplest: a brand-new index
+    // where id 5 lands first, then a fresh id 3 is refused while a
+    // replay of 5 still passes.
+    val mono = s"$dir/mono"
+    buildLex(mono)
+    Takedown.takedownLex(spark, mono, takedownIds, 5L)
+    val e = intercept[IllegalArgumentException] {
+      Takedown.takedownLex(spark, mono,
+        docs.where(col("doc_id") === 1L).select("doc_id"), 3L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    Takedown.takedownLex(spark, mono, takedownIds, 5L) // replay: legal
   }
 
   test("pos takedown: served phrase results equal the purged rebuild") {
@@ -139,15 +156,19 @@ class TakedownSpec extends SparkSpec {
   }
 
   test("pack takedown: original prefix + repacked suffix equals a full " +
-      "repack of the purged corpus") {
+      "repack of the purged corpus; the repack window scans only the " +
+      "cut suffix") {
     val ids = takedownIds
     val original = Sampling.packSequencesOf(docs)
-    val affected = Takedown.affectedPacks(docs, ids)
+      .localCheckpoint() // the standing pack table the seeds read
+    val affected = Takedown.affectedPacks(docs, ids, original)
+      .select("lang", "from_pack_id")
     val prefix = original.join(broadcast(affected), Seq("lang"), "left")
       .where(col("from_pack_id").isNull ||
         col("pack_id") < col("from_pack_id"))
       .drop("from_pack_id")
-    val stitched = prefix.unionByName(Takedown.repackSuffix(docs, ids))
+    val suffix = Takedown.repackSuffix(docs, ids, original)
+    val stitched = prefix.unionByName(suffix)
       .collect().map(_.toSeq).toSet
     val full = Sampling.packSequencesOf(purgedDocs)
       .collect().map(_.toSeq).toSet
@@ -156,7 +177,25 @@ class TakedownSpec extends SparkSpec {
     // The cut is real: at least one pack survived untouched and at
     // least one repacked (otherwise the bounded-rewrite claim is
     // vacuous on this fixture).
-    assert(prefix.count() > 0 && Takedown.repackSuffix(docs, ids).count() > 0)
+    assert(prefix.count() > 0 && suffix.count() > 0)
+    // Plan pin (VERDICT r13 #1 done-condition): the running-offset
+    // window must consume the CUT-FILTERED suffix, never the full
+    // stratum — every Window in the repack plan sits above the join
+    // against the per-lang cut frame. affectedPacks itself is
+    // window-free (the cut resolves by pack-range containment).
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWin}
+    val plan = suffix.queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWin => w }
+    assert(wins.nonEmpty, "repackSuffix lost its seeded offset window")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case j: Join => j }.nonEmpty,
+        s"repack window runs over an unfiltered frame:\n$w")
+    }
+    assert(Takedown.affectedPacks(docs, ids, original)
+      .queryExecution.optimizedPlan
+      .collect { case w: LWin => w }.isEmpty,
+      "affectedPacks re-grew a window — the pack-range containment " +
+        "join exists to avoid exactly that")
   }
 
   test("mergePublishCdc: D removes, I/U upsert, latest op wins per key, " +
