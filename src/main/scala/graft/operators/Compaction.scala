@@ -5,78 +5,113 @@ import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import graft.sinks.Publish
 
-/** Exactly-once compaction for the batch_id-accreting indexes (r13,
-  * VERDICT r12 missing #2): every streaming-maintained index (lex,
-  * pos, pair/signature, IVF) lands each micro-batch under its own
-  * `batch_id=N` partition forever — exactly-once by layout, but at one
-  * micro-batch a minute a year-old index carries ~500k partitions per
-  * table and LISTING becomes the scan. This pass folds all existing
-  * batch partitions into ONE (`batch_id=<max folded id>`), applies any
-  * logical [[Takedown]] deletes physically, and clears them — after
-  * which serves are byte-identical and discovery is O(1) again.
+/** Exactly-once, READER-ATOMIC compaction for the batch_id-accreting
+  * indexes (r13; generation protocol r14 — VERDICT r13 #1): every
+  * streaming-maintained index (lex, pos, pair/signature, IVF) lands
+  * each micro-batch under its own `batch_id=N` partition forever —
+  * exactly-once by layout, but at one micro-batch a minute a year-old
+  * index carries ~500k partitions per table and LISTING becomes the
+  * scan. This pass folds all existing batch partitions into ONE
+  * (`batch_id=<max folded id>`), applies any logical [[Takedown]]
+  * deletes physically, and clears them — after which serves are
+  * byte-identical and discovery is O(1) again.
   *
-  * Exactly-once across the fold — the part naive compaction breaks —
-  * is carried by two LEDGERS (the [[Publish]] range format: `lo-hi`
-  * lines, symbolic end to end):
+  * == The generation protocol ==
   *
-  *  - `<index>/_folded` — ingest batch ids folded so far. The batch
+  * A fold never mutates the directory readers are scanning. The index
+  * ROOT is versioned with the SAME marker machinery the corpus tables
+  * use ([[Publish]]): generation `n` lives at `<indexPath>/v=n`, the
+  * commit point is the token-verified marker `_latest/n`, and readers
+  * resolve their generation ONCE per query ([[resolveRoot]] — the flat
+  * `indexPath` itself until the first fold, for one-shot and
+  * stream-bootstrapped layouts). Phases:
+  *
+  *  1. MATERIALIZE — the consolidated, delete-purged content of the
+  *     ENTIRE next generation (all subdirs, the `_folded` ledgers, the
+  *     claim token) is written under a hidden `.genstage-*` dir.
+  *  2. CLAIM — one rename to `v=<n+1>`. Invisible to readers (no
+  *     marker); the no-overwrite rename is the only-one-compactor
+  *     check.
+  *  3. COMMIT — [[Publish.commitMarker]] writes `_latest/<n+1>`
+  *     naming the claim token. This single metadata op is the reader
+  *     flip: a query that resolved before it reads generation n (still
+  *     fully present), one that resolves after reads n+1 — never a
+  *     half-state, never a missing file.
+  *  4. CLEANUP — generations OLDER than n are reaped (marker first,
+  *     then data — either crash prefix is re-reaped next fold);
+  *     generation n itself is retained for queries in flight across
+  *     the flip, the corpus tables' keepLast=1 retention.
+  *
+  * Crash discipline collapses to two cases, both handled by
+  * [[recoverGen]] at the next compact: a `.genstage-*` (crash in 1) or
+  * an UNMARKED `v=` dir (crash between 2 and 3) is re-derivable debris
+  * and is dropped; from the marker onward the fold has happened and
+  * only cleanup can be outstanding. The r13 in-place swap's
+  * quiesce-or-retry contract for concurrent READERS is gone — that is
+  * the point of the protocol. Concurrent WRITERS during a fold remain
+  * out of contract (single maintenance actor — the self-triggering
+  * stream form serializes them by construction), as does a second
+  * concurrent compactor (its claim rename fails loudly).
+  *
+  * == Exactly-once across the fold ==
+  *
+  * Replays are kept out by two LEDGERS (the [[Publish]] range format:
+  * `lo-hi` lines, symbolic end to end), each riding INSIDE its
+  * generation — so "data folded" and "ledger extended" commit in the
+  * same atomic marker flip (the r13 layout's ledger-then-swap window
+  * is gone too):
+  *
+  *  - `<gen>/_folded` — ingest batch ids folded so far. The batch
   *    builders ([[Retrieval.buildLexIndexBatch]] etc.) consult it and
   *    NO-OP a replayed id whose `batch_id=N` partition no longer
-  *    exists (pre-compaction, the partition itself was the dedup:
+  *    exists (pre-fold, the partition itself was the dedup:
   *    mode=overwrite into its own dir; post-fold, re-writing it would
   *    double-count).
-  *  - `<index>/deletes/_folded` — takedown ids whose deletes were
+  *  - `<gen>/deletes/_folded` — takedown ids whose deletes were
   *    applied physically. [[Takedown]] writers consult it: a replayed
   *    takedown whose ids are already purged must not re-stamp a
-  *    negative stats partial (double-subtraction).
-  *
-  * == Crash discipline (r13 review hardening) ==
-  *
-  * Phases, strictly ordered across ALL subdirs of an index:
-  *  1. MATERIALIZE — the consolidated, delete-purged content is fully
-  *     written to a hidden `.fold-<id>` tmp per subdir; the LAST write
-  *     into each tmp is a `_fold_complete` marker file, so a partial
-  *     tmp is detectable.
-  *  2. LEDGER — `_folded` (and `deletes/_folded`) extended. From this
-  *     instant replays no-op; their data still lives in the original
-  *     partitions, so no state is lost whatever happens next.
-  *  3. SWAP — per subdir: originals renamed to hidden `.oldfold-N`,
-  *     tmp renamed to `batch_id=<id>`, `.oldfold-*` reaped. The fold
-  *     OUTPUT is distinguishable from an original by the
-  *     `_fold_complete` marker it carries (invisible to parquet).
-  *  4. CLEANUP — the deletes partitions are removed (their content is
-  *     now physically applied; their ledger keeps replays out).
-  *
-  * [[recoverFold]] (run automatically at the start of every compact)
-  * maps every crash prefix back to a consistent state: a tmp whose
-  * destination already carries the marker is redundant (reaped); any
-  * other tmp means the swap did not complete — originals are ROLLED
-  * BACK from `.oldfold-*` and the tmp dropped (the fold simply re-runs
-  * later; the ledger may already name the ids, which is safe because
-  * their data is back in the originals). Stray `.oldfold-*` with no
-  * tmp: if the max id's destination carries the marker the fold
-  * landed (crash before the reap — finish reaping), else roll back.
-  * Like the other directory-swapping maintenance here (upsert,
-  * adoptFlatLayout), the swap window is not atomic for CONCURRENT
-  * readers — run compaction quiesced or accept one transient
-  * missing-file retry, the same contract the fence-restore transit
-  * already imposes. Concurrent WRITERS during a crashed-compaction
-  * window are out of contract (quiesced maintenance). */
+  *    negative stats partial (double-subtraction). */
 object Compaction {
-
-  /** Marker file inside a fold OUTPUT partition — what distinguishes
-    * it from an ordinary ingest partition during crash recovery.
-    * `_`-prefixed → invisible to parquet readers. */
-  private val FoldMarker = "_fold_complete"
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** The folded-ingest-batch ledger of an index root. */
+  /** Resolve the CURRENT generation root of an index: `indexPath/v=n`
+    * once a fold has published a generation (highest servable marker —
+    * token-verified, [[Publish.currentVersion]]), the flat `indexPath`
+    * itself before. Every reader and writer of a compactable index
+    * resolves through here ONCE per operation, which is what makes the
+    * fold's marker flip atomic for them. Idempotent: a generation dir
+    * carries no `_latest` of its own, so resolving a resolved path
+    * returns it unchanged. */
+  def resolveRoot(spark: SparkSession, indexPath: String): String = {
+    val (fs, root) = fsOf(spark, indexPath)
+    val md = new Path(root, Publish.MarkerDir)
+    val hasGen =
+      try fs.exists(md) && fs.listStatus(md)
+        .exists(_.getPath.getName.toIntOption.nonEmpty)
+      catch { case _: java.io.IOException => false }
+    if (hasGen) s"$indexPath/v=${Publish.currentVersion(fs, root)}"
+    else indexPath
+  }
+
+  /** The current generation NUMBER (0 = still flat / never folded). */
+  private def currentGen(fs: FileSystem, root: Path): Int = {
+    val md = new Path(root, Publish.MarkerDir)
+    val hasGen =
+      try fs.exists(md) && fs.listStatus(md)
+        .exists(_.getPath.getName.toIntOption.nonEmpty)
+      catch { case _: java.io.IOException => false }
+    if (hasGen) Publish.currentVersion(fs, root) else 0
+  }
+
+  /** The folded-ingest-batch ledger of an index (read from the current
+    * generation). */
   def foldedBatches(spark: SparkSession, indexDir: String): Seq[(Long, Long)] = {
-    val (fs, p) = fsOf(spark, indexDir)
+    val cur = resolveRoot(spark, indexDir)
+    val (fs, p) = fsOf(spark, cur)
     Publish.readLedger(fs, new Path(p, "_folded"))
   }
 
@@ -85,7 +120,8 @@ object Compaction {
   def isFolded(spark: SparkSession, indexDir: String, batchId: Long): Boolean =
     Publish.batchApplied(foldedBatches(spark, indexDir), batchId)
 
-  /** The folded-takedown ledger (under the deletes dir). */
+  /** The folded-takedown ledger under a RESOLVED deletes dir ([[Takedown]]
+    * resolves the index root before building the path). */
   def foldedTakedowns(spark: SparkSession, deletesDir: String): Seq[(Long, Long)] = {
     val (fs, p) = fsOf(spark, deletesDir)
     Publish.readLedger(fs, new Path(p, "_folded"))
@@ -102,145 +138,121 @@ object Compaction {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
 
-  /** Restore every `.oldfold-N` whose destination is free — the UNDO
-    * of a partial swap. A destination that exists is left alone (it is
-    * either the landed fold, handled by the caller's marker check, or
-    * an out-of-contract concurrent write — never clobbered). */
-  private def rollback(fs: FileSystem, sub: Path): Unit =
-    fs.listStatus(sub).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".oldfold-"))
-      .foreach { st =>
-        val dest = new Path(sub,
-          s"batch_id=${st.getPath.getName.stripPrefix(".oldfold-")}")
-        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+  /** Drop crash debris of an interrupted fold: `.genstage-*` (died in
+    * MATERIALIZE) and unmarked `v=` dirs (died between CLAIM and
+    * COMMIT — also the tail of a marker-first CLEANUP). Both are
+    * re-derivable from the still-live previous generation; nothing a
+    * reader can resolve is touched. Runs at the start of every
+    * compact; single-maintenance-actor contract makes it race-free. */
+  private def recoverGen(fs: FileSystem, root: Path): Unit = {
+    if (!fs.exists(root)) return
+    val md = new Path(root, Publish.MarkerDir)
+    fs.listStatus(root).toSeq.foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith(".genstage-"))
+        fs.delete(s.getPath, true)
+      else if (s.isDirectory && n.startsWith("v=") &&
+          n.stripPrefix("v=").toIntOption
+            .exists(g => !fs.exists(new Path(md, g.toString))))
+        fs.delete(s.getPath, true)
+    }
+  }
+
+  /** Phases 1–4 shared by every index form: `build` materializes the
+    * full next-generation content into the hidden stage; then claim
+    * rename, marker commit, and retention reap (generations < the
+    * previous one; the flat pre-generation entries — selected by
+    * `flatEntry` — count as generation 0 and are reaped once
+    * generation 2 commits). */
+  private def publishGeneration(spark: SparkSession, indexPath: String,
+                                flatEntry: String => Boolean)
+                               (build: Path => Unit): Unit = {
+    val (fs, root) = fsOf(spark, indexPath)
+    val cur = currentGen(fs, root)
+    val stage = new Path(root,
+      s".genstage-${java.util.UUID.randomUUID.toString.take(8)}")
+    try build(stage)
+    catch { case e: Throwable => fs.delete(stage, true); throw e }
+    val token = java.util.UUID.randomUUID.toString
+    fs.create(new Path(stage, s"_claim-$token"), false).close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    // No-overwrite: a competing compactor (out of contract) fails here
+    // loudly instead of cross-wiring two folds.
+    fc.rename(stage, new Path(root, s"v=${cur + 1}"),
+      org.apache.hadoop.fs.Options.Rename.NONE)
+    Publish.commitMarker(spark, indexPath, Publish.Claim(cur + 1, token))
+    // CLEANUP: keep generation `cur` for readers in flight across the
+    // flip; everything older is unreachable by any future resolve.
+    // Marker first, then data: a crash after the marker delete leaves
+    // an unmarked dir recoverGen reaps; a crash before it leaves the
+    // generation intact for the next fold's sweep.
+    (1 until cur).foreach { g =>
+      fs.delete(new Path(root, s"${Publish.MarkerDir}/$g"), false)
+      fs.delete(new Path(root, s"v=$g"), true)
+    }
+    if (cur >= 1)
+      fs.listStatus(root).toSeq.foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("v=") && n != Publish.MarkerDir && flatEntry(n))
+          fs.delete(s.getPath, true)
       }
-
-  /** Map any crash prefix of a fold back to a consistent state — see
-    * the object scaladoc's case analysis. Idempotent; cheap on a
-    * healthy directory (one listing). */
-  private def recoverFold(fs: FileSystem, sub: Path): Unit = {
-    if (!fs.exists(sub)) return
-    val kids = fs.listStatus(sub).toSeq
-    val tmps = kids.filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith(".fold-"))
-    tmps.foreach { st =>
-      val id = st.getPath.getName.stripPrefix(".fold-")
-      val landed =
-        fs.exists(new Path(sub, s"batch_id=$id/$FoldMarker"))
-      if (!landed) rollback(fs, sub)
-      // Landed → tmp is a redundant re-materialization (same inputs or
-      // a newer delete set — the deletes dirs still exist until phase
-      // 4, so logical deletion keeps serving correctly and the next
-      // compact re-applies). Not landed → originals are back; the tmp
-      // (complete or partial — the marker distinguishes, but both are
-      // safely re-derivable) is dropped and the fold re-runs.
-      fs.delete(st.getPath, true)
-    }
-    if (tmps.isEmpty) {
-      val oldIds = kids
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(".oldfold-"))
-        .flatMap(_.getPath.getName.stripPrefix(".oldfold-").toLongOption)
-      if (oldIds.nonEmpty) {
-        // No tmp: either the fold landed (its output = max oldfold id,
-        // by construction the fold id is the max folded ingest id) and
-        // the crash hit the reap — finish reaping; or the swap never
-        // renamed the tmp in — roll the originals back.
-        if (fs.exists(new Path(sub, s"batch_id=${oldIds.max}/$FoldMarker")))
-          kids.filter(_.getPath.getName.startsWith(".oldfold-"))
-            .foreach(s => fs.delete(s.getPath, true))
-        else rollback(fs, sub)
-      }
-    }
   }
 
-  /** Phase 1 for one subdir: write the consolidated content to the
-    * hidden tmp, marker last. */
-  private def materializeFold(spark: SparkSession, sub: Path, df: DataFrame,
-                              foldId: Long,
-                              partitionCols: Seq[String]): Unit = {
-    val (fs, _) = fsOf(spark, sub.toString)
-    val tmp = new Path(sub, s".fold-$foldId")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp.toString)
-    fs.create(new Path(tmp, FoldMarker), false).close()
-  }
-
-  /** Phase 3 for one subdir: originals out, fold in, originals reaped. */
-  private def swapFold(fs: FileSystem, sub: Path, foldId: Long): Unit = {
-    val olds = fs.listStatus(sub).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-    val moved = olds.map { st =>
-      val hid = new Path(sub,
-        s".oldfold-${st.getPath.getName.stripPrefix("batch_id=")}")
-      if (!fs.rename(st.getPath, hid))
-        throw new java.io.IOException(s"fold swap failed: ${st.getPath}")
-      hid
-    }
-    if (!fs.rename(new Path(sub, s".fold-$foldId"),
-        new Path(sub, s"batch_id=$foldId")))
-      throw new java.io.IOException(s"fold rename failed into $sub")
-    moved.foreach(p => fs.delete(p, true))
-  }
-
-  /** Phases 2+3+4 shared by every index form: extend the ledgers, swap
-    * all materialized subdirs, clear the applied deletes partitions. */
-  private def commitFold(fs: FileSystem, root: Path,
-                         subs: Seq[(Path, Long)],
-                         ingest: Seq[Long],
-                         deletesSub: String,
-                         takedowns: Seq[Long]): Unit = {
-    Publish.writeLedger(fs, new Path(root, "_folded"),
-      ingest.foldLeft(Publish.readLedger(fs, new Path(root, "_folded")))(
-        (acc, id) => Publish.addBatch(acc, id)))
-    if (takedowns.nonEmpty) {
-      fs.mkdirs(new Path(root, deletesSub))
-      Publish.writeLedger(fs, new Path(root, s"$deletesSub/_folded"),
-        takedowns.foldLeft(
-          Publish.readLedger(fs, new Path(root, s"$deletesSub/_folded")))(
-          (acc, id) => Publish.addBatch(acc, id)))
-    }
-    subs.foreach { case (sub, foldId) => swapFold(fs, sub, foldId) }
-    takedowns.foreach(id =>
-      fs.delete(new Path(root, s"$deletesSub/batch_id=$id"), true))
-  }
+  private def lexFlat(n: String): Boolean =
+    Set("postings", "doclens", "stats", "deletes", "_folded").contains(n)
 
   /** Compact the LEXICAL index ([[Retrieval.buildLexIndexBatch]]
     * layout): postings (term-partitioned inside the fold), doclens,
     * and stats (all partials — ingest AND negative takedown
     * corrections — re-summed into one exact row) fold into one batch
-    * partition each; logical deletes are applied physically and
-    * cleared. No-op on an index with nothing accreted. */
+    * partition each inside generation n+1; logical deletes are applied
+    * physically and cleared. No-op on an index with nothing accreted
+    * or already consolidated. */
   def compactLexIndex(spark: SparkSession, indexPath: String): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
-    val subs = Seq("postings", "doclens", "stats").map(new Path(root, _))
-    subs.foreach(recoverFold(fs, _))
-    val ingest = batchIds(fs, subs.head)
-    if (ingest.isEmpty) return // one-shot layout or already folded
+    recoverGen(fs, root)
+    val cur = resolveRoot(spark, indexPath)
+    val curP = new Path(cur)
+    val ingest = batchIds(fs, new Path(curP, "postings"))
+    if (ingest.isEmpty) return // one-shot layout — nothing accreted
+    val takedowns = batchIds(fs, new Path(curP, "deletes"))
+    if (ingest.size <= 1 && takedowns.isEmpty) return // consolidated
     val foldId = ingest.max
-    val deletesDir = s"$indexPath/deletes"
-    val takedowns = batchIds(fs, new Path(root, "deletes"))
+    val deletesDir = s"$cur/deletes"
     val postings = Takedown.applyDeletes(
       spark.read.schema("doc_id BIGINT, tf BIGINT, tok STRING")
-        .parquet(s"$indexPath/postings")
+        .parquet(s"$cur/postings")
         .select(col("doc_id"), col("tf"), col("tok")),
       deletesDir)
     val doclens = Takedown.applyDeletes(
       spark.read.schema("doc_id BIGINT, dl BIGINT")
-        .parquet(s"$indexPath/doclens")
+        .parquet(s"$cur/doclens")
         .select(col("doc_id"), col("dl")),
       deletesDir)
     // Stats: the negative correction partials exist precisely so this
     // exact long re-sum equals the purged corpus — fold them in.
     val stats = spark.read.schema("n_docs BIGINT, sum_dl BIGINT")
-      .parquet(s"$indexPath/stats")
+      .parquet(s"$cur/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    materializeFold(spark, subs(0), postings, foldId, Seq("tok"))
-    materializeFold(spark, subs(1), doclens, foldId, Nil)
-    materializeFold(spark, subs(2), stats, foldId, Nil)
-    commitFold(fs, root, subs.map(_ -> foldId), ingest, "deletes", takedowns)
+    val newFolded = ingest.foldLeft(
+      Publish.readLedger(fs, new Path(curP, "_folded")))(Publish.addBatch)
+    val newTd = takedowns.foldLeft(
+      Publish.readLedger(fs, new Path(curP, "deletes/_folded")))(
+      Publish.addBatch)
+    publishGeneration(spark, indexPath, lexFlat) { stage =>
+      postings.write.mode("overwrite").partitionBy("tok")
+        .parquet(s"$stage/postings/batch_id=$foldId")
+      doclens.write.mode("overwrite")
+        .parquet(s"$stage/doclens/batch_id=$foldId")
+      stats.write.mode("overwrite")
+        .parquet(s"$stage/stats/batch_id=$foldId")
+      Publish.writeLedger(fs, new Path(stage, "_folded"), newFolded)
+      if (newTd.nonEmpty) {
+        fs.mkdirs(new Path(stage, "deletes"))
+        Publish.writeLedger(fs, new Path(stage, "deletes/_folded"), newTd)
+      }
+    }
   }
 
   /** Compact the POSITIONAL index ([[Retrieval.buildPosIndexBatch]]
@@ -248,68 +260,128 @@ object Compaction {
     * and cleared. */
   def compactPosIndex(spark: SparkSession, indexPath: String): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
-    val sub = new Path(root, "pos")
-    recoverFold(fs, sub)
-    val ingest = batchIds(fs, sub)
+    recoverGen(fs, root)
+    val cur = resolveRoot(spark, indexPath)
+    val curP = new Path(cur)
+    val ingest = batchIds(fs, new Path(curP, "pos"))
     if (ingest.isEmpty) return
+    val takedowns = batchIds(fs, new Path(curP, "deletes"))
+    if (ingest.size <= 1 && takedowns.isEmpty) return
     val foldId = ingest.max
-    val takedowns = batchIds(fs, new Path(root, "deletes"))
     val occ = Takedown.applyDeletes(
       spark.read.schema("doc_id BIGINT, pos INT, tok STRING")
-        .parquet(s"$indexPath/pos")
+        .parquet(s"$cur/pos")
         .select(col("doc_id"), col("pos"), col("tok")),
-      s"$indexPath/deletes")
-    materializeFold(spark, sub, occ, foldId, Seq("tok"))
-    commitFold(fs, root, Seq(sub -> foldId), ingest, "deletes", takedowns)
+      s"$cur/deletes")
+    val newFolded = ingest.foldLeft(
+      Publish.readLedger(fs, new Path(curP, "_folded")))(Publish.addBatch)
+    val newTd = takedowns.foldLeft(
+      Publish.readLedger(fs, new Path(curP, "deletes/_folded")))(
+      Publish.addBatch)
+    publishGeneration(spark, indexPath,
+      n => Set("pos", "deletes", "_folded").contains(n)) { stage =>
+      occ.write.mode("overwrite").partitionBy("tok")
+        .parquet(s"$stage/pos/batch_id=$foldId")
+      Publish.writeLedger(fs, new Path(stage, "_folded"), newFolded)
+      if (newTd.nonEmpty) {
+        fs.mkdirs(new Path(stage, "deletes"))
+        Publish.writeLedger(fs, new Path(stage, "deletes/_folded"), newTd)
+      }
+    }
   }
 
-  /** Compact the near-dup PAIR + SIGNATURE tables (the
-    * [[Dedup]] streaming-maintained layout — both roots are READ
-    * WHOLESALE, so their ledgers and deletes live inside as `_folded`
-    * / `_deletes`). Pairs die when either side was taken down;
-    * signatures when their doc was. */
+  /** Compact the near-dup PAIR + SIGNATURE tables (the [[Dedup]]
+    * streaming-maintained layout — both roots are read WHOLESALE, so
+    * their batch partitions, ledger, and `_deletes` live at the table
+    * root). Pairs die when either side was taken down; signatures when
+    * their doc was. The PAIR generation (which carries the ledger)
+    * commits FIRST: a crash between the two commits leaves every
+    * folded batch id no-op'd (the builder checks the pair ledger
+    * before writing EITHER table), and the signature fold completes on
+    * the next pass — which proceeds whenever either root is
+    * unconsolidated. */
   def compactPairTable(spark: SparkSession, pairPath: String,
                        sigPath: String): Unit = {
     val (fs, pairRoot) = fsOf(spark, pairPath)
     val sigRoot = new Path(sigPath)
-    recoverFold(fs, pairRoot); recoverFold(fs, sigRoot)
-    val ingest = batchIds(fs, pairRoot)
+    recoverGen(fs, pairRoot); recoverGen(fs, sigRoot)
+    val curPair = resolveRoot(spark, pairPath)
+    val curSig = resolveRoot(spark, sigPath)
+    val ingest = batchIds(fs, new Path(curPair))
     if (ingest.isEmpty) return
+    val takedowns = batchIds(fs, new Path(s"$curPair/_deletes"))
+    if (ingest.size <= 1 && batchIds(fs, new Path(curSig)).size <= 1 &&
+        takedowns.isEmpty) return
     val foldId = ingest.max
-    val takedowns = batchIds(fs, new Path(pairRoot, "_deletes"))
     val pairs = Takedown.pairTableLive(spark, pairPath)
     val sigs = Takedown.applyDeletes(
-      spark.read.parquet(sigPath).drop("batch_id"),
-      s"$pairPath/_deletes")
-    materializeFold(spark, pairRoot, pairs, foldId, Nil)
-    materializeFold(spark, sigRoot, sigs, foldId, Nil)
-    commitFold(fs, pairRoot, Seq(pairRoot -> foldId, sigRoot -> foldId),
-      ingest, "_deletes", takedowns)
+      spark.read.parquet(curSig).drop("batch_id"),
+      s"$curPair/_deletes")
+    val newFolded = ingest.foldLeft(
+      Publish.readLedger(fs, new Path(curPair, "_folded")))(Publish.addBatch)
+    val newTd = takedowns.foldLeft(
+      Publish.readLedger(fs, new Path(curPair, "_deletes/_folded")))(
+      Publish.addBatch)
+    def tableFlat(n: String): Boolean =
+      n.startsWith("batch_id=") || n == "_deletes" || n == "_folded"
+    publishGeneration(spark, pairPath, tableFlat) { stage =>
+      pairs.write.mode("overwrite").parquet(s"$stage/batch_id=$foldId")
+      Publish.writeLedger(fs, new Path(stage, "_folded"), newFolded)
+      if (newTd.nonEmpty) {
+        fs.mkdirs(new Path(stage, "_deletes"))
+        Publish.writeLedger(fs, new Path(stage, "_deletes/_folded"), newTd)
+      }
+    }
+    publishGeneration(spark, sigPath, tableFlat) { stage =>
+      sigs.write.mode("overwrite").parquet(s"$stage/batch_id=$foldId")
+    }
   }
 
-  /** The pair/sig tables' replay guard reads the in-table ledger. */
+  /** The pair/sig tables' replay guard reads the in-table ledger (from
+    * the current generation). */
   def isPairBatchFolded(spark: SparkSession, pairPath: String,
                         batchId: Long): Boolean = {
-    val (fs, root) = fsOf(spark, pairPath)
+    val cur = resolveRoot(spark, pairPath)
+    val (fs, root) = fsOf(spark, cur)
     Publish.batchApplied(
       Publish.readLedger(fs, new Path(root, "_folded")), batchId)
   }
 
   /** Compact the IVF index ([[Similarity.buildIvfIndexBatch]] layout):
-    * postings fold cell-partitioned; centroids are untouched (the
-    * trained structure). */
+    * postings fold cell-partitioned; the trained centroids are carried
+    * into the new generation byte-exactly (parquet round-trips the
+    * 9-dp doubles) — they are structure, not data, and are never
+    * retrained here. */
   def compactIvfIndex(spark: SparkSession, indexPath: String): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
-    val sub = new Path(root, "postings")
-    recoverFold(fs, sub)
-    val ingest = batchIds(fs, sub)
+    recoverGen(fs, root)
+    val cur = resolveRoot(spark, indexPath)
+    val curP = new Path(cur)
+    val ingest = batchIds(fs, new Path(curP, "postings"))
     if (ingest.isEmpty) return
+    val takedowns = batchIds(fs, new Path(curP, "deletes"))
+    if (ingest.size <= 1 && takedowns.isEmpty) return
     val foldId = ingest.max
-    val takedowns = batchIds(fs, new Path(root, "deletes"))
     val postings = Takedown.applyDeletes(
-      spark.read.parquet(s"$indexPath/postings").drop("batch_id"),
-      s"$indexPath/deletes", idCol = "vec_id")
-    materializeFold(spark, sub, postings, foldId, Seq("cell"))
-    commitFold(fs, root, Seq(sub -> foldId), ingest, "deletes", takedowns)
+      spark.read.parquet(s"$cur/postings").drop("batch_id"),
+      s"$cur/deletes", idCol = "vec_id")
+    val cents = spark.read.parquet(s"$cur/centroids")
+    val newFolded = ingest.foldLeft(
+      Publish.readLedger(fs, new Path(curP, "_folded")))(Publish.addBatch)
+    val newTd = takedowns.foldLeft(
+      Publish.readLedger(fs, new Path(curP, "deletes/_folded")))(
+      Publish.addBatch)
+    publishGeneration(spark, indexPath,
+      n => Set("postings", "centroids", "deletes", "_folded").contains(n)) {
+      stage =>
+        postings.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$stage/postings/batch_id=$foldId")
+        cents.write.mode("overwrite").parquet(s"$stage/centroids")
+        Publish.writeLedger(fs, new Path(stage, "_folded"), newFolded)
+        if (newTd.nonEmpty) {
+          fs.mkdirs(new Path(stage, "deletes"))
+          Publish.writeLedger(fs, new Path(stage, "deletes/_folded"), newTd)
+        }
+    }
   }
 }

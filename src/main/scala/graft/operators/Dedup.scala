@@ -214,7 +214,10 @@ object Dedup {
     * consumers ([[sourceOverlapFrom]]'s n_dup_pairs) are NOT robust to
     * a duplicate smuggled in by an out-of-contract writer. */
   def pairTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("batch_id").distinct()
+    // Generation-resolved (r14): a compacted pair table lives at
+    // `path/v=<n>` behind a marker ([[Compaction.resolveRoot]]).
+    spark.read.parquet(Compaction.resolveRoot(spark, path))
+      .drop("batch_id").distinct()
 
   /** Persist the banded LSH bucket index — (doc_id, band_idx,
     * band_key) — the state that makes pair maintenance INCREMENTAL: a
@@ -284,10 +287,15 @@ object Dedup {
   def appendToPairTable(spark: SparkSession, newDocs: DataFrame,
                         allDocs: DataFrame, sigPath: String,
                         pairPath: String): Unit = {
+    // Resolve generations first (r14) so a compacted (necessarily
+    // batch-keyed) table hits the fail-fast below with its real
+    // layout instead of a raw root listing of `v=` dirs.
+    val sigRoot = Compaction.resolveRoot(spark, sigPath)
+    val pairRoot = Compaction.resolveRoot(spark, pairPath)
     val newSigs = signatureRows(newDocs)
       .localCheckpoint() // pinned: feeds the join AND the append
     try {
-      val persistedSigs = spark.read.parquet(sigPath)
+      val persistedSigs = spark.read.parquet(sigRoot)
       // This flat-append API must not write root-level files into a
       // STREAM-maintained (batch_id-partitioned) table — the mixed
       // layout would be unreadable. Fail fast toward the batch twin.
@@ -306,7 +314,7 @@ object Dedup {
         // localCheckpoint before each write: the anti-join READS the
         // very path the append then writes — materializing first keeps
         // the scan's file list from racing its own output.
-        val existingPairs = readIfExists(spark, pairPath)
+        val existingPairs = readIfExists(spark, pairRoot)
         existingPairs.foreach(e => require(!e.columns.contains("batch_id"),
           s"$pairPath is batch_id-keyed (stream-maintained) — use " +
             "appendToPairTableBatch, which overwrites its own partition"))
@@ -315,14 +323,14 @@ object Dedup {
             Seq("doc_a", "doc_b"), "left_anti")
           case None => fresh
         }).localCheckpoint()
-        try newPairs.write.mode("append").parquet(pairPath)
+        try newPairs.write.mode("append").parquet(pairRoot)
         finally newPairs.unpersist()
         // Same for signatures: full-row anti-join (a signature row IS
         // its key), so replaying after both appends landed is a no-op.
-        val sigsToAdd = newSigs.join(spark.read.parquet(sigPath),
+        val sigsToAdd = newSigs.join(spark.read.parquet(sigRoot),
             Seq("doc_id", "band_idx", "band_key"), "left_anti")
           .localCheckpoint()
-        try sigsToAdd.write.mode("append").parquet(sigPath)
+        try sigsToAdd.write.mode("append").parquet(sigRoot)
         finally sigsToAdd.unpersist()
       } finally cand.unpersist()
     } finally newSigs.unpersist()
@@ -356,15 +364,20 @@ object Dedup {
     // no longer exists to overwrite — re-appending would double the
     // pairs; the in-table ledger no-ops it ([[Compaction]]).
     if (Compaction.isPairBatchFolded(spark, pairPath, batchId)) return
+    // Generation-resolved (r14): post-compaction both tables live at
+    // `<path>/v=<n>`; all reads/writes below target the current
+    // generation.
+    val pairRoot = Compaction.resolveRoot(spark, pairPath)
+    val sigRoot = Compaction.resolveRoot(spark, sigPath)
     // A table bootstrapped flat (buildSignatureTable / the batch
     // append API) adopts the batch-keyed layout on first contact —
     // flat children next to batch_id= dirs would make the whole
     // directory unreadable at partition discovery (r7 review).
-    graft.sinks.Sinks.adoptFlatLayout(spark, sigPath)
-    graft.sinks.Sinks.adoptFlatLayout(spark, pairPath)
+    graft.sinks.Sinks.adoptFlatLayout(spark, sigRoot)
+    graft.sinks.Sinks.adoptFlatLayout(spark, pairRoot)
     val newSigs = signatureRows(newDocs).localCheckpoint()
     try {
-      val existing = readIfExists(spark, sigPath) match {
+      val existing = readIfExists(spark, sigRoot) match {
         case Some(df) =>
           // The replayed batch's own (crashed, possibly partial)
           // signature partition must not count as "already seen" —
@@ -376,8 +389,8 @@ object Dedup {
       val cand = candidatePairs(newSigs, existing.unionByName(newSigs))
       try {
         verifiedIncrement(cand, allDocs)
-          .write.mode("overwrite").parquet(s"$pairPath/batch_id=$batchId")
-        newSigs.write.mode("overwrite").parquet(s"$sigPath/batch_id=$batchId")
+          .write.mode("overwrite").parquet(s"$pairRoot/batch_id=$batchId")
+        newSigs.write.mode("overwrite").parquet(s"$sigRoot/batch_id=$batchId")
       } finally cand.unpersist()
     } finally newSigs.unpersist()
   }

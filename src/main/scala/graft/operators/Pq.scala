@@ -174,15 +174,17 @@ object Pq {
     * the QUERY vectors touch the raw corpus; candidates are scored
     * entirely from codes. */
   def adcTopkServed(spark: SparkSession, dir: String, indexPath: String,
-                    k: Int = Similarity.TopK): DataFrame =
+                    k: Int = Similarity.TopK): DataFrame = {
+    val root = Compaction.resolveRoot(spark, indexPath)
     adcServe(unitCorpus(spark, dir),
       // Takedown-aware (r13): taken-down vectors' codes leave the
       // candidate set (deletes recorded via Takedown at
       // `<indexPath>/deletes`, vec_id-keyed, same as IVF).
       codes = Takedown.applyDeletes(
-        spark.read.parquet(s"$indexPath/codes"),
-        s"$indexPath/deletes", idCol = "vec_id"),
-      books = spark.read.parquet(s"$indexPath/books"), k = k)
+        spark.read.parquet(s"$root/codes"),
+        s"$root/deletes", idCol = "vec_id"),
+      books = spark.read.parquet(s"$root/books"), k = k)
+  }
 
   /** The shared ADC serve tail: per-query LUT (m, code → micro-rounded
     * ⟨q_m, c⟩) broadcast against the codes table, candidate score =
@@ -253,8 +255,10 @@ object Pq {
                       ivfIndexPath: String, pqIndexPath: String,
                       k: Int = Similarity.TopK): DataFrame = {
     graft.expressions.DotProduct.register(spark)
+    val ivfRoot = Compaction.resolveRoot(spark, ivfIndexPath)
+    val pqRoot = Compaction.resolveRoot(spark, pqIndexPath)
     val raw = Similarity.normalizedCorpus(spark, dir)
-    val cents = spark.read.parquet(s"$ivfIndexPath/centroids")
+    val cents = spark.read.parquet(s"$ivfRoot/centroids")
     // Probe ranking only needs the QUERY vectors — the corpus-wide
     // assignment is already persisted in the postings layout.
     val ranked = rankedCells(
@@ -262,14 +266,14 @@ object Pq {
     // Takedown-aware (r13): honor deletes recorded against EITHER
     // index (the IVF cells and the PQ codes are views of one corpus).
     val cells = Takedown.applyDeletes(
-        spark.read.parquet(s"$ivfIndexPath/postings"),
-        s"$ivfIndexPath/deletes", idCol = "vec_id")
+        spark.read.parquet(s"$ivfRoot/postings"),
+        s"$ivfRoot/deletes", idCol = "vec_id")
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
     ivfPqServeWith(unitCorpus(spark, dir), ranked, cells,
       codes = Takedown.applyDeletes(
-        spark.read.parquet(s"$pqIndexPath/codes"),
-        s"$pqIndexPath/deletes", idCol = "vec_id"),
-      books = spark.read.parquet(s"$pqIndexPath/books"), k = k)
+        spark.read.parquet(s"$pqRoot/codes"),
+        s"$pqRoot/deletes", idCol = "vec_id"),
+      books = spark.read.parquet(s"$pqRoot/books"), k = k)
   }
 
   /** Per-vector centroid ranking — the IVF tier's exact expression and

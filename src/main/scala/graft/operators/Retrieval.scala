@@ -123,10 +123,11 @@ object Retrieval {
   def buildPosIndexBatch(spark: SparkSession, docs: DataFrame,
                          indexPath: String, batchId: Long): Unit = {
     if (Compaction.isFolded(spark, indexPath, batchId)) return
+    val root = Compaction.resolveRoot(spark, indexPath)
     docs.select(col("doc_id"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
       .write.partitionBy("tok").mode("overwrite")
-      .parquet(s"$indexPath/pos/batch_id=$batchId")
+      .parquet(s"$root/pos/batch_id=$batchId")
   }
 
   /** Phrase serve from the standing positional index: partition
@@ -134,7 +135,11 @@ object Retrieval {
     * tokenize never re-runs), then the SAME alignment tail as the
     * inline form — build/serve identity by shared definition. */
   def phraseSearchServed(spark: SparkSession, indexPath: String,
-                         phrase: Seq[String] = DefaultPhrase): DataFrame =
+                         phrase: Seq[String] = DefaultPhrase): DataFrame = {
+    // Generation-resolved ONCE per query (r14): both reads below come
+    // from the same generation, and a compaction committing mid-query
+    // flips nothing under this plan.
+    val root = Compaction.resolveRoot(spark, indexPath)
     phraseAlign(
       // Explicit schema: partition-type INFERENCE would read a numeric
       // token directory (tok=007) back as an integer, silently
@@ -144,11 +149,12 @@ object Retrieval {
       // docs drop out of the occurrence slice before alignment.
       Takedown.applyDeletes(
         spark.read.schema("doc_id BIGINT, pos INT, tok STRING")
-          .parquet(s"$indexPath/pos")
+          .parquet(s"$root/pos")
           .where(col("tok").isin(phrase.distinct: _*))
           .select(col("doc_id"), col("pos"), col("tok")),
-        s"$indexPath/deletes"),
+        s"$root/deletes"),
       phrase)
+  }
 
   /** The ONE alignment tail both phrase paths share (the bm25ScoreTail
     * discipline): slot votes at start = pos − slot, full-slot starts
@@ -263,17 +269,18 @@ object Retrieval {
     // partition itself was the pre-fold dedup) — the folded ledger
     // makes the replay a no-op instead.
     if (Compaction.isFolded(spark, indexPath, batchId)) return
+    val root = Compaction.resolveRoot(spark, indexPath)
     docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .write.partitionBy("tok").mode("overwrite")
-      .parquet(s"$indexPath/postings/batch_id=$batchId")
+      .parquet(s"$root/postings/batch_id=$batchId")
     docs.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$indexPath/doclens/batch_id=$batchId")
+      .write.mode("overwrite").parquet(s"$root/doclens/batch_id=$batchId")
     docs.agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$indexPath/stats/batch_id=$batchId")
+      .write.mode("overwrite").parquet(s"$root/stats/batch_id=$batchId")
   }
 
   /** BM25 served from the persisted index: partition-pruned postings
@@ -298,6 +305,10 @@ object Retrieval {
     * appended after the pinned fields and simply not selected). */
   private def servedContribs(spark: SparkSession, indexPath: String,
                              terms: Seq[String]): DataFrame = {
+    // Generation-resolved ONCE (r14): all three reads come from the
+    // same generation — a compaction committing mid-query can never
+    // mix a folded postings scan with unfolded stats.
+    val root = Compaction.resolveRoot(spark, indexPath)
     // Takedown-aware (r13): anti-join the logically-deleted docs (a
     // no-op when the index never saw a takedown); the matching
     // corpus-stats correction is already a negative partial under
@@ -306,15 +317,15 @@ object Retrieval {
     val tf = Takedown.applyDeletes(
       spark.read
         .schema("doc_id BIGINT, tf BIGINT, tok STRING")
-        .parquet(s"$indexPath/postings")
+        .parquet(s"$root/postings")
         .where(col("tok").isin(terms: _*))
         .select(col("doc_id"), col("tok"), col("tf")),
-      s"$indexPath/deletes")
+      s"$root/deletes")
     val dl = spark.read.schema("doc_id BIGINT, dl BIGINT")
-      .parquet(s"$indexPath/doclens")
+      .parquet(s"$root/doclens")
       .select(col("doc_id"), col("dl"))
     val stats = spark.read.schema("n_docs BIGINT, sum_dl BIGINT")
-      .parquet(s"$indexPath/stats")
+      .parquet(s"$root/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     bm25ScoreTail(tf, dl, stats)
   }
@@ -396,13 +407,14 @@ object Retrieval {
                       queryVecId: Long = 0L,
                       k: Int = FinalK): DataFrame = {
     graft.expressions.DotProduct.register(spark)
+    val vecRoot = Compaction.resolveRoot(spark, vecIndexPath)
     // Takedown-aware (r13 review): the vector arm must drop deleted
     // vectors like every other serve path — a taken-down doc surfacing
     // through hybrid fusion is the same compliance hole as serving it
     // directly.
     val c = Takedown.applyDeletes(
-      spark.read.parquet(s"$vecIndexPath/postings"),
-      s"$vecIndexPath/deletes", idCol = "vec_id")
+      spark.read.parquet(s"$vecRoot/postings"),
+      s"$vecRoot/deletes", idCol = "vec_id")
       .select(col("vec_id"), col("v"), col("nv"))
     hybridRrfTail(servedContribs(spark, lexIndexPath, terms), c,
       queryVecId, k)

@@ -583,12 +583,13 @@ object Similarity {
   def semDedupServed(spark: SparkSession, indexPath: String,
                      threshold: Double = SemDedupEps): DataFrame = {
     graft.expressions.DotProduct.register(spark)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val root = Compaction.resolveRoot(spark, indexPath)
+    val cents = spark.read.parquet(s"$root/centroids")
     // Takedown-aware (r13 review): deleted vectors leave the dedup
     // sweep too — they must neither survive nor shadow a live vector.
     val members = Takedown.applyDeletes(
-        spark.read.parquet(s"$indexPath/postings"),
-        s"$indexPath/deletes", idCol = "vec_id")
+        spark.read.parquet(s"$root/postings"),
+        s"$root/deletes", idCol = "vec_id")
       .select(col("cell").cast("long").as("cell"), col("vec_id"),
         col("v"), col("nv"))
       .join(broadcast(cents), col("cell") === col("cent_id"))
@@ -830,19 +831,22 @@ object Similarity {
     * is the shared [[assignCells]] against the persisted centroids. */
   def appendToIvfIndexBatch(spark: SparkSession, newVecs: DataFrame,
                             indexPath: String, batchId: Long): Unit = {
+    // Replay guard post-compaction + generation resolution (r13/r14).
+    if (Compaction.isFolded(spark, indexPath, batchId)) return
+    val root = Compaction.resolveRoot(spark, indexPath)
     // An index built flat (buildIvfIndex) adopts the batch-keyed
     // layout on first stream contact: its cell=* dirs move under
     // batch_id=-1, because batch_id= dirs NEXT TO flat cell=* dirs
     // make the whole postings directory unreadable (r7 review).
-    graft.sinks.Sinks.adoptFlatLayout(spark, s"$indexPath/postings")
+    graft.sinks.Sinks.adoptFlatLayout(spark, s"$root/postings")
     val nv = corpusOf(spark, newVecs)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = spark.read.parquet(s"$root/centroids")
     require(!cents.isEmpty,
       s"IVF index at $indexPath has an empty centroid table — " +
         "mis-built or truncated; appending would silently drop the slice")
     assignCells(nv, cents)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/postings/batch_id=$batchId")
+      .parquet(s"$root/postings/batch_id=$batchId")
   }
 
   /** Bootstrap twin of [[appendToIvfIndexBatch]]: train centroids from
@@ -860,35 +864,37 @@ object Similarity {
                          indexPath: String, batchId: Long): Unit = {
     // Replay guard post-compaction (r13): see [[Compaction]].
     if (Compaction.isFolded(spark, indexPath, batchId)) return
-    graft.sinks.Sinks.adoptFlatLayout(spark, s"$indexPath/postings")
+    val root = Compaction.resolveRoot(spark, indexPath)
+    graft.sinks.Sinks.adoptFlatLayout(spark, s"$root/postings")
     val c = corpusOf(spark, emb)
     val cents = trainedCentroidsOf(c)
     require(!cents.isEmpty,
       s"refusing to bootstrap IVF index at $indexPath with ZERO " +
         "centroids (empty first slice)")
-    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
     // Assign against the PERSISTED centroids (parquet round-trips the
     // 9-dp doubles exactly) so Lloyd doesn't recompute for the
     // assignment pass and the append branch is provably identical.
-    assignCells(c, spark.read.parquet(s"$indexPath/centroids"))
+    assignCells(c, spark.read.parquet(s"$root/centroids"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/postings/batch_id=$batchId")
+      .parquet(s"$root/postings/batch_id=$batchId")
   }
 
   def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame,
                        indexPath: String): Unit = {
+    val root = Compaction.resolveRoot(spark, indexPath)
     val nv = corpusOf(spark, newVecs)
     // This flat-append API must not write cell=* dirs into a
     // STREAM-maintained (batch_id-keyed) postings layout — the mix is
     // unreadable at partition discovery. Fail fast toward the batch
     // twin (r7 review).
-    val postings = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+    val postings = new org.apache.hadoop.fs.Path(s"$root/postings")
     val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(postings) || !fs.listStatus(postings)
         .exists(_.getPath.getName.startsWith("batch_id=")),
       s"$indexPath/postings is batch_id-keyed (stream-maintained) — " +
         "use appendToIvfIndexBatch, which overwrites its own partition")
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = spark.read.parquet(s"$root/centroids")
     // ADVICE r5: an empty/truncated centroid table would make the
     // assignment crossJoin produce zero rows and the append write
     // NOTHING — the whole arrival slice silently lost. Fail fast.
@@ -897,7 +903,7 @@ object Similarity {
         "mis-built or truncated; appending would silently drop the slice")
     assignCells(nv, cents)
       .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexPath/postings")
+      .parquet(s"$root/postings")
   }
 
   /** Serve top-k from a persisted [[buildIvfIndex]] index: rank the
@@ -909,7 +915,10 @@ object Similarity {
   def queryIvfIndex(spark: SparkSession, indexPath: String,
                     queries: DataFrame, k: Int = TopK): DataFrame = {
     graft.expressions.DotProduct.register(spark)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    // Generation-resolved ONCE per query (r14): centroids and postings
+    // always come from the same generation.
+    val root = Compaction.resolveRoot(spark, indexPath)
+    val cents = spark.read.parquet(s"$root/centroids")
     val scored = queries.crossJoin(broadcast(cents))
       .select(col("q_id"), col("cent_id"),
         (dot(col("cv"), col("qv")) / (col("cnv") * col("nq"))).as("ccos"))
@@ -921,8 +930,8 @@ object Similarity {
     // Takedown-aware (r13): taken-down vectors drop out of the probed
     // cells before scoring (no-op join when no takedown ever ran).
     val postings = Takedown.applyDeletes(
-      spark.read.parquet(s"$indexPath/postings"),
-      s"$indexPath/deletes", idCol = "vec_id")
+      spark.read.parquet(s"$root/postings"),
+      s"$root/deletes", idCol = "vec_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     postings.join(broadcast(probes), "cell")

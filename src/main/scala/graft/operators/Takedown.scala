@@ -121,10 +121,13 @@ object Takedown {
   def takedownLex(spark: SparkSession, indexPath: String,
                   ids: DataFrame, takedownId: Long): Unit = {
     require(takedownId >= 0, s"takedownId must be >= 0, got $takedownId")
+    // Generation-resolved once (r14): every path below reads/writes
+    // the CURRENT generation of a compacted index.
+    val root = Compaction.resolveRoot(spark, indexPath)
     // Replay guard post-compaction: these ids were already purged
     // PHYSICALLY — re-stamping the negative stats partial would
     // double-subtract ([[Compaction]]'s deletes ledger).
-    if (Compaction.isTakedownFolded(spark, s"$indexPath/deletes",
+    if (Compaction.isTakedownFolded(spark, s"$root/deletes",
         takedownId)) return
     // MONOTONE-ID contract, enforced (ADVICE r13): the
     // smallest-takedownId-owns stats rule is replay-stable only when
@@ -136,16 +139,16 @@ object Takedown {
     // recovery) stays legal — it recomputes its own correction
     // idempotently; only a FRESH id below the high-water is rejected.
     {
-      val fs = new Path(indexPath)
+      val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val recorded =
-        Compaction.batchIds(fs, new Path(s"$indexPath/deletes"))
+        Compaction.batchIds(fs, new Path(s"$root/deletes"))
       val seenMax = (recorded ++ Compaction
-        .foldedTakedowns(spark, s"$indexPath/deletes").map(_._2))
+        .foldedTakedowns(spark, s"$root/deletes").map(_._2))
         .foldLeft(-1L)(math.max)
       require(takedownId >= seenMax || recorded.contains(takedownId),
         s"takedownLex: out-of-order takedownId $takedownId — ids up " +
-          s"to $seenMax are already applied under $indexPath/deletes, " +
+          s"to $seenMax are already applied under $root/deletes, " +
           "and the smallest-id-owns stats-correction rule " +
           "double-subtracts when a FRESH smaller id lands later; " +
           "replay an existing id, or allocate ids monotonically " +
@@ -155,35 +158,37 @@ object Takedown {
     // correction partial below adds a batch_id= child, and mixed
     // depths break partition discovery — adopt first (moves the flat
     // row under batch_id=-1, the standard bootstrap id; idempotent).
-    graft.sinks.Sinks.adoptFlatLayout(spark, s"$indexPath/stats")
+    graft.sinks.Sinks.adoptFlatLayout(spark, s"$root/stats")
     // "Newly deleted BY THIS batch" = ids minus docs owned by a
     // SMALLER takedownId — deterministic under replay whatever later
     // batches landed in between (see [[deletedIds]]).
     val fresh = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
-      .join(deletedIds(spark, s"$indexPath/deletes",
+      .join(deletedIds(spark, s"$root/deletes",
         beforeBatch = Some(takedownId)), Seq("doc_id"), "left_anti")
     val dl = spark.read.schema("doc_id BIGINT, dl BIGINT")
-      .parquet(s"$indexPath/doclens")
+      .parquet(s"$root/doclens")
     val corr = dl.join(broadcast(fresh), "doc_id")
       .agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
     corr.write.mode("overwrite")
-      .parquet(s"$indexPath/stats/batch_id=-${takedownId + 2}")
+      .parquet(s"$root/stats/batch_id=-${takedownId + 2}")
     // Deletes last: a crash between the two writes leaves a correction
     // without its deletes (or, replayed, vice versa) — replaying the
     // SAME takedownId recomputes both idempotently, which is the
     // documented recovery.
-    recordDeletes(ids, s"$indexPath/deletes", takedownId)
+    recordDeletes(ids, s"$root/deletes", takedownId)
   }
 
   /** Takedown against the persisted POSITIONAL index
     * ([[Retrieval.buildPosIndex]] layout): deletes only — phrase
     * alignment carries no corpus statistics to correct. */
   def takedownPos(spark: SparkSession, indexPath: String,
-                  ids: DataFrame, takedownId: Long): Unit =
-    if (!Compaction.isTakedownFolded(spark, s"$indexPath/deletes",
+                  ids: DataFrame, takedownId: Long): Unit = {
+    val root = Compaction.resolveRoot(spark, indexPath)
+    if (!Compaction.isTakedownFolded(spark, s"$root/deletes",
         takedownId))
-      recordDeletes(ids, s"$indexPath/deletes", takedownId)
+      recordDeletes(ids, s"$root/deletes", takedownId)
+  }
 
   /** Takedown against the persisted IVF index
     * ([[Similarity.buildIvfIndex]] layout): deletes on `vec_id` —
@@ -193,10 +198,12 @@ object Takedown {
     * quality question the next scheduled retrain absorbs, exactly as
     * production ANN systems treat deletes). */
   def takedownIvf(spark: SparkSession, indexPath: String,
-                  ids: DataFrame, takedownId: Long): Unit =
-    if (!Compaction.isTakedownFolded(spark, s"$indexPath/deletes",
+                  ids: DataFrame, takedownId: Long): Unit = {
+    val root = Compaction.resolveRoot(spark, indexPath)
+    if (!Compaction.isTakedownFolded(spark, s"$root/deletes",
         takedownId))
-      recordDeletes(ids, s"$indexPath/deletes", takedownId, idCol = "vec_id")
+      recordDeletes(ids, s"$root/deletes", takedownId, idCol = "vec_id")
+  }
 
   /** Takedown against the persisted near-dup PAIR table: a pair is
     * evidence ABOUT two documents, so it dies when EITHER side is
@@ -205,16 +212,19 @@ object Takedown {
     * sibling would break partition discovery). [[pairTableLive]] is
     * the deletes-aware reader. */
   def takedownPairs(spark: SparkSession, pairPath: String,
-                    ids: DataFrame, takedownId: Long): Unit =
-    if (!Compaction.isTakedownFolded(spark, s"$pairPath/_deletes",
+                    ids: DataFrame, takedownId: Long): Unit = {
+    val root = Compaction.resolveRoot(spark, pairPath)
+    if (!Compaction.isTakedownFolded(spark, s"$root/_deletes",
         takedownId))
-      recordDeletes(ids, s"$pairPath/_deletes", takedownId)
+      recordDeletes(ids, s"$root/_deletes", takedownId)
+  }
 
   /** The deletes-aware pair-table reader: [[Dedup.pairTable]]'s
     * contract minus pairs touching a taken-down doc (either side). */
   def pairTableLive(spark: SparkSession, pairPath: String): DataFrame = {
+    val root = Compaction.resolveRoot(spark, pairPath)
     val base = Dedup.pairTable(spark, pairPath)
-    val d = s"$pairPath/_deletes"
+    val d = s"$root/_deletes"
     applyDeletes(
       applyDeletes(base.withColumnRenamed("doc_a", "doc_id"), d)
         .withColumnRenamed("doc_id", "doc_a")

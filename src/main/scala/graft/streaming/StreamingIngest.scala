@@ -479,7 +479,9 @@ object StreamingIngest {
         val spark = batch.sparkSession
         batch.persist()
         try {
-          val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+          val cents = new org.apache.hadoop.fs.Path(
+            s"${graft.operators.Compaction.resolveRoot(spark, indexPath)}" +
+              "/centroids")
           val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(cents))
             graft.operators.Similarity.buildIvfIndexBatch(
@@ -534,7 +536,8 @@ object StreamingIngest {
     * current bootstrap layout has nothing left to move. */
   def posIndexMaintenanceStream(stream: DataFrame, indexPath: String,
                                 checkpointDir: String): Unit = {
-    graft.sinks.Sinks.adoptFlatLayout(stream.sparkSession, s"$indexPath/pos")
+    graft.sinks.Sinks.adoptFlatLayout(stream.sparkSession,
+      s"${graft.operators.Compaction.resolveRoot(stream.sparkSession, indexPath)}/pos")
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -252,15 +252,22 @@ class TakedownSpec extends SparkSpec {
     Compaction.compactLexIndex(spark, idx)
     assert(servedRows(idx) == before,
       "compaction changed served BM25 bytes")
-    // Physically: exactly one batch partition per subdir, no deletes.
+    // Physically: the fold published a GENERATION (r14 — v=1 behind a
+    // _latest marker) holding exactly one batch partition per subdir
+    // and no delete partitions; the pre-fold flat layout survives as
+    // the retained previous generation for readers in flight.
+    val gen1 = Compaction.resolveRoot(spark, idx)
+    assert(gen1 == s"$idx/v=1", s"fold did not publish generation 1: $gen1")
     val fs = new Path(idx).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    def parts(sub: String) = fs.listStatus(new Path(s"$idx/$sub")).toSeq
+    def parts(sub: String) = fs.listStatus(new Path(s"$gen1/$sub")).toSeq
       .map(_.getPath.getName).filter(_.startsWith("batch_id="))
     assert(parts("postings") == Seq("batch_id=1"), parts("postings"))
     assert(parts("doclens") == Seq("batch_id=1"))
     assert(parts("stats") == Seq("batch_id=1"))
     assert(parts("deletes").isEmpty, "deletes not cleared by the fold")
+    assert(fs.exists(new Path(s"$idx/postings")),
+      "previous generation reaped too early — in-flight readers race")
     // Replayed ingest batch 0 (its partition is GONE — pre-r13 this
     // re-appended and double-counted): ledger no-op.
     Retrieval.buildLexIndexBatch(spark,
@@ -289,8 +296,8 @@ class TakedownSpec extends SparkSpec {
       "fresh takedown after compaction drifted")
   }
 
-  test("compaction crash recovery: partial tmp, mid-swap, and " +
-      "pre-reap states all converge to identical serves") {
+  test("generation fold crash recovery: stage debris, unmarked claim, " +
+      "and half-done cleanup all converge to identical serves") {
     val dir = tmpDir("fold_recover")
     val idx = s"$dir/idx"
     Retrieval.buildPosIndexBatch(spark,
@@ -303,26 +310,88 @@ class TakedownSpec extends SparkSpec {
     assert(want.nonEmpty)
     val fs = new Path(idx).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // Crash state A: a PARTIAL tmp (no _fold_complete marker) — next
-    // compact reaps it and folds cleanly.
-    fs.mkdirs(new Path(s"$idx/pos/.fold-1/junk"))
+    // Crash state A: died in MATERIALIZE — a hidden .genstage-* dir.
+    // Readers never saw it; the next compact reaps it and folds.
+    fs.mkdirs(new Path(s"$idx/.genstage-deadbeef/junk"))
     Compaction.compactPosIndex(spark, idx)
-    assert(rows == want, "partial-tmp recovery changed serves")
-    assert(!fs.exists(new Path(s"$idx/pos/.fold-1")))
-    // Crash state B: mid-swap — the folded output renamed away to
-    // .oldfold with nothing in its place. recoverFold must roll back.
-    fs.rename(new Path(s"$idx/pos/batch_id=1"),
-      new Path(s"$idx/pos/.oldfold-1"))
+    assert(rows == want, "stage-debris recovery changed serves")
+    assert(!fs.listStatus(new Path(idx)).exists(
+      _.getPath.getName.startsWith(".genstage-")))
+    assert(Compaction.resolveRoot(spark, idx) == s"$idx/v=1")
+    // Crash state B: died between CLAIM and COMMIT — an UNMARKED v=2.
+    // Readers still resolve v=1 (max servable marker); recoverGen
+    // drops the orphan claim and the next fold re-runs cleanly.
+    fs.mkdirs(new Path(s"$idx/v=2/junk"))
+    assert(Compaction.resolveRoot(spark, idx) == s"$idx/v=1",
+      "an unmarked claim leaked into resolution")
+    assert(rows == want, "unmarked claim changed serves")
+    // Fresh work for the next fold that cannot change served content:
+    // a takedown of an id absent from the corpus (anti-join removes
+    // nothing; pos indexes carry no stats to correct).
+    Takedown.takedownPos(spark, idx,
+      Seq(999999999L).toDF("doc_id"), 0L)
     Compaction.compactPosIndex(spark, idx)
-    assert(rows == want, "mid-swap rollback lost data")
-    // Crash state C: fold landed but the old-partition reap crashed —
-    // a stray .oldfold next to the marker-carrying output must be
-    // reaped, never restored (restoring would double-count).
-    fs.mkdirs(new Path(s"$idx/pos/.oldfold-0/junk"))
+    assert(Compaction.resolveRoot(spark, idx) == s"$idx/v=2",
+      "orphan-claim recovery blocked the next fold")
+    assert(rows == want, "recovered fold changed serves")
+    // Crash state C: died mid-CLEANUP after the marker delete
+    // (marker-first order) — an unmarked OLD generation dir. recoverGen
+    // reaps it; current serves never depended on it.
+    fs.delete(new Path(s"$idx/_latest/1"), false)
+    assert(rows == want)
+    Retrieval.buildPosIndexBatch(spark, docs.limit(0), idx, 3L)
     Compaction.compactPosIndex(spark, idx)
-    assert(rows == want, "pre-reap recovery changed serves")
-    assert(!fs.listStatus(new Path(s"$idx/pos")).exists(
-      _.getPath.getName.startsWith(".oldfold-")))
+    assert(!fs.exists(new Path(s"$idx/v=1")),
+      "half-cleaned old generation not reaped")
+    assert(rows == want, "cleanup recovery changed serves")
+  }
+
+  test("fold is reader-atomic: a concurrent reader hammering the serve " +
+      "path across the fold never observes a missing file or a " +
+      "half-state (VERDICT r13 #1)") {
+    val dir = tmpDir("fold_atomic")
+    val idx = s"$dir/idx"
+    buildLex(idx)
+    Takedown.takedownLex(spark, idx, takedownIds, 0L)
+    val want = servedRows(idx)
+    assert(want.nonEmpty)
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 2).map { i =>
+      new Thread(() => {
+        while (!stop) {
+          try {
+            val got = servedRows(idx)
+            if (got != want)
+              failures.add(s"reader $i saw drifted rows (${got.size})")
+          } catch {
+            case e: Throwable =>
+              failures.add(s"reader $i: ${e.getClass.getSimpleName}: " +
+                s"${String.valueOf(e.getMessage).take(200)}")
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      // Two full folds under reader fire — the first migrates flat →
+      // v=1, the second v=1 → v=2 and reaps the flat generation. A
+      // fold is a content identity, and the inter-fold takedown
+      // re-deletes ALREADY-DELETED ids under a fresh id (its "newly
+      // deleted by this batch" set is empty → a zero stats correction,
+      // zero new anti-join hits) — so served content NEVER changes and
+      // ANY reader drift or exception is a protocol failure.
+      Compaction.compactLexIndex(spark, idx)
+      Takedown.takedownLex(spark, idx, takedownIds, 1L)
+      Compaction.compactLexIndex(spark, idx)
+    } finally {
+      stop = true
+      readers.foreach(_.join(30000))
+    }
+    assert(Compaction.resolveRoot(spark, idx) == s"$idx/v=2")
+    assert(servedRows(idx) == want)
+    val real = failures.toArray.map(_.toString)
+    assert(real.isEmpty, real.mkString("\n"))
   }
 
   test("pos + ivf + pair compaction: folded tables serve identically " +
