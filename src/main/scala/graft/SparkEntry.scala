@@ -95,6 +95,36 @@ object SparkEntry {
     // documents.
     "q_takedown_corpus" -> ((s, d) =>
       graft.sinks.Sinks.readLatest(s, stagedTakedownCorpus(s, d))),
+    // r14 (VERDICT r13 #2): ONE orchestrated takedown across every
+    // derived artifact (corpus CDC D-batch, lex, pos, IVF, pair table)
+    // with a per-artifact completion manifest, then the erasure
+    // CERTIFICATE — per artifact, rows a consumer is served vs rows
+    // still referencing a taken-down id (computed, must be 0) — which
+    // the oracle recomputes from the filtered raw tables.
+    "q_erasure_certificate" -> ((s, d) => {
+      val (targets, _) = stagedErasureEnv(s, d)
+      val docs = graft.Tables.documents(s, d)
+      Takedown.erasureCertificate(s, takedownDocIds(s, d), targets,
+        packSource = Some((docs, Sampling.packSequencesOf(docs))))
+    }),
+    // r14 (VERDICT r13 #4): CONTENT-addressed takedown — a quoted
+    // passage resolves to the documents containing it (token-boundary
+    // containment: shingle-probe candidates, exact padded-contains
+    // verify) plus near-dup cluster expansion through the standing
+    // pair table; the resolved set feeds takedownAll.
+    "q_takedown_by_content" -> ((s, d) => {
+      val (targets, _) = stagedErasureEnv(s, d)
+      import org.apache.spark.sql.functions._
+      val served =
+        graft.sinks.Sinks.readLatest(s, targets.corpusTableDir.get)
+      val passages = graft.Tables.documents(s, d)
+        .where(col("doc_id") === ContentProbeDoc)
+        .select(lit(0L).as("passage_id"),
+          concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 2, 5)).as("passage"))
+      Takedown.resolveTakedownContent(served, passages,
+        targets.pairTablePath)
+    }),
     // LLM-data-pipeline tier (north star): text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -791,6 +821,60 @@ object SparkEntry {
       require(replayed == 2,
         s"replayed corpus takedown minted version $replayed")
       s"$dir/t"
+    })
+
+  /** The passage-source doc for the content-addressed takedown row:
+    * alive under the fixture takedown set (8 % 5 != 2) AND carrying a
+    * live near-dup neighbor in the sf0.01 pair table, so the
+    * expansion tier produces real `neardup` rows. */
+  private val ContentProbeDoc = 8L
+
+  /** End-to-end erasure fixture (r14, VERDICT r13 #2/#4): the full
+    * artifact constellation one corpus feeds — versioned corpus (v1),
+    * two-batch lex + pos indexes, a bootstrap IVF batch, and the
+    * stream-shaped pair + signature tables — taken down in ONE
+    * [[graft.operators.Takedown.takedownAll]] call (the fixture id
+    * set, takedownId 0) with its completion manifest, then the WHOLE
+    * orchestration replayed: every leg must no-op against the manifest
+    * (and each artifact's own idempotence underneath) or the
+    * certificate hash breaks (lex stats would double-subtract). */
+  private val stagedErasureEnvs = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.operators.Takedown.TakedownTargets, String)]()
+
+  private def stagedErasureEnv(s: SparkSession, d: String)
+      : (graft.operators.Takedown.TakedownTargets, String) =
+    stagedErasureEnvs.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions._
+      val dir = tempDirWithCleanup("graft_erasure")
+      val docs = graft.Tables.documents(s, d)
+      require(graft.sinks.Sinks.mergePublish(s, docs, s"$dir/corpus",
+        Seq("doc_id")) == 1)
+      buildTwoBatchLex(s, d, s"$dir/lex")
+      Retrieval.buildPosIndexBatch(s,
+        docs.where(col("doc_id") % 2 === 0), s"$dir/pos", 0L)
+      Retrieval.buildPosIndexBatch(s,
+        docs.where(col("doc_id") % 2 === 1), s"$dir/pos", 1L)
+      Similarity.buildIvfIndexBatch(s, graft.Tables.embeddings(s, d),
+        s"$dir/ivf", 0L)
+      val half0 = docs.where(col("doc_id") % 2 === 0)
+      Dedup.appendToPairTableBatch(s, half0, half0,
+        s"$dir/sigs", s"$dir/pairs", 0L)
+      Dedup.appendToPairTableBatch(s,
+        docs.where(col("doc_id") % 2 === 1), docs,
+        s"$dir/sigs", s"$dir/pairs", 1L)
+      val targets = Takedown.TakedownTargets(
+        corpusTableDir = Some(s"$dir/corpus"),
+        lexIndexPath = Some(s"$dir/lex"),
+        posIndexPath = Some(s"$dir/pos"),
+        ivfIndexPath = Some(s"$dir/ivf"),
+        pairTablePath = Some(s"$dir/pairs"))
+      Takedown.takedownAll(s, takedownDocIds(s, d), 0L, targets,
+        s"$dir/manifest")
+      Takedown.takedownAll(s, takedownDocIds(s, d), 0L, targets,
+        s"$dir/manifest") // full replay: manifest no-ops every leg
+      require(Takedown.manifestComplete(s, s"$dir/manifest", 0L, targets),
+        "erasure manifest incomplete after orchestrated takedown")
+      (targets, s"$dir/manifest")
     })
 
   /** Delete-carrying SCD2 dim maintained by the STREAM (r13): the
@@ -4051,6 +4135,70 @@ object SparkEntry {
     "q_takedown_corpus" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE doc_id % 5 <> 2""".stripMargin,
+
+    // Erasure certificate (r14): every artifact leg recomputed from
+    // the FILTERED raw tables — live row counts must match what the
+    // takedown-aware serve paths return, and every n_dead is 0. The
+    // pairs leg reuses the minhash CTEs (pair existence depends only
+    // on the two docs' signatures, so pairs(full) ∩ live×live =
+    // pairs(purged)); the packs leg counts packed doc slots, which on
+    // a correct stitched repack equals the purged doc count.
+    "q_erasure_certificate" ->
+      s"""$ToksCte, $minhashCtes, live AS (
+         |  SELECT doc_id, t FROM toks WHERE doc_id % 5 <> 2
+         |), occ AS (
+         |  SELECT DISTINCT doc_id, unnest(t) AS tok FROM live
+         |)
+         |SELECT 'corpus' AS artifact, CAST(COUNT(*) AS BIGINT) AS n_live,
+         |       CAST(0 AS BIGINT) AS n_dead FROM live
+         |UNION ALL
+         |SELECT 'lex', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT) FROM occ
+         |UNION ALL
+         |SELECT 'pos', CAST(COALESCE(SUM(len(t)), 0) AS BIGINT),
+         |       CAST(0 AS BIGINT) FROM live
+         |UNION ALL
+         |SELECT 'ivf', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+         |FROM embeddings
+         |WHERE vec_id NOT IN (SELECT doc_id FROM documents
+         |                     WHERE doc_id % 5 = 2)
+         |UNION ALL
+         |SELECT 'pairs', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+         |FROM pairs WHERE doc_a % 5 <> 2 AND doc_b % 5 <> 2
+         |UNION ALL
+         |SELECT 'packs', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+         |FROM live""".stripMargin,
+
+    // Content-addressed takedown (r14): token-boundary containment of
+    // the probe passage (tokens 2..6 of the probe doc) over the LIVE
+    // corpus, padded-contains on the space-joined token stream (≡
+    // normText), plus near-dup expansion through the pair CTEs with
+    // both sides live — exactly the two tiers the Spark resolver runs.
+    "q_takedown_by_content" ->
+      s"""$ToksCte, $minhashCtes, live AS (
+         |  SELECT doc_id, t FROM toks WHERE doc_id % 5 <> 2
+         |), pass AS (
+         |  SELECT CAST(0 AS BIGINT) AS passage_id,
+         |         array_to_string(t[2:6], ' ') AS p_norm
+         |  FROM toks WHERE doc_id = $ContentProbeDoc
+         |), ex AS (
+         |  SELECT p.passage_id, d.doc_id
+         |  FROM live d, pass p
+         |  WHERE contains(' ' || array_to_string(d.t, ' ') || ' ',
+         |                 ' ' || p.p_norm || ' ')
+         |)
+         |SELECT passage_id, doc_id, 'exact' AS via FROM ex
+         |UNION ALL
+         |SELECT passage_id, doc_id, 'neardup' AS via FROM (
+         |  SELECT DISTINCT e.passage_id,
+         |         CASE WHEN pr.doc_a = e.doc_id THEN pr.doc_b
+         |              ELSE pr.doc_a END AS doc_id
+         |  FROM ex e JOIN pairs pr
+         |    ON pr.doc_a = e.doc_id OR pr.doc_b = e.doc_id
+         |  WHERE pr.doc_a % 5 <> 2 AND pr.doc_b % 5 <> 2
+         |) x
+         |WHERE NOT EXISTS (SELECT 1 FROM ex
+         |                  WHERE ex.passage_id = x.passage_id
+         |                    AND ex.doc_id = x.doc_id)""".stripMargin,
 
     // Twin of Retrieval.hybridRrf: both arms cut to their top-CandidateK
     // lists, rank within the compact lists, FULL OUTER fuse on

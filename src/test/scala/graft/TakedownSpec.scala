@@ -198,6 +198,85 @@ class TakedownSpec extends SparkSpec {
         "join exists to avoid exactly that")
   }
 
+  test("takedownAll: a crash between artifact legs replays to a " +
+      "complete manifest; completed legs never double-apply") {
+    val dir = tmpDir("td_all")
+    Sinks.mergePublish(spark, docs, s"$dir/corpus", Seq("doc_id"))
+    buildLex(s"$dir/lex")
+    Retrieval.buildPosIndexBatch(spark, docs, s"$dir/pos", 0L)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // Poison the IVF leg: a plain FILE at the index path makes its
+    // deletes write fail AFTER corpus/lex/pos completed — the
+    // between-legs crash the manifest exists for.
+    fs.create(new Path(s"$dir/ivf"), false).close()
+    val targets = Takedown.TakedownTargets(
+      corpusTableDir = Some(s"$dir/corpus"),
+      lexIndexPath = Some(s"$dir/lex"),
+      posIndexPath = Some(s"$dir/pos"),
+      ivfIndexPath = Some(s"$dir/ivf"))
+    intercept[Exception] {
+      Takedown.takedownAll(spark, takedownIds, 0L, targets, s"$dir/m")
+    }
+    assert(!Takedown.manifestComplete(spark, s"$dir/m", 0L, targets),
+      "manifest claims completion after a mid-orchestration crash")
+    // The completed prefix IS manifested (so the replay skips it)...
+    assert(Takedown.manifestComplete(spark, s"$dir/m", 0L,
+      Takedown.TakedownTargets(corpusTableDir = Some(s"$dir/corpus"),
+        lexIndexPath = Some(s"$dir/lex"),
+        posIndexPath = Some(s"$dir/pos"))))
+    // ...and the lex takedown really applied: served == purged rebuild.
+    val rebuilt = s"$dir/rebuilt"
+    Retrieval.buildLexIndexBatch(spark, purgedDocs, rebuilt, 0L)
+    val after = servedRows(s"$dir/lex")
+    assert(after == servedRows(rebuilt))
+    // Heal the poisoned target and REPLAY the identical call: skipped
+    // legs stay untouched (corpus version unchanged, lex stats not
+    // double-subtracted), the missing leg completes, manifest closes.
+    fs.delete(new Path(s"$dir/ivf"), false)
+    Similarity.buildIvfIndexBatch(spark,
+      Tables.embeddings(spark, sf0001), s"$dir/ivf", 0L)
+    Takedown.takedownAll(spark, takedownIds, 0L, targets, s"$dir/m")
+    assert(Takedown.manifestComplete(spark, s"$dir/m", 0L, targets))
+    assert(servedRows(s"$dir/lex") == after,
+      "replayed orchestration double-applied the lex leg")
+    assert(!fs.exists(new Path(s"$dir/corpus/v=3")),
+      "replayed orchestration re-merged the corpus leg")
+    // The certificate over the healed constellation: zero dead
+    // references anywhere.
+    val cert = Takedown.erasureCertificate(spark, takedownIds, targets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cert.length == 4 && cert.forall(_._3 == 0L), cert.mkString(", "))
+    assert(cert.forall(_._2 > 0L), cert.mkString(", "))
+  }
+
+  test("resolveTakedownContent: token-boundary containment — the " +
+      "source doc resolves, every match really contains the passage, " +
+      "sub-shingle passages fail fast") {
+    val d = docs.localCheckpoint()
+    val passages = d.where(col("doc_id") === 8L)
+      .select(lit(0L).as("passage_id"),
+        concat_ws(" ",
+          slice(operators.TextOps.tokens(col("text")), 2, 5)).as("passage"))
+    val res = Takedown.resolveTakedownContent(d, passages)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(res.contains((8L, "exact")), res.mkString(", "))
+    // Ground truth by brute force: padded contains over every doc.
+    val p = passages.collect()(0).getString(1)
+    val want = d.collect().filter { r =>
+      val norm = r.getAs[String]("text").toLowerCase.trim
+        .replaceAll("\\s+", " ")
+      s" $norm ".contains(s" $p ")
+    }.map(_.getAs[Long]("doc_id")).toSet
+    assert(res.map(_._1).toSet == want,
+      "shingle-probe + verify drifted from brute-force containment")
+    val e = intercept[IllegalArgumentException] {
+      Takedown.resolveTakedownContent(d,
+        Seq((0L, "hash join")).toDF("passage_id", "passage"))
+    }
+    assert(e.getMessage.contains("fewer than 3 tokens"))
+  }
+
   test("mergePublishCdc: D removes, I/U upsert, latest op wins per key, " +
       "bootstrap deletes no-op, unknown ops fail fast, replay no-ops") {
     val t = s"${tmpDir("cdc")}/t"
