@@ -131,6 +131,25 @@ object Compaction {
                        takedownId: Long): Boolean =
     Publish.batchApplied(foldedTakedowns(spark, deletesDir), takedownId)
 
+  /** True when an index has accreted enough batch partitions — or
+    * enough logical-delete partitions sitting on the serve path's
+    * anti-join — to warrant a fold: the SELF-TRIGGERING signal the
+    * streaming maintenance paths poll each micro-batch (r14, VERDICT
+    * r13 #5 — before this, serve-path takedown cost grew until someone
+    * remembered to run compact*Index by hand). One listing of the
+    * current generation; `threshold <= 0` disables. `sub` is the
+    * accreting subdir ("" for tables whose batch partitions live at
+    * the root, like the pair table). */
+  def compactionDue(spark: SparkSession, indexPath: String, sub: String,
+                    deletesSub: String, threshold: Int): Boolean =
+    threshold > 0 && {
+      val cur = resolveRoot(spark, indexPath)
+      val (fs, p) = fsOf(spark, cur)
+      def at(s: String) = if (s.isEmpty) p else new Path(p, s)
+      batchIds(fs, at(sub)).size >= threshold ||
+        batchIds(fs, at(deletesSub)).size >= threshold
+    }
+
   /** Batch ids present as `batch_id=N` children of one subdir. */
   private[operators] def batchIds(fs: FileSystem, dir: Path): Seq[Long] =
     if (!fs.exists(dir)) Nil

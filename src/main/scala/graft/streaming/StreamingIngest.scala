@@ -378,7 +378,8 @@ object StreamingIngest {
                      lexIndexPath: Option[String] = None,
                      posIndexPath: Option[String] = None,
                      pairTablePath: Option[String] = None,
-                     checkpointDir: String): Unit = {
+                     checkpointDir: String,
+                     compactEvery: Int = 0): Unit = {
     // All-None would CONSUME and checkpoint takedown requests while
     // applying them nowhere — for a right-to-erasure pipeline, a
     // silent compliance hole (r13 review). Fail fast.
@@ -399,6 +400,22 @@ object StreamingIngest {
             graft.operators.Takedown.takedownPos(s, p, batch, batchId))
           pairTablePath.foreach(p =>
             graft.operators.Takedown.takedownPairs(s, p, batch, batchId))
+          // Self-triggering compaction (r14): a long-lived takedown
+          // stream with no ingest twin would otherwise grow the
+          // serve-path deleted-set broadcast until someone folds by
+          // hand — the deletes-partition count is the trigger here.
+          if (compactEvery > 0) {
+            lexIndexPath.foreach(p =>
+              if (graft.operators.Compaction.compactionDue(s, p,
+                  sub = "postings", deletesSub = "deletes",
+                  threshold = compactEvery))
+                graft.operators.Compaction.compactLexIndex(s, p))
+            posIndexPath.foreach(p =>
+              if (graft.operators.Compaction.compactionDue(s, p,
+                  sub = "pos", deletesSub = "deletes",
+                  threshold = compactEvery))
+                graft.operators.Compaction.compactPosIndex(s, p))
+          }
         } finally batch.unpersist()
       }
       .start()
@@ -425,7 +442,8 @@ object StreamingIngest {
     * defense-in-depth only. */
   def pairIndexMaintenanceStream(stream: DataFrame, docsLayer: String,
                                  sigPath: String, pairPath: String,
-                                 checkpointDir: String): Unit = {
+                                 checkpointDir: String,
+                                 compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -443,6 +461,13 @@ object StreamingIngest {
             .select(batch.columns.map(col(_)).toIndexedSeq: _*)
           graft.operators.Dedup.appendToPairTableBatch(spark, batch, all,
             sigPath, pairPath, batchId)
+          // Self-triggering compaction (r14): the stream is the only
+          // writer, so folding between micro-batches is serialized by
+          // construction — and the fold itself is reader-atomic.
+          if (graft.operators.Compaction.compactionDue(spark, pairPath,
+              sub = "", deletesSub = "_deletes", threshold = compactEvery))
+            graft.operators.Compaction.compactPairTable(spark, pairPath,
+              sigPath)
         } finally batch.unpersist()
       }
       .start()
@@ -471,7 +496,8 @@ object StreamingIngest {
     * partition — bit-identical (see buildIvfIndexBatch's scaladoc;
     * StreamingPipelineSpec replays both branch shapes). */
   def ivfIndexMaintenanceStream(stream: DataFrame, indexPath: String,
-                                checkpointDir: String): Unit = {
+                                checkpointDir: String,
+                                compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -489,6 +515,10 @@ object StreamingIngest {
           else
             graft.operators.Similarity.appendToIvfIndexBatch(
               spark, batch, indexPath, batchId)
+          if (graft.operators.Compaction.compactionDue(spark, indexPath,
+              sub = "postings", deletesSub = "deletes",
+              threshold = compactEvery))
+            graft.operators.Compaction.compactIvfIndex(spark, indexPath)
         } finally batch.unpersist()
       }
       .start()
@@ -506,7 +536,8 @@ object StreamingIngest {
     * from-scratch build over the union at every point in the stream's
     * life. Per-trigger cost is O(|batch| tokens), never O(corpus). */
   def lexIndexMaintenanceStream(stream: DataFrame, indexPath: String,
-                                checkpointDir: String): Unit = {
+                                checkpointDir: String,
+                                compactEvery: Int = 0): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -514,9 +545,23 @@ object StreamingIngest {
         // Three writes consume the slice (postings/doclens/stats) —
         // pin it so the stream source isn't re-read per write.
         batch.persist()
-        try graft.operators.Retrieval.buildLexIndexBatch(
-          batch.sparkSession, batch, indexPath, batchId)
-        finally batch.unpersist()
+        try {
+          graft.operators.Retrieval.buildLexIndexBatch(
+            batch.sparkSession, batch, indexPath, batchId)
+          // Self-triggering compaction (r14, VERDICT r13 #5): once the
+          // accreted batch partitions (or the logical-delete partitions
+          // a takedownStream keeps landing) pass the threshold, fold —
+          // discovery stays O(threshold) and the serve path's
+          // deleted-set broadcast stays bounded for the life of the
+          // stream. Between-batch = the only writer is idle; readers
+          // are protected by the generation flip.
+          if (graft.operators.Compaction.compactionDue(
+              batch.sparkSession, indexPath,
+              sub = "postings", deletesSub = "deletes",
+              threshold = compactEvery))
+            graft.operators.Compaction.compactLexIndex(
+              batch.sparkSession, indexPath)
+        } finally batch.unpersist()
       }
       .start()
     q.awaitTermination()
@@ -535,7 +580,8 @@ object StreamingIngest {
     * failure the unified layout exists to prevent. Idempotent; the
     * current bootstrap layout has nothing left to move. */
   def posIndexMaintenanceStream(stream: DataFrame, indexPath: String,
-                                checkpointDir: String): Unit = {
+                                checkpointDir: String,
+                                compactEvery: Int = 0): Unit = {
     graft.sinks.Sinks.adoptFlatLayout(stream.sparkSession,
       s"${graft.operators.Compaction.resolveRoot(stream.sparkSession, indexPath)}/pos")
     val q = stream.writeStream
@@ -544,6 +590,11 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Retrieval.buildPosIndexBatch(
           batch.sparkSession, batch, indexPath, batchId)
+        if (graft.operators.Compaction.compactionDue(
+            batch.sparkSession, indexPath,
+            sub = "pos", deletesSub = "deletes", threshold = compactEvery))
+          graft.operators.Compaction.compactPosIndex(
+            batch.sparkSession, indexPath)
       }
       .start()
     q.awaitTermination()

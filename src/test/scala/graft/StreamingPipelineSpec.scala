@@ -111,6 +111,40 @@ class StreamingPipelineSpec extends SparkSpec {
       "stream-maintained phrase index drifted from the batch build")
   }
 
+  test("self-triggering compaction keeps a long-lived lex stream " +
+      "bounded while stream == batch identity holds through " +
+      "in-flight folds") {
+    val dir = tmpDir("lexselfcompact")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    (0 until 6).foreach(i =>
+      docs.where(pmod(col("doc_id"), lit(6)) === i)
+        .coalesce(1).write.parquet(s"$dir/in/b$i"))
+    // One file per trigger → six micro-batches through one stream;
+    // compactEvery=3 folds after batches {0,1,2} and again at {fold,3,4}
+    // — two full generation flips with live accretion in between.
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingIngest.lexIndexMaintenanceStream(stream, s"$dir/idx",
+      s"$dir/ckpt", compactEvery = 3)
+    val cur = graft.operators.Compaction.resolveRoot(spark, s"$dir/idx")
+    assert(cur != s"$dir/idx", "no fold ever fired")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val nParts = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$cur/postings")).toSeq
+      .count(_.getPath.getName.startsWith("batch_id="))
+    assert(nParts <= 3,
+      s"accreted partitions unbounded under self-compaction: $nParts")
+    // Identity through the in-flight folds: serves equal the inline
+    // corpus computation exactly.
+    val served = graft.operators.Retrieval.bm25TopKServed(spark, s"$dir/idx")
+    val inline = graft.operators.Retrieval.bm25TopK(spark, sf0001)
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty,
+      "self-compacting stream-maintained index drifted from the " +
+        "inline corpus BM25")
+  }
+
   test("streaming CDC through the versioned publish: stream == batch " +
       "merge, micro-batch replay is a ledger no-op, history composes") {
     import spark.implicits._
