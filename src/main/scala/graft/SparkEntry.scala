@@ -260,6 +260,15 @@ object SparkEntry {
     // decoders AND the routing.
     "q_mixed_modality" -> ((s, d) => multimodal.Multimodal.modalityStats(
       multimodal.Multimodal.withTypedPayload(s, d))),
+    // Perceptual image near-dup (r14, VERDICT r13 stretch): 56-bit
+    // dHash over the real decode+box-filter path, fed through the
+    // simhash64 quarter-banded neighbor machinery verbatim. The
+    // structured-grid fixture's consecutive doc pairs share content
+    // under a +1 global tone shift (different PNG bytes, identical
+    // dHash); the oracle predicts every signature closed-form and
+    // recomputes the radius-3-complete pair set by brute force.
+    "q_image_neardup" -> ((s, d) => multimodal.Multimodal.imageNearDup(
+      multimodal.Multimodal.imageCorpus(s, d))),
     // corpus assembly: PII scrub, repetition quality signals,
     // deterministic split/sampling/packing
     "q_pii_redact" -> ((s, d) => Privacy.piiRedact(s, d)),
@@ -3858,6 +3867,31 @@ object SparkEntry {
         |       a.n_frames AS n_frames,
         |       a.rms AS rms
         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // Twin of Multimodal.imageNearDup over the grid fixture: the 3×2
+    // solid blocks box-filter to themselves, so the 8×8 resample IS
+    // the gray generator and the dHash bits are pure integer
+    // comparisons of the closed form (the +1 tone shift on odd docs
+    // preserves every comparison, so it never appears here). Banding
+    // is radius-3 complete, so the served pair set equals the
+    // brute-force hamming<=3 join.
+    "q_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id // 2 AS v FROM documents
+        |), bits AS (
+        |  SELECT doc_id,
+        |         CAST(COALESCE(SUM(CASE WHEN
+        |               (v*31 + (r*8+c+1)*(r*8+c+1)*37 + v*(r*8+c+1)*7) % 255
+        |             > (v*31 + (r*8+c)*(r*8+c)*37 + v*(r*8+c)*7) % 255
+        |             THEN CAST(1 AS BIGINT) << CAST(r*7 + c AS INT)
+        |             ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS h
+        |  FROM ids, unnest(range(0, 8)) AS tr(r), unnest(range(0, 7)) AS tc(c)
+        |  GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
 
     "q_boilerplate" ->
       s"""$ToksCte, sh AS (

@@ -552,4 +552,114 @@ object Multimodal {
       })
       .toDF("doc_id", "payload", "width", "height", "resized")
   }
+
+  /** 56-bit perceptual difference hash (r14, VERDICT r13 stretch):
+    * Krawetz's dHash over the REAL decode path — [[areaResample]] the
+    * raster to an 8×8 grid (deterministic integer box filter, never
+    * Java2D interpolation), take Rec.601 integer luminance per cell,
+    * and emit bit (r,c) = 1 iff lum(r, c+1) > lum(r, c): 7 comparisons
+    * × 8 rows = 56 bits, kept below the sign bit so the signature
+    * crosses engines as a plain BIGINT. Perceptual by construction:
+    * any monotone global tone change (a +k brightness shift, a
+    * re-encode of the same raster) preserves every comparison, so
+    * variants of one image collide at Hamming 0 while structurally
+    * different images diverge — the image-modality twin of the text
+    * tier's simhash64. */
+  def dhash56(img: java.awt.image.BufferedImage): Long = {
+    val g = areaResample(img, 8, 8)
+    val px = g.getRGB(0, 0, 8, 8, null, 0, 8)
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      var prev = 0L
+      while (c < 8) {
+        val p = px(r * 8 + c)
+        val lum = ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+          (p & 0xff) * 114L
+        if (c > 0 && lum > prev) hash |= 1L << (r * 7 + (c - 1))
+        prev = lum
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Per-image dHash signatures in the (doc_id, q0..q3) quarter shape
+    * the simhash64 banded-neighbor machinery consumes; non-decodable
+    * payloads are dropped (image-only, like [[imageStats]]). */
+  def imageSignatures(payloads: DataFrame): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map { img =>
+          val h = dhash56(img)
+          (id, h, (h & 0xffffL).toInt, ((h >> 16) & 0xffffL).toInt,
+            ((h >> 32) & 0xffffL).toInt, ((h >> 48) & 0xffffL).toInt)
+        }
+      })
+      .toDF("doc_id", "dhash", "q0", "q1", "q2", "q3")
+  }
+
+  /** Perceptual image NEAR-DUP detection: dHash signatures through
+    * [[graft.operators.Dedup.simhash64NeighborsOf]] VERBATIM — the
+    * quarter-banded bucket join (radius-3 complete by pigeonhole; the
+    * top quarter carries the 8 spare zero bits, which flip for no
+    * input, so completeness is inherited unchanged). At 10⁸+ images
+    * the same signature frame feeds the wide multi-index form, exactly
+    * as the text tier dispatches. */
+  def imageNearDup(payloads: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.simhash64NeighborsOf(
+      imageSignatures(payloads).drop("dhash"), maxHamming)._1
+
+  /** Closed-form STRUCTURED image generator (the [[mintSolidPng]]
+    * pattern, with spatial structure so dHash is informative): an 8×8
+    * grid of solid gray blocks (3×2 px each → 24×16), block (r,c) at
+    * gray((doc_id div 2), r, c) = floorMod(v·31 + k²·37 + v·k·7, 255)
+    * + (doc_id % 2), k = r·8 + c — the quadratic term mixes enough
+    * that the 250-image fixture yields 249 distinct signatures (a
+    * c-linear form left bits ~monotone and 2 252 accidental
+    * near-collisions). Consecutive doc pairs share v and
+    * differ by a +1 global tone shift: different PNG bytes, identical
+    * dHash — the perceptual-near-dup ground truth the oracle predicts
+    * exactly (the 3×2 blocks box-filter to themselves, so the 8×8
+    * resample IS the gray function). */
+  def mintGridPng(docId: Long): Array[Byte] = {
+    val v = docId / 2
+    val delta = (docId % 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val k = r * 8L + c
+        val g = Math.floorMod(
+          v * 31L + k * k * 37L + v * k * 7L, 255L).toInt + delta
+        val p = (g << 16) | (g << 8) | g
+        var y = r * 2
+        while (y < r * 2 + 2) {
+          var x = c * 3
+          while (x < c * 3 + 3) { img.setRGB(x, y, p); x += 1 }
+          y += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The structured-image corpus: one [[mintGridPng]] payload per
+    * document id. */
+  def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(d => (d, mintGridPng(d))))
+      .toDF("doc_id", "payload")
+  }
 }

@@ -146,6 +146,40 @@ class SkewMultimodalSpec extends SparkSpec {
   private def img2rgb(img: java.awt.image.BufferedImage, x: Int, y: Int): Unit =
     img.setRGB(x, y, ((x * 4) << 16) | ((y * 8) << 8) | 0x40)
 
+  test("perceptual image dedup: dHash is tone-shift invariant on " +
+      "different bytes; banded neighbors are radius-3 COMPLETE against " +
+      "brute force") {
+    // Twin mints: same visual structure, +1 global tone shift →
+    // different PNG bytes, identical 56-bit dHash.
+    val a = Multimodal.mintGridPng(42L)
+    val b = Multimodal.mintGridPng(43L)
+    assert(!java.util.Arrays.equals(a, b), "twin PNGs byte-identical")
+    def hOf(bytes: Array[Byte]): Long =
+      Multimodal.dhash56(Multimodal.decodeImage(bytes).get)
+    assert(hOf(a) == hOf(b), "tone shift flipped a dHash comparison")
+    assert(hOf(a) != hOf(Multimodal.mintGridPng(44L)),
+      "structurally different images collided (degenerate fixture)")
+    // Completeness over the fixture corpus: the banded pair set equals
+    // the brute-force hamming<=3 join over the same signatures.
+    val corpus = Multimodal.imageCorpus(spark, sf0001).localCheckpoint()
+    val got = Multimodal.imageNearDup(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = Multimodal.imageSignatures(corpus)
+      .select("doc_id", "dhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (da, ha) <- hs; (db, hb) <- hs if da < db
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd <= 3
+    } yield (da, db, hd)).toSet
+    assert(got == want,
+      "banded image near-dup missed (or invented) a radius-3 pair")
+    // Every tone-shift twin present at Hamming 0.
+    val ids = hs.map(_._1).toSet
+    ids.filter(d => d % 2 == 0 && ids.contains(d + 1)).foreach { d =>
+      assert(got.contains((d, d + 1, 0)), s"twin pair ($d, ${d + 1}) missed")
+    }
+  }
+
   test("featureExtract falls back to the byte-fold stub off the image path") {
     val p = Multimodal.withPayload(spark, sf0001)
     val real = Multimodal.featureExtract(p, dim = 8)
