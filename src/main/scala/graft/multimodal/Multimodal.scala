@@ -33,6 +33,15 @@ import graft.operators.Hash.h8
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache — a temp FILE is
+  // created and deleted per encode/decode call, which is catastrophic
+  // for per-record codec work on executors (measured: the ×100
+  // image-dedup observation spent ~2× its codec floor in cache-file
+  // churn). Byte-array payloads need no cache at all. JVM-global;
+  // runs on first touch of this object in each executor JVM (every
+  // codec call here goes through these methods).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach an opaque binary payload + typed media metadata to each
     * document: payload = UTF-8 bytes of the text (fixture stand-in for
     * image/audio bytes), metadata = deterministic fake dimensions. */
@@ -609,19 +618,35 @@ object Multimodal {
     * top quarter carries the 8 spare zero bits, which flip for no
     * input, so completeness is inherited unchanged). At 10⁸+ images
     * the same signature frame feeds the wide multi-index form, exactly
-    * as the text tier dispatches. */
+    * as the text tier dispatches.
+    *
+    * The signatures are PINNED (localCheckpoint) before the banded
+    * self-join: both join sides descend from the signature subtree,
+    * and recomputing it per side re-decodes every image — the text
+    * tier tolerates that (its signatures re-derive from a cheap
+    * columnar scan), but codec work is the dominant cost here, and the
+    * ×100 observation measured the unpinned form 2× super-linear
+    * (373 s → 187 s at 600 k images, linear at ~0.3 ms/image of
+    * decode+resample — the honest floor for a decode-bound operator). */
   def imageNearDup(payloads: DataFrame, maxHamming: Int = 3): DataFrame =
     graft.operators.Dedup.simhash64NeighborsOf(
-      imageSignatures(payloads).drop("dhash"), maxHamming)._1
+      imageSignatures(payloads).drop("dhash").localCheckpoint(),
+      maxHamming)._1
 
   /** Closed-form STRUCTURED image generator (the [[mintSolidPng]]
     * pattern, with spatial structure so dHash is informative): an 8×8
     * grid of solid gray blocks (3×2 px each → 24×16), block (r,c) at
-    * gray((doc_id div 2), r, c) = floorMod(v·31 + k²·37 + v·k·7, 255)
-    * + (doc_id % 2), k = r·8 + c — the quadratic term mixes enough
-    * that the 250-image fixture yields 249 distinct signatures (a
-    * c-linear form left bits ~monotone and 2 252 accidental
-    * near-collisions). Consecutive doc pairs share v and
+    * gray((doc_id div 2), r, c) = ((v·(2654435761 + k·40503)) mod
+    * 1000003) mod 255 + (doc_id % 2), k = r·8 + c. The PER-CELL
+    * multiplier at a larger prime modulus is load-bearing: any
+    * polynomial-in-v arithmetic carried mod 255 makes every gray a
+    * function of v mod 255 — at most 255 hash classes however the
+    * polynomial mixes — and the resulting equal-hash mass turned the
+    * banded join quadratic at ×100 (the first two generator drafts
+    * both had it). With per-k residue streams the fixture yields
+    * 250/250 distinct signatures at sf0.01 and 2997/3000 at sf0.1;
+    * all arithmetic stays BIGINT-safe for the DuckDB twin.
+    * Consecutive doc pairs share v and
     * differ by a +1 global tone shift: different PNG bytes, identical
     * dHash — the perceptual-near-dup ground truth the oracle predicts
     * exactly (the 3×2 blocks box-filter to themselves, so the 8×8
@@ -636,8 +661,8 @@ object Multimodal {
       var c = 0
       while (c < 8) {
         val k = r * 8L + c
-        val g = Math.floorMod(
-          v * 31L + k * k * 37L + v * k * 7L, 255L).toInt + delta
+        val g = (((v * (2654435761L + k * 40503L)) % 1000003L) % 255L)
+          .toInt + delta
         val p = (g << 16) | (g << 8) | g
         var y = r * 2
         while (y < r * 2 + 2) {
