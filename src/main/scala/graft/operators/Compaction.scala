@@ -88,22 +88,23 @@ object Compaction {
     * returns it unchanged. */
   def resolveRoot(spark: SparkSession, indexPath: String): String = {
     val (fs, root) = fsOf(spark, indexPath)
-    val md = new Path(root, Publish.MarkerDir)
-    val hasGen =
-      try fs.exists(md) && fs.listStatus(md)
-        .exists(_.getPath.getName.toIntOption.nonEmpty)
-      catch { case _: java.io.IOException => false }
-    if (hasGen) s"$indexPath/v=${Publish.currentVersion(fs, root)}"
-    else indexPath
+    val gen = currentGen(fs, root)
+    if (gen > 0) s"$indexPath/v=$gen" else indexPath
   }
 
-  /** The current generation NUMBER (0 = still flat / never folded). */
+  /** The current generation NUMBER (0 = still flat / never folded).
+    * Only a marker dir that is genuinely ABSENT (or vanished mid-list)
+    * reads as flat; any other listing failure PROPAGATES — a swallowed
+    * transient on a compacted index would silently misroute reads to
+    * the stale flat root and writes into a root no future resolve ever
+    * reads (r14 review #5: on an object store that is silent data
+    * loss, where failing loudly costs one retry). */
   private def currentGen(fs: FileSystem, root: Path): Int = {
     val md = new Path(root, Publish.MarkerDir)
-    val hasGen =
-      try fs.exists(md) && fs.listStatus(md)
-        .exists(_.getPath.getName.toIntOption.nonEmpty)
-      catch { case _: java.io.IOException => false }
+    val hasGen = fs.exists(md) && {
+      try fs.listStatus(md).exists(_.getPath.getName.toIntOption.nonEmpty)
+      catch { case _: java.io.FileNotFoundException => false }
+    }
     if (hasGen) Publish.currentVersion(fs, root) else 0
   }
 
@@ -221,23 +222,57 @@ object Compaction {
   private def lexFlat(n: String): Boolean =
     Set("postings", "doclens", "stats", "deletes", "_folded").contains(n)
 
+  /** The shared fold decision: resolve the current generation,
+    * enumerate accreted ingest batches and pending takedown batches,
+    * and pick the fold id. None = nothing to do. A DELETES-ONLY fold
+    * (a one-shot flat index, or an already-consolidated one, under a
+    * takedown stream) is REAL work and folds under the bootstrap id -1
+    * — never a stream id, so the output partition collides with
+    * nothing (r14 review #4: an ingest-empty early return starved
+    * exactly that case — compactionDue kept firing on the accreting
+    * deletes while the fold never ran and the serve-path deleted-set
+    * broadcast grew without bound). The pinned-schema reads below
+    * handle the flat layouts transparently (no batch_id column is
+    * discovered; none is selected). */
+  private case class FoldPlan(cur: String, ingest: Seq[Long],
+                              takedowns: Seq[Long], foldId: Long,
+                              newFolded: Seq[(Long, Long)],
+                              newTd: Seq[(Long, Long)])
+
+  private def foldPlan(spark: SparkSession, indexPath: String,
+                       accretingSub: String, deletesSub: String)
+      : Option[FoldPlan] = {
+    val (fs, root) = fsOf(spark, indexPath)
+    recoverGen(fs, root)
+    val cur = resolveRoot(spark, indexPath)
+    val curP = new Path(cur)
+    def at(s: String) = if (s.isEmpty) curP else new Path(curP, s)
+    if (!fs.exists(at(accretingSub))) return None // never built
+    val ingest = batchIds(fs, at(accretingSub))
+    val takedowns = batchIds(fs, at(deletesSub))
+    if (ingest.size <= 1 && takedowns.isEmpty) return None
+    val foldId = if (ingest.isEmpty) -1L else ingest.max
+    val newFolded = ingest.foldLeft(
+      Publish.readLedger(fs, new Path(curP, "_folded")))(Publish.addBatch)
+    val newTd = takedowns.foldLeft(
+      Publish.readLedger(fs, new Path(curP, s"$deletesSub/_folded")))(
+      Publish.addBatch)
+    Some(FoldPlan(cur, ingest, takedowns, foldId, newFolded, newTd))
+  }
+
   /** Compact the LEXICAL index ([[Retrieval.buildLexIndexBatch]]
     * layout): postings (term-partitioned inside the fold), doclens,
     * and stats (all partials — ingest AND negative takedown
     * corrections — re-summed into one exact row) fold into one batch
     * partition each inside generation n+1; logical deletes are applied
     * physically and cleared. No-op on an index with nothing accreted
-    * or already consolidated. */
+    * and nothing deleted. */
   def compactLexIndex(spark: SparkSession, indexPath: String): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
-    recoverGen(fs, root)
-    val cur = resolveRoot(spark, indexPath)
-    val curP = new Path(cur)
-    val ingest = batchIds(fs, new Path(curP, "postings"))
-    if (ingest.isEmpty) return // one-shot layout — nothing accreted
-    val takedowns = batchIds(fs, new Path(curP, "deletes"))
-    if (ingest.size <= 1 && takedowns.isEmpty) return // consolidated
-    val foldId = ingest.max
+    val plan = foldPlan(spark, indexPath, "postings", "deletes")
+      .getOrElse(return)
+    val cur = plan.cur
+    val foldId = plan.foldId
     val deletesDir = s"$cur/deletes"
     val postings = Takedown.applyDeletes(
       spark.read.schema("doc_id BIGINT, tf BIGINT, tok STRING")
@@ -254,11 +289,6 @@ object Compaction {
     val stats = spark.read.schema("n_docs BIGINT, sum_dl BIGINT")
       .parquet(s"$cur/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val newFolded = ingest.foldLeft(
-      Publish.readLedger(fs, new Path(curP, "_folded")))(Publish.addBatch)
-    val newTd = takedowns.foldLeft(
-      Publish.readLedger(fs, new Path(curP, "deletes/_folded")))(
-      Publish.addBatch)
     publishGeneration(spark, indexPath, lexFlat) { stage =>
       postings.write.mode("overwrite").partitionBy("tok")
         .parquet(s"$stage/postings/batch_id=$foldId")
@@ -266,10 +296,11 @@ object Compaction {
         .parquet(s"$stage/doclens/batch_id=$foldId")
       stats.write.mode("overwrite")
         .parquet(s"$stage/stats/batch_id=$foldId")
-      Publish.writeLedger(fs, new Path(stage, "_folded"), newFolded)
-      if (newTd.nonEmpty) {
+      Publish.writeLedger(fs, new Path(stage, "_folded"), plan.newFolded)
+      if (plan.newTd.nonEmpty) {
         fs.mkdirs(new Path(stage, "deletes"))
-        Publish.writeLedger(fs, new Path(stage, "deletes/_folded"), newTd)
+        Publish.writeLedger(fs, new Path(stage, "deletes/_folded"),
+          plan.newTd)
       }
     }
   }
@@ -279,32 +310,23 @@ object Compaction {
     * and cleared. */
   def compactPosIndex(spark: SparkSession, indexPath: String): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
-    recoverGen(fs, root)
-    val cur = resolveRoot(spark, indexPath)
-    val curP = new Path(cur)
-    val ingest = batchIds(fs, new Path(curP, "pos"))
-    if (ingest.isEmpty) return
-    val takedowns = batchIds(fs, new Path(curP, "deletes"))
-    if (ingest.size <= 1 && takedowns.isEmpty) return
-    val foldId = ingest.max
+    val plan = foldPlan(spark, indexPath, "pos", "deletes")
+      .getOrElse(return)
+    val cur = plan.cur
     val occ = Takedown.applyDeletes(
       spark.read.schema("doc_id BIGINT, pos INT, tok STRING")
         .parquet(s"$cur/pos")
         .select(col("doc_id"), col("pos"), col("tok")),
       s"$cur/deletes")
-    val newFolded = ingest.foldLeft(
-      Publish.readLedger(fs, new Path(curP, "_folded")))(Publish.addBatch)
-    val newTd = takedowns.foldLeft(
-      Publish.readLedger(fs, new Path(curP, "deletes/_folded")))(
-      Publish.addBatch)
     publishGeneration(spark, indexPath,
       n => Set("pos", "deletes", "_folded").contains(n)) { stage =>
       occ.write.mode("overwrite").partitionBy("tok")
-        .parquet(s"$stage/pos/batch_id=$foldId")
-      Publish.writeLedger(fs, new Path(stage, "_folded"), newFolded)
-      if (newTd.nonEmpty) {
+        .parquet(s"$stage/pos/batch_id=${plan.foldId}")
+      Publish.writeLedger(fs, new Path(stage, "_folded"), plan.newFolded)
+      if (plan.newTd.nonEmpty) {
         fs.mkdirs(new Path(stage, "deletes"))
-        Publish.writeLedger(fs, new Path(stage, "deletes/_folded"), newTd)
+        Publish.writeLedger(fs, new Path(stage, "deletes/_folded"),
+          plan.newTd)
       }
     }
   }
@@ -313,46 +335,58 @@ object Compaction {
     * streaming-maintained layout — both roots are read WHOLESALE, so
     * their batch partitions, ledger, and `_deletes` live at the table
     * root). Pairs die when either side was taken down; signatures when
-    * their doc was. The PAIR generation (which carries the ledger)
-    * commits FIRST: a crash between the two commits leaves every
-    * folded batch id no-op'd (the builder checks the pair ledger
-    * before writing EITHER table), and the signature fold completes on
-    * the next pass — which proceeds whenever either root is
-    * unconsolidated. */
+    * their doc was.
+    *
+    * COMMIT ORDER (r14 review #1): the SIGNATURE generation commits
+    * first, the pair generation (which carries the `_folded` ledger
+    * AND the pending `_deletes` partitions) last. The deletes data is
+    * dropped exactly when the pair generation flips — so a crash
+    * between the two commits leaves the deletes alive in the
+    * still-current pair generation, and the next pass re-applies them
+    * to the already-purged signatures (idempotent anti-join) and
+    * completes; committing pair-first would reap the only copy of the
+    * deletes while the signature fold still owed them, silently
+    * folding taken-down docs' band signatures forward forever. The
+    * price of sig-first: a replayed ingest batch in the crash window
+    * re-writes its signature partition NEXT TO the fold that already
+    * contains those rows — candidate generation collapses the
+    * duplicates (distinct on (pair, band)) and the fold itself
+    * re-distincts the signature rows, so the window is
+    * correctness-neutral. */
   def compactPairTable(spark: SparkSession, pairPath: String,
-                       sigPath: String): Unit = {
-    val (fs, pairRoot) = fsOf(spark, pairPath)
-    val sigRoot = new Path(sigPath)
-    recoverGen(fs, pairRoot); recoverGen(fs, sigRoot)
-    val curPair = resolveRoot(spark, pairPath)
+                       sigPath: String): Unit =
+    compactPairTableWith(spark, pairPath, sigPath)
+
+  /** [[compactPairTable]] with the crash seam between the two
+    * generation commits exposed for the spec. */
+  private[graft] def compactPairTableWith(spark: SparkSession,
+                                          pairPath: String, sigPath: String,
+                                          betweenCommits: () => Unit =
+                                            () => ()): Unit = {
+    val (fs, sigRoot) = fsOf(spark, sigPath)
+    recoverGen(fs, sigRoot)
+    val plan = foldPlan(spark, pairPath, "", "_deletes")
+      .getOrElse(return)
+    val curPair = plan.cur
     val curSig = resolveRoot(spark, sigPath)
-    val ingest = batchIds(fs, new Path(curPair))
-    if (ingest.isEmpty) return
-    val takedowns = batchIds(fs, new Path(s"$curPair/_deletes"))
-    if (ingest.size <= 1 && batchIds(fs, new Path(curSig)).size <= 1 &&
-        takedowns.isEmpty) return
-    val foldId = ingest.max
     val pairs = Takedown.pairTableLive(spark, pairPath)
     val sigs = Takedown.applyDeletes(
       spark.read.parquet(curSig).drop("batch_id"),
-      s"$curPair/_deletes")
-    val newFolded = ingest.foldLeft(
-      Publish.readLedger(fs, new Path(curPair, "_folded")))(Publish.addBatch)
-    val newTd = takedowns.foldLeft(
-      Publish.readLedger(fs, new Path(curPair, "_deletes/_folded")))(
-      Publish.addBatch)
+      s"$curPair/_deletes").distinct()
     def tableFlat(n: String): Boolean =
       n.startsWith("batch_id=") || n == "_deletes" || n == "_folded"
-    publishGeneration(spark, pairPath, tableFlat) { stage =>
-      pairs.write.mode("overwrite").parquet(s"$stage/batch_id=$foldId")
-      Publish.writeLedger(fs, new Path(stage, "_folded"), newFolded)
-      if (newTd.nonEmpty) {
-        fs.mkdirs(new Path(stage, "_deletes"))
-        Publish.writeLedger(fs, new Path(stage, "_deletes/_folded"), newTd)
-      }
-    }
     publishGeneration(spark, sigPath, tableFlat) { stage =>
-      sigs.write.mode("overwrite").parquet(s"$stage/batch_id=$foldId")
+      sigs.write.mode("overwrite").parquet(s"$stage/batch_id=${plan.foldId}")
+    }
+    betweenCommits()
+    publishGeneration(spark, pairPath, tableFlat) { stage =>
+      pairs.write.mode("overwrite").parquet(s"$stage/batch_id=${plan.foldId}")
+      Publish.writeLedger(fs, new Path(stage, "_folded"), plan.newFolded)
+      if (plan.newTd.nonEmpty) {
+        fs.mkdirs(new Path(stage, "_deletes"))
+        Publish.writeLedger(fs, new Path(stage, "_deletes/_folded"),
+          plan.newTd)
+      }
     }
   }
 
@@ -373,33 +407,24 @@ object Compaction {
     * retrained here. */
   def compactIvfIndex(spark: SparkSession, indexPath: String): Unit = {
     val (fs, root) = fsOf(spark, indexPath)
-    recoverGen(fs, root)
-    val cur = resolveRoot(spark, indexPath)
-    val curP = new Path(cur)
-    val ingest = batchIds(fs, new Path(curP, "postings"))
-    if (ingest.isEmpty) return
-    val takedowns = batchIds(fs, new Path(curP, "deletes"))
-    if (ingest.size <= 1 && takedowns.isEmpty) return
-    val foldId = ingest.max
+    val plan = foldPlan(spark, indexPath, "postings", "deletes")
+      .getOrElse(return)
+    val cur = plan.cur
     val postings = Takedown.applyDeletes(
       spark.read.parquet(s"$cur/postings").drop("batch_id"),
       s"$cur/deletes", idCol = "vec_id")
     val cents = spark.read.parquet(s"$cur/centroids")
-    val newFolded = ingest.foldLeft(
-      Publish.readLedger(fs, new Path(curP, "_folded")))(Publish.addBatch)
-    val newTd = takedowns.foldLeft(
-      Publish.readLedger(fs, new Path(curP, "deletes/_folded")))(
-      Publish.addBatch)
     publishGeneration(spark, indexPath,
       n => Set("postings", "centroids", "deletes", "_folded").contains(n)) {
       stage =>
         postings.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$stage/postings/batch_id=$foldId")
+          .parquet(s"$stage/postings/batch_id=${plan.foldId}")
         cents.write.mode("overwrite").parquet(s"$stage/centroids")
-        Publish.writeLedger(fs, new Path(stage, "_folded"), newFolded)
-        if (newTd.nonEmpty) {
+        Publish.writeLedger(fs, new Path(stage, "_folded"), plan.newFolded)
+        if (plan.newTd.nonEmpty) {
           fs.mkdirs(new Path(stage, "deletes"))
-          Publish.writeLedger(fs, new Path(stage, "deletes/_folded"), newTd)
+          Publish.writeLedger(fs, new Path(stage, "deletes/_folded"),
+            plan.newTd)
         }
     }
   }

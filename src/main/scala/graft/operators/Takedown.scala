@@ -365,8 +365,16 @@ object Takedown {
             val cur = graft.sinks.Sinks.readLatest(spark, path)
             val dels = cur.join(pinned, Seq("doc_id"))
               .withColumn("op", lit("D"))
+            // The corpus table's `_applied` ledger is SHARED with the
+            // ingest CDC stream's micro-batch ids (r14 review #3): a
+            // takedownId colliding with an already-applied ingest id
+            // would make the D-batch a silent ledger no-op — the docs
+            // stay served while the manifest records the leg complete.
+            // Takedown ids therefore ride the ledger in the NEGATIVE
+            // namespace, -(id+2) below the -1 bootstrap — the same
+            // convention the lex index's correction partials use.
             graft.sinks.Sinks.mergePublishCdc(spark, dels, path,
-              Seq("doc_id"), batchId = Some(takedownId))
+              Seq("doc_id"), batchId = Some(-(takedownId + 2L)))
           case "lex" => takedownLex(spark, path, pinned, takedownId)
           case "pos" => takedownPos(spark, path, pinned, takedownId)
           case "ivf" => takedownIvf(spark, path,
@@ -466,13 +474,21 @@ object Takedown {
           col("pack_id") < col("from_pack_id"))
         .drop("from_pack_id")
       val stitched = prefix.unionByName(repackSuffix(docs, dead, packs))
-      val liveDocs = docs.join(broadcast(dead), Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_live_docs"))
-      stitched.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_packed"))
-        .crossJoin(liveDocs)
-        .select(lit("packs").as("artifact"),
-          col("n_packed").as("n_live"),
-          (col("n_packed") - col("n_live_docs")).as("n_dead"))
+      // n_dead = the SYMMETRIC DIFFERENCE between the stitched packs a
+      // training run would read and a from-scratch repack of the
+      // purged corpus, at pack-row grain — zero iff the two plans are
+      // bit-identical. (r14 review #7: the first cut computed
+      // packed-slots minus live-docs, a difference in which a packed
+      // DEAD doc and a dropped LIVE doc cancel to zero — a compliance
+      // certificate must not pass on cancellation.) n_live stays the
+      // packed doc-slot count, which the oracle recomputes
+      // independently as the purged doc count.
+      val full = Sampling.packSequencesOf(
+        docs.join(broadcast(dead), Seq("doc_id"), "left_anti"))
+      val sym = stitched.exceptAll(full).unionByName(full.exceptAll(stitched))
+      stitched.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_live"))
+        .crossJoin(sym.agg(count(lit(1)).as("n_dead")))
+        .select(lit("packs").as("artifact"), col("n_live"), col("n_dead"))
     }
     (legs ++ packLeg).reduce(_ unionByName _)
   }

@@ -379,7 +379,8 @@ object StreamingIngest {
                      posIndexPath: Option[String] = None,
                      pairTablePath: Option[String] = None,
                      checkpointDir: String,
-                     compactEvery: Int = 0): Unit = {
+                     compactEvery: Int = 0,
+                     pairSigPath: Option[String] = None): Unit = {
     // All-None would CONSUME and checkpoint takedown requests while
     // applying them nowhere — for a right-to-erasure pipeline, a
     // silent compliance hole (r13 review). Fail fast.
@@ -404,6 +405,14 @@ object StreamingIngest {
           // stream with no ingest twin would otherwise grow the
           // serve-path deleted-set broadcast until someone folds by
           // hand — the deletes-partition count is the trigger here.
+          // CONTRACT (r14 review #2): enable compactEvery on exactly
+          // ONE stream per index. Two self-compacting streams against
+          // the same index make the fold race a concurrent writer —
+          // the out-of-contract state that can drop an in-flight
+          // batch (the fold's ledger doesn't name it, the writer's
+          // checkpoint won't replay it). The pair-table fold also
+          // needs the signature table — pass `pairSigPath` or the
+          // pair deletes accrete unfolded.
           if (compactEvery > 0) {
             lexIndexPath.foreach(p =>
               if (graft.operators.Compaction.compactionDue(s, p,
@@ -415,6 +424,11 @@ object StreamingIngest {
                   sub = "pos", deletesSub = "deletes",
                   threshold = compactEvery))
                 graft.operators.Compaction.compactPosIndex(s, p))
+            for (pp <- pairTablePath; sp <- pairSigPath)
+              if (graft.operators.Compaction.compactionDue(s, pp,
+                  sub = "", deletesSub = "_deletes",
+                  threshold = compactEvery))
+                graft.operators.Compaction.compactPairTable(s, pp, sp)
           }
         } finally batch.unpersist()
       }
@@ -554,7 +568,11 @@ object StreamingIngest {
           // discovery stays O(threshold) and the serve path's
           // deleted-set broadcast stays bounded for the life of the
           // stream. Between-batch = the only writer is idle; readers
-          // are protected by the generation flip.
+          // are protected by the generation flip. CONTRACT: enable
+          // compactEvery on exactly ONE stream per index — a second
+          // self-compacting stream (e.g. a takedownStream against the
+          // same index) makes the fold race a concurrent writer, the
+          // out-of-contract state that can drop an in-flight batch.
           if (graft.operators.Compaction.compactionDue(
               batch.sparkSession, indexPath,
               sub = "postings", deletesSub = "deletes",

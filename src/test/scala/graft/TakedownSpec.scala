@@ -277,6 +277,130 @@ class TakedownSpec extends SparkSpec {
     assert(e.getMessage.contains("fewer than 3 tokens"))
   }
 
+  test("pair compaction crash between the two generation commits: the " +
+      "pending deletes survive in the pair generation and the replay " +
+      "completes the signature purge (r14 review #1)") {
+    val dd = tmpDir("pair_crash")
+    val half = docs.where(col("doc_id") % 2 === 0)
+    Dedup.appendToPairTableBatch(spark, half, half,
+      s"$dd/sigs", s"$dd/pairs", 0L)
+    Dedup.appendToPairTableBatch(spark,
+      docs.where(col("doc_id") % 2 === 1), docs,
+      s"$dd/sigs", s"$dd/pairs", 1L)
+    Takedown.takedownPairs(spark, s"$dd/pairs", takedownIds, 0L)
+    def pairs = Takedown.pairTableLive(spark, s"$dd/pairs")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs
+    assert(want.nonEmpty)
+    val deadSet = takedownIds.collect().map(_.getLong(0)).toSet
+    // Crash EXACTLY between the sig commit and the pair commit.
+    val boom = new RuntimeException("crash between commits")
+    val e = intercept[RuntimeException] {
+      Compaction.compactPairTableWith(spark, s"$dd/pairs", s"$dd/sigs",
+        betweenCommits = () => throw boom)
+    }
+    assert(e eq boom)
+    // The crash state: sigs already purged in their NEW generation,
+    // the pair root still current with its _deletes intact — the live
+    // pair view is unchanged.
+    val sigGen = Compaction.resolveRoot(spark, s"$dd/sigs")
+    assert(sigGen == s"$dd/sigs/v=1", "sig generation did not commit")
+    val sigDocs = spark.read.parquet(sigGen).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(sigDocs.intersect(deadSet).isEmpty,
+      "committed sig fold still carries taken-down docs")
+    assert(pairs == want, "crash window changed the live pair view")
+    // Replay converges: both tables folded, deletes cleared, the live
+    // view unchanged — and NO taken-down doc's signature survived
+    // anywhere reachable.
+    Compaction.compactPairTable(spark, s"$dd/pairs", s"$dd/sigs")
+    assert(pairs == want)
+    val pairGen = Compaction.resolveRoot(spark, s"$dd/pairs")
+    assert(pairGen == s"$dd/pairs/v=1")
+    val fs = new Path(dd).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$pairGen/_deletes/batch_id=0")),
+      "deletes not cleared after the completed fold")
+    val sigDocs2 = spark.read
+      .parquet(Compaction.resolveRoot(spark, s"$dd/sigs"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigDocs2.intersect(deadSet).isEmpty)
+  }
+
+  test("deletes-only compaction: a one-shot flat index under a " +
+      "takedown stream still folds (r14 review #4), and the corpus " +
+      "takedown ledger never collides with ingest CDC ids (#3)") {
+    val dir = tmpDir("flat_fold")
+    val idx = s"$dir/idx"
+    // One-shot FLAT lex index (no batch partitions at all).
+    Retrieval.buildLexIndex(spark, sf0001, idx)
+    Takedown.takedownLex(spark, idx, takedownIds, 0L)
+    val want = servedRows(idx)
+    val rebuilt = s"$dir/rebuilt"
+    Retrieval.buildLexIndexBatch(spark, purgedDocs, rebuilt, 0L)
+    assert(want == servedRows(rebuilt))
+    // The fold must RUN (deletes-only work) and fold under the
+    // bootstrap id, clearing the deletes.
+    Compaction.compactLexIndex(spark, idx)
+    val gen = Compaction.resolveRoot(spark, idx)
+    assert(gen == s"$idx/v=1", "deletes-only fold never ran")
+    assert(servedRows(idx) == want, "deletes-only fold changed serves")
+    val fs = new Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$gen/deletes/batch_id=0")),
+      "deletes not applied by the deletes-only fold")
+    assert(!Compaction.compactionDue(spark, idx,
+      sub = "postings", deletesSub = "deletes", threshold = 2),
+      "compactionDue still firing after the fold — the starvation loop")
+    // #3: a corpus whose ingest CDC stream already applied batch id 0
+    // gets takedownAll with takedownId 0 — the D-batch must still
+    // apply (negative-namespace ledger id), not silently no-op.
+    val t = s"$dir/corpus"
+    graft.sinks.Sinks.mergePublish(spark, docs, t, Seq("doc_id"))
+    import spark.implicits._
+    val touch = docs.limit(1).withColumn("op", lit("U"))
+    graft.sinks.Sinks.mergePublishCdc(spark, touch, t, Seq("doc_id"),
+      batchId = Some(0L)) // ingest CDC batch id 0 now on the ledger
+    val targets = Takedown.TakedownTargets(corpusTableDir = Some(t))
+    Takedown.takedownAll(spark, takedownIds, 0L, targets, s"$dir/m")
+    val served = graft.sinks.Sinks.readLatest(spark, t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deadSet = takedownIds.collect().map(_.getLong(0)).toSet
+    assert(served.intersect(deadSet).isEmpty,
+      "corpus takedown silently no-op'd against a colliding ingest " +
+        "CDC batch id")
+    assert(Takedown.manifestComplete(spark, s"$dir/m", 0L, targets))
+  }
+
+  test("erasure certificate packs leg: a corrupted pack table surfaces " +
+      "as nonzero n_dead (no live/dead cancellation — r14 review #7)") {
+    // Corrupt the standing pack table's doc ranges so the repack cut
+    // MISSES every stratum: the stitched plan then keeps the stale
+    // full-corpus packs — taken-down docs still sitting in training
+    // packs, the exact compliance failure the leg exists to catch, and
+    // one the old packed-minus-live difference could cancel to zero.
+    // (Corrupting only token counts is NOT detectable when the cut
+    // lands at pack 0 — the seeds never read the corrupt fields; the
+    // algorithm is robust to that by construction.)
+    val stale = Sampling.packSequencesOf(docs)
+      .withColumn("first_doc", col("first_doc") + lit(1000000L))
+      .withColumn("last_doc", col("last_doc") + lit(1000000L))
+      .localCheckpoint()
+    val cert = Takedown.erasureCertificate(spark, takedownIds,
+      Takedown.TakedownTargets(),
+      packSource = Some((docs, stale)))
+    val packs = cert.where(col("artifact") === "packs").collect()(0)
+    assert(packs.getLong(2) > 0L,
+      "a stale pack table produced a clean certificate")
+    // And the honest source is clean.
+    val good = Takedown.erasureCertificate(spark, takedownIds,
+      Takedown.TakedownTargets(),
+      packSource = Some((docs, Sampling.packSequencesOf(docs))))
+      .where(col("artifact") === "packs").collect()(0)
+    assert(good.getLong(2) == 0L && good.getLong(1) > 0L)
+  }
+
   test("mergePublishCdc: D removes, I/U upsert, latest op wins per key, " +
       "bootstrap deletes no-op, unknown ops fail fast, replay no-ops") {
     val t = s"${tmpDir("cdc")}/t"
