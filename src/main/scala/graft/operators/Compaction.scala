@@ -358,33 +358,75 @@ object Compaction {
     compactPairTableWith(spark, pairPath, sigPath)
 
   /** [[compactPairTable]] with the crash seam between the two
-    * generation commits exposed for the spec. */
+    * generation commits exposed for the spec.
+    *
+    * The fold OUTPUT partition is the fixed bootstrap id `-1`, never
+    * `ingest.max` (r14 review, second pass): `ingest.max` is exactly
+    * the micro-batch id a post-crash stream replays (offsets commit
+    * only after foreachBatch returns, and the self-trigger runs inside
+    * it), and under the sig-first commit order the crash window holds
+    * no ledger — the replayed append's `batch_id =!= K` exclusion
+    * would see the folded sig set (single partition `batch_id=K`) as
+    * its own crashed debris and OVERWRITE it wholesale. At `-1` the
+    * replay lands NEXT TO the fold instead: its sig rows duplicate
+    * rows already inside the fold (collapsed by candidate generation's
+    * distinct and by the next fold's distinct), and its pair partition
+    * rewrites value-identical content — convergent, not lossy. */
   private[graft] def compactPairTableWith(spark: SparkSession,
                                           pairPath: String, sigPath: String,
                                           betweenCommits: () => Unit =
                                             () => ()): Unit = {
-    val (fs, sigRoot) = fsOf(spark, sigPath)
-    recoverGen(fs, sigRoot)
-    val plan = foldPlan(spark, pairPath, "", "_deletes")
-      .getOrElse(return)
+    val (pairFs, pairRoot) = fsOf(spark, pairPath)
+    val (sigFs, sigRoot) = fsOf(spark, sigPath)
+    recoverGen(sigFs, sigRoot)
+    val hasSig = sigFs.exists(new Path(resolveRoot(spark, sigPath)))
+    // Legacy completion trigger: a pre-reorder crash (pair generation
+    // committed, signature fold still owed) leaves the pair side
+    // consolidated — foldPlan alone would return None forever while
+    // taken-down docs' band signatures survive in the sig table.
+    val sigOwed = hasSig &&
+      batchIds(sigFs, new Path(resolveRoot(spark, sigPath))).size > 1
+    val plan = foldPlan(spark, pairPath, "", "_deletes").orElse {
+      if (!sigOwed) None
+      else {
+        val cur = resolveRoot(spark, pairPath)
+        val curP = new Path(cur)
+        Some(FoldPlan(cur, batchIds(pairFs, curP),
+          batchIds(pairFs, new Path(curP, "_deletes")), -1L,
+          Publish.readLedger(pairFs, new Path(curP, "_folded")),
+          Publish.readLedger(pairFs, new Path(curP, "_deletes/_folded"))))
+      }
+    }.getOrElse(return)
     val curPair = plan.cur
-    val curSig = resolveRoot(spark, sigPath)
+    // A pair root holding ONLY takedown debris (never built — e.g. a
+    // takedown stream racing ahead of its ingest twin) has nothing
+    // readable to fold; leave the deletes standing until content
+    // arrives (r14 review, second pass).
+    if (plan.ingest.isEmpty &&
+        !pairFs.listStatus(new Path(curPair)).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }) return
     val pairs = Takedown.pairTableLive(spark, pairPath)
-    val sigs = Takedown.applyDeletes(
-      spark.read.parquet(curSig).drop("batch_id"),
-      s"$curPair/_deletes").distinct()
     def tableFlat(n: String): Boolean =
       n.startsWith("batch_id=") || n == "_deletes" || n == "_folded"
-    publishGeneration(spark, sigPath, tableFlat) { stage =>
-      sigs.write.mode("overwrite").parquet(s"$stage/batch_id=${plan.foldId}")
+    if (hasSig) {
+      val curSig = resolveRoot(spark, sigPath)
+      val sigs = Takedown.applyDeletes(
+        spark.read.parquet(curSig).drop("batch_id"),
+        s"$curPair/_deletes").distinct()
+      publishGeneration(spark, sigPath, tableFlat) { stage =>
+        sigs.write.mode("overwrite").parquet(s"$stage/batch_id=-1")
+      }
     }
     betweenCommits()
     publishGeneration(spark, pairPath, tableFlat) { stage =>
-      pairs.write.mode("overwrite").parquet(s"$stage/batch_id=${plan.foldId}")
-      Publish.writeLedger(fs, new Path(stage, "_folded"), plan.newFolded)
+      pairs.write.mode("overwrite").parquet(s"$stage/batch_id=-1")
+      Publish.writeLedger(pairFs, new Path(stage, "_folded"),
+        plan.newFolded)
       if (plan.newTd.nonEmpty) {
-        fs.mkdirs(new Path(stage, "_deletes"))
-        Publish.writeLedger(fs, new Path(stage, "_deletes/_folded"),
+        pairFs.mkdirs(new Path(stage, "_deletes"))
+        Publish.writeLedger(pairFs, new Path(stage, "_deletes/_folded"),
           plan.newTd)
       }
     }

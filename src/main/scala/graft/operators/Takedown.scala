@@ -485,7 +485,17 @@ object Takedown {
       // independently as the purged doc count.
       val full = Sampling.packSequencesOf(
         docs.join(broadcast(dead), Seq("doc_id"), "left_anti"))
-      val sym = stitched.exceptAll(full).unionByName(full.exceptAll(stitched))
+      // Project BOTH sides through one explicit column list before the
+      // excepts (r14 review, second pass): exceptAll resolves
+      // POSITIONALLY, five of the six columns are BIGINT, and a
+      // caller-supplied pack table with the same columns in a
+      // different order would silently compare misaligned columns —
+      // a bogus certificate either way.
+      val packCols = Seq("lang", "pack_id", "n_docs", "n_tokens",
+        "first_doc", "last_doc").map(col)
+      val st = stitched.select(packCols: _*)
+      val fl = full.select(packCols: _*)
+      val sym = st.exceptAll(fl).unionByName(fl.exceptAll(st))
       stitched.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_live"))
         .crossJoin(sym.agg(count(lit(1)).as("n_dead")))
         .select(lit("packs").as("artifact"), col("n_live"), col("n_dead"))

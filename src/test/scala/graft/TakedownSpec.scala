@@ -311,6 +311,18 @@ class TakedownSpec extends SparkSpec {
     assert(sigDocs.intersect(deadSet).isEmpty,
       "committed sig fold still carries taken-down docs")
     assert(pairs == want, "crash window changed the live pair view")
+    // THE replay the crash implies (r14 review, second pass): the
+    // stream re-delivers its LAST micro-batch — the max ingest id —
+    // because its offsets never committed. The fold output lives at
+    // batch_id=-1, so this replay lands NEXT TO the fold (its sig rows
+    // duplicate folded rows; candidate generation and the next fold
+    // both collapse them) instead of overwriting the folded signature
+    // set, which a foldId = ingest.max output name would have lost
+    // wholesale.
+    Dedup.appendToPairTableBatch(spark,
+      docs.where(col("doc_id") % 2 === 1), docs,
+      s"$dd/sigs", s"$dd/pairs", 1L)
+    assert(pairs == want, "crash-window batch replay changed the view")
     // Replay converges: both tables folded, deletes cleared, the live
     // view unchanged — and NO taken-down doc's signature survived
     // anywhere reachable.
