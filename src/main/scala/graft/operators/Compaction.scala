@@ -147,8 +147,24 @@ object Compaction {
       val cur = resolveRoot(spark, indexPath)
       val (fs, p) = fsOf(spark, cur)
       def at(s: String) = if (s.isEmpty) p else new Path(p, s)
-      batchIds(fs, at(sub)).size >= threshold ||
-        batchIds(fs, at(deletesSub)).size >= threshold
+      // Mirror the fold's own never-built check (ADVICE r14): when the
+      // accreting content was never built — a takedown stream racing
+      // ahead of its ingest twin — the fold is a guaranteed no-op, and
+      // firing on the accreting DELETES count alone would pay a wasted
+      // resolve+list+compact call every micro-batch until content
+      // arrives. With this guard the per-batch poll stays a single
+      // cheap existence probe in that state. For root-accreting tables
+      // (sub = "", the pair table) "built" means a non-hidden entry
+      // exists — takedown debris is all `_`-prefixed.
+      val built =
+        if (sub.isEmpty)
+          fs.exists(p) && fs.listStatus(p).exists { s =>
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+        else fs.exists(at(sub))
+      built && (batchIds(fs, at(sub)).size >= threshold ||
+        batchIds(fs, at(deletesSub)).size >= threshold)
     }
 
   /** Batch ids present as `batch_id=N` children of one subdir. */
@@ -204,11 +220,22 @@ object Compaction {
     Publish.commitMarker(spark, indexPath, Publish.Claim(cur + 1, token))
     // CLEANUP: keep generation `cur` for readers in flight across the
     // flip; everything older is unreachable by any future resolve.
-    // Marker first, then data: a crash after the marker delete leaves
-    // an unmarked dir recoverGen reaps; a crash before it leaves the
-    // generation intact for the next fold's sweep.
-    (1 until cur).foreach { g =>
-      fs.delete(new Path(root, s"${Publish.MarkerDir}/$g"), false)
+    // Reap by LISTING the marker dir once, not by probing every
+    // historical generation number (ADVICE r14: the counter grows
+    // unboundedly under a self-compacting stream, so per-number probes
+    // make cumulative metadata ops quadratic — real cost/rate-limit
+    // exposure on object stores, and it contradicted the listing-cost
+    // motivation for compaction). Marker first, then data: a crash
+    // after the marker delete leaves an unmarked dir recoverGen reaps
+    // at the next fold; a crash before it leaves the generation intact
+    // for the next fold's sweep.
+    val md = new Path(root, Publish.MarkerDir)
+    val staleGens =
+      (try fs.listStatus(md).toSeq.flatMap(_.getPath.getName.toIntOption)
+       catch { case _: java.io.FileNotFoundException => Nil })
+        .filter(_ < cur)
+    staleGens.foreach { g =>
+      fs.delete(new Path(md, g.toString), false)
       fs.delete(new Path(root, s"v=$g"), true)
     }
     if (cur >= 1)
@@ -331,6 +358,44 @@ object Compaction {
     }
   }
 
+  /** Compact the CONTENT index ([[ContentIndex.buildBatch]] layout):
+    * shingle postings (bucket-partitioned inside the fold) and the
+    * docstore (doc-bucket-partitioned) fold into one batch partition
+    * each; logical deletes are applied physically and cleared — after
+    * which a content-addressed takedown probe reads consolidated,
+    * purged buckets. */
+  def compactContentIndex(spark: SparkSession, indexPath: String): Unit = {
+    val (fs, _) = fsOf(spark, indexPath)
+    val plan = foldPlan(spark, indexPath, "shingles", "deletes")
+      .getOrElse(return)
+    val cur = plan.cur
+    val deletesDir = s"$cur/deletes"
+    val sh = Takedown.applyDeletes(
+      spark.read.schema("doc_id BIGINT, sh STRING")
+        .parquet(s"$cur/shingles")
+        .select(col("doc_id"), col("sh"), col("sb")),
+      deletesDir)
+    val store = Takedown.applyDeletes(
+      spark.read.schema("doc_id BIGINT, norm_text STRING")
+        .parquet(s"$cur/docstore")
+        .select(col("doc_id"), col("norm_text"), col("db")),
+      deletesDir)
+    publishGeneration(spark, indexPath,
+      n => Set("shingles", "docstore", "deletes", "_folded").contains(n)) {
+      stage =>
+        sh.write.mode("overwrite").partitionBy("sb")
+          .parquet(s"$stage/shingles/batch_id=${plan.foldId}")
+        store.write.mode("overwrite").partitionBy("db")
+          .parquet(s"$stage/docstore/batch_id=${plan.foldId}")
+        Publish.writeLedger(fs, new Path(stage, "_folded"), plan.newFolded)
+        if (plan.newTd.nonEmpty) {
+          fs.mkdirs(new Path(stage, "deletes"))
+          Publish.writeLedger(fs, new Path(stage, "deletes/_folded"),
+            plan.newTd)
+        }
+    }
+  }
+
   /** Compact the near-dup PAIR + SIGNATURE tables (the [[Dedup]]
     * streaming-maintained layout — both roots are read WHOLESALE, so
     * their batch partitions, ledger, and `_deletes` live at the table
@@ -384,6 +449,15 @@ object Compaction {
     // committed, signature fold still owed) leaves the pair side
     // consolidated — foldPlan alone would return None forever while
     // taken-down docs' band signatures survive in the sig table.
+    // LIMITATION, documented (ADVICE r14): in that crash state the
+    // pair commit already reaped the `_deletes` DATA (only the
+    // `_deletes/_folded` id ledger survives), so this completion pass
+    // can only CONSOLIDATE the signatures — it cannot purge the
+    // taken-down docs' rows, and their bands may generate candidate
+    // pairs again. Recovery is a compliance re-issue under a FRESH
+    // takedownId (the folded ledger no-ops the original id by design);
+    // the shipped sig-first commit order makes this state unreachable
+    // going forward — it exists only for pre-reorder (r14-draft) trees.
     val sigOwed = hasSig &&
       batchIds(sigFs, new Path(resolveRoot(spark, sigPath))).size > 1
     val plan = foldPlan(spark, pairPath, "", "_deletes").orElse {
@@ -401,12 +475,17 @@ object Compaction {
     // A pair root holding ONLY takedown debris (never built — e.g. a
     // takedown stream racing ahead of its ingest twin) has nothing
     // readable to fold; leave the deletes standing until content
-    // arrives (r14 review, second pass).
+    // arrives (r14 review, second pass). The exists guard covers the
+    // sigOwed legacy entry, where the pair root itself may be ABSENT
+    // (sig table present, pair root deleted) — listStatus would throw
+    // FileNotFoundException instead of returning cleanly (ADVICE r14).
+    val curPairPath = new Path(curPair)
     if (plan.ingest.isEmpty &&
-        !pairFs.listStatus(new Path(curPair)).exists { s =>
-          val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }) return
+        (!pairFs.exists(curPairPath) ||
+         !pairFs.listStatus(curPairPath).exists { s =>
+           val n = s.getPath.getName
+           !n.startsWith("_") && !n.startsWith(".")
+         })) return
     val pairs = Takedown.pairTableLive(spark, pairPath)
     def tableFlat(n: String): Boolean =
       n.startsWith("batch_id=") || n == "_deletes" || n == "_folded"

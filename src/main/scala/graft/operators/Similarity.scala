@@ -694,6 +694,50 @@ object Similarity {
         sum(coalesce(col("hit"), lit(0))).as("n_hits"))
       .withColumn("recall", col("n_hits") / lit(k.toDouble))
 
+  /** Post-takedown ANN health (r15, VERDICT r14 next #4): per-query
+    * recall of the takedown-aware IVF serve against the exact top-k
+    * over the PURGED corpus — the unmeasured consequence of the
+    * deliberate never-retrain-on-takedown policy
+    * ([[Takedown.takedownIvf]]): centroids keep the purged vectors'
+    * mass, so after heavy purges the probe ranking drifts from where
+    * the live vectors actually are and recall decays silently. This is
+    * [[lshRecallReport]]'s shape with the IVF serve as the approximate
+    * arm and the index's OWN deletes defining the ground-truth corpus;
+    * the exact arm is the broadcast-bounded brute force (the query
+    * panel is fixed, so the diagnostic costs one corpus pass —
+    * production runs it on a sampled panel after maintenance cycles,
+    * the lshRecallReport note). */
+  def recallAfterTakedown(spark: SparkSession, indexPath: String,
+                          dir: String, k: Int = TopK): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nv").as("nq"))
+    val approx = queryIvfIndex(spark, indexPath, q, k)
+    val root = Compaction.resolveRoot(spark, indexPath)
+    val live = Takedown.applyDeletes(c, s"$root/deletes", idCol = "vec_id")
+    val scored = live.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("nq") * col("nv"))).as("cosine"))
+    val exact = Ranking.saltedTopK(scored,
+      part = Seq(col("q_id")),
+      ord = Seq(col("cosine").desc, col("vec_id").asc),
+      saltOn = col("vec_id"), k = k, saltBuckets = 64)
+    recallReportOf(approx, exact, k)
+  }
+
+  /** True when the panel's MEAN post-takedown recall fell below
+    * `floor` — the retrain-due signal the takedown stream polls beside
+    * compactionDue ([[graft.streaming.StreamingIngest]]): compaction
+    * keeps the index PHYSICALLY healthy, this keeps it SEMANTICALLY
+    * healthy. One bounded driver probe (the report is ≤ NumQueries
+    * rows). */
+  def retrainDue(spark: SparkSession, indexPath: String, dir: String,
+                 floor: Double, k: Int = TopK): Boolean =
+    recallAfterTakedown(spark, indexPath, dir, k)
+      .agg(avg(col("recall"))).collect()(0).getDouble(0) < floor
+
   /** Levels for [[quantizeEmbeddings]] (int8-style: codes 0..255). */
   val QuantLevels = 256
 

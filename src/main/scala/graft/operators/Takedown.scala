@@ -219,6 +219,22 @@ object Takedown {
       recordDeletes(ids, s"$root/_deletes", takedownId)
   }
 
+  /** Takedown against the standing CONTENT index
+    * ([[ContentIndex.buildBatch]] layout): deletes only — the index
+    * carries no corpus statistics; both its readers (shingle postings
+    * and docstore) anti-join the deletes, so a taken-down doc's text
+    * stops being probe-able immediately and
+    * [[Compaction.compactContentIndex]] purges it physically. This is
+    * the most compliance-sensitive artifact of the set — the docstore
+    * stores the full normalized text. */
+  def takedownContent(spark: SparkSession, indexPath: String,
+                      ids: DataFrame, takedownId: Long): Unit = {
+    val root = Compaction.resolveRoot(spark, indexPath)
+    if (!Compaction.isTakedownFolded(spark, s"$root/deletes",
+        takedownId))
+      recordDeletes(ids, s"$root/deletes", takedownId)
+  }
+
   /** The deletes-aware pair-table reader: [[Dedup.pairTable]]'s
     * contract minus pairs touching a taken-down doc (either side). */
   def pairTableLive(spark: SparkSession, pairPath: String): DataFrame = {
@@ -317,11 +333,13 @@ object Takedown {
       lexIndexPath: Option[String] = None,
       posIndexPath: Option[String] = None,
       ivfIndexPath: Option[String] = None,
-      pairTablePath: Option[String] = None) {
+      pairTablePath: Option[String] = None,
+      contentIndexPath: Option[String] = None) {
     private[Takedown] def legs: Seq[(String, String)] = Seq(
       "corpus" -> corpusTableDir, "lex" -> lexIndexPath,
       "pos" -> posIndexPath, "ivf" -> ivfIndexPath,
-      "pairs" -> pairTablePath).collect { case (n, Some(p)) => n -> p }
+      "pairs" -> pairTablePath,
+      "content" -> contentIndexPath).collect { case (n, Some(p)) => n -> p }
   }
 
   /** ORCHESTRATED takedown (r14, VERDICT r13 #2): one call propagates
@@ -347,7 +365,20 @@ object Takedown {
     * different legs — THE cross-artifact consistency hazard the
     * orchestrator exists to remove. */
   def takedownAll(spark: SparkSession, ids: DataFrame, takedownId: Long,
-                  targets: TakedownTargets, manifestDir: String): Unit = {
+                  targets: TakedownTargets, manifestDir: String): Unit =
+    takedownAllWith(spark, ids, takedownId, targets, manifestDir)
+
+  /** [[takedownAll]] with the between-legs crash seam exposed for the
+    * spec (`beforeLeg` runs before each leg, with its name — the
+    * compactPairTableWith betweenCommits pattern): a throw there
+    * models the driver dying mid-orchestration, which the manifest
+    * replay contract must absorb. */
+  private[graft] def takedownAllWith(spark: SparkSession, ids: DataFrame,
+                                     takedownId: Long,
+                                     targets: TakedownTargets,
+                                     manifestDir: String,
+                                     beforeLeg: String => Unit =
+                                       _ => ()): Unit = {
     require(targets.legs.nonEmpty,
       "takedownAll: no target artifacts — the request would be " +
         "manifested as complete while applied nowhere")
@@ -357,6 +388,7 @@ object Takedown {
     val pinned = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().localCheckpoint()
     try targets.legs.foreach { case (name, path) =>
+      beforeLeg(name)
       val lp = new Path(mroot, name)
       val done = graft.sinks.Publish.readLedger(fs, lp)
       if (!graft.sinks.Publish.batchApplied(done, takedownId)) {
@@ -380,6 +412,7 @@ object Takedown {
           case "ivf" => takedownIvf(spark, path,
             pinned.withColumnRenamed("doc_id", "vec_id"), takedownId)
           case "pairs" => takedownPairs(spark, path, pinned, takedownId)
+          case "content" => takedownContent(spark, path, pinned, takedownId)
         }
         graft.sinks.Publish.writeLedger(fs, lp,
           graft.sinks.Publish.addBatch(done, takedownId))
@@ -464,43 +497,111 @@ object Takedown {
       case ("pairs", p) =>
         leg("pairs", pairTableLive(spark, p)
           .select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"))
+      case ("content", p) =>
+        val root = Compaction.resolveRoot(spark, p)
+        leg("content", ContentIndex.docstore(spark, root)
+          .select(col("doc_id")), Seq("doc_id"))
       case (other, _) => throw new IllegalStateException(other)
     }
     val packLeg = packSource.map { case (docs, packs) =>
-      val affected = affectedPacks(docs, dead, packs)
-        .select(col("lang"), col("from_pack_id"))
-      val prefix = packs.join(broadcast(affected), Seq("lang"), "left")
-        .where(col("from_pack_id").isNull ||
-          col("pack_id") < col("from_pack_id"))
-        .drop("from_pack_id")
-      val stitched = prefix.unionByName(repackSuffix(docs, dead, packs))
-      // n_dead = the SYMMETRIC DIFFERENCE between the stitched packs a
-      // training run would read and a from-scratch repack of the
-      // purged corpus, at pack-row grain — zero iff the two plans are
-      // bit-identical. (r14 review #7: the first cut computed
-      // packed-slots minus live-docs, a difference in which a packed
-      // DEAD doc and a dropped LIVE doc cancel to zero — a compliance
-      // certificate must not pass on cancellation.) n_live stays the
-      // packed doc-slot count, which the oracle recomputes
-      // independently as the purged doc count.
-      val full = Sampling.packSequencesOf(
-        docs.join(broadcast(dead), Seq("doc_id"), "left_anti"))
-      // Project BOTH sides through one explicit column list before the
-      // excepts (r14 review, second pass): exceptAll resolves
-      // POSITIONALLY, five of the six columns are BIGINT, and a
-      // caller-supplied pack table with the same columns in a
-      // different order would silently compare misaligned columns —
-      // a bogus certificate either way.
-      val packCols = Seq("lang", "pack_id", "n_docs", "n_tokens",
-        "first_doc", "last_doc").map(col)
-      val st = stitched.select(packCols: _*)
-      val fl = full.select(packCols: _*)
-      val sym = st.exceptAll(fl).unionByName(fl.exceptAll(st))
-      stitched.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_live"))
-        .crossJoin(sym.agg(count(lit(1)).as("n_dead")))
-        .select(lit("packs").as("artifact"), col("n_live"), col("n_dead"))
+      packCertLeg(docs, dead, packs, suffixScoped = true)
     }
     (legs ++ packLeg).reduce(_ unionByName _)
+  }
+
+  /** The certificate's PACK leg: one row
+    * ('packs', n_live = packed doc slots, n_dead = |symmetric
+    * difference between the stitched packs a training run would read
+    * and a from-scratch repack of the purged corpus|) — n_dead zero
+    * iff the two plans are bit-identical at pack-row grain. (r14
+    * review #7: a packed-slots-minus-live-docs difference lets a
+    * packed DEAD doc and a dropped LIVE doc cancel to zero — a
+    * compliance certificate must not pass on cancellation.)
+    *
+    * `suffixScoped = true` (the production form — r15, VERDICT r14
+    * #2) bounds BOTH sides of the proof to where disagreement can
+    * live:
+    *
+    *  - The from-scratch repack runs only over the AFFECTED langs'
+    *    strata (langs untouched by the takedown keep their standing
+    *    packs in `stitched` verbatim, and the packer is deterministic
+    *    — [[Sampling.packSequencesOf]]'s per-stratum window makes a
+    *    lang's packs a function of that lang's docs alone — so
+    *    untouched langs contribute zero difference rows BY
+    *    CONSTRUCTION, pinned by TakedownSpec's scoped≡full case).
+    *  - The symmetric difference is restricted to
+    *    `pack_id >= from_pack_id` per affected lang: below the cut no
+    *    doc was removed, so offsets — prefix sums over preceding
+    *    live docs only — are unchanged and the deterministic packer
+    *    reproduces the standing prefix bit for bit (the prefix
+    *    identity TakedownSpec already pins).
+    *
+    *  The scoped form still catches corruption BELOW the cut that a
+    *  suffix proof must see: a misaligned standing pack table (e.g. a
+    *  wrong prefix n_tokens) feeds [[affectedPacks]]'s seed_offset,
+    *  shifts every stitched suffix pack, and surfaces as suffix
+    *  difference rows — TakedownSpec crafts exactly that case and
+    *  asserts both forms flag it. What it deliberately does NOT
+    *  re-prove is prefix fields the packer's determinism already
+    *  covers; the full form (`suffixScoped = false`, the r14
+    *  shape) remains for audits that want the corpus-order
+    *  re-derivation. Cost: O(affected strata) packer + O(suffix)
+    *  excepts, vs a full corpus repack plus two full-table excepts
+    *  per certificate — at 100 TB the difference is the audit being
+    *  routine vs being a budget line. */
+  private[graft] def packCertLeg(docs: DataFrame, dead: DataFrame,
+                                 packs: DataFrame,
+                                 suffixScoped: Boolean): DataFrame = {
+    // GUARD (r15): scope by the langs that HAVE dead docs, not by the
+    // langs where [[affectedPacks]] FOUND a cut — on a corrupted
+    // standing pack table whose doc ranges contain no dead doc, the
+    // cut set is empty, and a cut-driven scope would compare nothing
+    // and certify the corruption clean (the stale-ranges case the r14
+    // spec pins). A dead lang with no cut row scopes to
+    // from_pack_id = Long.MinValue: its standing packs leave the
+    // stitched plan (nothing below MinValue) and the whole stratum
+    // enters the symmetric difference against the from-scratch repack
+    // — n_dead goes nonzero, loudly.
+    val cuts = affectedPacks(docs, dead, packs)
+      .select(col("lang"), col("from_pack_id"))
+    val affected = docs
+      .join(broadcast(dead.select(col("doc_id")).distinct()), "doc_id")
+      .select(col("lang")).distinct()
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("from_pack_id"), lit(Long.MinValue))
+          .as("from_pack_id"))
+    val prefix = packs.join(broadcast(affected), Seq("lang"), "left")
+      .where(col("from_pack_id").isNull ||
+        col("pack_id") < col("from_pack_id"))
+      .drop("from_pack_id")
+    val stitched = prefix.unionByName(repackSuffix(docs, dead, packs))
+    val purged = docs.join(broadcast(dead), Seq("doc_id"), "left_anti")
+    // Project BOTH sides through one explicit column list before the
+    // excepts (r14 review, second pass): exceptAll resolves
+    // POSITIONALLY, five of the six columns are BIGINT, and a
+    // caller-supplied pack table with the same columns in a
+    // different order would silently compare misaligned columns —
+    // a bogus certificate either way.
+    val packCols = Seq("lang", "pack_id", "n_docs", "n_tokens",
+      "first_doc", "last_doc").map(col)
+    val (st, fl) =
+      if (suffixScoped) {
+        val fullAff = Sampling.packSequencesOf(
+          purged.join(broadcast(affected.select(col("lang"))), Seq("lang")))
+        def suffixOf(df: DataFrame): DataFrame =
+          df.join(broadcast(affected), Seq("lang"))
+            .where(col("pack_id") >= col("from_pack_id"))
+            .select(packCols: _*)
+        (suffixOf(stitched), suffixOf(fullAff))
+      } else {
+        val full = Sampling.packSequencesOf(purged)
+        (stitched.select(packCols: _*), full.select(packCols: _*))
+      }
+    val sym = st.exceptAll(fl).unionByName(fl.exceptAll(st))
+    stitched.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_live"))
+      .crossJoin(sym.agg(count(lit(1)).as("n_dead")))
+      .select(lit("packs").as("artifact"), col("n_live"), col("n_dead"))
   }
 
   /** Resolve a CONTENT-ADDRESSED takedown request (r14, VERDICT r13
@@ -530,6 +631,85 @@ object Takedown {
                              pairTablePath: Option[String] = None)
       : DataFrame = {
     val spark = docs.sparkSession
+    val p = passagePrep(passages)
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
+    val cand = sh.join(broadcast(p), col("sh") === col("probe"))
+      .select(col("doc_id"), col("passage_id")).distinct()
+    val candText = cand
+      .join(docs.select(col("doc_id"),
+        TextOps.normText(col("text")).as("norm_text")), "doc_id")
+      .select(col("passage_id"), col("doc_id"), col("norm_text"))
+    contentExpandTail(spark,
+      exactTier(candText, p).localCheckpoint(), pairTablePath)
+  }
+
+  /** [[resolveTakedownContent]] answered ENTIRELY from the standing
+    * content index (r15, VERDICT r14 next #1 — the serve-grade form):
+    *
+    *  1. CANDIDATES from the persisted shingle postings, PARTITION-
+    *     PRUNED to the probes' hash buckets — the per-request corpus
+    *     shingle explode is gone; the scan touches |request-batch
+    *     distinct probes| of [[ContentIndex.ShingleBuckets]] bucket
+    *     directories. (The bucket values are collected driver-side —
+    *     bounded by the request batch, the same class as the one-row
+    *     bounds probes — because partition pruning needs literals.)
+    *  2. VERIFY by the SAME exact padded-containment tail, reading
+    *     candidate texts from the index's docstore (never the
+    *     `documents` table — PlanAuditSpec pins the serve plan corpus-
+    *     scan-free); candidates broadcast into the bucketed docstore
+    *     (requests are small by nature — the [[applyDeletes]]
+    *     contract).
+    *
+    * Build/serve identity: the tail is shared by definition, the
+    * docstore's norm_text is the same [[TextOps.normText]] the inline
+    * form computes, and [[ContentIndex]] dedups shingles per doc just
+    * as the inline candidate tier's distinct does — so the result is
+    * hash-identical to the inline resolver over the same live corpus
+    * (the driver oracle pins it: q_takedown_by_content_served shares
+    * q_takedown_by_content's twin verbatim). Takedown-aware end to
+    * end: both index readers anti-join `deletes/`. */
+  def resolveTakedownContentServed(spark: SparkSession, indexPath: String,
+                                   passages: DataFrame,
+                                   pairTablePath: Option[String] = None)
+      : DataFrame =
+    contentExpandTail(spark,
+      servedExact(spark, indexPath, passages).localCheckpoint(),
+      pairTablePath)
+
+  /** The served resolver's probe + verify tiers, UP TO the exact-match
+    * frame (before the pin that feeds the expansion joins) — exposed
+    * private[graft] so PlanAuditSpec can audit the real production
+    * subtree (the localCheckpoint in the public form truncates it out
+    * of the final plan, the IVF-seed precedent). */
+  private[graft] def servedExact(spark: SparkSession, indexPath: String,
+                                 passages: DataFrame): DataFrame = {
+    val root = Compaction.resolveRoot(spark, indexPath)
+    // Pinned: the frame feeds a driver-side bucket collect, the probe
+    // join, and the verify join — a nondeterministic request source
+    // must resolve to ONE passage set across them (the takedownAll
+    // id-pinning argument).
+    val p = passagePrep(passages).localCheckpoint()
+    val buckets = p
+      .select(ContentIndex.shingleBucket(col("probe")).as("sb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val cand = ContentIndex.shinglePostings(spark, root, buckets)
+      .join(broadcast(p), col("sh") === col("probe"))
+      .select(col("doc_id"), col("passage_id")).distinct()
+    val candText = ContentIndex.docstore(spark, root)
+      .join(broadcast(cand
+        .withColumn("db", ContentIndex.docBucket(col("doc_id")))),
+        Seq("db", "doc_id"))
+      .select(col("passage_id"), col("doc_id"), col("norm_text"))
+    exactTier(candText, p)
+  }
+
+  /** Shared passage preparation: normalized passage text + the
+    * first-3-token probe shingle, with the completeness guard
+    * (token-boundary containment implies every passage shingle — in
+    * particular the first — is a document shingle; below 3 tokens the
+    * probe tier cannot guarantee completeness). */
+  private def passagePrep(passages: DataFrame): DataFrame = {
     val p = passages.select(col("passage_id"),
         TextOps.normText(col("passage")).as("p_norm"),
         TextOps.tokens(col("passage")).as("p_toks"))
@@ -540,19 +720,30 @@ object Takedown {
       "resolveTakedownContent: a passage carries fewer than 3 tokens — " +
         "the shingle-probe candidate tier cannot guarantee completeness " +
         "below the shingle width; resolve such requests by id")
-    val sh = docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
-    val cand = sh.join(broadcast(p), col("sh") === col("probe"))
-      .select(col("doc_id"), col("passage_id")).distinct()
-    val exact = cand
-      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    p
+  }
+
+  /** The ONE exact-containment verify both content resolvers share
+    * (the bm25ScoreTail discipline — build/serve identity by shared
+    * definition): exact padded containment on candidates only.
+    * `candText` is any (passage_id, doc_id, norm_text) candidate
+    * frame. */
+  private def exactTier(candText: DataFrame, p: DataFrame): DataFrame =
+    candText
       .join(broadcast(p), "passage_id")
       .where(contains(
-        concat(lit(" "), TextOps.normText(col("text")), lit(" ")),
+        concat(lit(" "), col("norm_text"), lit(" ")),
         concat(lit(" "), col("p_norm"), lit(" "))))
       .select(col("passage_id"), col("doc_id"))
-      .localCheckpoint() // feeds the result AND both expansion joins
-    val out = pairTablePath match {
+
+  /** The ONE near-dup-expansion tail both content resolvers share:
+    * optional neighbor expansion through the live pair table, exact
+    * matches winning the label. `exact` arrives PINNED
+    * (localCheckpoint) — it feeds the result and both expansion
+    * joins. */
+  private def contentExpandTail(spark: SparkSession, exact: DataFrame,
+                                pairTablePath: Option[String]): DataFrame =
+    pairTablePath match {
       case None => exact.withColumn("via", lit("exact"))
       case Some(pp) =>
         val pairs = pairTableLive(spark, pp)
@@ -570,6 +761,4 @@ object Takedown {
           .withColumn("via", lit("neardup"))
         exact.withColumn("via", lit("exact")).unionByName(expanded)
     }
-    out
-  }
 }

@@ -436,6 +436,105 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** ORCHESTRATED takedown stream (r15, VERDICT r14 next #6): the
+    * compliance stream a production pipeline actually runs — each
+    * micro-batch of takedown requests drives
+    * [[graft.operators.Takedown.takedownAll]] across EVERY targeted
+    * artifact with its per-artifact completion manifest, so the stream
+    * carries the same completion proof the batch orchestrator does
+    * (before this, a streaming takedown covered the per-artifact legs
+    * but the manifest was batch-only). The micro-batch id is the
+    * takedownId: monotone by construction (the lex stats-correction
+    * contract), and a crash ANYWHERE — even between legs mid-batch —
+    * replays the batch against the manifest, which no-ops completed
+    * legs and completes the rest (StreamingPipelineSpec kills a leg
+    * mid-batch and proves the replay converges to manifestComplete +
+    * an all-zero erasure certificate).
+    *
+    * Maintenance rides the same trigger (the self-compaction
+    * contract: this stream must then be the ONLY self-compacting
+    * stream for each targeted index):
+    *
+    *  - PHYSICAL health: per-artifact [[graft.operators.Compaction]]
+    *    polls fold the accreted delete partitions once they pass
+    *    `compactEvery`.
+    *  - SEMANTIC health (VERDICT r14 next #4): when `recallFloor` > 0
+    *    and an IVF target is present, the post-takedown recall panel
+    *    ([[graft.operators.Similarity.recallAfterTakedown]]) runs
+    *    after the legs; a mean below the floor drops a `_retrain_due`
+    *    marker at the index path — the signal the never-retrain-on-
+    *    takedown policy needs to stay honest (centroids keep purged
+    *    mass; past some purge volume the probe ranking has drifted
+    *    from the live vectors and only a retrain recovers recall).
+    *    The marker is idempotent; the retrain job that rebuilds the
+    *    index clears it. `recallCorpusDir` supplies the embeddings
+    *    the exact arm scores (a sampled panel in production). */
+  def takedownAllStream(idStream: DataFrame,
+                        targets: graft.operators.Takedown.TakedownTargets,
+                        manifestDir: String,
+                        checkpointDir: String,
+                        compactEvery: Int = 0,
+                        pairSigPath: Option[String] = None,
+                        recallFloor: Double = 0.0,
+                        recallCorpusDir: Option[String] = None): Unit =
+    takedownAllStreamWith(idStream, targets, manifestDir, checkpointDir,
+      compactEvery, pairSigPath, recallFloor, recallCorpusDir)
+
+  /** [[takedownAllStream]] with the between-legs crash seam exposed
+    * for the spec ([[graft.operators.Takedown.takedownAllWith]]'s
+    * beforeLeg, threaded through the micro-batch). */
+  private[graft] def takedownAllStreamWith(
+      idStream: DataFrame,
+      targets: graft.operators.Takedown.TakedownTargets,
+      manifestDir: String, checkpointDir: String,
+      compactEvery: Int = 0, pairSigPath: Option[String] = None,
+      recallFloor: Double = 0.0, recallCorpusDir: Option[String] = None,
+      beforeLeg: String => Unit = _ => ()): Unit = {
+    val q = idStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val s = batch.sparkSession
+          graft.operators.Takedown.takedownAllWith(s, batch, batchId,
+            targets, manifestDir, beforeLeg)
+          if (compactEvery > 0) {
+            def due(p: String, sub: String, del: String) =
+              graft.operators.Compaction.compactionDue(s, p, sub, del,
+                threshold = compactEvery)
+            targets.lexIndexPath.foreach(p =>
+              if (due(p, "postings", "deletes"))
+                graft.operators.Compaction.compactLexIndex(s, p))
+            targets.posIndexPath.foreach(p =>
+              if (due(p, "pos", "deletes"))
+                graft.operators.Compaction.compactPosIndex(s, p))
+            targets.ivfIndexPath.foreach(p =>
+              if (due(p, "postings", "deletes"))
+                graft.operators.Compaction.compactIvfIndex(s, p))
+            targets.contentIndexPath.foreach(p =>
+              if (due(p, "shingles", "deletes"))
+                graft.operators.Compaction.compactContentIndex(s, p))
+            for (pp <- targets.pairTablePath; sp <- pairSigPath)
+              if (due(pp, "", "_deletes"))
+                graft.operators.Compaction.compactPairTable(s, pp, sp)
+          }
+          for (ivf <- targets.ivfIndexPath; dir <- recallCorpusDir
+               if recallFloor > 0.0)
+            if (graft.operators.Similarity.retrainDue(s, ivf, dir,
+                recallFloor)) {
+              val root = new org.apache.hadoop.fs.Path(ivf)
+              val fs = root.getFileSystem(
+                s.sparkContext.hadoopConfiguration)
+              fs.create(new org.apache.hadoop.fs.Path(root,
+                "_retrain_due"), true).close()
+            }
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Standing near-dup index maintenance (VERDICT r5 ask #7): each
     * micro-batch of arriving documents lands in the docs layer
     * (batchId-idempotent) and is folded into the persisted signature +

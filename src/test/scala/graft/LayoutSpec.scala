@@ -46,18 +46,24 @@ class LayoutSpec extends SparkSpec {
   test("z-order row groups prune a 2-D box where single-key order cannot") {
     // sf0.01, not sf0.001: curve locality needs each row group's
     // rectangle to be SMALLER than the probe box — ~60 k rows in
-    // ~16 KB groups gives ~100 rectangles of ~1% key-space area vs the
-    // box's 9%; at sf0.001's 11 groups each rectangle is box-sized and
-    // the comparison measures nothing.
+    // 300-row chunks gives ~200 rectangles of ~0.5% key-space area vs
+    // the box's 9%; at sf0.001's 11 groups each rectangle is box-sized
+    // and the comparison measures nothing. Chunking is by RECORD COUNT
+    // (maxRecordsPerFile: one row group per small file), not by
+    // parquet.block.size bytes — the byte-based writer's size check
+    // samples in-memory encoder state and shifts with JVM memory
+    // pressure from concurrent suites, which made the 2× margin below
+    // flap under full-suite load (VERDICT r14 #1); record-count splits
+    // are exact, so this measurement is the same in any honest run.
     val li = Tables.lineitem(spark, SparkSpec.Sf001)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
     val (zDir, pDir) = (tmpDir("zorder"), tmpDir("pkorder"))
     Layout.zorderWrite(li, "l_partkey", "l_suppkey", zDir,
-      numFiles = 2, rowGroupBytes = Some(8L * 1024))
+      numFiles = 2, rowsPerFile = Some(300))
     li.repartitionByRange(2, col("l_partkey"))
       .sortWithinPartitions(col("l_partkey"))
-      .write.mode("overwrite").option("parquet.block.size", 8L * 1024)
+      .write.mode("overwrite").option("maxRecordsPerFile", "300")
       .parquet(pDir)
 
     val cols = Seq("l_partkey", "l_suppkey")

@@ -306,6 +306,41 @@ class PlanAuditSpec extends SparkSpec {
       s"seed selection must be heap-merge, not a global sort:\n$p")
   }
 
+  test("content-addressed takedown SERVE path never scans the corpus " +
+      "(r15, VERDICT r14 next #1)") {
+    // The served resolver answers from the standing content index:
+    // shingle postings partition-pruned to the probes' hash buckets
+    // for candidates, the index docstore for the containment verify.
+    // Pin what made the inline form corpus-order: no documents-table
+    // scan (no `text` derivation from the corpus — the passage
+    // fixture is localCheckpoint-pinned before the plan), and no
+    // Generate (the per-request corpus shingle explode is exactly
+    // what the index removed; the build paid it once). The exact tier
+    // is audited through Takedown.servedExact — the production
+    // subtree the public form localCheckpoint-pins out of its final
+    // plan (the IVF-seed precedent).
+    import graft.operators.{ContentIndex, Takedown, TextOps}
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, slice}
+    val idx = s"${tmpDir("plan_content_idx")}/idx"
+    ContentIndex.buildBatch(spark,
+      Tables.documents(spark, sf0001), idx, 0L)
+    val passages = Tables.documents(spark, sf0001)
+      .where(col("doc_id") === 8L)
+      .select(lit(0L).as("passage_id"),
+        concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 2, 5)).as("passage"))
+    val p = finalPlan(Takedown.servedExact(spark, idx, passages))
+    assert(!p.contains("documents.parquet"),
+      s"served content resolution scanned the corpus:\n$p")
+    assert(!p.contains("Generate"),
+      s"served content resolution re-exploded shingles at serve:\n$p")
+    // And the candidate tier's bucket pruning is real: the shingle
+    // scan carries the sb partition filter (one IN-list of probe
+    // buckets).
+    assert("PartitionFilters: \\[[^\\]]*sb".r.findFirstIn(p).nonEmpty,
+      s"shingle scan lost its bucket partition filter:\n$p")
+  }
+
   test("analytic surface keeps its documented shuffle/scan budget") {
     // leadlag: both windows partition by user_id, so ONE exchange serves
     // all four functions (the second window only re-sorts in place).

@@ -219,6 +219,94 @@ class StreamingPipelineSpec extends SparkSpec {
       Set(("a", 2L, 15L), ("b", 1L, 7L)))
   }
 
+  test("orchestrated takedown stream: a crash between legs mid-batch " +
+      "replays to a complete manifest and an all-zero certificate " +
+      "(r15, VERDICT r14 next #6)") {
+    import graft.operators.{ContentIndex, Retrieval, Takedown}
+    val dir = tmpDir("tdallstream")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val ids = docs.where(col("doc_id") % 5 === 2).select(col("doc_id"))
+    require(Sinks.mergePublish(spark, docs, s"$dir/corpus",
+      Seq("doc_id")) == 1)
+    Retrieval.buildLexIndexBatch(spark, docs, s"$dir/lex", 0L)
+    ContentIndex.buildBatch(spark, docs, s"$dir/content", 0L)
+    val targets = Takedown.TakedownTargets(
+      corpusTableDir = Some(s"$dir/corpus"),
+      lexIndexPath = Some(s"$dir/lex"),
+      contentIndexPath = Some(s"$dir/content"))
+    ids.write.parquet(s"$dir/req/b0")
+    def drain(beforeLeg: String => Unit): Unit =
+      StreamingIngest.takedownAllStreamWith(
+        spark.readStream.schema("doc_id BIGINT").parquet(s"$dir/req/*"),
+        targets, s"$dir/manifest", s"$dir/ckpt", beforeLeg = beforeLeg)
+    // The driver dies between the corpus leg and the lex leg,
+    // mid-micro-batch: the corpus leg is already ledgered, the stream
+    // offset is NOT committed.
+    var crashed = false
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain { leg =>
+        if (leg == "lex" && !crashed) {
+          crashed = true
+          throw new IllegalStateException("driver died between legs")
+        }
+      }
+    }
+    assert(e.getMessage.contains("driver died between legs") ||
+      e.getCause != null)
+    assert(!Takedown.manifestComplete(spark, s"$dir/manifest", 0L, targets),
+      "manifest claims completion after a mid-batch crash")
+    // Replay: the micro-batch re-fires with the SAME id; the manifest
+    // no-ops the completed corpus leg and completes the rest.
+    drain(_ => ())
+    assert(Takedown.manifestComplete(spark, s"$dir/manifest", 0L, targets),
+      "replayed takedown stream did not converge to a complete manifest")
+    val cert = Takedown.erasureCertificate(spark, ids, targets).collect()
+    assert(cert.nonEmpty && cert.forall(_.getLong(2) == 0L),
+      s"certificate found surviving references: ${cert.mkString(", ")}")
+    assert(cert.forall(_.getLong(1) > 0L))
+    // Idle re-drain on the same checkpoint: nothing new, nothing moves.
+    drain(_ => ())
+    assert(Takedown.manifestComplete(spark, s"$dir/manifest", 0L, targets))
+  }
+
+  test("takedown stream flags retrain-due when post-takedown IVF " +
+      "recall drifts below the floor (r15, VERDICT r14 next #4)") {
+    import graft.operators.{Similarity, Takedown}
+    val dir = tmpDir("retrainflag")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    Similarity.buildIvfIndexBatch(spark, emb, s"$dir/ivf", 0L)
+    def meanRecall: Double = Similarity
+      .recallAfterTakedown(spark, s"$dir/ivf", sf0001)
+      .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    val r0 = meanRecall
+    assert(r0 > 0.0)
+    // Take down exactly the vectors the IVF serve currently RETURNS:
+    // the stale (never retrained) probe ranking loses its confirmed
+    // hits, the exact arm recruits replacements from cells the probes
+    // never visit — recall must drop, and that drop is precisely the
+    // drift the flag exists to surface.
+    graft.expressions.DotProduct.register(spark)
+    val queries = emb.where(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("qv"))
+      .withColumn("nq", sqrt(call_function("dot_d", col("qv"), col("qv"))))
+    val dead = Similarity.queryIvfIndex(spark, s"$dir/ivf", queries)
+      .select(col("vec_id").as("doc_id")).distinct()
+    dead.write.parquet(s"$dir/req/b0")
+    val targets = Takedown.TakedownTargets(ivfIndexPath = Some(s"$dir/ivf"))
+    StreamingIngest.takedownAllStream(
+      spark.readStream.schema("doc_id BIGINT").parquet(s"$dir/req/*"),
+      targets, s"$dir/manifest", s"$dir/ckpt",
+      recallFloor = r0, recallCorpusDir = Some(sf0001))
+    val r1 = meanRecall
+    assert(r1 < r0,
+      s"hollowing out the densest cell did not move recall ($r0 → $r1)")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf/_retrain_due")),
+      "the stream did not drop the retrain-due marker on recall drift")
+  }
+
   test("streaming drift gate: per-batch report equals the batch driftBetween") {
     val dir = tmpDir("driftgate")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -662,4 +662,114 @@ class TakedownSpec extends SparkSpec {
       s"$dd/sigs", s"$dd/pairs", 0L)
     assert(pairs == before, "folded pair batch re-applied")
   }
+
+  test("content index: served resolution ≡ inline over the live corpus;" +
+      " takedown-aware; compaction and replays exactly-once") {
+    val dir = tmpDir("content_idx")
+    val idx = s"$dir/idx"
+    operators.ContentIndex.buildBatch(spark,
+      docs.where(col("doc_id") % 2 === 0), idx, 0L)
+    operators.ContentIndex.buildBatch(spark,
+      docs.where(col("doc_id") % 2 === 1), idx, 1L)
+    val passages = docs.where(col("doc_id") === 8L)
+      .select(lit(0L).as("passage_id"),
+        concat_ws(" ",
+          slice(operators.TextOps.tokens(col("text")), 2, 5)).as("passage"))
+      .localCheckpoint()
+    def served = Takedown
+      .resolveTakedownContentServed(spark, idx, passages)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    def inline(d: org.apache.spark.sql.DataFrame) = Takedown
+      .resolveTakedownContent(d, passages)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val full = inline(docs)
+    assert(served == full && full.nonEmpty,
+      "served content resolution drifted from the inline resolver")
+    // Takedown: deletes drop docs from BOTH index readers immediately.
+    Takedown.takedownContent(spark, idx, takedownIds, 0L)
+    val live = inline(purgedDocs)
+    assert(served == live,
+      "takedown-aware served resolution drifted from the purged inline")
+    // Physical fold: same bytes served, one consolidated generation.
+    Compaction.compactContentIndex(spark, idx)
+    assert(served == live, "content fold changed served resolution")
+    // Replays against the folded ledgers: both must no-op.
+    operators.ContentIndex.buildBatch(spark,
+      docs.where(col("doc_id") % 2 === 0), idx, 0L)
+    assert(served == live, "folded content batch re-applied")
+    Takedown.takedownContent(spark, idx, takedownIds, 0L)
+    assert(served == live, "folded content takedown re-applied")
+  }
+
+  test("compactionDue: never fires while the accreting content was " +
+      "never built (takedown stream racing ahead of ingest)") {
+    // Lex shape: deletes accrete under deletes/, postings absent.
+    val lx = tmpDir("cd_guard_lex")
+    Takedown.recordDeletes(takedownIds, s"$lx/idx/deletes", 0L)
+    assert(!Compaction.compactionDue(spark, s"$lx/idx",
+      sub = "postings", deletesSub = "deletes", threshold = 1),
+      "compactionDue fired on a never-built lex index")
+    // Pair shape (root-accreting): only `_`-prefixed takedown debris.
+    val pr = tmpDir("cd_guard_pair")
+    Takedown.recordDeletes(takedownIds, s"$pr/pairs/_deletes", 0L)
+    assert(!Compaction.compactionDue(spark, s"$pr/pairs",
+      sub = "", deletesSub = "_deletes", threshold = 1),
+      "compactionDue fired on a content-less pair root")
+    // And the guard releases the moment content lands.
+    operators.Dedup.appendToPairTableBatch(spark,
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 0),
+      s"$pr/sigs", s"$pr/pairs", 0L)
+    assert(Compaction.compactionDue(spark, s"$pr/pairs",
+      sub = "", deletesSub = "_deletes", threshold = 1),
+      "compactionDue stayed silent after content arrived")
+  }
+
+  test("erasure certificate packs leg: suffix-scoped ≡ full-table " +
+      "symmetric difference — clean agrees clean, a seed-corrupting " +
+      "misalignment below the cut is flagged by BOTH forms") {
+    def leg(packs: org.apache.spark.sql.DataFrame, scoped: Boolean,
+            dead: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Takedown.packCertLeg(docs, dead, packs, scoped).collect()(0)
+      (r.getLong(1), r.getLong(2))
+    }
+    val honest = Sampling.packSequencesOf(docs).localCheckpoint()
+    val deadSet = takedownIds.localCheckpoint()
+    val (liveS, deadS) = leg(honest, scoped = true, deadSet)
+    val (liveF, deadF) = leg(honest, scoped = false, deadSet)
+    assert(deadS == 0L && deadF == 0L && liveS == liveF && liveS > 0L,
+      s"clean pack table disagreed: scoped=($liveS,$deadS) " +
+        s"full=($liveF,$deadF)")
+    // Craft the misalignment the SUFFIX proof must still see: take
+    // down only one lang's LAST doc (the cut lands at that lang's last
+    // pack, so packs DO exist below the cut), then corrupt a
+    // below-the-cut pack's token count by a full pack budget. The
+    // corruption never enters the suffix rows directly — it feeds
+    // affectedPacks' seed_offset, shifts every stitched suffix pack by
+    // one pack_id, and must surface as difference rows in BOTH forms.
+    val lang0 = docs.select(col("lang")).orderBy(col("lang")).limit(1)
+      .collect()(0).getString(0)
+    val lastDoc = docs.where(col("lang") === lang0)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val oneDead = docs.where(col("doc_id") === lastDoc)
+      .select(col("doc_id")).localCheckpoint()
+    val cutPack = honest.where(col("lang") === lang0)
+      .agg(max(col("pack_id"))).collect()(0).getLong(0)
+    assert(cutPack > 0L, "fixture lang packs into a single pack — " +
+      "no below-the-cut row to corrupt")
+    val misaligned = honest.withColumn("n_tokens",
+      when(col("lang") === lang0 && col("pack_id") === 0L,
+        col("n_tokens") + lit(Sampling.PackBudget.toLong))
+        .otherwise(col("n_tokens")))
+    val (_, deadS2) = leg(misaligned, scoped = true, oneDead)
+    val (_, deadF2) = leg(misaligned, scoped = false, oneDead)
+    assert(deadS2 > 0L, "suffix-scoped certificate missed a " +
+      "seed-corrupting pack-table misalignment")
+    assert(deadF2 > 0L, "full certificate missed the misalignment")
+    // Sanity on the clean table with the same one-doc takedown.
+    val (_, deadClean) = leg(honest, scoped = true, oneDead)
+    assert(deadClean == 0L)
+  }
 }
