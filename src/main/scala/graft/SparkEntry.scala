@@ -288,6 +288,14 @@ object SparkEntry {
     // recomputes the radius-3-complete pair set by brute force.
     "q_image_neardup" -> ((s, d) => multimodal.Multimodal.imageNearDup(
       s.read.parquet(stagedImageCorpus(s, d)))),
+    // r15 (VERDICT r14 next #7): the envelope-dispatched form — the
+    // image tier's q_simhash64_auto. Below the 2²⁶-image trigger it
+    // resolves to the same quarter-banded plan, so it shares
+    // q_image_neardup's twin verbatim; ScaleEnvelopeSpec forces the
+    // boundary and proves pair-set identity across the switch.
+    "q_image_neardup_auto" -> ((s, d) =>
+      multimodal.Multimodal.imageNearDupAuto(
+        s.read.parquet(stagedImageCorpus(s, d)))),
     // corpus assembly: PII scrub, repetition quality signals,
     // deterministic split/sampling/packing
     "q_pii_redact" -> ((s, d) => Privacy.piiRedact(s, d)),
@@ -1275,6 +1283,29 @@ object SparkEntry {
       |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
       |       CAST(COUNT(*) AS BIGINT) AS n_rows
       |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** One DuckDB twin for BOTH q_image_neardup and its envelope-
+    * dispatched _auto form (r15): the closed-form dHash prediction +
+    * brute-force hamming≤3 join; below the trigger the dispatch is
+    * plan-identical, above it the wide form is pair-set-identical
+    * (radius-3 complete both ways, ScaleEnvelopeSpec). */
+  private lazy val imageNearDupSql: String =
+    """WITH ids AS (
+      |  SELECT doc_id, doc_id // 2 AS v FROM documents
+      |), bits AS (
+      |  SELECT doc_id,
+      |         CAST(COALESCE(SUM(CASE WHEN
+      |               ((v*(2654435761 + (r*8+c+1)*40503)) % 1000003) % 255
+      |             > ((v*(2654435761 + (r*8+c)*40503)) % 1000003) % 255
+      |             THEN CAST(1 AS BIGINT) << CAST(r*7 + c AS INT)
+      |             ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS h
+      |  FROM ids, unnest(range(0, 8)) AS tr(r), unnest(range(0, 7)) AS tc(c)
+      |  GROUP BY doc_id
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+      |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
 
   /** One DuckDB twin for BOTH q_takedown_by_content and its _served
     * form (r15) — the shared SQL is the build/serve identity
@@ -4010,23 +4041,12 @@ object SparkEntry {
     // preserves every comparison, so it never appears here). Banding
     // is radius-3 complete, so the served pair set equals the
     // brute-force hamming<=3 join.
-    "q_image_neardup" ->
-      """WITH ids AS (
-        |  SELECT doc_id, doc_id // 2 AS v FROM documents
-        |), bits AS (
-        |  SELECT doc_id,
-        |         CAST(COALESCE(SUM(CASE WHEN
-        |               ((v*(2654435761 + (r*8+c+1)*40503)) % 1000003) % 255
-        |             > ((v*(2654435761 + (r*8+c)*40503)) % 1000003) % 255
-        |             THEN CAST(1 AS BIGINT) << CAST(r*7 + c AS INT)
-        |             ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS h
-        |  FROM ids, unnest(range(0, 8)) AS tr(r), unnest(range(0, 7)) AS tc(c)
-        |  GROUP BY doc_id
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
-        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+    "q_image_neardup" -> imageNearDupSql,
+    // The AUTO-dispatched form resolves to the identical quarter-banded
+    // construction below the 2²⁶-image trigger (ScaleEnvelopeSpec pins
+    // both sides of the boundary), so it shares the twin verbatim —
+    // the q_simhash64_auto pattern.
+    "q_image_neardup_auto" -> imageNearDupSql,
 
     "q_boilerplate" ->
       s"""$ToksCte, sh AS (

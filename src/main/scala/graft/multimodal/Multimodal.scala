@@ -633,6 +633,24 @@ object Multimodal {
       imageSignatures(payloads).drop("dhash").localCheckpoint(),
       maxHamming)._1
 
+  /** [[imageNearDup]] with the scale-envelope dispatch the text tier
+    * already carries (r15, VERDICT r14 next #7): the quarter-banded
+    * form at or below [[graft.operators.ScaleEnvelope]]'s 2²⁶-image
+    * trigger, the Manku wide multi-index above it — both radius-3
+    * complete, so the switch changes COST only (the pair set is
+    * spec-pinned identical at the exact boundary, the
+    * q_simhash64_auto discipline). The image count is a driver scalar
+    * over the payload table's parquet footers, pinned at index-build
+    * time in a standing deployment. The dHash envelope follows the
+    * text envelope exactly because the collision arithmetic only sees
+    * the 64-bit signature domain, never what hashed into it. */
+  def imageNearDupAuto(payloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val n = payloads.count()
+    graft.operators.Dedup.simhash64NeighborsAutoOf(
+      imageSignatures(payloads).drop("dhash").localCheckpoint(),
+      n, maxHamming)._1
+  }
+
   /** Closed-form STRUCTURED image generator (the [[mintSolidPng]]
     * pattern, with spatial structure so dHash is informative): an 8×8
     * grid of solid gray blocks (3×2 px each → 24×16), block (r,c) at

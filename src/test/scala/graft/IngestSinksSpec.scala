@@ -94,6 +94,58 @@ class IngestSinksSpec extends SparkSpec {
       == spark.read.parquet(s"$dir/frag").collect().toSet)
   }
 
+  test("publishCompacted: reader-atomic small-file compaction of a " +
+      "versioned table — content identical, files consolidated, " +
+      "readers never error across the flip (r15, VERDICT r14 #5)") {
+    val dir = tmpDir("pubcompact")
+    val t = s"$dir/t"
+    // A fragmented versioned table: 8 tiny keyed merges = 8 versions,
+    // the last one carrying many small files.
+    (0 until 8).foreach { i =>
+      Sinks.mergePublish(spark,
+        Generator.campaigns(spark, 50).withColumn("slice",
+          org.apache.spark.sql.functions.lit(i)),
+        t, Seq("campaign_id", "slice"))
+    }
+    val v = graft.sinks.Publish.currentVersion(
+      new org.apache.hadoop.fs.Path(t).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(t))
+    val want = Sinks.readLatest(spark, t).collect().toSet
+    def filesOf(ver: Int) = new java.io.File(s"$t/v=$ver").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesOf(v) > 1, "fixture not fragmented enough to measure")
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = Sinks.readLatest(spark, t).collect().toSet
+          if (got != want) failures.add(s"reader saw drifted content")
+        } catch {
+          case e: Throwable =>
+            failures.add(s"reader: ${e.getClass.getSimpleName}: " +
+              s"${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
+    })
+    reader.start()
+    val v2 = try Sinks.publishCompacted(spark, t, targetBytes = 1L << 30)
+    finally { stop = true; reader.join(30000) }
+    assert(v2 == v + 1)
+    assert(filesOf(v2) == 1, "one fat target should compact to one file")
+    assert(Sinks.readLatest(spark, t).collect().toSet == want,
+      "compaction changed content")
+    val real = failures.toArray.map(_.toString)
+    assert(real.isEmpty, real.mkString("\n"))
+    // Flat directories refuse loudly (compact() + caller swap is the
+    // flat form).
+    val e = intercept[IllegalArgumentException] {
+      Sinks.publishCompacted(spark, s"$dir/notversioned")
+    }
+    assert(e.getMessage.contains("no servable version"))
+  }
+
   test("overwritePartitions replaces only the partitions present") {
     val dir = tmpDir("dynpart")
     val day1 = Seq(("2023-07-06", 1L), ("2023-07-06", 2L), ("2023-07-07", 3L))

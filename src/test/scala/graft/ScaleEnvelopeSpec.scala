@@ -42,6 +42,27 @@ class ScaleEnvelopeSpec extends SparkSpec {
     } finally sig.unpersist()
   }
 
+  test("image near-dup auto dispatch: identical pair set on both sides " +
+      "of the switch (r15 — the dHash tier inherits the text envelope)") {
+    val payloads = multimodal.Multimodal.imageCorpus(spark, sf0001)
+      .localCheckpoint()
+    val sig = multimodal.Multimodal.imageSignatures(payloads)
+      .drop("dhash").localCheckpoint()
+    val below = Dedup
+      .simhash64NeighborsAutoOf(sig, ScaleEnvelope.SimhashWideTrigger)._1
+    val above = Dedup
+      .simhash64NeighborsAutoOf(sig, ScaleEnvelope.SimhashWideTrigger + 1)._1
+    assert(below.count() > 0, "vacuous: no image near-dup pairs")
+    assert(below.except(above).isEmpty && above.except(below).isEmpty,
+      "the image banding forms disagree across the switch point")
+    // And the public auto form resolves to the quarter plan at fixture
+    // scale (pair-set equality with the pinned imageNearDup).
+    val auto = multimodal.Multimodal.imageNearDupAuto(payloads)
+    val pinned = multimodal.Multimodal.imageNearDup(payloads)
+    assert(auto.except(pinned).isEmpty && pinned.except(auto).isEmpty,
+      "imageNearDupAuto drifted from the quarter-banded form")
+  }
+
   test("LSH width: signature bits 0..23 are stable when h widens past 24") {
     // A corpus crossing the old cap must not re-bucket the bits it
     // already had: tableSig draws planes through planeIndexFor, whose
