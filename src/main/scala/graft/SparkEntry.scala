@@ -104,8 +104,13 @@ object SparkEntry {
     "q_erasure_certificate" -> ((s, d) => {
       val (targets, _) = stagedErasureEnv(s, d)
       val docs = graft.Tables.documents(s, d)
+      // The standing pack table is READ (staged once by the fixture),
+      // not recomputed per certificate — the deployment shape, and at
+      // ×100 the difference between auditing and re-packing (r15).
+      val packs = s.read.parquet(
+        targets.corpusTableDir.get.stripSuffix("/corpus") + "/packs")
       Takedown.erasureCertificate(s, takedownDocIds(s, d), targets,
-        packSource = Some((docs, Sampling.packSequencesOf(docs))))
+        packSource = Some((docs, packs)))
     }),
     // r14 (VERDICT r13 #4): CONTENT-addressed takedown — a quoted
     // passage resolves to the documents containing it (token-boundary
@@ -934,6 +939,10 @@ object SparkEntry {
         s"$dir/content", 0L)
       ContentIndex.buildBatch(s, docs.where(col("doc_id") % 2 === 1),
         s"$dir/content", 1L)
+      // The standing pack table the certificate audits against — built
+      // once per corpus version like every other standing artifact.
+      Sampling.packSequencesOf(docs).write.mode("overwrite")
+        .parquet(s"$dir/packs")
       val targets = Takedown.TakedownTargets(
         corpusTableDir = Some(s"$dir/corpus"),
         lexIndexPath = Some(s"$dir/lex"),

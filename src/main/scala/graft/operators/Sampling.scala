@@ -281,12 +281,25 @@ object Sampling {
   /** Pack an arbitrary document frame (doc_id, lang, text) — the form
     * the pipeline driver uses to pack only curation survivors. */
   def packSequencesOf(docs: DataFrame): DataFrame =
+    packSequencesOfCounts(tokenCountsOf(docs))
+
+  /** The packer's tokenize pass, exposed so multi-leg consumers (the
+    * erasure certificate runs the packer arithmetic over the same
+    * corpus more than once) can pay it ONCE and pin the compact
+    * (doc_id, lang, n_tokens) frame — token counting is the packer's
+    * dominant cost; everything after it is windows and aggregates over
+    * three columns. */
+  private[operators] def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+
+  /** [[packSequencesOf]] over a precomputed token-count frame — ONE
+    * offset/pack tail for every entry point (the packTail
+    * discipline). */
+  private[operators] def packSequencesOfCounts(counts: DataFrame): DataFrame =
     packTail(
-      docs
-        .select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("start_offset",
-          sum(col("n_tokens")).over(strataRunningWindow) - col("n_tokens")))
+      counts.withColumn("start_offset",
+        sum(col("n_tokens")).over(strataRunningWindow) - col("n_tokens")))
 
   /** The per-stratum running-offset window packing orders by — shared
     * with [[graft.operators.Takedown.repackSuffix]], whose seeded

@@ -736,7 +736,10 @@ object Similarity {
   def retrainDue(spark: SparkSession, indexPath: String, dir: String,
                  floor: Double, k: Int = TopK): Boolean =
     recallAfterTakedown(spark, indexPath, dir, k)
-      .agg(avg(col("recall"))).collect()(0).getDouble(0) < floor
+      // An EMPTY panel (every query's probed cells purged hollow) is
+      // maximal drift, not a missing measurement — mean 0, flag fires.
+      .agg(coalesce(avg(col("recall")), lit(0.0)))
+      .collect()(0).getDouble(0) < floor
 
   /** Levels for [[quantizeEmbeddings]] (int8-style: codes 0..255). */
   val QuantLevels = 256

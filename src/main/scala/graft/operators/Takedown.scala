@@ -306,9 +306,19 @@ object Takedown {
     * the affected suffix — the offset window runs over the
     * cut-filtered frame, never the full stratum (plan-pinned). */
   def repackSuffix(docs: DataFrame, ids: DataFrame,
-                   packs: DataFrame): DataFrame = {
-    val cuts = affectedPacks(docs, ids, packs)
-    val suffix = docs
+                   packs: DataFrame): DataFrame =
+    repackSuffixCounts(Sampling.tokenCountsOf(docs), ids, packs)
+
+  /** [[repackSuffix]] over a precomputed (doc_id, lang, n_tokens)
+    * frame — the form [[packCertLeg]] uses to pay the corpus tokenize
+    * ONCE for both its packer passes (token counting dominates; the
+    * tail is windows over three columns). One definition of the
+    * seeded-offset tail either way. */
+  private[operators] def repackSuffixCounts(counts: DataFrame,
+                                            ids: DataFrame,
+                                            packs: DataFrame): DataFrame = {
+    val cuts = affectedPacks(counts, ids, packs)
+    val suffix = counts
       .join(broadcast(ids.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
       .join(broadcast(cuts), Seq("lang"))
@@ -316,7 +326,7 @@ object Takedown {
     Sampling.packTail(
       suffix
         .select(col("doc_id"), col("lang"), col("seed_offset"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          col("n_tokens"))
         .withColumn("start_offset",
           col("seed_offset") +
             sum(col("n_tokens")).over(Sampling.strataRunningWindow) -
@@ -562,9 +572,15 @@ object Takedown {
     // stitched plan (nothing below MinValue) and the whole stratum
     // enters the symmetric difference against the from-scratch repack
     // — n_dead goes nonzero, loudly.
-    val cuts = affectedPacks(docs, dead, packs)
+    // The corpus tokenize is paid ONCE and pinned: both packer passes
+    // below (the stitched suffix and the from-scratch comparison) run
+    // their window/pack arithmetic over this compact three-column
+    // frame — without the pin the certificate re-tokenized the corpus
+    // per pass, which at ×100 was most of the pack leg's cost (r15).
+    val counts = Sampling.tokenCountsOf(docs).localCheckpoint()
+    val cuts = affectedPacks(counts, dead, packs)
       .select(col("lang"), col("from_pack_id"))
-    val affected = docs
+    val affected = counts
       .join(broadcast(dead.select(col("doc_id")).distinct()), "doc_id")
       .select(col("lang")).distinct()
       .join(broadcast(cuts), Seq("lang"), "left")
@@ -575,8 +591,9 @@ object Takedown {
       .where(col("from_pack_id").isNull ||
         col("pack_id") < col("from_pack_id"))
       .drop("from_pack_id")
-    val stitched = prefix.unionByName(repackSuffix(docs, dead, packs))
-    val purged = docs.join(broadcast(dead), Seq("doc_id"), "left_anti")
+    val stitched = prefix.unionByName(
+      repackSuffixCounts(counts, dead, packs))
+    val purged = counts.join(broadcast(dead), Seq("doc_id"), "left_anti")
     // Project BOTH sides through one explicit column list before the
     // excepts (r14 review, second pass): exceptAll resolves
     // POSITIONALLY, five of the six columns are BIGINT, and a
@@ -587,7 +604,7 @@ object Takedown {
       "first_doc", "last_doc").map(col)
     val (st, fl) =
       if (suffixScoped) {
-        val fullAff = Sampling.packSequencesOf(
+        val fullAff = Sampling.packSequencesOfCounts(
           purged.join(broadcast(affected.select(col("lang"))), Seq("lang")))
         def suffixOf(df: DataFrame): DataFrame =
           df.join(broadcast(affected), Seq("lang"))
@@ -595,7 +612,7 @@ object Takedown {
             .select(packCols: _*)
         (suffixOf(stitched), suffixOf(fullAff))
       } else {
-        val full = Sampling.packSequencesOf(purged)
+        val full = Sampling.packSequencesOfCounts(purged)
         (stitched.select(packCols: _*), full.select(packCols: _*))
       }
     val sym = st.exceptAll(fl).unionByName(fl.exceptAll(st))

@@ -506,7 +506,7 @@ class IngestSinksSpec extends SparkSpec {
           orphanFenceMs = 600000L)
       }
     }
-    Await.result(Future.sequence(fs), 120.seconds)
+    Await.result(Future.sequence(fs), 300.seconds)
     val got = Sinks.readLatest(spark, t).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("k" -> 11L),
@@ -529,7 +529,7 @@ class IngestSinksSpec extends SparkSpec {
           t, Seq("id"), orphanFenceMs = 600000L)
       }
     }
-    Await.result(Future.sequence(fs), 120.seconds)
+    Await.result(Future.sequence(fs), 300.seconds)
     val ids = Sinks.readLatest(spark, t).collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L, 1L, 2L, 3L, 4L),
       s"a concurrent merge was lost: $ids")
