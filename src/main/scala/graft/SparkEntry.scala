@@ -4340,7 +4340,8 @@ object SparkEntry {
     // pairs leg reuses the minhash CTEs (pair existence depends only
     // on the two docs' signatures, so pairs(full) ∩ live×live =
     // pairs(purged)); the packs leg counts packed doc slots, which on
-    // a correct stitched repack equals the purged doc count.
+    // a correct stitched repack equals the purged doc count; the
+    // content leg (r15) counts live docstore rows — one per live doc.
     "q_erasure_certificate" ->
       s"""$ToksCte, $minhashCtes, live AS (
          |  SELECT doc_id, t FROM toks WHERE doc_id % 5 <> 2

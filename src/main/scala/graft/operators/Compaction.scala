@@ -385,7 +385,11 @@ object Compaction {
       stage =>
         sh.write.mode("overwrite").partitionBy("sb")
           .parquet(s"$stage/shingles/batch_id=${plan.foldId}")
-        store.write.mode("overwrite").partitionBy("db")
+        // Keep the build's sorted-by-doc_id row groups through the fold
+        // — the verify tier's IN-list row-group pruning depends on it.
+        store.repartition(col("db"))
+          .sortWithinPartitions(col("db"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("db")
           .parquet(s"$stage/docstore/batch_id=${plan.foldId}")
         Publish.writeLedger(fs, new Path(stage, "_folded"), plan.newFolded)
         if (plan.newTd.nonEmpty) {

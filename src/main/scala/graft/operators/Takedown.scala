@@ -580,6 +580,9 @@ object Takedown {
     val counts = Sampling.tokenCountsOf(docs).localCheckpoint()
     val cuts = affectedPacks(counts, dead, packs)
       .select(col("lang"), col("from_pack_id"))
+    // Pinned: one row per affected lang, consumed by a bounded collect
+    // and three joins — without the pin each consumer re-evaluates the
+    // dead-lang + cut-window subtree as its own job.
     val affected = counts
       .join(broadcast(dead.select(col("doc_id")).distinct()), "doc_id")
       .select(col("lang")).distinct()
@@ -587,6 +590,7 @@ object Takedown {
       .select(col("lang"),
         coalesce(col("from_pack_id"), lit(Long.MinValue))
           .as("from_pack_id"))
+      .localCheckpoint()
     val prefix = packs.join(broadcast(affected), Seq("lang"), "left")
       .where(col("from_pack_id").isNull ||
         col("pack_id") < col("from_pack_id"))
@@ -606,11 +610,25 @@ object Takedown {
       if (suffixScoped) {
         val fullAff = Sampling.packSequencesOfCounts(
           purged.join(broadcast(affected.select(col("lang"))), Seq("lang")))
+        // Bounded collect — one row per affected LANG (strata are a
+        // bounded set by the data model). When every cut sits at (or
+        // below) its stratum's first pack, the "suffix" is the whole
+        // stratum: the restriction joins would keep every row while
+        // adding two broadcast stages (measured +36% on the pack leg
+        // at ×10 — the fixture's doc_id%5 takedown set lands exactly
+        // there, as does any takedown touching a stratum's earliest
+        // docs), so compare the frames whole. The scoped win stays for
+        // the production case the scoping exists for: late cuts, few
+        // affected langs.
+        val cutRows = affected.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
         def suffixOf(df: DataFrame): DataFrame =
           df.join(broadcast(affected), Seq("lang"))
             .where(col("pack_id") >= col("from_pack_id"))
             .select(packCols: _*)
-        (suffixOf(stitched), suffixOf(fullAff))
+        if (cutRows.forall(_._2 <= 0L))
+          (stitched.select(packCols: _*), fullAff.select(packCols: _*))
+        else (suffixOf(stitched), suffixOf(fullAff))
       } else {
         val full = Sampling.packSequencesOfCounts(purged)
         (stitched.select(packCols: _*), full.select(packCols: _*))
@@ -710,15 +728,53 @@ object Takedown {
     val buckets = p
       .select(ContentIndex.shingleBucket(col("probe")).as("sb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val cand = ContentIndex.shinglePostings(spark, root, buckets)
-      .join(broadcast(p), col("sh") === col("probe"))
-      .select(col("doc_id"), col("passage_id")).distinct()
+    // Candidates pinned: they feed a driver-side doc-bucket collect
+    // (≤ DocBuckets distinct values — bounded by the layout, not the
+    // data) and the verify join; without the pin the probe join would
+    // re-run per consumer.
+    val cand = candidatesOf(spark, root, p, buckets).localCheckpoint()
+    // Candidate ids, collected (request-bounded — they feed the
+    // verify's broadcast either way) and PUSHED INTO the docstore scan
+    // along with their db buckets: the bucket filter prunes
+    // directories, the IN-list prunes ROW GROUPS inside them (the
+    // build sorts each bucket by doc_id precisely so these stats are
+    // tight). Without the pushdown the stored-text scan read every
+    // live doc's norm_text and the serve cost equaled the inline
+    // resolver's (r15 ×100 measurement) — an index that still pays a
+    // corpus-order read at verify has only moved the problem.
+    val candRows = cand.select(col("db"), col("doc_id")).collect()
+    val dbBuckets = candRows.map(_.getLong(0)).distinct.toSeq
+    val candIds = candRows.map(_.getLong(1)).distinct.toSeq
     val candText = ContentIndex.docstore(spark, root)
-      .join(broadcast(cand
-        .withColumn("db", ContentIndex.docBucket(col("doc_id")))),
-        Seq("db", "doc_id"))
+      .where(col("db").isin(dbBuckets: _*) &&
+        col("doc_id").isin(candIds: _*))
+      .join(broadcast(cand), Seq("db", "doc_id"))
       .select(col("passage_id"), col("doc_id"), col("norm_text"))
     exactTier(candText, p)
+  }
+
+  /** The served CANDIDATE tier — probe-bucket-pruned shingle postings
+    * equi-joined on the exact probe shingle. One definition for the
+    * resolver and for [[servedCandidates]] (the PlanAuditSpec seam —
+    * the resolver pins this frame, which truncates its scan out of
+    * downstream final plans). */
+  private def candidatesOf(spark: SparkSession, root: String, p: DataFrame,
+                           buckets: Seq[Long]): DataFrame =
+    ContentIndex.shinglePostings(spark, root, buckets)
+      .join(broadcast(p), col("sh") === col("probe"))
+      .select(col("doc_id"), col("passage_id")).distinct()
+      .withColumn("db", ContentIndex.docBucket(col("doc_id")))
+
+  /** The candidate tier as the production code builds it, pre-pin —
+    * exposed for plan auditing only. */
+  private[graft] def servedCandidates(spark: SparkSession, indexPath: String,
+                                      passages: DataFrame): DataFrame = {
+    val root = Compaction.resolveRoot(spark, indexPath)
+    val p = passagePrep(passages).localCheckpoint()
+    val buckets = p
+      .select(ContentIndex.shingleBucket(col("probe")).as("sb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    candidatesOf(spark, root, p, buckets)
   }
 
   /** Shared passage preparation: normalized passage text + the
@@ -763,14 +819,29 @@ object Takedown {
     pairTablePath match {
       case None => exact.withColumn("via", lit("exact"))
       case Some(pp) =>
-        val pairs = pairTableLive(spark, pp)
+        // Seed ids collected and PUSHED INTO the pair scan: the
+        // resolved set is request-bounded (it is about to feed
+        // takedownAll's broadcast anyway — same contract), and the
+        // predicate turns two wholesale pair-table scans (one per
+        // orientation) into ONE scan that materializes only rows
+        // touching a seed — at ×100 the standing pair table is the
+        // corpus's whole near-dup structure and scanning it per
+        // request was most of the resolver's cost, inline AND served
+        // (r15 measurement). The touched frame is pinned; both
+        // orientations read the pinned sliver.
+        val seeds = exact.select(col("doc_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val touched = pairTableLive(spark, pp)
+          .where(col("doc_a").isin(seeds: _*) ||
+            col("doc_b").isin(seeds: _*))
           .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()
         val viaA = exact
-          .join(pairs.select(col("doc_a").as("doc_id"),
+          .join(touched.select(col("doc_a").as("doc_id"),
             col("doc_b").as("nb")), "doc_id")
           .select(col("passage_id"), col("nb").as("doc_id"))
         val viaB = exact
-          .join(pairs.select(col("doc_b").as("doc_id"),
+          .join(touched.select(col("doc_b").as("doc_id"),
             col("doc_a").as("nb")), "doc_id")
           .select(col("passage_id"), col("nb").as("doc_id"))
         val expanded = viaA.unionByName(viaB).distinct()

@@ -329,16 +329,29 @@ class PlanAuditSpec extends SparkSpec {
       .select(lit(0L).as("passage_id"),
         concat_ws(" ",
           slice(TextOps.tokens(col("text")), 2, 5)).as("passage"))
+    // Candidate tier (audited pre-pin — the resolver localCheckpoints
+    // it, which truncates its scan out of downstream final plans): the
+    // shingle scan prunes to the probes' sb buckets, never touches the
+    // corpus, never re-explodes shingles.
+    val pc = finalPlan(Takedown.servedCandidates(spark, idx, passages))
+    assert(!pc.contains("documents.parquet"),
+      s"candidate tier scanned the corpus:\n$pc")
+    assert(!pc.contains("Generate"),
+      s"candidate tier re-exploded shingles at serve:\n$pc")
+    assert("PartitionFilters: \\[[^\\]]*sb".r.findFirstIn(pc).nonEmpty,
+      s"shingle scan lost its bucket partition filter:\n$pc")
+    // Verify tier: candidate texts come from the index docstore,
+    // partition-pruned to the candidates' db buckets — without that
+    // the stored-text scan re-reads every live doc and the serve cost
+    // equals the inline resolver's (the first ×100 run measured
+    // exactly that).
     val p = finalPlan(Takedown.servedExact(spark, idx, passages))
     assert(!p.contains("documents.parquet"),
       s"served content resolution scanned the corpus:\n$p")
     assert(!p.contains("Generate"),
       s"served content resolution re-exploded shingles at serve:\n$p")
-    // And the candidate tier's bucket pruning is real: the shingle
-    // scan carries the sb partition filter (one IN-list of probe
-    // buckets).
-    assert("PartitionFilters: \\[[^\\]]*sb".r.findFirstIn(p).nonEmpty,
-      s"shingle scan lost its bucket partition filter:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*db".r.findFirstIn(p).nonEmpty,
+      s"docstore scan lost its doc-bucket partition filter:\n$p")
   }
 
   test("analytic surface keeps its documented shuffle/scan budget") {
