@@ -572,25 +572,31 @@ object Takedown {
     // stitched plan (nothing below MinValue) and the whole stratum
     // enters the symmetric difference against the from-scratch repack
     // — n_dead goes nonzero, loudly.
-    // The corpus tokenize is paid ONCE and pinned: both packer passes
-    // below (the stitched suffix and the from-scratch comparison) run
-    // their window/pack arithmetic over this compact three-column
-    // frame — without the pin the certificate re-tokenized the corpus
-    // per pass, which at ×100 was most of the pack leg's cost (r15).
+    // The corpus tokenize is paid ONCE and pinned: the packer passes
+    // below wrap this frame in DIFFERENT join/window subtrees (seeded
+    // suffix vs from-scratch vs cut detection), so exchange reuse
+    // cannot dedup them — lazily each re-tokenizes the corpus
+    // (measured 1.7× the row at bench SF and most of the ×100 pack
+    // leg). The pin costs one blocking job; three consumers read it.
     val counts = Sampling.tokenCountsOf(docs).localCheckpoint()
     val cuts = affectedPacks(counts, dead, packs)
       .select(col("lang"), col("from_pack_id"))
-    // Pinned: one row per affected lang, consumed by a bounded collect
-    // and three joins — without the pin each consumer re-evaluates the
-    // dead-lang + cut-window subtree as its own job.
-    val affected = counts
+    // Collected ONCE (bounded: one row per affected lang) and rebuilt
+    // as a driver-local relation — its three join consumers then
+    // broadcast a LocalRelation with zero extra jobs, where a pinned
+    // distributed frame would still schedule a stage per consumer (at
+    // bench SF the pack leg is job-overhead-bound, r15).
+    val spark = docs.sparkSession
+    val cutRows: Seq[(String, Long)] = counts
       .join(broadcast(dead.select(col("doc_id")).distinct()), "doc_id")
       .select(col("lang")).distinct()
       .join(broadcast(cuts), Seq("lang"), "left")
       .select(col("lang"),
         coalesce(col("from_pack_id"), lit(Long.MinValue))
           .as("from_pack_id"))
-      .localCheckpoint()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val affected = spark.createDataFrame(cutRows)
+      .toDF("lang", "from_pack_id")
     val prefix = packs.join(broadcast(affected), Seq("lang"), "left")
       .where(col("from_pack_id").isNull ||
         col("pack_id") < col("from_pack_id"))
@@ -610,18 +616,14 @@ object Takedown {
       if (suffixScoped) {
         val fullAff = Sampling.packSequencesOfCounts(
           purged.join(broadcast(affected.select(col("lang"))), Seq("lang")))
-        // Bounded collect — one row per affected LANG (strata are a
-        // bounded set by the data model). When every cut sits at (or
-        // below) its stratum's first pack, the "suffix" is the whole
-        // stratum: the restriction joins would keep every row while
-        // adding two broadcast stages (measured +36% on the pack leg
-        // at ×10 — the fixture's doc_id%5 takedown set lands exactly
-        // there, as does any takedown touching a stratum's earliest
-        // docs), so compare the frames whole. The scoped win stays for
-        // the production case the scoping exists for: late cuts, few
-        // affected langs.
-        val cutRows = affected.collect()
-          .map(r => (r.getString(0), r.getLong(1)))
+        // When every cut sits at (or below) its stratum's first pack,
+        // the "suffix" is the whole stratum: the restriction joins
+        // would keep every row while adding two broadcast stages
+        // (measured +36% on the pack leg at ×10 — the fixture's
+        // doc_id%5 takedown set lands exactly there, as does any
+        // takedown touching a stratum's earliest docs), so compare the
+        // frames whole. The scoped win stays for the production case
+        // the scoping exists for: late cuts, few affected langs.
         def suffixOf(df: DataFrame): DataFrame =
           df.join(broadcast(affected), Seq("lang"))
             .where(col("pack_id") >= col("from_pack_id"))
