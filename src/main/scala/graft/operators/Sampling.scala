@@ -288,15 +288,17 @@ object Sampling {
     * corpus more than once) can pay it ONCE and pin the compact
     * (doc_id, lang, n_tokens) frame — token counting is the packer's
     * dominant cost; everything after it is windows and aggregates over
-    * three columns. */
-  private[operators] def tokenCountsOf(docs: DataFrame): DataFrame =
+    * three columns. `private[graft]` (r16): the erasure fixture stages
+    * this frame as a STANDING table next to the pack table so the
+    * certificate reads counts instead of re-tokenizing per audit. */
+  private[graft] def tokenCountsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
 
   /** [[packSequencesOf]] over a precomputed token-count frame — ONE
     * offset/pack tail for every entry point (the packTail
     * discipline). */
-  private[operators] def packSequencesOfCounts(counts: DataFrame): DataFrame =
+  private[graft] def packSequencesOfCounts(counts: DataFrame): DataFrame =
     packTail(
       counts.withColumn("start_offset",
         sum(col("n_tokens")).over(strataRunningWindow) - col("n_tokens")))

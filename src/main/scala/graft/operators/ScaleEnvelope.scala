@@ -143,7 +143,38 @@ object ScaleEnvelope {
       k.toInt
     }
 
-  // ---- 4. MinHash band plan --------------------------------------
+  // ---- 4. Content-resolution id pushdown ---------------------------
+
+  /** Resolved-id cardinality above which the content-addressed takedown
+    * resolvers STOP collecting ids driver-side (r16, VERDICT r15 #2).
+    *
+    * Below the cap the literal plan is the right one — the ×100
+    * measurement showed the doc_id IN-list pruning parquet row groups
+    * inside the doc-bucket dirs is what makes the served verify beat
+    * the inline resolver 1.8× — and the driver cost is bounded:
+    * 100 000 (db, doc_id) rows ≈ 1.6 MB collected, and past
+    * `spark.sql.parquet.pushdown.inFilterThreshold` the parquet reader
+    * degrades the IN to a min/max range predicate rather than
+    * evaluating a 10⁵-literal tree per row.
+    *
+    * Above it the id set is CORPUS-match-bounded, not request-bounded
+    * — a passage whose probe shingle is common boilerplate (or one
+    * genuinely contained in millions of docs) would otherwise pull a
+    * corpus-scale set through the driver, build a multi-million-literal
+    * In expression, and broadcast the lot — so the resolvers fall back
+    * to a distributed join against the pinned candidate frame (bucket
+    * pruning stays: distinct db values are layout-bounded by
+    * [[graft.operators.ContentIndex.DocBuckets]]). Both branches are
+    * result-identical; TakedownSpec forces a many-match boilerplate
+    * passage through each and compares. */
+  val ContentIdPushdownCap = 100000L
+
+  /** Literal IN-list pushdown at or below the cap, distributed join
+    * above. */
+  def contentPushdownByLiteral(nIds: Long): Boolean =
+    nIds <= ContentIdPushdownCap
+
+  // ---- 5. MinHash band plan --------------------------------------
 
   /** (rowsPerBand, numBands) for a hash budget H and target Jaccard
     * threshold t — the classic S-curve parameterization: a pair with

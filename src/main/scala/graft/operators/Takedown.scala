@@ -456,11 +456,21 @@ object Takedown {
     * Legs: the versioned corpus read, the lex postings serve slice
     * (doc, term grain), the positional occurrence slice, the IVF
     * postings, the live pair table (a pair dies when EITHER side is
-    * down), and — when `packSource` supplies (docs, standing packs) —
-    * the stitched training packs (prefix below the cut +
-    * [[repackSuffix]]), whose `n_live` counts packed doc slots and
-    * `n_dead` is packed-slots minus live docs: zero exactly when every
-    * surviving doc is packed once and no dead doc is packed. */
+    * down), and — when `packSource` supplies (standing token counts,
+    * standing packs) — the stitched training packs (prefix below the
+    * cut + [[repackSuffix]]), whose `n_live` counts packed doc slots
+    * and `n_dead` is packed-slots minus live docs: zero exactly when
+    * every surviving doc is packed once and no dead doc is packed.
+    *
+    * The counts frame is the (doc_id, lang, n_tokens) table the pack
+    * table itself derives from ([[Sampling.tokenCountsOf]]) — a
+    * deployment maintains it as a STANDING table alongside the packs
+    * (per-doc rows, so incremental append per ingest batch), and the
+    * certificate READS it instead of re-tokenizing the corpus per
+    * audit (r16, VERDICT r15 #4: the per-audit tokenize was the
+    * certificate's dominant fixed cost). A caller without the standing
+    * table passes `Sampling.tokenCountsOf(docs)` and pays the
+    * tokenize explicitly. */
   def erasureCertificate(spark: SparkSession, ids: DataFrame,
                          targets: TakedownTargets,
                          packSource: Option[(DataFrame, DataFrame)] = None)
@@ -513,8 +523,8 @@ object Takedown {
           .select(col("doc_id")), Seq("doc_id"))
       case (other, _) => throw new IllegalStateException(other)
     }
-    val packLeg = packSource.map { case (docs, packs) =>
-      packCertLeg(docs, dead, packs, suffixScoped = true)
+    val packLeg = packSource.map { case (counts, packs) =>
+      packCertLeg(counts, dead, packs, suffixScoped = true)
     }
     (legs ++ packLeg).reduce(_ unionByName _)
   }
@@ -559,7 +569,7 @@ object Takedown {
     *  excepts, vs a full corpus repack plus two full-table excepts
     *  per certificate — at 100 TB the difference is the audit being
     *  routine vs being a budget line. */
-  private[graft] def packCertLeg(docs: DataFrame, dead: DataFrame,
+  private[graft] def packCertLeg(countsIn: DataFrame, dead: DataFrame,
                                  packs: DataFrame,
                                  suffixScoped: Boolean): DataFrame = {
     // GUARD (r15): scope by the langs that HAVE dead docs, not by the
@@ -572,13 +582,15 @@ object Takedown {
     // stitched plan (nothing below MinValue) and the whole stratum
     // enters the symmetric difference against the from-scratch repack
     // — n_dead goes nonzero, loudly.
-    // The corpus tokenize is paid ONCE and pinned: the packer passes
-    // below wrap this frame in DIFFERENT join/window subtrees (seeded
-    // suffix vs from-scratch vs cut detection), so exchange reuse
-    // cannot dedup them — lazily each re-tokenizes the corpus
-    // (measured 1.7× the row at bench SF and most of the ×100 pack
-    // leg). The pin costs one blocking job; three consumers read it.
-    val counts = Sampling.tokenCountsOf(docs).localCheckpoint()
+    // The counts frame arrives as the STANDING (doc_id, lang,
+    // n_tokens) table (r16 — the certificate reads, never
+    // re-tokenizes; see [[erasureCertificate]]); it is still pinned
+    // because the packer passes below wrap it in DIFFERENT join/window
+    // subtrees (seeded suffix vs from-scratch vs cut detection), so
+    // exchange reuse cannot dedup them — lazily each would re-scan the
+    // table per consumer. The pin costs one blocking job; three
+    // consumers read it.
+    val counts = countsIn.localCheckpoint()
     val cuts = affectedPacks(counts, dead, packs)
       .select(col("lang"), col("from_pack_id"))
     // Collected ONCE (bounded: one row per affected lang) and rebuilt
@@ -586,7 +598,7 @@ object Takedown {
     // broadcast a LocalRelation with zero extra jobs, where a pinned
     // distributed frame would still schedule a stage per consumer (at
     // bench SF the pack leg is job-overhead-bound, r15).
-    val spark = docs.sparkSession
+    val spark = countsIn.sparkSession
     val cutRows: Seq[(String, Long)] = counts
       .join(broadcast(dead.select(col("doc_id")).distinct()), "doc_id")
       .select(col("lang")).distinct()
@@ -617,19 +629,27 @@ object Takedown {
         val fullAff = Sampling.packSequencesOfCounts(
           purged.join(broadcast(affected.select(col("lang"))), Seq("lang")))
         // When every cut sits at (or below) its stratum's first pack,
-        // the "suffix" is the whole stratum: the restriction joins
-        // would keep every row while adding two broadcast stages
-        // (measured +36% on the pack leg at ×10 — the fixture's
-        // doc_id%5 takedown set lands exactly there, as does any
-        // takedown touching a stratum's earliest docs), so compare the
-        // frames whole. The scoped win stays for the production case
-        // the scoping exists for: late cuts, few affected langs.
+        // the "suffix" is the whole stratum: the pack_id restriction
+        // would keep every row while adding broadcast stages (measured
+        // +36% on the pack leg at ×10 — the fixture's doc_id%5 takedown
+        // set lands exactly there, as does any takedown touching a
+        // stratum's earliest docs), so skip only the RANGE predicate.
+        // The LANG restriction must stay on BOTH sides (r16, ADVICE r15
+        // high): `stitched` carries unaffected langs' standing packs via
+        // the prefix join's isNull branch, while `fullAff` is inner-
+        // joined to affected langs — comparing the whole stitched frame
+        // put every untouched lang's packs into the symmetric difference
+        // and certified a CLEAN subset-of-langs takedown as corrupt
+        // (n_dead > 0). TakedownSpec pins the case: one-lang takedown,
+        // cut at pack 0, other langs untouched.
         def suffixOf(df: DataFrame): DataFrame =
           df.join(broadcast(affected), Seq("lang"))
             .where(col("pack_id") >= col("from_pack_id"))
             .select(packCols: _*)
         if (cutRows.forall(_._2 <= 0L))
-          (stitched.select(packCols: _*), fullAff.select(packCols: _*))
+          (stitched.join(broadcast(affected.select(col("lang"))),
+              Seq("lang")).select(packCols: _*),
+            fullAff.select(packCols: _*))
         else (suffixOf(stitched), suffixOf(fullAff))
       } else {
         val full = Sampling.packSequencesOfCounts(purged)
@@ -665,7 +685,9 @@ object Takedown {
     * takedown-aware), labeled `via='neardup'`; exact matches win the
     * label when a doc is both. The result feeds [[takedownAll]]. */
   def resolveTakedownContent(docs: DataFrame, passages: DataFrame,
-                             pairTablePath: Option[String] = None)
+                             pairTablePath: Option[String] = None,
+                             idPushdownCap: Long =
+                               ScaleEnvelope.ContentIdPushdownCap)
       : DataFrame = {
     val spark = docs.sparkSession
     val p = passagePrep(passages)
@@ -678,7 +700,8 @@ object Takedown {
         TextOps.normText(col("text")).as("norm_text")), "doc_id")
       .select(col("passage_id"), col("doc_id"), col("norm_text"))
     contentExpandTail(spark,
-      exactTier(candText, p).localCheckpoint(), pairTablePath)
+      exactTier(candText, p).localCheckpoint(), pairTablePath,
+      idPushdownCap)
   }
 
   /** [[resolveTakedownContent]] answered ENTIRELY from the standing
@@ -708,11 +731,14 @@ object Takedown {
     * end: both index readers anti-join `deletes/`. */
   def resolveTakedownContentServed(spark: SparkSession, indexPath: String,
                                    passages: DataFrame,
-                                   pairTablePath: Option[String] = None)
+                                   pairTablePath: Option[String] = None,
+                                   idPushdownCap: Long =
+                                     ScaleEnvelope.ContentIdPushdownCap)
       : DataFrame =
     contentExpandTail(spark,
-      servedExact(spark, indexPath, passages).localCheckpoint(),
-      pairTablePath)
+      servedExact(spark, indexPath, passages, idPushdownCap)
+        .localCheckpoint(),
+      pairTablePath, idPushdownCap)
 
   /** The served resolver's probe + verify tiers, UP TO the exact-match
     * frame (before the pin that feeds the expansion joins) — exposed
@@ -720,7 +746,10 @@ object Takedown {
     * subtree (the localCheckpoint in the public form truncates it out
     * of the final plan, the IVF-seed precedent). */
   private[graft] def servedExact(spark: SparkSession, indexPath: String,
-                                 passages: DataFrame): DataFrame = {
+                                 passages: DataFrame,
+                                 idPushdownCap: Long =
+                                   ScaleEnvelope.ContentIdPushdownCap)
+      : DataFrame = {
     val root = Compaction.resolveRoot(spark, indexPath)
     // Pinned: the frame feeds a driver-side bucket collect, the probe
     // join, and the verify join — a nondeterministic request source
@@ -735,23 +764,37 @@ object Takedown {
     // data) and the verify join; without the pin the probe join would
     // re-run per consumer.
     val cand = candidatesOf(spark, root, p, buckets).localCheckpoint()
-    // Candidate ids, collected (request-bounded — they feed the
-    // verify's broadcast either way) and PUSHED INTO the docstore scan
-    // along with their db buckets: the bucket filter prunes
-    // directories, the IN-list prunes ROW GROUPS inside them (the
-    // build sorts each bucket by doc_id precisely so these stats are
-    // tight). Without the pushdown the stored-text scan read every
-    // live doc's norm_text and the serve cost equaled the inline
-    // resolver's (r15 ×100 measurement) — an index that still pays a
-    // corpus-order read at verify has only moved the problem.
-    val candRows = cand.select(col("db"), col("doc_id")).collect()
-    val dbBuckets = candRows.map(_.getLong(0)).distinct.toSeq
-    val candIds = candRows.map(_.getLong(1)).distinct.toSeq
-    val candText = ContentIndex.docstore(spark, root)
-      .where(col("db").isin(dbBuckets: _*) &&
-        col("doc_id").isin(candIds: _*))
-      .join(broadcast(cand), Seq("db", "doc_id"))
-      .select(col("passage_id"), col("doc_id"), col("norm_text"))
+    // Candidate ids: COUNTED before anything is collected (r16,
+    // VERDICT r15 #2 — the set is bounded by CORPUS match cardinality,
+    // not request size; a boilerplate probe can make it corpus-scale).
+    // At or below [[ScaleEnvelope.ContentIdPushdownCap]] the ids are
+    // collected and PUSHED INTO the docstore scan along with their db
+    // buckets: the bucket filter prunes directories, the IN-list
+    // prunes ROW GROUPS inside them (the build sorts each bucket by
+    // doc_id precisely so these stats are tight) — without the
+    // pushdown the stored-text scan read every live doc's norm_text
+    // and the serve cost equaled the inline resolver's (r15 ×100
+    // measurement). Above the cap the driver never sees the ids: the
+    // db-bucket dirs still prune (distinct db values are LAYOUT-
+    // bounded — ≤ DocBuckets — so that collect stays O(64) whatever
+    // the match count), and the id restriction becomes a distributed
+    // shuffle-hash join against the pinned candidate frame instead of
+    // a literal tree + driver broadcast. Both branches produce the
+    // same rows; TakedownSpec forces a corpus-wide boilerplate passage
+    // through each and compares.
+    val dbBuckets = cand.select(col("db")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val store = ContentIndex.docstore(spark, root)
+      .where(col("db").isin(dbBuckets: _*))
+    val candText =
+      (if (cand.count() <= idPushdownCap) {
+        val candIds = cand.select(col("doc_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        store.where(col("doc_id").isin(candIds: _*))
+          .join(broadcast(cand), Seq("db", "doc_id"))
+      } else {
+        store.join(cand.hint("shuffle_hash"), Seq("db", "doc_id"))
+      }).select(col("passage_id"), col("doc_id"), col("norm_text"))
     exactTier(candText, p)
   }
 
@@ -817,26 +860,46 @@ object Takedown {
     * (localCheckpoint) — it feeds the result and both expansion
     * joins. */
   private def contentExpandTail(spark: SparkSession, exact: DataFrame,
-                                pairTablePath: Option[String]): DataFrame =
+                                pairTablePath: Option[String],
+                                idPushdownCap: Long =
+                                  ScaleEnvelope.ContentIdPushdownCap)
+      : DataFrame =
     pairTablePath match {
       case None => exact.withColumn("via", lit("exact"))
       case Some(pp) =>
-        // Seed ids collected and PUSHED INTO the pair scan: the
-        // resolved set is request-bounded (it is about to feed
-        // takedownAll's broadcast anyway — same contract), and the
-        // predicate turns two wholesale pair-table scans (one per
-        // orientation) into ONE scan that materializes only rows
-        // touching a seed — at ×100 the standing pair table is the
-        // corpus's whole near-dup structure and scanning it per
-        // request was most of the resolver's cost, inline AND served
-        // (r15 measurement). The touched frame is pinned; both
+        // Seed ids COUNTED before collecting (r16, VERDICT r15 #2 —
+        // the resolved set is bounded by corpus match cardinality, not
+        // request size). At or below the cap they are collected and
+        // PUSHED INTO the pair scan: the predicate turns two wholesale
+        // pair-table scans (one per orientation) into ONE scan that
+        // materializes only rows touching a seed — at ×100 the
+        // standing pair table is the corpus's whole near-dup structure
+        // and scanning it per request was most of the resolver's cost,
+        // inline AND served (r15 measurement). Above the cap the seeds
+        // never reach the driver: each orientation SEMI-joins the pair
+        // table against the pinned exact frame (two scans — the price
+        // of staying distributed — but each exchange carries only pair
+        // keys, and no multi-million-literal In tree is planned). The
+        // touched frame is pinned either way; both expansion
         // orientations read the pinned sliver.
-        val seeds = exact.select(col("doc_id")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val touched = pairTableLive(spark, pp)
-          .where(col("doc_a").isin(seeds: _*) ||
-            col("doc_b").isin(seeds: _*))
-          .select(col("doc_a"), col("doc_b"))
+        val seedFrame = exact.select(col("doc_id")).distinct()
+        val touched = (if (seedFrame.count() <= idPushdownCap) {
+            val seeds = seedFrame.collect().map(_.getLong(0)).toSeq
+            pairTableLive(spark, pp)
+              .where(col("doc_a").isin(seeds: _*) ||
+                col("doc_b").isin(seeds: _*))
+              .select(col("doc_a"), col("doc_b"))
+          } else {
+            val pt = pairTableLive(spark, pp)
+              .select(col("doc_a"), col("doc_b"))
+            pt.join(seedFrame.hint("shuffle_hash")
+                .withColumnRenamed("doc_id", "doc_a"),
+                Seq("doc_a"), "left_semi")
+              .unionByName(pt.join(seedFrame.hint("shuffle_hash")
+                .withColumnRenamed("doc_id", "doc_b"),
+                Seq("doc_b"), "left_semi"))
+              .distinct()
+          })
           .localCheckpoint()
         val viaA = exact
           .join(touched.select(col("doc_a").as("doc_id"),

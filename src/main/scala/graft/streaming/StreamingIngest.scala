@@ -476,9 +476,10 @@ object StreamingIngest {
                         compactEvery: Int = 0,
                         pairSigPath: Option[String] = None,
                         recallFloor: Double = 0.0,
-                        recallCorpusDir: Option[String] = None): Unit =
+                        recallCorpusDir: Option[String] = None,
+                        recallEvery: Int = 1): Unit =
     takedownAllStreamWith(idStream, targets, manifestDir, checkpointDir,
-      compactEvery, pairSigPath, recallFloor, recallCorpusDir)
+      compactEvery, pairSigPath, recallFloor, recallCorpusDir, recallEvery)
 
   /** [[takedownAllStream]] with the between-legs crash seam exposed
     * for the spec ([[graft.operators.Takedown.takedownAllWith]]'s
@@ -489,6 +490,7 @@ object StreamingIngest {
       manifestDir: String, checkpointDir: String,
       compactEvery: Int = 0, pairSigPath: Option[String] = None,
       recallFloor: Double = 0.0, recallCorpusDir: Option[String] = None,
+      recallEvery: Int = 1,
       beforeLeg: String => Unit = _ => ()): Unit = {
     val q = idStream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -519,16 +521,26 @@ object StreamingIngest {
               if (due(pp, "", "_deletes"))
                 graft.operators.Compaction.compactPairTable(s, pp, sp)
           }
+          // Recall probe discipline (r16, ADVICE r15): retrainDue's
+          // exact arm is a corpus × query-panel pass, so (a) the probe
+          // is SKIPPED outright while `_retrain_due` already stands —
+          // once due, no evidence can change the verdict until an
+          // operator retrains and clears the marker — and (b)
+          // `recallEvery` thins it to every Nth micro-batch (takedowns
+          // shift recall slowly; per-trigger probing buys nothing a
+          // cadence misses).
           for (ivf <- targets.ivfIndexPath; dir <- recallCorpusDir
-               if recallFloor > 0.0)
-            if (graft.operators.Similarity.retrainDue(s, ivf, dir,
-                recallFloor)) {
-              val root = new org.apache.hadoop.fs.Path(ivf)
-              val fs = root.getFileSystem(
-                s.sparkContext.hadoopConfiguration)
-              fs.create(new org.apache.hadoop.fs.Path(root,
-                "_retrain_due"), true).close()
-            }
+               if recallFloor > 0.0 &&
+                 (recallEvery <= 1 || batchId % recallEvery == 0)) {
+            val root = new org.apache.hadoop.fs.Path(ivf)
+            val fs = root.getFileSystem(
+              s.sparkContext.hadoopConfiguration)
+            val marker = new org.apache.hadoop.fs.Path(root, "_retrain_due")
+            if (!fs.exists(marker) &&
+                graft.operators.Similarity.retrainDue(s, ivf, dir,
+                  recallFloor))
+              fs.create(marker, true).close()
+          }
         } finally batch.unpersist()
       }
       .start()

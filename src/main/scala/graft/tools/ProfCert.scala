@@ -23,20 +23,25 @@ object ProfCert {
     val docs = graft.Tables.documents(spark, sfDir)
     val dead = docs.where(col("doc_id") % 5 === 2).select(col("doc_id"))
       .localCheckpoint()
+    // r16: packCertLeg reads the standing counts table; here it is
+    // materialized once, the same shape the fixture stages.
+    val counts = {
+      val c = Sampling.tokenCountsOf(docs).localCheckpoint(); c.count(); c
+    }
     val packs = time("packs (packSequencesOf)") {
       val p = Sampling.packSequencesOf(docs).localCheckpoint(); p.count(); p
     }
     // warm page cache
     time("warm full leg pass") {
-      Takedown.packCertLeg(docs, dead, packs, suffixScoped = true)
+      Takedown.packCertLeg(counts, dead, packs, suffixScoped = true)
         .collect()
     }
     time("packCertLeg scoped") {
-      Takedown.packCertLeg(docs, dead, packs, suffixScoped = true)
+      Takedown.packCertLeg(counts, dead, packs, suffixScoped = true)
         .collect()
     }
     time("packCertLeg full") {
-      Takedown.packCertLeg(docs, dead, packs, suffixScoped = false)
+      Takedown.packCertLeg(counts, dead, packs, suffixScoped = false)
         .collect()
     }
     time("counts checkpoint alone") {
@@ -51,11 +56,11 @@ object ProfCert {
     val oneDead = docs.where(col("doc_id") === lastDoc)
       .select(col("doc_id")).localCheckpoint()
     time("late-cut scoped") {
-      Takedown.packCertLeg(docs, oneDead, packs, suffixScoped = true)
+      Takedown.packCertLeg(counts, oneDead, packs, suffixScoped = true)
         .collect()
     }
     time("late-cut full") {
-      Takedown.packCertLeg(docs, oneDead, packs, suffixScoped = false)
+      Takedown.packCertLeg(counts, oneDead, packs, suffixScoped = false)
         .collect()
     }
     spark.stop()

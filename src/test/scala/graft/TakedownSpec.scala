@@ -401,14 +401,15 @@ class TakedownSpec extends SparkSpec {
       .localCheckpoint()
     val cert = Takedown.erasureCertificate(spark, takedownIds,
       Takedown.TakedownTargets(),
-      packSource = Some((docs, stale)))
+      packSource = Some((Sampling.tokenCountsOf(docs), stale)))
     val packs = cert.where(col("artifact") === "packs").collect()(0)
     assert(packs.getLong(2) > 0L,
       "a stale pack table produced a clean certificate")
     // And the honest source is clean.
     val good = Takedown.erasureCertificate(spark, takedownIds,
       Takedown.TakedownTargets(),
-      packSource = Some((docs, Sampling.packSequencesOf(docs))))
+      packSource = Some((Sampling.tokenCountsOf(docs),
+        Sampling.packSequencesOf(docs))))
       .where(col("artifact") === "packs").collect()(0)
     assert(good.getLong(2) == 0L && good.getLong(1) > 0L)
   }
@@ -703,6 +704,54 @@ class TakedownSpec extends SparkSpec {
     assert(served == live, "folded content takedown re-applied")
   }
 
+  test("content resolution id-pushdown envelope: a corpus-wide " +
+      "boilerplate passage drives the literal and the distributed " +
+      "branches to identical results, inline and served") {
+    // Every doc carries the same boilerplate preamble, so the passage
+    // matches the WHOLE corpus — the adversarial case VERDICT r15 #2
+    // names: the resolved id set is corpus-match-bounded, far above
+    // any request-bounded assumption. A cap of 10 forces the
+    // distributed branch (matches ≫ 10); the default cap keeps the
+    // literal IN-list plan. The two must be row-identical.
+    val boiler = "terms of service apply to this document"
+    val bDocs = docs.select(col("doc_id"),
+        concat(lit(boiler + " "), col("text")).as("text"))
+      .localCheckpoint()
+    val nDocs = bDocs.count()
+    val passages = spark.range(1)
+      .select(lit(0L).as("passage_id"), lit(boiler).as("passage"))
+    val dir = tmpDir("content_envelope")
+    val idx = s"$dir/idx"
+    operators.ContentIndex.buildBatch(spark, bDocs, idx, 0L)
+    // Pair table over the boilerplate corpus for the expansion-seed
+    // branch (every doc is a seed, so the seed set is corpus-scale
+    // too — both collect sites cross the forced cap).
+    Dedup.appendToPairTableBatch(spark, bDocs, bDocs,
+      s"$dir/sigs", s"$dir/pairs", 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    val cap = 10L
+    assert(nDocs > cap,
+      "fixture corpus too small to exceed the forced cap")
+    val servedLit = rows(Takedown.resolveTakedownContentServed(
+      spark, idx, passages, Some(s"$dir/pairs")))
+    val servedDist = rows(Takedown.resolveTakedownContentServed(
+      spark, idx, passages, Some(s"$dir/pairs"), idPushdownCap = cap))
+    assert(servedLit == servedDist && servedLit.nonEmpty,
+      "served content resolution drifted across the pushdown envelope")
+    assert(servedLit.count(_._3 == "exact") == nDocs,
+      "boilerplate passage failed to match the whole corpus")
+    val inlineLit = rows(Takedown.resolveTakedownContent(
+      bDocs, passages, Some(s"$dir/pairs")))
+    val inlineDist = rows(Takedown.resolveTakedownContent(
+      bDocs, passages, Some(s"$dir/pairs"), idPushdownCap = cap))
+    assert(inlineLit == inlineDist,
+      "inline content resolution drifted across the pushdown envelope")
+    assert(inlineLit == servedLit,
+      "inline and served resolvers disagreed on the boilerplate corpus")
+  }
+
   test("compactionDue: never fires while the accreting content was " +
       "never built (takedown stream racing ahead of ingest)") {
     // Lex shape: deletes accrete under deletes/, postings absent.
@@ -732,7 +781,8 @@ class TakedownSpec extends SparkSpec {
       "misalignment below the cut is flagged by BOTH forms") {
     def leg(packs: org.apache.spark.sql.DataFrame, scoped: Boolean,
             dead: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = Takedown.packCertLeg(docs, dead, packs, scoped).collect()(0)
+      val r = Takedown.packCertLeg(Sampling.tokenCountsOf(docs),
+        dead, packs, scoped).collect()(0)
       (r.getLong(1), r.getLong(2))
     }
     val honest = Sampling.packSequencesOf(docs).localCheckpoint()
@@ -771,5 +821,26 @@ class TakedownSpec extends SparkSpec {
     // Sanity on the clean table with the same one-doc takedown.
     val (_, deadClean) = leg(honest, scoped = true, oneDead)
     assert(deadClean == 0L)
+    // ADVICE r15 (high): subset-of-langs takedown whose cut is the
+    // stratum's FIRST pack. All cuts sit at pack 0, so the scoped form
+    // takes the skip-the-range-predicate fast path — which must still
+    // restrict the stitched side to AFFECTED langs: the stitched frame
+    // carries every untouched lang's standing packs via the prefix
+    // join's isNull branch, and comparing it whole against the
+    // affected-only repack put all of them into the symmetric
+    // difference, certifying a perfectly clean takedown corrupt.
+    val nLangs = docs.select(col("lang")).distinct().count()
+    assert(nLangs > 1L, "fixture lost its multi-lang shape — the " +
+      "subset-of-langs case needs an untouched stratum")
+    val firstDoc = docs.where(col("lang") === lang0)
+      .agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val firstDead = docs.where(col("doc_id") === firstDoc)
+      .select(col("doc_id")).localCheckpoint()
+    val (_, deadEarlyS) = leg(honest, scoped = true, firstDead)
+    assert(deadEarlyS == 0L, "clean subset-of-langs takedown with an " +
+      s"early cut certified corrupt by the scoped form (n_dead=$deadEarlyS)")
+    val (_, deadEarlyF) = leg(honest, scoped = false, firstDead)
+    assert(deadEarlyF == 0L, "clean subset-of-langs takedown with an " +
+      s"early cut certified corrupt by the full form (n_dead=$deadEarlyF)")
   }
 }
