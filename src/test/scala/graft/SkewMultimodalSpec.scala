@@ -346,4 +346,84 @@ class SkewMultimodalSpec extends SparkSpec {
       assert(idx.head == 0 && idx.last < n && idx.length <= 9)
     }
   }
+
+  test("decodeMp4Meta inverts mintMp4 exactly: brand, clock, tracks, " +
+      "dims — across the closed-form generator grid") {
+    // One hand-picked case, then the generator over a modulus-covering
+    // doc_id range (the exact frames q_video_meta hashes).
+    val m = Multimodal.decodeMp4Meta(Multimodal.mintMp4(
+      600L, 12345L, Seq((640, 360), (0, 0)), new Array[Byte](32))).get
+    assert(m == Multimodal.Mp4Meta("isom", 600L, 12345L, 2, 640, 360))
+    (0L until 300L).foreach { d =>
+      val (w, h) = Multimodal.mp4DimsFor(d)
+      val dims = (w, h) +: Seq.fill(Multimodal.mp4TracksFor(d) - 1)((0, 0))
+      val bytes = Multimodal.mintMp4(Multimodal.mp4TimescaleFor(d),
+        Multimodal.mp4DurationFor(d), dims,
+        new Array[Byte](Multimodal.mp4MdatLenFor(d)))
+      // the writer's byte-layout identity the oracle restates
+      assert(bytes.length ==
+        148 + 100 * Multimodal.mp4TracksFor(d) + Multimodal.mp4MdatLenFor(d))
+      val got = Multimodal.decodeMp4Meta(bytes).get
+      assert(got == Multimodal.Mp4Meta("isom",
+        Multimodal.mp4TimescaleFor(d), Multimodal.mp4DurationFor(d),
+        Multimodal.mp4TracksFor(d), w, h), s"doc $d")
+    }
+  }
+
+  test("decodeMp4Meta reads version-1 mvhd and tkhd layouts") {
+    // Hand-built 64-bit-field variant (the minter writes v0): moov
+    // holding a v1 mvhd (8-byte creation/modification/duration) and a
+    // v1 tkhd; the parser must land on the shifted offsets.
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bb = java.nio.ByteBuffer.allocate(24 + 8 + 120 + 112)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(24).put("ftyp".getBytes(ascii))
+      .put("isom".getBytes(ascii)).putInt(512)
+      .put("isom".getBytes(ascii)).put("mp41".getBytes(ascii))
+    bb.putInt(8 + 120 + 112).put("moov".getBytes(ascii))
+    bb.putInt(120).put("mvhd".getBytes(ascii))
+      .putInt(0x01000000)            // version 1
+      .putLong(0L).putLong(0L)       // creation, modification (64-bit)
+      .putInt(90000)                 // timescale
+      .putLong(5000000000L)          // duration (64-bit)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      .putLong(0L)
+    (0 until 9).foreach(i => bb.putInt(if (i % 4 == 0) 0x00010000 else 0))
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(2)
+    bb.putInt(112).put("trak".getBytes(ascii))
+    bb.putInt(104).put("tkhd".getBytes(ascii))
+      .putInt(0x01000007)            // version 1, enabled
+      .putLong(0L).putLong(0L)       // creation, modification
+      .putInt(1).putInt(0)           // track_id, reserved
+      .putLong(5000000000L)          // duration (64-bit)
+      .putLong(0L)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+    (0 until 9).foreach(i => bb.putInt(if (i % 4 == 0) 0x00010000 else 0))
+    bb.putInt(1920 << 16).putInt(1080 << 16)
+    val got = Multimodal.decodeMp4Meta(bb.array()).get
+    assert(got == Multimodal.Mp4Meta("isom", 90000L, 5000000000L,
+      1, 1920, 1080))
+  }
+
+  test("decodeMp4Meta is total: junk, cross-format, truncated, and " +
+      "size-corrupt bytes yield None") {
+    val good = Multimodal.mintMp4(600L, 1000L, Seq((320, 240)),
+      new Array[Byte](16))
+    assert(Multimodal.decodeMp4Meta(good).isDefined)
+    assert(Multimodal.decodeMp4Meta(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeMp4Meta(
+      "definitely not an mp4 container".getBytes).isEmpty)
+    // other REAL formats route to the fallback, never parse
+    assert(Multimodal.decodeMp4Meta(
+      Multimodal.mintWav(Array[Short](1, 2, 3), 8000)).isEmpty)
+    assert(Multimodal.decodeMp4Meta(
+      Multimodal.mintSolidPng(8, 8, (1, 2, 3))).isEmpty)
+    assert(Multimodal.decodeMp4Meta(good.take(40)).isEmpty) // truncated
+    // a box whose declared size overruns the buffer
+    val overrun = good.clone(); overrun(27) = 0x7f
+    assert(Multimodal.decodeMp4Meta(overrun).isEmpty)
+    // boxes must tile exactly: trailing garbage is malformed
+    assert(Multimodal.decodeMp4Meta(good ++ Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
