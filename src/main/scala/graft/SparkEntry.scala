@@ -4073,12 +4073,18 @@ object SparkEntry {
         |  FROM f GROUP BY doc_id
         |)
         |SELECT d.doc_id,
-        |       CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+        |            WHEN d.doc_id % 3 = 1 THEN 'audio'
+        |            WHEN d.doc_id % 6 = 2 THEN 'video'
         |            ELSE 'binary' END AS modality,
         |       CASE WHEN d.doc_id % 3 = 0
-        |            THEN CAST(8 + d.doc_id % 25 AS INT) END AS width,
+        |            THEN CAST(8 + d.doc_id % 25 AS INT)
+        |            WHEN d.doc_id % 6 = 2
+        |            THEN CAST(160 + (d.doc_id % 28) * 8 AS INT) END AS width,
         |       CASE WHEN d.doc_id % 3 = 0
-        |            THEN CAST(8 + d.doc_id % 17 AS INT) END AS height,
+        |            THEN CAST(8 + d.doc_id % 17 AS INT)
+        |            WHEN d.doc_id % 6 = 2
+        |            THEN CAST(120 + (d.doc_id % 16) * 8 AS INT) END AS height,
         |       CASE WHEN d.doc_id % 3 = 0
         |            THEN CAST((d.doc_id * 13) % 256 AS DOUBLE) END AS mean_r,
         |       CASE WHEN d.doc_id % 3 = 0
@@ -4086,7 +4092,10 @@ object SparkEntry {
         |       CASE WHEN d.doc_id % 3 = 0
         |            THEN CAST((d.doc_id * 53) % 256 AS DOUBLE) END AS mean_b,
         |       a.n_frames AS n_frames,
-        |       a.rms AS rms
+        |       a.rms AS rms,
+        |       CASE WHEN d.doc_id % 6 = 2
+        |            THEN CAST(1000 + (d.doc_id % 2401) * 7 AS DOUBLE)
+        |              / (600 + (d.doc_id % 5) * 300) END AS duration_s
         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
 
     // Twin of Multimodal.imageNearDup over the grid fixture: the 3×2

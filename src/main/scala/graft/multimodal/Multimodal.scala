@@ -480,10 +480,12 @@ object Multimodal {
   }
 
   /** A genuinely MIXED-modality corpus: doc_id mod 3 routes each row to
-    * a real PNG payload (0), a real WAV payload (1), or raw text bytes
-    * (2 — the video stand-in). All three mints are closed-form in
-    * doc_id, so the corpus is partitioning-independent and the oracle
-    * can predict every decoded statistic. */
+    * a real PNG payload (0), a real WAV payload (1), or — splitting the
+    * third residue by parity (r16) — a real MP4 container (doc_id ≡ 2
+    * mod 6) or raw text bytes (≡ 5 mod 6, the binary-fallback branch a
+    * total report must keep exercising). All four mints are closed-form
+    * in doc_id, so the corpus is partitioning-independent and the
+    * oracle can predict every decoded statistic. */
   def withTypedPayload(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -494,6 +496,11 @@ object Multimodal {
             val (w, h) = pngDimsFor(d)
             mintSolidPng(w, h, pngRgbFor(d))
           case 1 => mintWav(wavSamplesFor(d), wavRateFor(d))
+          case _ if d % 2 == 0 =>
+            val (w, h) = mp4DimsFor(d)
+            mintMp4(mp4TimescaleFor(d), mp4DurationFor(d),
+              (w, h) +: Seq.fill(mp4TracksFor(d) - 1)((0, 0)),
+              new Array[Byte](mp4MdatLenFor(d)))
           case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
         (d, payload)
@@ -501,14 +508,19 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
-  /** One total decode pass over a mixed-modality column: each payload is
-    * probed image-first, then WAV, and reported with its decoded stats
-    * in a uniform nullable schema — the "what is actually in this
-    * corpus" report a training-data pipeline runs before routing
-    * modalities to their extractors. Oracle-proven over
-    * [[withTypedPayload]] (q_mixed_modality): DuckDB predicts every
-    * column from the generator formulas, so a hash match certifies BOTH
-    * real decoders and the routing in one row. */
+  /** One total decode pass over a mixed-modality column: each payload
+    * is probed image-first, then WAV, then MP4 container (r16), and
+    * reported with its decoded stats in a uniform nullable schema —
+    * the "what is actually in this corpus" report a training-data
+    * pipeline runs before routing modalities to their extractors.
+    * Probe order is safe by construction: PNG/WAV/MP4 magic tags are
+    * mutually exclusive, so a payload parses under at most one probe.
+    * Oracle-proven over [[withTypedPayload]] (q_mixed_modality):
+    * DuckDB predicts every column from the generator formulas, so a
+    * hash match certifies THREE real decoders, the binary fallback,
+    * and the routing in one row. Video reports its container dims in
+    * the shared width/height columns plus duration_s (IEEE quotient
+    * of two exact integers — the audioStats rms discipline). */
   def modalityStats(payloads: DataFrame): DataFrame = {
     import payloads.sparkSession.implicits._
     payloads.select(col("doc_id"), col("payload"))
@@ -531,7 +543,8 @@ object Multimodal {
             val n = (w.toLong * h).toDouble
             (id, "image", Some(w), Some(h),
               Some(r / n), Some(g / n), Some(b / n),
-              None: Option[Long], None: Option[Double])
+              None: Option[Long], None: Option[Double],
+              None: Option[Double])
           case None =>
             decodeWav(bytes).filter(_.nFrames > 0) match {
               case Some(wv) =>
@@ -542,17 +555,27 @@ object Multimodal {
                 (id, "audio", None: Option[Int], None: Option[Int],
                   None: Option[Double], None: Option[Double],
                   None: Option[Double], Some(ch.length.toLong),
-                  Some(math.sqrt(sumSq.toDouble / ch.length)))
-              case None =>
-                (id, "binary", None: Option[Int], None: Option[Int],
-                  None: Option[Double], None: Option[Double],
-                  None: Option[Double], None: Option[Long],
+                  Some(math.sqrt(sumSq.toDouble / ch.length)),
                   None: Option[Double])
+              case None =>
+                decodeMp4Meta(bytes) match {
+                  case Some(m) =>
+                    (id, "video", Some(m.width), Some(m.height),
+                      None: Option[Double], None: Option[Double],
+                      None: Option[Double], None: Option[Long],
+                      None: Option[Double],
+                      Some(m.durationTicks.toDouble / m.timescale))
+                  case None =>
+                    (id, "binary", None: Option[Int], None: Option[Int],
+                      None: Option[Double], None: Option[Double],
+                      None: Option[Double], None: Option[Long],
+                      None: Option[Double], None: Option[Double])
+                }
             }
         }
       })
       .toDF("doc_id", "modality", "width", "height",
-        "mean_r", "mean_g", "mean_b", "n_frames", "rms")
+        "mean_r", "mean_g", "mean_b", "n_frames", "rms", "duration_s")
   }
 
   /** dim-bucket RMS profile over channel 0 in frame order — the audio

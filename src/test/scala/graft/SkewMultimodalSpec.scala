@@ -319,11 +319,14 @@ class SkewMultimodalSpec extends SparkSpec {
       .sameElements(Array(1, -8388608, -1)))
   }
 
-  test("modalityStats routes a mixed corpus: PNG→image, WAV→audio, text→binary") {
+  test("modalityStats routes a mixed corpus: PNG→image, WAV→audio, " +
+      "MP4→video, text→binary") {
     val df = Seq(
       (0L, Multimodal.mintSolidPng(10, 4, (200, 100, 50))),
       (1L, Multimodal.mintWav(Array.fill[Short](60)(3000), 8000)),
-      (2L, "just some text bytes".getBytes("UTF-8"))).toDF("doc_id", "payload")
+      (2L, "just some text bytes".getBytes("UTF-8")),
+      (3L, Multimodal.mintMp4(600L, 1500L, Seq((320, 240)),
+        new Array[Byte](16)))).toDF("doc_id", "payload")
     val rows = Multimodal.modalityStats(df).collect()
       .map(r => r.getLong(0) -> r).toMap
     val img = rows(0L)
@@ -334,7 +337,12 @@ class SkewMultimodalSpec extends SparkSpec {
     assert(au.getString(1) == "audio" && au.getLong(7) == 60 &&
       au.getDouble(8) == 3000.0)
     val bin = rows(2L)
-    assert(bin.getString(1) == "binary" && bin.isNullAt(2) && bin.isNullAt(8))
+    assert(bin.getString(1) == "binary" && bin.isNullAt(2) &&
+      bin.isNullAt(8) && bin.isNullAt(9))
+    val vid = rows(3L)
+    assert(vid.getString(1) == "video" && vid.getInt(2) == 320 &&
+      vid.getInt(3) == 240 && vid.getDouble(9) == 2.5 &&
+      vid.isNullAt(7))
   }
 
   test("frame sampling: stride covers [0, n) with at most ~8 samples") {
