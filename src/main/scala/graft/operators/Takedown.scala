@@ -477,6 +477,15 @@ object Takedown {
       : DataFrame = {
     val dead = ids.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().localCheckpoint()
+    // Each leg is ROW-GRAIN here — (artifact, dead-flag) per served row
+    // — and the counting happens ONCE over the union of all legs (r17,
+    // VERDICT r16 #2): the r14–r16 form ended every leg in its own
+    // global .agg(), i.e. seven single-partition exchanges that AQE
+    // materializes as seven separate query stages; the fixed job-count
+    // was the certificate's dominant cost at bench SF and the source of
+    // its ±50% same-box swing (BASELINE.md). Now the union feeds ONE
+    // hash aggregate keyed by artifact (partial map-side per leg scan,
+    // a 7-group reduce), so the whole certificate body is one job.
     def leg(name: String, df: DataFrame, idCols: Seq[String]): DataFrame = {
       val flagged = idCols.foldLeft(df.select(idCols.map(col): _*)) {
         (acc, c) =>
@@ -485,12 +494,8 @@ object Takedown {
       }
       val anyDead = idCols.map(c => col(s"__dead_$c") === 1)
         .reduce(_ || _)
-      flagged.agg(
-        count(lit(1)).as("n_rows"),
-        coalesce(sum(when(anyDead, 1L).otherwise(0L)), lit(0L))
-          .as("n_dead"))
-        .select(lit(name).as("artifact"),
-          (col("n_rows") - col("n_dead")).as("n_live"), col("n_dead"))
+      flagged.select(lit(name).as("artifact"),
+        when(anyDead, 1L).otherwise(0L).as("dead"))
     }
     val legs = targets.legs.map {
       case ("corpus", t) =>
@@ -523,10 +528,23 @@ object Takedown {
           .select(col("doc_id")), Seq("doc_id"))
       case (other, _) => throw new IllegalStateException(other)
     }
+    val counted = legs.reduce(_ unionByName _)
+      .groupBy(col("artifact"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("dead")).as("n_dead"))
+    // An artifact whose serve path holds ZERO rows produces no group —
+    // backfill from the driver-known leg list so the certificate always
+    // carries one row per audited artifact (n_live = n_dead = 0), the
+    // same contract the per-leg global aggregates gave for free.
+    val nameFrame = spark.createDataFrame(targets.legs.map(l => Tuple1(l._1)))
+      .toDF("artifact")
+    val body = nameFrame.join(broadcast(counted), Seq("artifact"), "left")
+      .select(col("artifact"),
+        coalesce(col("n_rows") - col("n_dead"), lit(0L)).as("n_live"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"))
     val packLeg = packSource.map { case (counts, packs) =>
       packCertLeg(counts, dead, packs, suffixScoped = true)
     }
-    (legs ++ packLeg).reduce(_ unionByName _)
+    (Seq(body) ++ packLeg).reduce(_ unionByName _)
   }
 
   /** The certificate's PACK leg: one row
