@@ -154,18 +154,119 @@ object Dedup {
     * oracle still intersects the string arrays; a cross-shingle
     * xxhash64 collision inside one pair's union (~n²/2⁶⁵ per pair) is
     * the accepted trade for the compact exchange. */
-  private def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame = {
-    val sh = Spread(docs)
+  private[graft] def verifyPairs(cand0: DataFrame, docs: DataFrame,
+                                 fanoutCap: Long =
+                                   ScaleEnvelope.PairFanoutCap): DataFrame = {
+    // Pinned: the candidate chain (a full LSH band self-join) feeds
+    // both the fanout probe and the verify — without the pin the probe
+    // would re-run it (r17; the incremental callers arrive pre-pinned,
+    // so their second checkpoint is a cheap blocks→blocks copy).
+    val cand = cand0.localCheckpoint()
+    val sh = signatureArrays(docs)
+    // PAIR-FANOUT ENVELOPE (r17, VERDICT r16 #3): a doc's signature
+    // crosses each verify-join exchange once per pair it appears in —
+    // fine at LSH-bounded fanout (~18 pairs/doc on the ×100 mint), a
+    // shuffle storm when one boilerplate doc near-dups 10⁶ others. Docs
+    // above [[ScaleEnvelope.PairFanoutCap]] get their signatures
+    // BROADCAST (once per executor, not once per pair); the probe is
+    // one pairs-grain count over the pinned candidates. Both tiers are
+    // result-identical (TextDedupSpec forces a crafted storm through
+    // each and compares).
+    val storm = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pairs"))
+      .where(col("n_pairs") > fanoutCap)
+      .select(col("doc_id"))
+    if (storm.isEmpty) pairMetrics(attachSignatures(cand, sh))
+    else {
+      val stormIds = storm.localCheckpoint()
+      // Storm signatures re-derived from the storm DOCS (a broadcast
+      // semi-join restricts the corpus scan to the storm set — per-doc
+      // computation, so identical to slicing the full frame), pinned
+      // because they feed two broadcast sides.
+      val shStorm = signatureArrays(
+        docs.join(broadcast(stormIds), Seq("doc_id"), "left_semi"))
+        .localCheckpoint()
+      val shRest = sh.join(broadcast(stormIds), Seq("doc_id"), "left_anti")
+      val marked = cand
+        .join(broadcast(stormIds.select(col("doc_id").as("doc_a"),
+          lit(1).as("__sa"))), Seq("doc_a"), "left")
+        .join(broadcast(stormIds.select(col("doc_id").as("doc_b"),
+          lit(1).as("__sb"))), Seq("doc_b"), "left")
+      val calm = marked
+        .where(col("__sa").isNull && col("__sb").isNull)
+        .select(col("doc_a"), col("doc_b"), col("n_band_matches"))
+      // Storm tier: shuffle joins attach only NON-storm signatures
+      // (each replicated ≤ cap times by construction), then the
+      // broadcast joins attach the storm signatures LAST — a broadcast
+      // hash join never shuffles its streamed side, so no storm
+      // signature and no attached array rides any exchange.
+      val stormy = marked
+        .where(col("__sa").isNotNull || col("__sb").isNotNull)
+        .select(col("doc_a"), col("doc_b"), col("n_band_matches"))
+        .join(shRest.select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_ar")), Seq("doc_a"), "left")
+        .join(shRest.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_br")), Seq("doc_b"), "left")
+        .join(broadcast(shStorm.select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_as"))), Seq("doc_a"), "left")
+        .join(broadcast(shStorm.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_bs"))), Seq("doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("n_band_matches"),
+          coalesce(col("sh_ar"), col("sh_as")).as("sh_a"),
+          coalesce(col("sh_br"), col("sh_bs")).as("sh_b"))
+      pairMetrics(attachSignatures(calm, sh)).unionByName(pairMetrics(stormy))
+    }
+  }
+
+  /** The compact per-doc signature frame the verify joins on: every
+    * shingle hashed to a long ONCE at (doc_id, hash) grain, folded to
+    * a long-array per doc. ONE definition — the calm tier, the storm
+    * broadcast tier, and the rest/anti split must cut the same frame
+    * or the tiers' bit-identity breaks. */
+  private def signatureArrays(docs: DataFrame): DataFrame =
+    Spread(docs)
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("x"))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("x")).as("sh"))
-    cand
+
+  /** Attach sh_a/sh_b by the two doc_id equi-joins (both repartition
+    * the SAME signature subtree, so ReuseExchange computes it once).
+    * LEFT joins (r17, ADVICE r16 #1): the joins used to be inner,
+    * silently DROPPING a candidate pair whose doc produced no shingles
+    * — safe only because LSH candidates are derived FROM shingle
+    * signatures (a shingle-less doc has no bands, hence no pairs;
+    * TextDedupSpec pins that), but an out-of-contract candidate source
+    * would lose pairs invisibly. Now the invariant is enforced LOUDLY:
+    * [[pairMetrics]] raises on a null signature. */
+  private def attachSignatures(pairs: DataFrame, sh: DataFrame): DataFrame =
+    pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        "doc_a")
+        Seq("doc_a"), "left")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        "doc_b")
+        Seq("doc_b"), "left")
+
+  /** Exact set metrics over an attached (sh_a, sh_b) pair frame.
+    * n_inter is `array_intersect` over LONGS — a primitive-hash probe
+    * per element, ~an order cheaper than string hashing. A null
+    * signature (a candidate referencing a doc outside the shingle
+    * contract) fails the job with a named doc_id instead of losing
+    * the pair. */
+  private def pairMetrics(attached: DataFrame): DataFrame = {
+    def guarded(sh: Column, id: Column): Column =
+      when(sh.isNull, raise_error(concat(
+        lit("verifyPairs: candidate pair references doc_id="),
+        id.cast("string"),
+        lit(" which has no shingle signature — candidates must be " +
+          "derived from shingle-based LSH bands"))))
+        .otherwise(sh)
+    attached
+      .select(
+        col("doc_a"), col("doc_b"), col("n_band_matches"),
+        guarded(col("sh_a"), col("doc_a")).as("sh_a"),
+        guarded(col("sh_b"), col("doc_b")).as("sh_b"))
       .select(
         col("doc_a"), col("doc_b"), col("n_band_matches"),
         size(col("sh_a")).as("n_a"),

@@ -174,7 +174,38 @@ object ScaleEnvelope {
   def contentPushdownByLiteral(nIds: Long): Boolean =
     nIds <= ContentIdPushdownCap
 
-  // ---- 5. MinHash band plan --------------------------------------
+  // ---- 5. Verify-pair fanout ---------------------------------------
+
+  /** Candidate pairs per document above which [[Dedup]]'s exact-Jaccard
+    * verify routes that document's pairs through the BROADCAST tier
+    * (r17, VERDICT r16 #3 — the last unpinned envelope in the dedup
+    * family).
+    *
+    * The shipped verify resolves pairs by two doc_id equi-joins on the
+    * compact long-array signature frame, so a doc's signature crosses
+    * each join exchange once PER PAIR it appears in: with fanout f and
+    * signature length s that is f·s longs — 8·f·s bytes — through the
+    * shuffle for that one doc. LSH banding bounds EXPECTED fanout
+    * statistically (the ×100 mint measures ~18 pairs/doc), but a
+    * duplicate storm — one boilerplate page near-dup to 10⁶ others —
+    * is exactly the corpus shape a crawl produces, and nothing pinned
+    * it. At the cap, a doc moves at most 8·1024·s bytes ≈ 8 MB (s ~
+    * 10³ shingles) through an exchange; above it the doc's signature
+    * is BROADCAST once per executor instead of once per pair, and its
+    * pair rows cross the shuffle carrying only ids.
+    *
+    * Storm-set bound: Σ fanout = 2·|pairs|, so |storm docs| ≤
+    * 2·|pairs|/cap — the broadcast is pair-table-bounded, and the pair
+    * table is itself bounded by the banding envelopes upstream (hot
+    * buckets are capped/quarantined before pairs exist). Both tiers
+    * are result-identical; TextDedupSpec forces a crafted pair storm
+    * through each and compares row multisets. */
+  val PairFanoutCap = 1024L
+
+  /** Broadcast tier for a document's pairs above the cap. */
+  def pairFanoutBroadcast(fanout: Long): Boolean = fanout > PairFanoutCap
+
+  // ---- 6. MinHash band plan --------------------------------------
 
   /** (rowsPerBand, numBands) for a hash budget H and target Jaccard
     * threshold t — the classic S-curve parameterization: a pair with

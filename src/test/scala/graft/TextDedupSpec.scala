@@ -609,6 +609,77 @@ class TextDedupSpec extends SparkSpec {
     assert(whole.exceptAll(chunked).isEmpty && chunked.exceptAll(whole).isEmpty)
   }
 
+  test("pair-fanout envelope: broadcast storm tier is result-identical " +
+      "to the shuffle tier on a crafted duplicate storm") {
+    // 20 IDENTICAL docs — every pair of them collides on all bands, so
+    // each has fanout 19 (C(20,2) = 190 pairs); plus one calm exact-dup
+    // pair with fanout 1. At fanoutCap = 5 the 20 storm docs cross the
+    // envelope and their pairs route through the broadcast tier while
+    // the calm pair stays on the shuffle tier; at cap = Long.MaxValue
+    // everything is calm. Both dispatches must produce the same rows.
+    val template = "the quick brown fox jumps over the lazy dog again " +
+      "and again while the cat watches from the warm windowsill"
+    val calmText = "an entirely different document about spark shuffle " +
+      "partitioning salting and adaptive execution at large scale"
+    val docs = ((0L until 20L).map(i => (i, template)) ++
+      Seq((100L, calmText), (101L, calmText))).toDF("doc_id", "text")
+    val dir = tmpDir("pairstorm")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cand = Dedup.minhashPairs(spark, dir)
+    assert(cand.count() == 191) // 190 storm + 1 calm
+    // The envelope predicate is strict-above-the-cap.
+    assert(!graft.operators.ScaleEnvelope.pairFanoutBroadcast(
+      graft.operators.ScaleEnvelope.PairFanoutCap) &&
+      graft.operators.ScaleEnvelope.pairFanoutBroadcast(
+        graft.operators.ScaleEnvelope.PairFanoutCap + 1))
+    val plain = Dedup.verifyPairs(cand, docs, fanoutCap = Long.MaxValue)
+    val storm = Dedup.verifyPairs(cand, docs, fanoutCap = 5L)
+    // The storm dispatch actually took the two-tier branch: its plan
+    // unions the calm and storm tiers; the plain dispatch does not.
+    assert(storm.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.nonEmpty)
+    assert(plain.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty)
+    // Row MULTISETS equal (collected and sorted — exceptAll would hide
+    // a duplicated row drifting between branches only if it drifted in
+    // both directions at once; a full sorted compare cannot).
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    assert(rows(plain) == rows(storm))
+    assert(rows(plain).size == 191)
+    // All 191 pairs are exact dups: jaccard 1.0 everywhere.
+    assert(plain.where($"jaccard" =!= 1.0).isEmpty)
+  }
+
+  test("verify shingle contract: LSH candidates never reference a " +
+      "shingle-less doc, and an out-of-contract pair fails loudly") {
+    // Structural half: a corpus containing an empty doc produces no
+    // candidate touching it (no shingles -> no minhash row -> no bands).
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (999L, "")).toDF("doc_id", "text")
+    val dir = tmpDir("shinglecontract")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cand = Dedup.minhashPairs(spark, dir)
+    assert(cand.where($"doc_a" === 999L || $"doc_b" === 999L).isEmpty)
+    assert(cand.count() == 1)
+    // Loud half (ADVICE r16): the old inner join silently DROPPED a
+    // candidate referencing a signature-less doc; now it raises with
+    // the offending doc_id named.
+    val rogue = cand.select($"doc_a", $"doc_b", $"n_band_matches")
+      .unionByName(Seq((1L, 999L, 12L))
+        .toDF("doc_a", "doc_b", "n_band_matches"))
+    val e = intercept[Throwable] {
+      Dedup.verifyPairs(rogue, docs).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("no shingle signature") &&
+      chain(e).contains("999"))
+  }
+
   test("span dedup fixture invariants: conservation, reconstruction, effect") {
     val out = TextOps.dedupSpans(spark, SparkSpec.Sf001)
     // Block accounting conserves; the op does real work on the fixture.
