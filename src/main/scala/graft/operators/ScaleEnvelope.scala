@@ -170,9 +170,14 @@ object ScaleEnvelope {
   val ContentIdPushdownCap = 100000L
 
   /** Literal IN-list pushdown at or below the cap, distributed join
-    * above. */
-  def contentPushdownByLiteral(nIds: Long): Boolean =
-    nIds <= ContentIdPushdownCap
+    * above. THE dispatch predicate for both content-resolver decision
+    * sites (r17, ADVICE r16 — the sites used to inline `<=` against
+    * the constant, letting helper and branch predicate drift). `cap`
+    * is parameterized because the spec tier forces both branches
+    * through a tiny cap; production callers pass the default. */
+  def contentPushdownByLiteral(nIds: Long,
+                               cap: Long = ContentIdPushdownCap): Boolean =
+    nIds <= cap
 
   // ---- 5. Verify-pair fanout ---------------------------------------
 

@@ -528,23 +528,29 @@ object Takedown {
           .select(col("doc_id")), Seq("doc_id"))
       case (other, _) => throw new IllegalStateException(other)
     }
-    val counted = legs.reduce(_ unionByName _)
-      .groupBy(col("artifact"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("dead")).as("n_dead"))
     // An artifact whose serve path holds ZERO rows produces no group —
     // backfill from the driver-known leg list so the certificate always
     // carries one row per audited artifact (n_live = n_dead = 0), the
-    // same contract the per-leg global aggregates gave for free.
-    val nameFrame = spark.createDataFrame(targets.legs.map(l => Tuple1(l._1)))
-      .toDF("artifact")
-    val body = nameFrame.join(broadcast(counted), Seq("artifact"), "left")
-      .select(col("artifact"),
-        coalesce(col("n_rows") - col("n_dead"), lit(0L)).as("n_live"),
-        coalesce(col("n_dead"), lit(0L)).as("n_dead"))
+    // same contract the per-leg global aggregates gave for free. A
+    // pack-only certificate (no index legs) skips the body entirely.
+    val body =
+      if (targets.legs.isEmpty) None
+      else {
+        val counted = legs.reduce(_ unionByName _)
+          .groupBy(col("artifact"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("dead")).as("n_dead"))
+        val nameFrame = spark
+          .createDataFrame(targets.legs.map(l => Tuple1(l._1)))
+          .toDF("artifact")
+        Some(nameFrame.join(broadcast(counted), Seq("artifact"), "left")
+          .select(col("artifact"),
+            coalesce(col("n_rows") - col("n_dead"), lit(0L)).as("n_live"),
+            coalesce(col("n_dead"), lit(0L)).as("n_dead")))
+      }
     val packLeg = packSource.map { case (counts, packs) =>
       packCertLeg(counts, dead, packs, suffixScoped = true)
     }
-    (Seq(body) ++ packLeg).reduce(_ unionByName _)
+    (body.toSeq ++ packLeg).reduce(_ unionByName _)
   }
 
   /** The certificate's PACK leg: one row
@@ -805,7 +811,13 @@ object Takedown {
     val store = ContentIndex.docstore(spark, root)
       .where(col("db").isin(dbBuckets: _*))
     val candText =
-      (if (cand.count() <= idPushdownCap) {
+      // Distinct doc_id count (r17, ADVICE r16): the cap is documented
+      // as RESOLVED-ID cardinality — counting (passage_id, doc_id)
+      // rows double-counted docs shared across a multi-passage request
+      // and could flip to the distributed branch early. The frame is
+      // localCheckpoint-pinned, so the distinct count reads blocks.
+      (if (ScaleEnvelope.contentPushdownByLiteral(
+          cand.select(col("doc_id")).distinct().count(), idPushdownCap)) {
         val candIds = cand.select(col("doc_id")).distinct()
           .collect().map(_.getLong(0)).toSeq
         store.where(col("doc_id").isin(candIds: _*))
@@ -901,12 +913,20 @@ object Takedown {
         // touched frame is pinned either way; both expansion
         // orientations read the pinned sliver.
         val seedFrame = exact.select(col("doc_id")).distinct()
-        val touched = (if (seedFrame.count() <= idPushdownCap) {
+        val touched = (if (ScaleEnvelope.contentPushdownByLiteral(
+            seedFrame.count(), idPushdownCap)) {
             val seeds = seedFrame.collect().map(_.getLong(0)).toSeq
+            // distinct matches the distributed branch's discipline
+            // (r17, ADVICE r16): the pair table is duplicate-free by
+            // the serve-time distinct upstream, but the two branches
+            // must not RELY on different invariants for their row
+            // multiplicity to agree — the frame is request-sliver
+            // sized, so the exchange is noise.
             pairTableLive(spark, pp)
               .where(col("doc_a").isin(seeds: _*) ||
                 col("doc_b").isin(seeds: _*))
               .select(col("doc_a"), col("doc_b"))
+              .distinct()
           } else {
             val pt = pairTableLive(spark, pp)
               .select(col("doc_a"), col("doc_b"))
