@@ -41,21 +41,34 @@ class PublishSoakSpec extends SparkSpec {
     assert(Sinks.mergeAggPublish(spark, Seq(("k", 1L)).toDF("k", "n"),
       t, Seq("k"), Seq("n"), batchId = Some(0L)) == 1)
     @volatile var publishing = true
+    // Global commit counter feeding the livelock tripwire below.
+    val committed = new java.util.concurrent.atomic.AtomicLong(0L)
     def publish(id: Long): Unit = {
-      var attempts = 0
+      var futile = 0
+      var lastSeen = committed.get()
       var done = false
       while (!done) {
-        attempts += 1
-        // Livelock tripwire, not a correctness bound: with fence age 0
-        // a CPU-starved publisher is legitimately fenced once per
-        // stall, so the cap is sized for a heavily co-tenanted box
-        // (observed 30+ under a concurrent Verify+Bench load; quiet
-        // runs need < 5).
-        assert(attempts <= 100, s"publisher of batch $id fenced $attempts times")
+        // Livelock tripwire, PROGRESS-AWARE (r17, VERDICT r16 #4 — the
+        // r13/r16 flake mechanism): with fence age 0 a CPU-starved
+        // publisher is legitimately fenced once per stall, so a raw
+        // attempt cap trips under external box load (observed 30+ under
+        // a concurrent Verify+Bench; the r16 full-suite flake was this
+        // cap). A real livelock means NOBODY commits while retries
+        // spin — so the counter now resets whenever any publisher
+        // committed since the last attempt, and trips only on 100
+        // consecutive attempts with zero global progress. Starvation
+        // slows the soak; it no longer fails it.
+        val nowSeen = committed.get()
+        if (nowSeen != lastSeen) { futile = 0; lastSeen = nowSeen }
+        futile += 1
+        assert(futile <= 100,
+          s"publisher of batch $id fenced $futile times with no global " +
+            "commit in between — livelock")
         try {
           Sinks.mergeAggPublish(spark,
             Seq(("k", 1L << id)).toDF("k", "n"), t, Seq("k"), Seq("n"),
             batchId = Some(id), orphanFenceMs = 0L)
+          committed.incrementAndGet()
           done = true
         }
         catch { case e: IllegalStateException
