@@ -389,6 +389,12 @@ object SparkEntry {
     "q_temperature_mix" -> ((s, d) => Sampling.temperatureMix(s, d)),
     // all-rows kNN join, scalar quantization, DQ expectation report
     "q_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    // Served twin (r17, VERDICT r16 #7): the kNN graph as a standing
+    // once-per-corpus-version artifact — built once per JVM, read back
+    // by consumers (hard-negative mining per epoch, neighborhood
+    // stats). Shares q_knn_join's twin verbatim: parquet round-trips
+    // the (long, long, double, int) rows bit-exactly.
+    "q_knn_join_served" -> ((s, d) => Similarity.knnTable(s, stagedKnnTable(s, d))),
     "q_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     // Product quantization (r10): train 8×32 codebooks, encode the
     // corpus to 8 codes/vector, serve cosine top-k from the broadcast
@@ -1281,6 +1287,21 @@ object SparkEntry {
     })
     operators.Dedup.pairTable(s, path)
   }
+
+  /** Once-per-corpus-version kNN graph (r17, VERDICT r16 #7): the
+    * band-join + rescore + top-k chain materializes ONE compact
+    * parquet table per (sfDir, JVM); `q_knn_join_served` reads it —
+    * the standing-artifact shape for the last expensive family
+    * without a build/serve split. Deleted on JVM exit. */
+  private val stagedKnnTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedKnnTable(s: SparkSession, d: String): String =
+    stagedKnnTables.computeIfAbsent(d, { _ =>
+      val dir = tempDirWithCleanup("graft_knn")
+      operators.Similarity.buildKnnTable(s, d, s"$dir/knn")
+      s"$dir/knn"
+    })
 
   /** Persisted IVF index, built (centroids TRAINED) once per (sfDir,
     * JVM) — the production build/serve split on the oracle surface:
@@ -2216,6 +2237,27 @@ object SparkEntry {
     * the two Spark paths are result-identical by construction
     * (parquet round-trips longs/doubles exactly), so one SQL covers
     * both, exactly like annIvfSql for the IVF build/serve split. */
+  /** q_knn_join / q_knn_join_served twin (shared verbatim — the
+    * served form reads the staged kNN table, a bit-exact parquet
+    * round-trip of the inline chain's output). */
+  private lazy val knnJoinSql: String =
+      s"""$EmbCte$bandedLshCtes, cand AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id
+         |), scored AS (
+         |  SELECT cand.vec_id, cand.nn_id,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> x.v[i] * y.v[i])) / (x.nv * y.nv) AS cosine
+         |  FROM cand
+         |  JOIN n x ON cand.vec_id = x.vec_id
+         |  JOIN n y ON cand.nn_id = y.vec_id
+         |)
+         |SELECT vec_id, nn_id, cosine, CAST(rank AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY cosine DESC, nn_id ASC) AS rank FROM scored)
+         |WHERE rank <= ${Similarity.KnnK}""".stripMargin
+
   /** q_containment / q_containment_served twin (shared verbatim —
     * the served form is a pure projection over the staged pair table,
     * which persists the ngram_jaccard frame bit-exactly). */
@@ -4261,23 +4303,11 @@ object SparkEntry {
          |         AS temp_multiplier
          |FROM zz""".stripMargin,
 
-    "q_knn_join" ->
-      s"""$EmbCte$bandedLshCtes, cand AS (
-         |  SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
-         |  FROM sigs a JOIN sigs b
-         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id
-         |), scored AS (
-         |  SELECT cand.vec_id, cand.nn_id,
-         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-         |           i -> x.v[i] * y.v[i])) / (x.nv * y.nv) AS cosine
-         |  FROM cand
-         |  JOIN n x ON cand.vec_id = x.vec_id
-         |  JOIN n y ON cand.nn_id = y.vec_id
-         |)
-         |SELECT vec_id, nn_id, cosine, CAST(rank AS INT) AS rank
-         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |        ORDER BY cosine DESC, nn_id ASC) AS rank FROM scored)
-         |WHERE rank <= ${Similarity.KnnK}""".stripMargin,
+    // Inline and served forms share the twin verbatim (r17): the
+    // served row reads the staged kNN table, which parquet round-trips
+    // bit-exactly from the inline chain's output.
+    "q_knn_join" -> knnJoinSql,
+    "q_knn_join_served" -> knnJoinSql,
 
     "q_quantize" ->
       s"""$EmbCte, ex AS (

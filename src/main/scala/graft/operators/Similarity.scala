@@ -504,6 +504,42 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
   }
 
+  /** Build/serve split for the kNN GRAPH (r17, VERDICT r16 #7): the
+    * band-join + exact-rescore + salted top-k chain is the standing
+    * ×100 top line (74.2 s at sf10), and in a deployment the kNN graph
+    * is a once-per-corpus-version ARTIFACT its consumers (hard-negative
+    * mining per training epoch, neighborhood stats, recall panels)
+    * read, not re-derive — the [[buildIvfIndex]] / `Dedup.pairTable`
+    * discipline applied to the last expensive family without a served
+    * form. The table is k·N rows of (long, long, double, int) — tiny
+    * next to the corpus — and parquet round-trips longs/doubles
+    * bit-exactly, so serving is result-identical to recomputing
+    * (`q_knn_join_served` shares `q_knn_join`'s oracle twin
+    * verbatim). */
+  def buildKnnTable(spark: SparkSession, dir: String, out: String): Unit =
+    knnJoin(spark, dir).write.mode("overwrite").parquet(out)
+
+  /** Serve the persisted kNN graph. */
+  def knnTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Diagnostic accessor (r17, VERDICT r16 #7): the kNN band join's
+    * candidate-pair volume at signature width h (default: the
+    * envelope-derived width for the corpus). Evidence feed for the
+    * candidates-vs-h growth curve in PLANS.md — [[graft.KnnProbe]]
+    * prints it at h−1/h/h+1 across the sf0.1/sf1/sf10 mints so the
+    * [[tablePlanesFor]] policy's growth is measured, not asserted. */
+  def knnCandidateCount(spark: SparkSession, dir: String,
+                        hOverride: Option[Int] = None): (Int, Long, Long) = {
+    val n = corpusSize(spark, dir)
+    val h = hOverride.getOrElse(tablePlanesFor(n))
+    val c = corpus(spark, dir)
+    val cands = bandedCollisions(bandedSignatureRows(c, h), _ =!= _)
+      .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"))
+      .distinct().count()
+    (h, n, cands)
+  }
+
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double = 0.5): DataFrame = {
     val h = tablePlanesFor(corpusSize(spark, dir))
