@@ -226,6 +226,11 @@ object SparkEntry {
     }),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    // Served twin (r17, second serving pass): the near-dup pair set as
+    // a standing artifact (the pair-table pattern over embeddings).
+    // Shares the inline twin verbatim — parquet-exact round-trip.
+    "q_embedding_neardup_served" -> ((s, d) =>
+      Similarity.embeddingPairTable(s, stagedEmbPairTable(s, d))),
     // SemDeDup (r9): cluster-scoped semantic dedup — within-IVF-cell
     // pairs at cosine >= eps drop their more-cluster-typical member
     "q_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -621,6 +626,12 @@ object SparkEntry {
     // resolves to the quarter form, and both forms share one oracle
     // (identical pair sets — radius-3 complete either way).
     "q_simhash64_auto" -> ((s, d) => Dedup.simhash64NeighborsAuto(s, d)),
+    // Served twin (r17, second serving pass): the simhash pair set as
+    // a standing once-per-corpus-version artifact — built through the
+    // auto dispatcher, read back by consumers. Shares the neighbor
+    // twin verbatim: parquet round-trips (long, long, int) bit-exactly.
+    "q_simhash64_neighbors_served" ->
+      ((s, d) => Dedup.simhashPairTable(s, stagedSimhashTable(s, d))),
     // vocabulary table (tokenizer-prep artifact)
     "q_vocab" -> ((s, d) => TextOps.vocabulary(s, d)),
     // cohort retention matrix (first-seen cohorts x hour age)
@@ -1301,6 +1312,33 @@ object SparkEntry {
       val dir = tempDirWithCleanup("graft_knn")
       operators.Similarity.buildKnnTable(s, d, s"$dir/knn")
       s"$dir/knn"
+    })
+
+  /** Once-per-corpus-version embedding near-dup pairs (r17, second
+    * serving pass): the banded-collision + exact-cosine chain
+    * materializes once per (sfDir, JVM); `q_embedding_neardup_served`
+    * reads it. Deleted on JVM exit. */
+  private val stagedEmbPairTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedEmbPairTable(s: SparkSession, d: String): String =
+    stagedEmbPairTables.computeIfAbsent(d, { _ =>
+      val dir = tempDirWithCleanup("graft_embpairs")
+      operators.Similarity.buildEmbeddingPairTable(s, d, s"$dir/pairs")
+      s"$dir/pairs"
+    })
+
+  /** Once-per-corpus-version SimHash neighbor pairs (r17, second
+    * serving pass), built through the envelope-dispatched auto form;
+    * `q_simhash64_neighbors_served` reads it. Deleted on JVM exit. */
+  private val stagedSimhashTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedSimhashTable(s: SparkSession, d: String): String =
+    stagedSimhashTables.computeIfAbsent(d, { _ =>
+      val dir = tempDirWithCleanup("graft_simhash")
+      operators.Dedup.buildSimhashPairTable(s, d, s"$dir/pairs")
+      s"$dir/pairs"
     })
 
   /** Persisted IVF index, built (centroids TRAINED) once per (sfDir,
@@ -2257,6 +2295,26 @@ object SparkEntry {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |        ORDER BY cosine DESC, nn_id ASC) AS rank FROM scored)
          |WHERE rank <= ${Similarity.KnnK}""".stripMargin
+
+  /** q_embedding_neardup / q_embedding_neardup_served twin (shared
+    * verbatim — the served form reads the staged pair table, which
+    * persists the inline chain's output bit-exactly). */
+  private lazy val embeddingNearDupSql: String =
+      s"""$EmbCte$bandedLshCtes, cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_tables
+         |  FROM sigs a JOIN sigs b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT * FROM (
+         |  SELECT cand.vec_a, cand.vec_b, cand.n_tables,
+         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+         |           i -> x.v[i] * y.v[i])) / (x.nv * y.nv) AS cosine
+         |  FROM cand
+         |  JOIN n x ON cand.vec_a = x.vec_id
+         |  JOIN n y ON cand.vec_b = y.vec_id
+         |) WHERE cosine > 0.5""".stripMargin
 
   /** q_containment / q_containment_served twin (shared verbatim —
     * the served form is a pure projection over the staged pair table,
@@ -3311,22 +3369,11 @@ object SparkEntry {
     // same tie-breaks, so it shares the twin verbatim.
     "q_ann_ivf_served" -> annIvfSql,
 
-    "q_embedding_neardup" ->
-      s"""$EmbCte$bandedLshCtes, cand AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         CAST(COUNT(*) AS BIGINT) AS n_tables
-         |  FROM sigs a JOIN sigs b
-         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT * FROM (
-         |  SELECT cand.vec_a, cand.vec_b, cand.n_tables,
-         |         list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-         |           i -> x.v[i] * y.v[i])) / (x.nv * y.nv) AS cosine
-         |  FROM cand
-         |  JOIN n x ON cand.vec_a = x.vec_id
-         |  JOIN n y ON cand.vec_b = y.vec_id
-         |) WHERE cosine > 0.5""".stripMargin,
+    // Inline and served forms share the twin verbatim (r17): the
+    // served row reads the staged pair table, a bit-exact parquet
+    // round-trip of the inline chain's output.
+    "q_embedding_neardup" -> embeddingNearDupSql,
+    "q_embedding_neardup_served" -> embeddingNearDupSql,
 
     "q_label_centroids" ->
       s"""$EmbCte
@@ -5323,6 +5370,10 @@ object SparkEntry {
     // pair set — and therefore the twin — is form-independent.
     "q_simhash64_auto" -> simhash64NeighborsOracle,
     "q_simhash64_neighbors" -> simhash64NeighborsOracle,
+    // The served row reads the standing pair table the auto-dispatched
+    // build wrote — same pair set (radius-3 completeness of both
+    // constructions), parquet-exact round-trip, one twin verbatim.
+    "q_simhash64_neighbors_served" -> simhash64NeighborsOracle,
     "q_simhash64_wide" ->
       s"""$ToksCte, votes AS (
          |  SELECT doc_id,

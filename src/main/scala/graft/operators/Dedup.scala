@@ -837,6 +837,27 @@ object Dedup {
     simhash64NeighborsAutoOf(simhash64(spark, dir), n, maxHamming)._1
   }
 
+  /** Build/serve split for the SimHash neighbor pairs (r17, second
+    * serving pass): the signature + banded-candidate + exact-Hamming
+    * chain is a ×100 top inline line in BOTH its constructions
+    * (quarter 62.1 s / wide 61.9 s at sf10), and the pair set they
+    * both produce — the two forms are radius-3 complete, identical
+    * output, spec-pinned — is a once-per-corpus-version artifact like
+    * the minhash pair table. The build goes through the
+    * [[simhash64NeighborsAuto]] envelope dispatcher (quarter bands
+    * below the §8.8 trigger, Manku wide multi-index above), so one
+    * standing table serves regardless of which construction built it;
+    * (long, long, int) rows round-trip parquet bit-exactly, so
+    * `q_simhash64_neighbors_served` shares the inline twin
+    * verbatim. */
+  def buildSimhashPairTable(spark: SparkSession, dir: String,
+                            out: String): Unit =
+    simhash64NeighborsAuto(spark, dir).write.mode("overwrite").parquet(out)
+
+  /** Serve the persisted SimHash neighbor pairs. */
+  def simhashPairTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Shared banded candidate-join + exact-Hamming verify for the 64-bit
     * signature schemes: explode each signature into one (band_idx,
     * band_val) row per band expression, optionally quarantine

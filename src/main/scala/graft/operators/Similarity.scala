@@ -523,6 +523,22 @@ object Similarity {
   def knnTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Build/serve split for the embedding near-dup PAIR set (r17,
+    * second serving pass): the banded-collision + exact-cosine chain
+    * is a ×100 top inline line (55.5 s at sf10), and its pair set —
+    * like the kNN graph and the minhash pair table — is a
+    * once-per-corpus-version artifact downstream consumers (corpus
+    * slimming, leakage audits) read rather than re-derive. (long,
+    * long, long, double) rows, parquet-exact round-trip, so
+    * `q_embedding_neardup_served` shares the inline twin verbatim. */
+  def buildEmbeddingPairTable(spark: SparkSession, dir: String,
+                              out: String): Unit =
+    embeddingNearDup(spark, dir).write.mode("overwrite").parquet(out)
+
+  /** Serve the persisted embedding near-dup pairs. */
+  def embeddingPairTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Diagnostic accessor (r17, VERDICT r16 #7): the kNN band join's
     * candidate-pair volume at signature width h (default: the
     * envelope-derived width for the corpus). Evidence feed for the
