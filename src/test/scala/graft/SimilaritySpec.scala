@@ -516,6 +516,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("embedding pair table: EMPTY build round-trips schema and serves zero pairs") {
+    // The sf0.001 corpus legitimately produces NO near-dup pair, so the
+    // standing-table build writes an empty parquet — the one case the
+    // sf0.01 oracle gate (non-empty there) cannot see. The serve path
+    // must come back with the inline chain's exact column shape, not an
+    // inference failure or a schemaless frame.
+    val out = tmpDir("graft_embpairs_spec") + "/pairs"
+    Similarity.buildEmbeddingPairTable(spark, sf0001, out)
+    val inline = Similarity.embeddingNearDup(spark, sf0001)
+    val served = Similarity.embeddingPairTable(spark, out)
+    assert(inline.isEmpty, "fixture contract: sf0.001 has no near-dup pair")
+    assert(served.isEmpty)
+    assert(served.schema.map(f => (f.name, f.dataType)) ==
+      inline.schema.map(f => (f.name, f.dataType)),
+      "served read must preserve the inline chain's columns and dtypes")
+  }
+
   test("hyperplanes are reproducible constants") {
     val w = Similarity.hyperplanes
     assert(w.length == Similarity.NumTables * ScaleEnvelope.AbsMaxPlanes &&

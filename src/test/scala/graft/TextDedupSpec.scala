@@ -680,6 +680,27 @@ class TextDedupSpec extends SparkSpec {
       chain(e).contains("999"))
   }
 
+  test("simhash pair table: auto-dispatched build serves the inline pair set") {
+    // Build/serve split (r17 second serving pass): the standing table is
+    // written THROUGH the envelope dispatcher, so one table serves
+    // regardless of which radius-3-complete construction built it. The
+    // serve read must be row-for-row the inline frame — same columns,
+    // same dtypes, same pair set (parquet round-trips (long, long, int)
+    // bit-exactly).
+    val out = tmpDir("graft_simhash_spec") + "/pairs"
+    Dedup.buildSimhashPairTable(spark, sf0001, out)
+    val inline = Dedup.simhash64NeighborsAuto(spark, sf0001)
+    val served = Dedup.simhashPairTable(spark, out)
+    assert(served.schema.map(f => (f.name, f.dataType)) ==
+      inline.schema.map(f => (f.name, f.dataType)),
+      "served read must preserve the inline chain's columns and dtypes")
+    val a = inline.collect().map(_.toSeq).toSet
+    val b = served.collect().map(_.toSeq).toSet
+    assert(a == b, "served pair set must equal the inline pair set")
+    assert(served.count() == inline.count(),
+      "no multiplicity drift through the parquet round-trip")
+  }
+
   test("span dedup fixture invariants: conservation, reconstruction, effect") {
     val out = TextOps.dedupSpans(spark, SparkSpec.Sf001)
     // Block accounting conserves; the op does real work on the fixture.
