@@ -951,14 +951,14 @@ object SparkEntry {
     * reconstructed by string surgery on the corpus dir, which silently
     * reads a wrong location under a trailing slash or a renamed corpus
     * dir). */
-  private final case class ErasureEnv(
+  private[graft] final case class ErasureEnv(
       targets: graft.operators.Takedown.TakedownTargets,
       manifestDir: String, packsDir: String, countsDir: String)
 
   private val stagedErasureEnvs = new java.util.concurrent.ConcurrentHashMap[
     String, ErasureEnv]()
 
-  private def stagedErasureEnv(s: SparkSession, d: String): ErasureEnv =
+  private[graft] def stagedErasureEnv(s: SparkSession, d: String): ErasureEnv =
     stagedErasureEnvs.computeIfAbsent(d, { _ =>
       import org.apache.spark.sql.functions._
       val dir = tempDirWithCleanup("graft_erasure")
@@ -1009,6 +1009,19 @@ object SparkEntry {
         s"$dir/manifest") // full replay: manifest no-ops every leg
       require(Takedown.manifestComplete(s, s"$dir/manifest", 0L, targets),
         "erasure manifest incomplete after orchestrated takedown")
+      // COMPACT every index generation (r17): the standing shape a
+      // deployment's compaction cadence maintains (StreamingIngest
+      // folds on these same entry points after appends/takedowns).
+      // Content-preserving by the compaction contract — every consumer
+      // row of this env stays oracle-hash-green — and the serve scans
+      // the certificate audits drop their small-file/batch overhead
+      // (sf10 same-JVM A/B: certificate 17.6 → 14.7 s, every leg
+      // improves; PLANS.md r17 ch.10).
+      Compaction.compactLexIndex(s, s"$dir/lex")
+      Compaction.compactPosIndex(s, s"$dir/pos")
+      Compaction.compactIvfIndex(s, s"$dir/ivf")
+      Compaction.compactPairTable(s, s"$dir/pairs", s"$dir/sigs")
+      Compaction.compactContentIndex(s, s"$dir/content")
       ErasureEnv(targets, s"$dir/manifest", s"$dir/packs", s"$dir/counts")
     })
 
@@ -1599,7 +1612,7 @@ object SparkEntry {
   private val stagedTakedownLexIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def takedownDocIds(s: SparkSession, d: String) = {
+  private[graft] def takedownDocIds(s: SparkSession, d: String) = {
     import org.apache.spark.sql.functions.col
     graft.Tables.documents(s, d).where(col("doc_id") % 5 === 2)
       .select(col("doc_id"))

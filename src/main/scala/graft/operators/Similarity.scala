@@ -767,7 +767,18 @@ object Similarity {
         col("nv").as("nq"))
     val approx = queryIvfIndex(spark, indexPath, q, k)
     val root = Compaction.resolveRoot(spark, indexPath)
-    val live = Takedown.applyDeletes(c, s"$root/deletes", idCol = "vec_id")
+    // The purged corpus is INDEX MEMBERSHIP — the vec_ids the serve
+    // path still answers with — not `corpus minus the deletes sidecar`
+    // (r17): compaction FOLDS deletes into the postings generation and
+    // empties the sidecar, so a sidecar-derived live set silently
+    // resurrects every folded takedown in the exact arm and the panel
+    // reports drift that isn't there. Postings-minus-current-deletes is
+    // fold-invariant: pre-fold it equals the sidecar subtraction,
+    // post-fold the postings are already purged.
+    val servedIds = Takedown.applyDeletes(
+      spark.read.parquet(s"$root/postings").select(col("vec_id")),
+      s"$root/deletes", idCol = "vec_id").distinct()
+    val live = c.join(servedIds, Seq("vec_id"), "left_semi")
     val scored = live.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
