@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val which = args.lift(1)
+    // r17: every name after the sfDir is dumped (one JVM for a batch of
+    // before/after plan artifacts instead of one sbt launch per query).
+    val which = if (args.length > 1) Some(args.drop(1).toSet) else None
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -18,7 +20,7 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => which.forall(_ == q._1))
+      .filter(q => which.forall(_.contains(q._1)))
     qs.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       if (which.isDefined) {

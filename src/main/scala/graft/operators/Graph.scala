@@ -64,6 +64,13 @@ object Graph {
   val DampNum = 85L
   val DampDen = 100L
 
+  /** Rank-lineage truncation cadence (r17): a localCheckpoint every
+    * this many rounds. Lineage per round is one join+agg+join (linear
+    * since the closed-form dangling mass removed the second consumer
+    * of `ranks`), so a handful of rounds per plan is cheap; the pin
+    * bounds plan depth for deployments that raise [[Iterations]]. */
+  val CheckpointEvery = 8
+
   /** PageRank over an explicit node frame (`source`) and an overlap
     * frame (source_a, source_b, n_dup_pairs). Self-loops are excluded
     * (same-source duplication is redundancy, not syndication) and the
@@ -90,18 +97,34 @@ object Graph {
       .join(srcs, col("source") === col("src"), "left")
       .select(col("source"), col("src").isNull.as("dangling"))
       .localCheckpoint()
-    val n = nodes.count()
+    // n and the dangling-node count in ONE bounded job (r17 optimization
+    // round, guide §5 — the driver should schedule as few blocking jobs
+    // as possible on an iterative path; this replaces a count() plus six
+    // per-iteration scalar-probe jobs with one 2-row collect).
+    val byDangling = nodes.groupBy(col("dangling"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    val n = byDangling.values.sum
+    val nDang = byDangling.getOrElse(true, 0L)
     require(n > 0, "sourceAuthority: empty node set")
     // Teleport term (1-d)·mass/N — exact integer derivation, mirrored
     // token-for-token by the twin: ((Scale·15) div 100) div N.
     val teleport = (Scale * (DampDen - DampNum) / DampDen) / n
     var ranks = nodes.withColumn("r", lit(Scale / n)).localCheckpoint()
-    for (_ <- 1 to Iterations) {
-      // Dangling (isolated-node) mass: one bounded scalar probe per
-      // round, redistributed uniformly — re-enters as a literal.
-      val dang = ranks.where(col("dangling"))
-        .agg(coalesce(sum(expr(s"(r * $DampNum) DIV $DampDen")), lit(0L)))
-        .head().getLong(0)
+    // CLOSED-FORM dangling mass (r17): dangling == isolated (the
+    // symmetrized graph has in-degree 0 iff out-degree 0), so a dangling
+    // node receives NO in-mass and every dangling rank follows the same
+    // scalar recurrence r(0) = Scale/n, r(t+1) = teleport + dang(t)/n
+    // with dang(t) = nDang · ((r(t)·DampNum) DIV DampDen) — bit-identical
+    // to the distributed sum the r10–r16 form probed per iteration
+    // (an integer sum of nDang EQUAL terms; Scala Long `/` on the
+    // non-negative operands here is the same floor division as Spark
+    // DIV), GraphSpec pins the identity against the probed form. No
+    // overflow: Σ dangling rank ≤ total mass = Scale, so
+    // nDang·((rDang·85) DIV 100) ≤ 0.85·Scale < 2⁶³.
+    var rDang = Scale / n
+    for (it <- 1 to Iterations) {
+      val dang = nDang * ((rDang * DampNum) / DampDen)
       val inMass = shares
         .join(ranks.select(col("source").as("src"), col("r")), "src")
         .select(col("dst"),
@@ -112,7 +135,19 @@ object Graph {
         .select(col("source"), col("dangling"),
           (lit(teleport) + coalesce(col("m"), lit(0L)) + lit(dang / n))
             .as("r"))
-        .localCheckpoint()
+      // Lineage cadence, not per-iteration pinning (r17 optimization
+      // round, guide §5): with the dangling mass in closed form the
+      // ranks frame is referenced exactly ONCE per round, so lineage
+      // grows LINEARLY (join+agg+join per round) — the whole fixed-
+      // iteration run executes as one job instead of one blocking
+      // materialization per round (the r10–r16 shape existed because
+      // the per-round scalar probe consumed `ranks` a second time,
+      // which unpinned would have re-run the chain). The cadence pin
+      // stays for deployments that raise Iterations past what one
+      // plan should carry.
+      if (it % CheckpointEvery == 0 && it < Iterations)
+        ranks = ranks.localCheckpoint()
+      rDang = teleport + dang / n
     }
     ranks.select(col("source"), col("r").as("rank_micro"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("authority"))

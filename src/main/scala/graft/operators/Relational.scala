@@ -249,8 +249,48 @@ object Relational {
         rsum3(col("income") - col("campaign_cost")).as("total_profit"))
 
   /** b_customer_retention.sql:1-14 — A5 conditional distinct count
-    * (`COUNT(DISTINCT CASE WHEN income > 0 THEN customer_id END)`). */
+    * (`COUNT(DISTINCT CASE WHEN income > 0 THEN customer_id END)`).
+    *
+    * Two-phase no-Expand shape (r17 optimization round, guide §2.3
+    * "aggregate before you shuffle"): the direct three-countDistinct
+    * form plans an Expand that emits every master row THREE times (one
+    * slice per distinct aggregate) before the first exchange — the only
+    * remaining Expand on the business surface (single-distinct
+    * aggregates get the planner's own two-level rewrite; three distinct
+    * NULL-gated projections of the same column do not). Phase 1 groups
+    * at (country, date, customer_id) grain — map-side combine collapses
+    * the orders→lineitem fanout BEFORE the exchange, one row per
+    * customer-day, with two 1-or-null flags; phase 2 turns each
+    * conditional distinct count into a non-null flag count. Identity
+    * argument (same class as [[performanceMetricsTwoPhase]], spec-pinned
+    * in RelationalSpec):
+    *  - customer_id is a join key (o_custkey), hence non-null, so
+    *    count(*) over phase-1 groups ≡ countDistinct(customer_id);
+    *  - `max(when(income > 0, 1))` is non-null for a (country, date,
+    *    customer) group iff SOME row has income > 0 — exactly the
+    *    groups whose customer_id the conditional countDistinct counts;
+    *    null incomes yield null conditions → `when` yields null → max
+    *    skips them, matching countDistinct's null-skipping. */
   def customerRetention(master: DataFrame): DataFrame =
+    master
+      .groupBy(col("transaction_country").as("country"),
+        dateStr(col("transaction_datetime")).as("date"),
+        col("customer_id"))
+      .agg(
+        max(when(col("income") > 0, lit(1))).as("has_pay"),
+        max(when(col("income") === 0, lit(1))).as("has_zero"))
+      .groupBy(col("country"), col("date"))
+      .agg(
+        count(lit(1)).as("unique_customers"),
+        count(col("has_pay")).as("paying_customers"),
+        count(col("has_zero")).as("non_paying_customers"))
+
+  /** The pre-r17 Expand form of [[customerRetention]], kept as the
+    * equivalence twin RelationalSpec pins the rewrite against (the
+    * performanceMetricsTwoPhase discipline, in the opposite
+    * direction: here the DIRECT form is the reference twin and the
+    * two-phase form is shipped). */
+  private[graft] def customerRetentionExpand(master: DataFrame): DataFrame =
     master
       .groupBy(col("transaction_country").as("country"),
         dateStr(col("transaction_datetime")).as("date"))

@@ -316,8 +316,20 @@ object Takedown {
     * seeded-offset tail either way. */
   private[operators] def repackSuffixCounts(counts: DataFrame,
                                             ids: DataFrame,
-                                            packs: DataFrame): DataFrame = {
-    val cuts = affectedPacks(counts, ids, packs)
+                                            packs: DataFrame): DataFrame =
+    repackSuffixFromCuts(counts, ids, affectedPacks(counts, ids, packs))
+
+  /** The seeded-offset suffix repack over an EXPLICIT cuts frame
+    * (lang, from_pack_id, from_doc, seed_offset) — split out in r17 so
+    * [[packCertLeg]], which has already COLLECTED the bounded cut rows
+    * for its scoping decision, can feed them back as a LocalRelation
+    * instead of re-planning the whole [[affectedPacks]] join/aggregate
+    * subtree inside the certificate's final job (guide §2.4/§5: the
+    * subtree was computed once for the driver-side collect and then
+    * AGAIN in-plan — identical inputs, so the LocalRelation is
+    * result-identical by construction). */
+  private def repackSuffixFromCuts(counts: DataFrame, ids: DataFrame,
+                                   cuts: DataFrame): DataFrame = {
     val suffix = counts
       .join(broadcast(ids.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
@@ -615,30 +627,42 @@ object Takedown {
     // table per consumer. The pin costs one blocking job; three
     // consumers read it.
     val counts = countsIn.localCheckpoint()
-    val cuts = affectedPacks(counts, dead, packs)
-      .select(col("lang"), col("from_pack_id"))
     // Collected ONCE (bounded: one row per affected lang) and rebuilt
-    // as a driver-local relation — its three join consumers then
-    // broadcast a LocalRelation with zero extra jobs, where a pinned
-    // distributed frame would still schedule a stage per consumer (at
-    // bench SF the pack leg is job-overhead-bound, r15).
+    // as a driver-local relation — its join consumers then broadcast a
+    // LocalRelation with zero extra jobs, where a pinned distributed
+    // frame would still schedule a stage per consumer (at bench SF the
+    // pack leg is job-overhead-bound, r15). r17: the collect now also
+    // carries from_doc/seed_offset, so the suffix repack inside the
+    // final job reads the SAME LocalRelation instead of re-planning the
+    // whole [[affectedPacks]] subtree a second time (one job computed
+    // it here already — identical inputs, identical rows).
     val spark = countsIn.sparkSession
-    val cutRows: Seq[(String, Long)] = counts
+    val cutRows: Seq[(String, Long, Option[Long], Option[Long])] = counts
       .join(broadcast(dead.select(col("doc_id")).distinct()), "doc_id")
       .select(col("lang")).distinct()
-      .join(broadcast(cuts), Seq("lang"), "left")
+      .join(broadcast(affectedPacks(counts, dead, packs)), Seq("lang"), "left")
       .select(col("lang"),
         coalesce(col("from_pack_id"), lit(Long.MinValue))
-          .as("from_pack_id"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val affected = spark.createDataFrame(cutRows)
+          .as("from_pack_id"),
+        col("from_doc"), col("seed_offset"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    val affected = spark.createDataFrame(cutRows.map(t => (t._1, t._2)))
       .toDF("lang", "from_pack_id")
+    // The RAW cut rows (a lang with dead docs but NO cut keeps its
+    // Long.MinValue marker in `affected` — loud-failure scoping — but
+    // must NOT enter the suffix repack, exactly as the inner join on
+    // [[affectedPacks]]'s output excluded it before).
+    val cutsLocal = spark.createDataFrame(cutRows.collect {
+        case (l, fp, Some(fd), Some(so)) => (l, fp, fd, so) })
+      .toDF("lang", "from_pack_id", "from_doc", "seed_offset")
     val prefix = packs.join(broadcast(affected), Seq("lang"), "left")
       .where(col("from_pack_id").isNull ||
         col("pack_id") < col("from_pack_id"))
       .drop("from_pack_id")
     val stitched = prefix.unionByName(
-      repackSuffixCounts(counts, dead, packs))
+      repackSuffixFromCuts(counts, dead, cutsLocal))
     val purged = counts.join(broadcast(dead), Seq("doc_id"), "left_anti")
     // Project BOTH sides through one explicit column list before the
     // excepts (r14 review, second pass): exceptAll resolves
@@ -679,9 +703,24 @@ object Takedown {
         val full = Sampling.packSequencesOfCounts(purged)
         (stitched.select(packCols: _*), full.select(packCols: _*))
       }
-    val sym = st.exceptAll(fl).unionByName(fl.exceptAll(st))
+    // Multiset symmetric difference as ONE signed-count aggregate (r17
+    // optimization round, guide §2.3/§2.4): the double exceptAll planned
+    // BOTH window-repack subtrees twice (each exceptAll re-plans both
+    // inputs — Catalyst has no cross-operator subtree dedup), which at
+    // bench SF made the pack leg 2/3 of the certificate row and at ×100
+    // doubled its true scan work. |st Δ fl| ≡ Σ_rows |mult_st − mult_fl|
+    // = sum(abs(sum(±1))) grouped by the pack row — st and fl each enter
+    // the plan ONCE, one hash-aggregate exchange replaces the excepts'
+    // two, and null grouping keys compare null-safe exactly as exceptAll
+    // compares them. TakedownSpec's clean/corrupt/scoped≡full cases pin
+    // the rewrite; the certificate row stays hash-checked by the oracle.
+    val nDead = st.withColumn("__side", lit(1L))
+      .unionByName(fl.withColumn("__side", lit(-1L)))
+      .groupBy(packCols: _*)
+      .agg(sum(col("__side")).as("__d"))
+      .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("n_dead"))
     stitched.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_live"))
-      .crossJoin(sym.agg(count(lit(1)).as("n_dead")))
+      .crossJoin(nDead)
       .select(lit("packs").as("artifact"), col("n_live"), col("n_dead"))
   }
 
@@ -806,24 +845,37 @@ object Takedown {
     // a literal tree + driver broadcast. Both branches produce the
     // same rows; TakedownSpec forces a corpus-wide boilerplate passage
     // through each and compares.
-    val dbBuckets = cand.select(col("db")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val store = ContentIndex.docstore(spark, root)
-      .where(col("db").isin(dbBuckets: _*))
+    // ONE driver round-trip decides the branch AND (in the common,
+    // below-cap case) delivers both literal sets (r17 optimization
+    // round, guide §5 — the serve path's fixed cost is its SEQUENTIAL
+    // driver-action count, ~0.2 s of scheduling each at bench SF):
+    // `db` is a pure function of doc_id, so distinct (db, doc_id) rows
+    // ≡ distinct resolved ids, and collecting `cap+1` of them answers
+    // `contentPushdownByLiteral(nIds, cap)` exactly — length ≤ cap ⟺
+    // the id cardinality is within the cap, in which case the limit
+    // returned the COMPLETE set (deterministic despite `limit` being
+    // order-arbitrary). Replaces the r16 count + ids-collect +
+    // db-collect chain (three blocking jobs) with one; the driver
+    // bound is unchanged — ≤ cap+1 rows ≈ 1.6 MB, the documented
+    // ScaleEnvelope budget. Above the cap the ids never reach the
+    // driver (the envelope's point); only then is the layout-bounded
+    // (≤ DocBuckets) db set collected separately for dir pruning.
+    val idRows = cand.select(col("db"), col("doc_id")).distinct()
+      .limit(math.min(idPushdownCap + 1, Int.MaxValue.toLong).toInt).collect()
     val candText =
-      // Distinct doc_id count (r17, ADVICE r16): the cap is documented
-      // as RESOLVED-ID cardinality — counting (passage_id, doc_id)
-      // rows double-counted docs shared across a multi-passage request
-      // and could flip to the distributed branch early. The frame is
-      // localCheckpoint-pinned, so the distinct count reads blocks.
-      (if (ScaleEnvelope.contentPushdownByLiteral(
-          cand.select(col("doc_id")).distinct().count(), idPushdownCap)) {
-        val candIds = cand.select(col("doc_id")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        store.where(col("doc_id").isin(candIds: _*))
+      (if (ScaleEnvelope.contentPushdownByLiteral(idRows.length,
+          idPushdownCap)) {
+        val store = ContentIndex.docstore(spark, root)
+          .where(col("db").isin(idRows.map(_.getLong(0)).distinct.toSeq: _*))
+        store.where(col("doc_id").isin(
+            idRows.map(_.getLong(1)).toSeq: _*))
           .join(broadcast(cand), Seq("db", "doc_id"))
       } else {
-        store.join(cand.hint("shuffle_hash"), Seq("db", "doc_id"))
+        val dbBuckets = cand.select(col("db")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        ContentIndex.docstore(spark, root)
+          .where(col("db").isin(dbBuckets: _*))
+          .join(cand.hint("shuffle_hash"), Seq("db", "doc_id"))
       }).select(col("passage_id"), col("doc_id"), col("norm_text"))
     exactTier(candText, p)
   }
@@ -912,10 +964,18 @@ object Takedown {
         // keys, and no multi-million-literal In tree is planned). The
         // touched frame is pinned either way; both expansion
         // orientations read the pinned sliver.
+        // Branch decision and (below-cap) seed set in ONE driver
+        // round-trip (r17, guide §5 — the servedExact limit-collect
+        // pattern): `seedRows.length ≤ cap` ⟺
+        // `contentPushdownByLiteral(n_distinct, cap)`, and at ≤ cap the
+        // limit returned the complete set.
         val seedFrame = exact.select(col("doc_id")).distinct()
+        val seedRows = seedFrame
+          .limit(math.min(idPushdownCap + 1, Int.MaxValue.toLong).toInt)
+          .collect()
         val touched = (if (ScaleEnvelope.contentPushdownByLiteral(
-            seedFrame.count(), idPushdownCap)) {
-            val seeds = seedFrame.collect().map(_.getLong(0)).toSeq
+            seedRows.length, idPushdownCap)) {
+            val seeds = seedRows.map(_.getLong(0)).toSeq
             // distinct matches the distributed branch's discipline
             // (r17, ADVICE r16): the pair table is duplicate-free by
             // the serve-time distinct upstream, but the two branches

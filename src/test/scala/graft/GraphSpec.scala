@@ -60,4 +60,52 @@ class GraphSpec extends SparkSpec {
   test("every rank is positive (teleport floors the minimum)") {
     assert(ranksOf(nodes, overlap).values.forall(_ > 0L))
   }
+
+  test("closed-form dangling mass equals the per-iteration distributed " +
+      "probe (r17 job-count optimization)") {
+    // Reference: the r10–r16 recurrence with the dangling mass SUMMED
+    // from the ranks frame each round — replicated here verbatim so the
+    // shipped closed form (dangling nodes are isolated, hence all carry
+    // the identical scalar rank) is pinned against the probed original.
+    import org.apache.spark.sql.functions._
+    val ov = overlap.where(col("source_a") =!= col("source_b"))
+    val edges = ov.select(col("source_a").as("src"),
+        col("source_b").as("dst"), col("n_dup_pairs").as("w"))
+      .unionAll(ov.select(col("source_b").as("src"),
+        col("source_a").as("dst"), col("n_dup_pairs").as("w")))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val shares = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        expr(s"(w * ${Graph.ShareScale}) DIV ow").as("share"))
+    val srcs = shares.select(col("src")).distinct()
+    val ns = nodes.select(col("source")).distinct()
+      .join(srcs, col("source") === col("src"), "left")
+      .select(col("source"), col("src").isNull.as("dangling"))
+      .localCheckpoint()
+    val n = ns.count()
+    val teleport =
+      (Graph.Scale * (Graph.DampDen - Graph.DampNum) / Graph.DampDen) / n
+    var ranks = ns.withColumn("r", lit(Graph.Scale / n)).localCheckpoint()
+    for (_ <- 1 to Graph.Iterations) {
+      val dang = ranks.where(col("dangling"))
+        .agg(coalesce(sum(expr(
+          s"(r * ${Graph.DampNum}) DIV ${Graph.DampDen}")), lit(0L)))
+        .head().getLong(0)
+      val inMass = shares
+        .join(ranks.select(col("source").as("src"), col("r")), "src")
+        .select(col("dst"),
+          expr(s"(((r * ${Graph.DampNum}) DIV ${Graph.DampDen}) * share) " +
+            s"DIV ${Graph.ShareScale}").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = ns.join(inMass, ns("source") === inMass("dst"), "left")
+        .select(col("source"), col("dangling"),
+          (lit(teleport) + coalesce(col("m"), lit(0L)) + lit(dang / n))
+            .as("r"))
+        .localCheckpoint()
+    }
+    val expect = ranks.select(col("source"), col("r")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranksOf(nodes, overlap) ==
+      expect.map { case (k, v) => k -> v })
+  }
 }

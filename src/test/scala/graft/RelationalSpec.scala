@@ -141,6 +141,28 @@ class RelationalSpec extends SparkSpec {
     assert(a2.exceptAll(b2).isEmpty && b2.exceptAll(a2).isEmpty)
   }
 
+  test("customerRetention: two-phase flags are bit-identical to the " +
+      "Expand form") {
+    val m = Relational.masterModel(spark, SparkSpec.Sf001)
+    val a = Relational.customerRetentionExpand(m)
+    val b = Relational.customerRetention(m)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // Identity must survive nulls: a null income yields a null WHEN
+    // condition in both forms (countDistinct skips the null projection;
+    // max skips the null flag) — and zero incomes must land in
+    // non_paying without leaking into paying.
+    val m2 = m.withColumn("income",
+      when(pmod($"transaction_id", lit(97)) === 0, lit(null).cast("double"))
+        .when(pmod($"transaction_id", lit(89)) === 0, lit(0.0))
+        .otherwise($"income"))
+    assert(m2.where($"income".isNull).count() > 0)
+    assert(m2.where($"income" === 0).count() > 0)
+    val a2 = Relational.customerRetentionExpand(m2)
+    val b2 = Relational.customerRetention(m2)
+    assert(a2.exceptAll(b2).isEmpty && b2.exceptAll(a2).isEmpty)
+  }
+
   test("rollup: grouping-sets formulation matches direct two-branch union") {
     val got = Relational.rollup(spark, sf0001)
     // Direct (reference-shaped) formulation: two separate aggregates.
