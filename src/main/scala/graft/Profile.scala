@@ -1,11 +1,28 @@
 package graft
 /** Dev profiling scratchpad (not part of the driver contract).
   *
-  * r17 optimization round: A/B of the customer-retention aggregate forms
-  * (shipped two-phase no-Expand vs the spec-twin Expand form) over the
-  * same master frame — the ×100 evidence for OPTIMIZATION_r17.md ch.1.
-  * Bench protocol envs apply (SPARK_GRAFT_CPUS, TQ_SF). */
+  * Same-JVM A/B harness: box drift between runs makes cross-run
+  * comparison of single rows uninterpretable (PLANS.md r16 ch.1), so
+  * every optimization candidate is measured as back-to-back arms inside
+  * ONE session. Bench protocol envs apply (SPARK_GRAFT_CPUS, TQ_SF).
+  *
+  * Usage: runMain graft.Profile [experiment] [reps]
+  *   retention — r17 ch.1/2 arms of record (customer-retention
+  *               two-phase vs Expand; source-authority one-job loop vs
+  *               the probed/checkpointed replica)
+  *   datekey   — r17 continuation: business group keys on the 4-byte
+  *               DATE with the string format applied AFTER the final
+  *               aggregate, vs the shipped group-on-string form
+  *               (guide §2.3 narrower types through the exchange)
+  *   simhash   — r17 continuation: md5-digit vote extraction via
+  *               ascii arithmetic projected once per row, vs the
+  *               shipped 64× conv(substring(..),16,10) form (guide §4
+  *               expression cost in the hot aggregate)
+  */
 object Profile {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -15,32 +32,159 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("TQ_SF", "/root/testdata/sf0.1")
-    val reps = args.headOption.map(_.toInt).getOrElse(3)
-    def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+    val experiment = args.headOption.getOrElse("retention")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    def time(name: String)(f: => DataFrame): Unit = {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         f.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-22s min ${ts.min}%.2f s  reps " +
+      println(f"$name%-26s min ${ts.min}%.2f s  reps " +
         ts.map(t => f"$t%.2f").mkString("/"))
     }
+    import graft.operators.{Relational, Dedup, Graph}
+
+    experiment match {
+      case "datekey" => dateKeyArms(spark, d, time)
+      case "simhash" => simhashArms(spark, d, time)
+      case _ => retentionAuthorityArms(spark, d, time)
+    }
+    spark.stop()
+  }
+
+  // ------------------------------------------------------------------
+  // Experiment: business group keys on DATE, format after the aggregate
+  // ------------------------------------------------------------------
+
+  /** salesKpi with the date formatted AFTER the aggregate: group key is
+    * the raw 4-byte DATE instead of its 10-char string form (equal
+    * dates ⟺ equal strings, so the grouping is identical; the format
+    * expression runs once per GROUP instead of once per master row). */
+  private def salesKpiDateKey(master: DataFrame): DataFrame = {
+    import graft.operators.Relational._
+    master
+      .groupBy(col("transaction_country").as("country"),
+        col("transaction_datetime").as("_d"))
+      .agg(
+        countDistinct(col("transaction_id")).as("transaction_count"),
+        rsum2(col("income")).as("total_income"),
+        ravg2(col("income")).as("average_income"),
+        rsum3(col("income") - col("campaign_cost")).as("total_profit"))
+      .select(col("country"), dateStr(col("_d")).as("date"),
+        col("transaction_count"), col("total_income"),
+        col("average_income"), col("total_profit"))
+  }
+
+  private def retentionDateKey(master: DataFrame): DataFrame =
+    master
+      .groupBy(col("transaction_country").as("country"),
+        col("transaction_datetime").as("_d"),
+        col("customer_id"))
+      .agg(
+        max(when(col("income") > 0, lit(1))).as("has_pay"),
+        max(when(col("income") === 0, lit(1))).as("has_zero"))
+      .groupBy(col("country"), col("_d"))
+      .agg(
+        count(lit(1)).as("unique_customers"),
+        count(col("has_pay")).as("paying_customers"),
+        count(col("has_zero")).as("non_paying_customers"))
+      .select(col("country"),
+        graft.operators.Relational.dateStr(col("_d")).as("date"),
+        col("unique_customers"), col("paying_customers"),
+        col("non_paying_customers"))
+
+  private def dateKeyArms(spark: org.apache.spark.sql.SparkSession,
+                          d: String,
+                          time: String => (=> DataFrame) => Unit): Unit = {
     import graft.operators.Relational
+    def master = Relational.masterModel(spark, d)
+    // Identity sanity inside the same session (cheap at sf0.01-style
+    // volumes; run with TQ_SF pointing at sf0.01 first).
+    val a = Relational.salesKpi(master)
+    val b = salesKpiDateKey(master)
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    println(s"salesKpi identity diff rows: $diff (must be 0)")
+    time("warmup")(Relational.salesKpi(master))
+    time("salesKpi shipped")(Relational.salesKpi(master))
+    time("salesKpi dateKey")(salesKpiDateKey(master))
+    time("salesKpi shipped2")(Relational.salesKpi(master))
+    time("salesKpi dateKey2")(salesKpiDateKey(master))
+    time("retention shipped")(Relational.customerRetention(master))
+    time("retention dateKey")(retentionDateKey(master))
+    time("retention shipped2")(Relational.customerRetention(master))
+    time("retention dateKey2")(retentionDateKey(master))
+  }
+
+  // ------------------------------------------------------------------
+  // Experiment: simhash64 vote extraction
+  // ------------------------------------------------------------------
+
+  /** simhash64 with the 32 md5 hex digits decoded ONCE per token row in
+    * a projection below the aggregate (ascii arithmetic: '0'-'9' →
+    * 48..57, 'a'-'f' → 97..102), votes as bit tests on the decoded
+    * ints. Bit-identical to Dedup.simhash64's conv(substring) form:
+    * digit k's vote is bit 3 (k < 32) / bit 2 (k ≥ 32) of the same hex
+    * digit (k mod 32) of the same md5. */
+  private def simhash64Ascii(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    import graft.operators.{Spread, TextOps}
+    val digitCols = (0 until 32).map { i =>
+      val a = ascii(substring(col("m"), i + 1, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).as(s"d$i")
+    }
+    val voteCols = (0 until 64).map { k =>
+      val bit = if (k < 32) col(s"d$k").bitwiseAND(lit(8))
+                else col(s"d${k - 32}").bitwiseAND(lit(4))
+      sum(when(bit > 0, lit(1)).otherwise(lit(-1))).as(s"v$k")
+    }
+    def quarter(j: Int): Column =
+      (0 until 16).map(b =>
+        when(col(s"v${16 * j + b}") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+    Spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+      .select(col("doc_id") +: digitCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id") +:
+        (0 until 4).map(j => quarter(j).as(s"q$j")): _*)
+  }
+
+  private def simhashArms(spark: org.apache.spark.sql.SparkSession,
+                          d: String,
+                          time: String => (=> DataFrame) => Unit): Unit = {
+    import graft.operators.Dedup
+    val a = Dedup.simhash64(spark, d)
+    val b = simhash64Ascii(spark, d)
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    println(s"simhash64 identity diff rows: $diff (must be 0)")
+    time("warmup")(Dedup.simhash64(spark, d))
+    time("simhash64 shipped")(Dedup.simhash64(spark, d))
+    time("simhash64 ascii")(simhash64Ascii(spark, d))
+    time("simhash64 shipped2")(Dedup.simhash64(spark, d))
+    time("simhash64 ascii2")(simhash64Ascii(spark, d))
+  }
+
+  // ------------------------------------------------------------------
+  // r17 ch.1/2 arms of record (unchanged)
+  // ------------------------------------------------------------------
+
+  private def retentionAuthorityArms(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      time: String => (=> DataFrame) => Unit): Unit = {
+    import graft.operators.{Relational, Graph, Dedup}
     def master = Relational.masterModel(spark, d)
     time("warmup")(Relational.customerRetention(master))
     time("two_phase (shipped)")(Relational.customerRetention(master))
     time("expand (old form)")(Relational.customerRetentionExpand(master))
     // Same-JVM A/B of the source-authority forms: the shipped one-job
     // closed-form recurrence vs a verbatim replica of the r10–r16
-    // per-iteration probed/checkpointed loop (box drift between runs
-    // made cross-run comparison of this row uninterpretable).
-    import org.apache.spark.sql.functions._
-    import graft.operators.{Graph, Dedup}
-    // One PINNED overlap frame shared by both arms so the A/B isolates
-    // the iteration loop (the edge-prep subtree is identical either way).
+    // per-iteration probed/checkpointed loop.
     val overlap = Dedup.sourceOverlap(spark, d).localCheckpoint()
     def nodesIn = graft.Tables.documents(spark, d).select(col("source"))
-    def oldAuthority(): org.apache.spark.sql.DataFrame = {
+    def oldAuthority(): DataFrame = {
       val ov = overlap.where(col("source_a") =!= col("source_b"))
       val edges = ov.select(col("source_a").as("src"),
           col("source_b").as("dst"), col("n_dup_pairs").as("w"))
@@ -85,6 +229,5 @@ object Profile {
     time("authority old loop")(oldAuthority())
     time("authority shipped2")(Graph.authorityFrom(nodesIn, overlap))
     time("authority old loop2")(oldAuthority())
-    spark.stop()
   }
 }

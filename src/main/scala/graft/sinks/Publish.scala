@@ -527,6 +527,18 @@ private[graft] object Publish {
     val token = java.util.UUID.randomUUID.toString
     var stage: Path = null
     def restage(): Unit = {
+      // Reap the previous stage before abandoning its path (r17 soak
+      // debris root-cause): the lost-race catch below restages when the
+      // claim token is missing from the old stage, and the local fs's
+      // HDFS-semantics rename fallback — which moves/copies the source
+      // file by file — can crash partway, leaving the old stage dir
+      // PRESENT but token-less. Without this reap that dir survives as
+      // `.stage-*` debris at the root until vacuum (observed once in
+      // the 4-writer zero-fence-age soak). Safe at every call site:
+      // a stage that was renamed away no longer exists (delete is a
+      // no-op on its stale path), and UUID names can't collide with
+      // another publisher's live stage.
+      if (stage != null) fs.delete(stage, true)
       stage = freshStage()
       // A failed stage write (e.g. the merge's base read raced a
       // fence-restore transit) must not leave partial debris for the

@@ -578,4 +578,41 @@ class PublishFenceSpec extends SparkSpec {
     }
     assert(sums == Map("k" -> 111L))
   }
+
+  test("a lost-race restage reaps the abandoned stage: no .stage-* " +
+      "debris when the rename fallback consumed the claim token (r17 " +
+      "soak-debris root cause)") {
+    val t = s"${tmpDir("stage_reap")}/t"
+    val (fs, _, root) = fsOf(t)
+    var injected = false
+    val claim = Sinks.stageAndClaim(Seq((1L, "x")).toDF("id", "s"), t,
+      beforeRename = { next =>
+        if (!injected) {
+          injected = true
+          // The observed fallback-copy crash state, reproduced
+          // deterministically: the claim token is gone from the stage
+          // (the local fs's HDFS-semantics rename fallback moves the
+          // source file by file and died after the token) while the
+          // stage dir itself survives — and the slot the publisher is
+          // about to claim is already occupied, so the rename loses.
+          val stage = fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.startsWith(".stage-")).head
+          fs.listStatus(stage).map(_.getPath)
+            .filter(_.getName.startsWith("_claim-"))
+            .foreach(p => fs.delete(p, false))
+          fs.mkdirs(new Path(root, s"v=$next"))
+          fs.create(new Path(root, s"v=$next/occupant"), false).close()
+        }
+      })
+    // The lost race restaged from the DataFrame and claimed the next
+    // free number…
+    assert(claim.version == 2)
+    Sinks.commitMarker(spark, t, claim)
+    assert(rowsOf(t) == Set((1L, "x")))
+    // …and the token-less old stage was reaped, not abandoned: the
+    // root carries no `.stage-*` debris (pre-fix this left exactly the
+    // soak's `.stage-<uuid>` leftover).
+    val debris = childrenOf(fs, root).filter(_.startsWith(".stage-"))
+    assert(debris.isEmpty, s"lost-race restage left debris: $debris")
+  }
 }
