@@ -10,14 +10,19 @@ package graft
   *   retention — r17 ch.1/2 arms of record (customer-retention
   *               two-phase vs Expand; source-authority one-job loop vs
   *               the probed/checkpointed replica)
-  *   datekey   — r17 continuation: business group keys on the 4-byte
-  *               DATE with the string format applied AFTER the final
-  *               aggregate, vs the shipped group-on-string form
-  *               (guide §2.3 narrower types through the exchange)
-  *   simhash   — r17 continuation: md5-digit vote extraction via
-  *               ascii arithmetic projected once per row, vs the
-  *               shipped 64× conv(substring(..),16,10) form (guide §4
-  *               expression cost in the hot aggregate)
+  *   datekey   — r17 continuation (SHIPPED after this A/B won −9..13%
+  *               at sf0.1): business group keys on the 4-byte DATE with
+  *               the string format applied AFTER the final aggregate
+  *               (now the shipped form), vs the pre-r17c
+  *               group-on-string twin kept here (guide §2.3 narrower
+  *               types through the exchange)
+  *   simhash   — r17 continuation (NEGATIVE RESULT, not shipped):
+  *               md5-digit vote extraction via ascii arithmetic
+  *               projected once per row, vs the shipped 64×
+  *               conv(substring(..),16,10) form (guide §4) — a wash at
+  *               sf0.1 (0.83 vs 0.83 s) AND at ×100 (11.33 vs 11.01 s
+  *               interleaved mins): the row is md5/shuffle/agg-bound,
+  *               not digit-decode-bound
   */
 object Profile {
   import org.apache.spark.sql.{Column, DataFrame}
@@ -48,72 +53,141 @@ object Profile {
     experiment match {
       case "datekey" => dateKeyArms(spark, d, time)
       case "simhash" => simhashArms(spark, d, time)
+      case "rollup" => rollupArms(spark, d, time)
       case _ => retentionAuthorityArms(spark, d, time)
     }
     spark.stop()
   }
 
   // ------------------------------------------------------------------
+  // Experiment: rollup without the GROUPING SETS Expand
+  // ------------------------------------------------------------------
+
+  /** E3 rollup with the fact stream aggregated ONCE at day grain and
+    * the month grain re-aggregated from the day partials (bounded:
+    * countries × days), instead of the GROUPING SETS Expand that emits
+    * every fact row twice (once per grain) below the partial
+    * aggregate. Exactness is the ReaggPropertySpec invariant: the true
+    * month income is a multiple of 0.01, so round(sum(day partials), 2)
+    * recovers it independent of summation order — the same 2-dp
+    * argument the shipped form already relies on. Both union branches
+    * consume the SAME day aggregate, so ReuseExchange computes the
+    * fact-side subtree once. */
+  private def rollupDayFirst(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    import graft.operators.Relational
+    val day = Relational.transactions(spark, dir)
+      .groupBy(col("n_nationkey"), col("transaction_country"),
+        col("transaction_datetime").as("_d"))
+      .agg(sum(col("income")).as("inc_raw"),
+        count(col("transaction_id")).as("txn_cnt"))
+      .withColumn("dday", substring(col("_d").cast("string"), 1, 10))
+    val dayRows = day.select(
+      col("transaction_country").as("country"),
+      round(col("inc_raw"), 2).as("income"),
+      col("txn_cnt").as("transaction_count"),
+      lit(0.0).as("cost"),
+      lit(0L).as("campaign_count"),
+      col("dday").as("date"))
+    val monRows = day
+      .groupBy(col("n_nationkey"), col("transaction_country"),
+        concat(substring(col("dday"), 1, 7), lit("-01")).as("dmon"))
+      .agg(round(sum(col("inc_raw")), 2).as("minc"))
+      .select(
+        col("transaction_country").as("country"),
+        lit(0.0).as("income"),
+        lit(0L).as("transaction_count"),
+        round(col("minc") * lit(0.1).cast("double"), 3).as("cost"),
+        lit(1L).as("campaign_count"),
+        col("dmon").as("date"))
+    dayRows.unionAll(monRows)
+      .groupBy(col("country"), col("date"))
+      .agg(
+        round(sum(col("income")), 2).as("income"),
+        sum(col("transaction_count")).as("transaction_count"),
+        round(sum(col("cost")), 3).as("cost"),
+        sum(col("campaign_count")).as("campaign_count"))
+      .select(
+        col("country"),
+        col("transaction_count"),
+        col("income"),
+        col("cost"),
+        round(col("income") - col("cost"), 3).as("revenue"),
+        col("campaign_count"),
+        col("date"))
+  }
+
+  private def rollupArms(spark: org.apache.spark.sql.SparkSession,
+                         d: String,
+                         time: String => (=> DataFrame) => Unit): Unit = {
+    import graft.operators.Relational
+    val a = Relational.rollup(spark, d)
+    val b = rollupDayFirst(spark, d)
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    println(s"rollup identity diff rows: $diff (must be 0)")
+    time("warmup")(Relational.rollup(spark, d))
+    time("rollup shipped")(Relational.rollup(spark, d))
+    time("rollup dayFirst")(rollupDayFirst(spark, d))
+    time("rollup shipped2")(Relational.rollup(spark, d))
+    time("rollup dayFirst2")(rollupDayFirst(spark, d))
+  }
+
+  // ------------------------------------------------------------------
   // Experiment: business group keys on DATE, format after the aggregate
   // ------------------------------------------------------------------
 
-  /** salesKpi with the date formatted AFTER the aggregate: group key is
-    * the raw 4-byte DATE instead of its 10-char string form (equal
-    * dates ⟺ equal strings, so the grouping is identical; the format
-    * expression runs once per GROUP instead of once per master row). */
-  private def salesKpiDateKey(master: DataFrame): DataFrame = {
+  /** The PRE-r17c string-keyed forms, kept as the A/B twins after the
+    * date-keyed forms shipped in Relational (equal dates ⟺ equal
+    * strings, so the grouping is identical; the shipped forms run the
+    * format expression once per GROUP instead of once per master row
+    * and shuffle a 4-byte date instead of a 10-char string). */
+  private def salesKpiStrKey(master: DataFrame): DataFrame = {
     import graft.operators.Relational._
     master
       .groupBy(col("transaction_country").as("country"),
-        col("transaction_datetime").as("_d"))
+        dateStr(col("transaction_datetime")).as("date"))
       .agg(
         countDistinct(col("transaction_id")).as("transaction_count"),
         rsum2(col("income")).as("total_income"),
         ravg2(col("income")).as("average_income"),
         rsum3(col("income") - col("campaign_cost")).as("total_profit"))
-      .select(col("country"), dateStr(col("_d")).as("date"),
-        col("transaction_count"), col("total_income"),
-        col("average_income"), col("total_profit"))
   }
 
-  private def retentionDateKey(master: DataFrame): DataFrame =
+  private def retentionStrKey(master: DataFrame): DataFrame = {
+    import graft.operators.Relational._
     master
       .groupBy(col("transaction_country").as("country"),
-        col("transaction_datetime").as("_d"),
+        dateStr(col("transaction_datetime")).as("date"),
         col("customer_id"))
       .agg(
         max(when(col("income") > 0, lit(1))).as("has_pay"),
         max(when(col("income") === 0, lit(1))).as("has_zero"))
-      .groupBy(col("country"), col("_d"))
+      .groupBy(col("country"), col("date"))
       .agg(
         count(lit(1)).as("unique_customers"),
         count(col("has_pay")).as("paying_customers"),
         count(col("has_zero")).as("non_paying_customers"))
-      .select(col("country"),
-        graft.operators.Relational.dateStr(col("_d")).as("date"),
-        col("unique_customers"), col("paying_customers"),
-        col("non_paying_customers"))
+  }
 
   private def dateKeyArms(spark: org.apache.spark.sql.SparkSession,
                           d: String,
                           time: String => (=> DataFrame) => Unit): Unit = {
     import graft.operators.Relational
     def master = Relational.masterModel(spark, d)
-    // Identity sanity inside the same session (cheap at sf0.01-style
-    // volumes; run with TQ_SF pointing at sf0.01 first).
+    // Identity sanity inside the same session.
     val a = Relational.salesKpi(master)
-    val b = salesKpiDateKey(master)
+    val b = salesKpiStrKey(master)
     val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
     println(s"salesKpi identity diff rows: $diff (must be 0)")
     time("warmup")(Relational.salesKpi(master))
-    time("salesKpi shipped")(Relational.salesKpi(master))
-    time("salesKpi dateKey")(salesKpiDateKey(master))
+    time("salesKpi shipped=dateKey")(Relational.salesKpi(master))
+    time("salesKpi strKey (old)")(salesKpiStrKey(master))
     time("salesKpi shipped2")(Relational.salesKpi(master))
-    time("salesKpi dateKey2")(salesKpiDateKey(master))
+    time("salesKpi strKey2")(salesKpiStrKey(master))
     time("retention shipped")(Relational.customerRetention(master))
-    time("retention dateKey")(retentionDateKey(master))
+    time("retention strKey (old)")(retentionStrKey(master))
     time("retention shipped2")(Relational.customerRetention(master))
-    time("retention dateKey2")(retentionDateKey(master))
+    time("retention strKey2")(retentionStrKey(master))
   }
 
   // ------------------------------------------------------------------
